@@ -1,0 +1,124 @@
+"""Heuristic caption/document quality rules — vectorized drop rules.
+
+Each rule is a vectorized predicate over a numpy object array of strings.
+Reference precedents:
+
+- length        → TextLengthStatistics code-point semantics
+                  (dataquality-statistics text/TextLengthStatistics.java:24-183)
+- junk_numeric  → TypeInferenceUtils numeric/date regexes
+                  (type/TypeInferenceUtils.java:28-45)
+- symbol_ratio  → char-class translation chain
+                  (common/regex/ChainResponsibilityHandler.java:21)
+- repetition    → pattern-frequency + DuplicateCharEraser
+                  (converters/DuplicateCharEraser.java:64,
+                   frequency/pattern/CompositePatternFrequencyAnalyzer.java:41-159)
+- stopword_density → broadcast-dictionary membership
+                  (wordnet/WordNetDictionary.java:30-125 precedent)
+
+The ASCII-charclass variants (used when an exact DuckDB oracle is needed)
+use RE2-compatible patterns so the SQL in ``__ray_entry__.oracle_sql`` is
+bit-for-bit equivalent.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# 50 common English stopwords — fixed, ordered, public knowledge.
+EN_STOPWORDS = frozenset(
+    """a an and are as at be by for from has he in is it its of on that the to
+    was were will with this but they have had what when where who which she
+    his her you your i we our not no or if then so""".split()
+)
+
+_JUNK_RE = re.compile(r"^[0-9０-９\s.,/:+%-]+$")
+_SYMBOL_ASCII_RE = re.compile(r"[^A-Za-z0-9\s]")
+_NONSPACE_RE = re.compile(r"\S")
+_CHAR_RUN_RE = re.compile(r"(.)\1{4,}")
+_WS_RE = re.compile(r"\s+")
+
+
+def _np(values) -> np.ndarray:
+    return np.asarray(values, dtype=object)
+
+
+# -- individual predicates (value -> bool), vectorized via list comp over the
+#    (already short-circuit-compacted) undecided subset ---------------------
+
+
+def empty_mask(values) -> np.ndarray:
+    return np.array([v is None or str(v).strip() == "" for v in _np(values)], dtype=bool)
+
+
+def length_mask(values, min_len: int = 5, max_len: int = 512) -> np.ndarray:
+    # code-point length, like the reference's codePointCount tallies
+    return np.array(
+        [v is None or not (min_len <= len(v) <= max_len) for v in _np(values)], dtype=bool
+    )
+
+
+def junk_numeric_mask(values) -> np.ndarray:
+    """Caption is only digits/punctuation (a number, date or id — nothing to
+    train on). Contains at least one digit and no letters."""
+    return np.array(
+        [v is not None and any(c.isdigit() for c in v) and bool(_JUNK_RE.match(v)) for v in _np(values)],
+        dtype=bool,
+    )
+
+
+def symbol_ratio_mask(values, max_ratio: float = 0.3) -> np.ndarray:
+    """Ratio of ASCII symbol chars (not alnum, not whitespace) over
+    non-whitespace chars exceeds ``max_ratio``."""
+    out = np.zeros(len(values), dtype=bool)
+    for i, v in enumerate(_np(values)):
+        if v is None:
+            continue
+        nonspace = len(_NONSPACE_RE.findall(v))
+        if nonspace == 0:
+            continue
+        syms = len(_SYMBOL_ASCII_RE.findall(v))
+        out[i] = syms / nonspace > max_ratio
+    return out
+
+
+def repetition_mask(values, max_top_ratio: float = 0.5, min_tokens: int = 6) -> np.ndarray:
+    """Most frequent token dominates (≥ max_top_ratio of ≥ min_tokens
+    tokens) — template/spam captions ("buy buy buy …")."""
+    out = np.zeros(len(values), dtype=bool)
+    for i, v in enumerate(_np(values)):
+        if v is None:
+            continue
+        toks = v.lower().split()
+        if len(toks) < min_tokens:
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        out[i] = max(counts.values()) / len(toks) >= max_top_ratio
+    return out
+
+
+def char_run_mask(values, run_len: int = 5) -> np.ndarray:
+    """Any character repeated ≥ run_len times consecutively
+    (DuplicateCharEraser precedent). Not used in SQL-oracled chains (RE2
+    has no backreferences)."""
+    rx = _CHAR_RUN_RE if run_len == 5 else re.compile(r"(.)\1{%d,}" % (run_len - 1))
+    return np.array([v is not None and bool(rx.search(v)) for v in _np(values)], dtype=bool)
+
+
+def stopword_density_mask(
+    values, min_ratio: float = 0.08, min_tokens: int = 8, stopwords: frozenset = EN_STOPWORDS
+) -> np.ndarray:
+    """Keyword-stuffing: long caption with almost no function words."""
+    out = np.zeros(len(values), dtype=bool)
+    for i, v in enumerate(_np(values)):
+        if v is None:
+            continue
+        toks = v.lower().split()
+        if len(toks) < min_tokens:
+            continue
+        hits = sum(1 for t in toks if t in stopwords)
+        out[i] = hits / len(toks) < min_ratio
+    return out

@@ -1,0 +1,108 @@
+"""Stateful model stages: language ID and n-gram perplexity.
+
+These are the "model loaded once per actor" stages of the north pipeline
+(reference precedent: the per-JVM lazy dictionary singletons —
+dataquality-text-japanese tokenization/TextTokenizerBase.java:19-56,
+dataquality-wordnet WordNetDictionary.getInstance:46). In Ray Data they are
+held inside a callable class passed to ``map_batches(Cls, concurrency=N)``:
+construction happens once per actor in ``__init__``, scoring per batch in
+``__call__`` (see stages/quality.py).
+
+- ``HeuristicLangID``: fastText-style lightweight language identifier —
+  charset check (CJK) + function-word profiles for {en,es,fr,de}. Fully
+  deterministic, no external model file.
+- ``NgramPerplexity``: KenLM-style word-bigram language model with add-k
+  smoothing, trained at init on the deterministic in-domain corpus
+  (stages/corpus.py). High perplexity ⇒ word salad.
+
+Both memoize per distinct value (LFUCache analog) since captions repeat.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+
+from ..functions.text import unique_apply
+from .corpus import training_sentences
+
+_LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset("the and of in is a an with for on this there near next to at by".split()),
+    "es": frozenset("el la los las de que en un una es y por corre casa junto".split()),
+    "fr": frozenset("le la les des du et est une dans pour avec sur près chez".split()),
+    "de": frozenset("der die das und ist ein eine mit für von auf nicht dem neben".split()),
+}
+_LANG_ORDER = ("en", "es", "fr", "de")
+_TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+class HeuristicLangID:
+    """Deterministic language identification: ``predict`` → lang code or
+    'unknown'. CJK-dominant text → 'zh'; otherwise argmax of function-word
+    hits over the per-language marker sets (ties broken by _LANG_ORDER)."""
+
+    def __init__(self):
+        self.markers = _LANG_MARKERS
+
+    def predict_one(self, text: str | None) -> str:
+        if not text:
+            return "unknown"
+        cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
+        if cjk and cjk / max(1, len(text.replace(" ", ""))) > 0.2:
+            return "zh"
+        toks = [t.lower() for t in _TOKEN_RE.findall(text)]
+        if not toks:
+            return "unknown"
+        best_lang, best = "unknown", 0
+        for lang in _LANG_ORDER:
+            score = sum(1 for t in toks if t in self.markers[lang])
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang
+
+    def predict(self, values) -> np.ndarray:
+        return unique_apply(np.asarray(values, dtype=object), self.predict_one)
+
+
+class NgramPerplexity:
+    """Word-bigram LM with add-k smoothing; perplexity per caption.
+
+    P(w|prev) = (c(prev,w) + k) / (c(prev) + k·V); ppl = exp(−mean log P).
+    OOV words map to a single UNK id. Deterministic by construction.
+    """
+
+    BOS = "<s>"
+    UNK = "<unk>"
+
+    def __init__(self, k: float = 0.1, corpus: list[str] | None = None):
+        self.k = k
+        sents = corpus if corpus is not None else training_sentences()
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for s in sents:
+            toks = [self.BOS] + s.lower().split()
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        self.vocab = set(uni)
+        self.V = len(self.vocab) + 1  # + UNK
+        self.uni, self.bi = dict(uni), dict(bi)
+
+    def perplexity_one(self, text: str | None) -> float:
+        if not text:
+            return float("inf")
+        toks = [t if t in self.vocab else self.UNK for t in text.lower().split()]
+        toks = [self.BOS] + toks
+        if len(toks) < 2:
+            return float("inf")
+        lp = 0.0
+        for prev, w in zip(toks, toks[1:]):
+            c_bi = self.bi.get((prev, w), 0)
+            c_uni = self.uni.get(prev, 0)
+            lp += math.log((c_bi + self.k) / (c_uni + self.k * self.V))
+        return math.exp(-lp / (len(toks) - 1))
+
+    def perplexity(self, values) -> np.ndarray:
+        return unique_apply(np.asarray(values, dtype=object), self.perplexity_one).astype(np.float64)
