@@ -1,0 +1,149 @@
+"""Mergeable sketches: HyperLogLog and t-digest.
+
+The reference ships mergeable stats beans precisely so callers can do
+partial/final distributed aggregation (SURVEY.md §4):
+
+- HLL cardinality: cardinality/CardinalityHLLAnalyzer.java:33-84 with
+  merge at CardinalityHLLStatistics.java:53-58 (stream-lib HLL, rsd 20%).
+  Here: classic Flajolet HLL, p=14 (~0.81% rsd) over the deterministic
+  64-bit SipHash from ``pandas.util.hash_array`` (stable across worker
+  processes, unlike builtin ``hash``).
+- t-digest quantiles: numeric/quantile/TDigestAnalyzer.java:32-102
+  (mergeable sketch). Here: a merging t-digest with the standard k1 scale
+  bound on centroid size.
+
+Both expose ``update_array`` (vectorized per batch), ``merge``, and are
+small + picklable (one sketch per block rides the tiny partials stream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas.util as pdu
+
+
+def stable_hash64(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hashes (same value → same hash in every worker
+    process; builtin str hash is salted per process and unusable here)."""
+    return pdu.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = 1 + count of leading zeros of the remaining 64-p bits
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest.copy()
+        done = np.zeros(len(h), dtype=bool)
+        for r in range(64 - self.p + 2):
+            top = (cur & mask) != 0
+            newly = top & ~done
+            lz[newly] = r
+            done |= top
+            if done.all():
+                break
+            cur = cur << np.uint64(1)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    def update_array(self, values: np.ndarray) -> None:
+        self.update_hashes(stable_hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.sum(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+
+class TDigest:
+    """Merging t-digest (Dunning's k1 size bound). Centroids kept sorted."""
+
+    def __init__(self, compression: float = 100.0):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self._min = np.inf
+        self._max = -np.inf
+
+    def update_array(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
+        self._buf.append(v)
+        if sum(len(b) for b in self._buf) > 16384:
+            self._compress()
+
+    def _compress(self) -> None:
+        if not self._buf and len(self.means) <= 2 * self.compression:
+            return
+        pts = np.concatenate([self.means] + self._buf) if self._buf else self.means
+        wts = np.concatenate([self.weights] + [np.ones(len(b)) for b in self._buf]) if self._buf else self.weights
+        self._buf = []
+        if len(pts) == 0:
+            return
+        order = np.argsort(pts, kind="mergesort")
+        pts, wts = pts[order], wts[order]
+        total = wts.sum()
+        out_m, out_w = [], []
+        q0 = 0.0
+        cur_m, cur_w = pts[0], wts[0]
+        for i in range(1, len(pts)):
+            q = q0 + (cur_w + wts[i]) / total
+            # k1 bound: max centroid weight 4·total·q(1-q)/compression
+            limit = 4 * total * max(q * (1 - q), 1e-12) / self.compression
+            if cur_w + wts[i] <= limit:
+                cur_m = (cur_m * cur_w + pts[i] * wts[i]) / (cur_w + wts[i])
+                cur_w += wts[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = pts[i], wts[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._compress()
+        other._compress()
+        if len(other.means):
+            self.means = np.concatenate([self.means, other.means])
+            self.weights = np.concatenate([self.weights, other.weights])
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        cum = np.cumsum(w) - w / 2
+        target = q * w.sum()
+        if target <= cum[0]:
+            return float(self._min if np.isfinite(self._min) else m[0])
+        if target >= cum[-1]:
+            return float(self._max if np.isfinite(self._max) else m[-1])
+        return float(np.interp(target, cum, m))

@@ -1,0 +1,144 @@
+"""Profiling layer: sketches, accumulators, and the one-pass Ray profile."""
+
+import numpy as np
+import pytest
+
+from data_quality_ray.profiling.analyzers import (
+    FrequencyAcc, HistogramAcc, QualityAcc, SummaryAcc, TextLengthAcc, TypeAcc, profile,
+)
+from data_quality_ray.profiling.sketches import HyperLogLog, TDigest, stable_hash64
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.RandomState(0)
+    vals = np.array([f"v{i}" for i in rng.randint(0, 50_000, size=200_000)], dtype=object)
+    true = len(np.unique(vals))
+    whole = HyperLogLog()
+    whole.update_array(vals)
+    assert abs(whole.estimate() - true) / true < 0.03
+    # split + merge == whole
+    a, b = HyperLogLog(), HyperLogLog()
+    a.update_array(vals[:100_000])
+    b.update_array(vals[100_000:])
+    a.merge(b)
+    assert a.estimate() == whole.estimate()
+
+
+def test_stable_hash_deterministic():
+    v = np.array(["x", "y", "z"], dtype=object)
+    assert stable_hash64(v).tolist() == stable_hash64(v.copy()).tolist()
+
+
+def test_tdigest_quantiles_and_merge():
+    rng = np.random.RandomState(1)
+    vals = rng.lognormal(0, 1, size=100_000)
+    td = TDigest()
+    td.update_array(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        exact = np.percentile(vals, q * 100)
+        assert abs(td.quantile(q) - exact) / exact < 0.02
+    parts = [TDigest() for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_array(vals[i * 25_000 : (i + 1) * 25_000])
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge(p)
+    assert abs(m.quantile(0.5) - np.percentile(vals, 50)) / np.percentile(vals, 50) < 0.02
+
+
+def test_summary_acc_matches_numpy():
+    rng = np.random.RandomState(2)
+    vals = rng.rand(10_000) * 100
+    acc, a, b = SummaryAcc(), SummaryAcc(), SummaryAcc()
+    acc.update(vals)
+    a.update(vals[:5000]); b.update(vals[5000:]); a.merge(b)
+    for s in (acc, a):
+        r = s.result()
+        assert r["count"] == 10_000
+        assert abs(r["mean"] - vals.mean()) < 1e-9
+        assert abs(r["variance"] - vals.var()) < 1e-6
+        assert r["min"] == vals.min() and r["max"] == vals.max()
+
+
+def test_text_length_acc():
+    acc = TextLengthAcc()
+    acc.update(np.array(["ab", "🎉🎉🎉", None, "  ", ""], dtype=object))
+    r = acc.result()
+    assert r["count"] == 4 and r["min_length"] == 0 and r["max_length"] == 3
+    assert r["blank_count"] == 2  # "  " and ""
+    assert r["sum_length"] == 2 + 3 + 2 + 0
+
+
+def test_histogram_acc():
+    acc = HistogramAcc(0, 10, 5)
+    acc.update(np.array([-1.0, 0.0, 1.0, 5.0, 9.999, 10.0, 11.0]))
+    r = acc.result()
+    assert r["below"] == 1 and r["above"] == 1
+    assert sum(r["counts"]) == 5 and r["counts"][0] == 2  # 0.0 and 1.0
+
+    b = HistogramAcc(0, 10, 5)
+    b.update(np.array([2.5]))
+    acc.merge(b)
+    assert sum(acc.result()["counts"]) == 6
+
+
+def test_type_acc_dominant():
+    acc = TypeAcc()
+    acc.update(np.array(["1", "2", "3.5", "x", "", "true", "2020-01-01"], dtype=object))
+    r = acc.result()
+    assert r["type_counts"]["INTEGER"] == 2
+    assert r["type_counts"]["DOUBLE"] == 1
+    assert r["type_counts"]["BOOLEAN"] == 1
+    assert r["type_counts"]["DATE"] == 1
+    assert r["type_counts"]["EMPTY"] == 1
+    # 2 INT + 1 DOUBLE of 6 non-empty → numeric 0.5 → DOUBLE (INT⊂DOUBLE fold)
+    assert r["dominant_type"] == "DOUBLE"
+
+
+def test_quality_acc():
+    import re
+
+    rx = re.compile(r"^c\d+$")
+    acc = QualityAcc(lambda vals: np.array([bool(rx.match(v)) for v in vals], dtype=bool))
+    acc.update(np.array(["c1", "c2", "bad", "", None], dtype=object))
+    r = acc.result()
+    assert (r["valid"], r["empty"], r["invalid"]) == (2, 2, 1)
+    assert r["invalid_samples"] == ["bad"]
+
+
+def test_frequency_deterministic_ties():
+    acc = FrequencyAcc(top_k=2)
+    acc.update(np.array(["b", "a", "b", "a", "c"], dtype=object))
+    assert acc.result()["top_values"] == [("a", 2), ("b", 2)]
+
+
+def test_profile_one_pass_via_ray(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = profile(
+        ds,
+        {
+            "l_quantity": ["summary", "quantile", ("hist", lambda: HistogramAcc(0, 50, 10))],
+            "l_returnflag": ["frequency", "cardinality", "text_length"],
+        },
+        batch_size=1024,
+    )
+    import duckdb
+
+    exp = duckdb.sql(
+        "select count(l_quantity), sum(l_quantity), min(l_quantity), max(l_quantity), avg(l_quantity) "
+        "from '/root/testdata/sf0.001/lineitem.parquet'"
+    ).fetchone()
+    r = out["l_quantity"]["summary"]
+    assert r["count"] == exp[0]
+    assert abs(r["sum"] - exp[1]) < 1e-6
+    assert (r["min"], r["max"]) == (exp[2], exp[3])
+    assert abs(r["mean"] - exp[4]) < 1e-9
+    card = out["l_returnflag"]["cardinality"]["distinct_estimate"]
+    assert round(card) == 3
+    top = dict(out["l_returnflag"]["frequency"]["top_values"])
+    exp_top = dict(duckdb.sql(
+        "select l_returnflag, count(*) from '/root/testdata/sf0.001/lineitem.parquet' group by 1"
+    ).fetchall())
+    assert top == exp_top
