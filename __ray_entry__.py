@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality-filter chain over the sf0.001
+documents table. ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (pattern strings / stopword
+lists are imported from the library so both sides share one definition).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,310 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from data_quality_ray.pipelines import queries as Q
+from data_quality_ray.pipelines.quality_filter import DOC_MAX_LEN, DOC_MIN_LEN
+from data_quality_ray.rules.heuristics import EN_STOPWORDS
+from data_quality_ray.rules.scrub import (
+    EMAIL_PATTERN, PHONE_PATTERN, SSN_PATTERN, TOXIC_LEXICON,
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: quality-filter chain over sf0.001 documents."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    import pyarrow as pa
+
+    from data_quality_ray.pipelines.quality_filter import build_docs_chain
+
+    def apply_chain(batch: pa.Table) -> pa.Table:
+        res = build_docs_chain().apply(
+            batch["text"].to_numpy(zero_copy_only=False),
+            aux={"lang": batch["lang"].to_numpy(zero_copy_only=False)},
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "keep": pa.array(res.verdict != "DROP"),
+            "first_rule": pa.array(res.first_rule, type=pa.string()),
+            "scrubbed_text": pa.array(res.values, type=pa.string()),
+        })
+
+    return ds.map_batches(apply_chain, batch_format="pyarrow")
+
+
+def _image_fixture(sf_dir: str) -> str:
+    """Deterministic image+caption table sized to the sf tier (north-rule
+    input_hint shape), cached under /tmp."""
+    import duckdb
+
+    n_docs = duckdb.sql(f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    n = max(500, 2 * int(n_docs))
+    out = f"/tmp/dq_ray_f1_{n}"
+    from data_quality_ray.sources.fixtures import write_f1
+
+    write_f1(out, n_rows=n, seed=42)
+    return out
+
+
+def quality_filter_images(sf_dir: str):
+    """North-star pipeline over the image+caption table (rows-only check;
+    full per-row validation vs the oracle labels lives in tests/)."""
+    import ray.data as rd
+
+    from data_quality_ray.pipelines.quality_filter import filtered
+
+    ds = rd.read_parquet(_image_fixture(sf_dir))
+    return filtered(ds, concurrency=4, batch_size=1024).select_columns(
+        ["image_id", "verdict", "first_rule", "caption", "phash"]
+    )
+
+
+def phash_dedup_images(sf_dir: str):
+    """phash-keyed exact near-dup collapse on the image table."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_key
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    return dedup_by_key(ds, key="phash", order_col="image_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship + scrub (full SQL oracle)
+        "quality_filter_docs": Q.quality_filter_docs,
+        "scrub_pii_docs": Q.scrub_pii_docs,
+        # profiling / statistics
+        "pricing_summary": Q.pricing_summary,
+        "summary_orders": Q.summary_orders,
+        "text_length_by_lang": Q.text_length_by_lang,
+        "pattern_freq_customer": Q.pattern_freq_customer,
+        "cardinality_exact": Q.cardinality_exact,
+        "histogram_quantity": Q.histogram_quantity,
+        "quantiles_price": Q.quantiles_price,
+        "frequency_events": Q.frequency_events,
+        "value_quality_customer": Q.value_quality_customer,
+        "type_inference_docs": Q.type_inference_docs,
+        # dedup / sampling / linkage / survivorship
+        "dedup_exact_docs": Q.dedup_exact_docs,
+        "reservoir_sample_lineitem": Q.reservoir_sample_lineitem,
+        "knn_embeddings": Q.knn_embeddings,
+        "matching_pairs_supplier": Q.matching_pairs_supplier,
+        "blocking_fingerprint_part": Q.blocking_fingerprint_part,
+        "golden_record_orders": Q.golden_record_orders,
+        "customer_region_broadcast": Q.customer_region_broadcast,
+        "embedding_neardup_pairs": Q.embedding_neardup_pairs,
+        # converters
+        "julian_orders": Q.julian_orders,
+        "distance_convert_part": Q.distance_convert_part,
+        "token_stats_docs": Q.token_stats_docs,
+        # model / sketch stages (rows-only — not SQL-expressible)
+        "langid_heuristic_docs": Q.langid_heuristic_docs,
+        "perplexity_docs": Q.perplexity_docs,
+        "dup_char_collapse_docs": Q.dup_char_collapse_docs,
+        "minhash_neardup_docs": Q.minhash_neardup_docs,
+        "simhash_docs": Q.simhash_docs,
+        "quality_filter_images": quality_filter_images,
+        "phash_dedup_images": phash_dedup_images,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL — shares pattern constants with the library
+# ---------------------------------------------------------------------------
+
+_STOPS = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+_TOXIC_RE_SQL = r"(?i)\b(?:" + "|".join(TOXIC_LEXICON) + r")\b"
+
+_QUALITY_FILTER_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tok_counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+tstats AS (
+  SELECT doc_id, cast(sum(c) AS bigint) AS n_tok, max(c) AS max_c,
+         cast(sum(CASE WHEN tok IN ({_STOPS}) THEN c ELSE 0 END) AS bigint) AS n_stop
+  FROM tok_counts GROUP BY 1
+),
+m AS (
+  SELECT d.doc_id, d.text, d.lang,
+         length(d.text) AS len,
+         length(regexp_replace(d.text, '\\s', '', 'g')) AS nonspace,
+         length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS syms,
+         regexp_matches(d.text, '[0-9]') AS has_digit,
+         regexp_full_match(d.text, '[0-9\\s.,/:+%-]+') AS all_junk,
+         coalesce(t.n_tok, 0) AS n_tok, coalesce(t.max_c, 0) AS max_c,
+         coalesce(t.n_stop, 0) AS n_stop
+  FROM documents d LEFT JOIN tstats t USING (doc_id)
+),
+verdicts AS (
+  SELECT doc_id, text,
+    CASE
+      WHEN text IS NULL OR trim(text) = '' THEN 'empty'
+      WHEN len < {DOC_MIN_LEN} OR len > {DOC_MAX_LEN} THEN 'length'
+      WHEN has_digit AND all_junk THEN 'junk_numeric'
+      WHEN lang <> 'en' THEN 'langid'
+      WHEN nonspace > 0 AND syms * 1.0 / greatest(nonspace, 1) > 0.3 THEN 'symbol_ratio'
+      WHEN n_tok >= 6 AND max_c * 1.0 / greatest(n_tok, 1) >= 0.5 THEN 'repetition'
+      WHEN n_tok >= 8 AND n_stop * 1.0 / greatest(n_tok, 1) < 0.08 THEN 'stopword_density'
+      ELSE ''
+    END AS drop_rule
+  FROM m
+),
+scrubbed AS (
+  SELECT doc_id, text, drop_rule,
+    regexp_replace(text, '{_TOXIC_RE_SQL}', '****', 'g') AS s1
+  FROM verdicts
+),
+s2t AS (SELECT *, regexp_replace(s1, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS s2 FROM scrubbed),
+s3t AS (SELECT *, regexp_replace(s2, '{SSN_PATTERN}', '<SSN>', 'g') AS s3 FROM s2t),
+s4t AS (SELECT *, regexp_replace(s3, '{PHONE_PATTERN}', '<PHONE>', 'g') AS s4 FROM s3t)
+SELECT doc_id,
+  (drop_rule = '') AS keep,
+  CASE WHEN drop_rule <> '' THEN drop_rule
+       WHEN s1 <> text THEN 'toxicity'
+       WHEN s2 <> s1 THEN 'pii_email'
+       WHEN s3 <> s2 THEN 'pii_ssn'
+       WHEN s4 <> s3 THEN 'pii_phone'
+       ELSE '' END AS first_rule,
+  CASE WHEN drop_rule <> '' THEN text ELSE s4 END AS scrubbed_text
+FROM s4t
+"""
+
+_INT_RE_SQL = r"[-+]?([0-9]+|[0-9]{1,3}(,[0-9]{3})+)%?"
+_DBL_RE_SQL = (r"[-+]?(([0-9]+|[0-9]{1,3}(,[0-9]{3})+)(\.[0-9]*)?"
+               r"|([0-9]{1,3}(\.[0-9]{3})+)(,[0-9]*)?|\.[0-9]+)([eE][-+]?[0-9]+)?%?")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
+        "scrub_pii_docs": f"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text, '{_TOXIC_RE_SQL}', '****', 'g'),
+                '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                '{SSN_PATTERN}', '<SSN>', 'g'),
+                '{PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed_text
+            FROM documents""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 6) AS avg_price
+            FROM lineitem GROUP BY 1, 2""",
+        "summary_orders": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   round(sum(o_totalprice) / count(*), 6) AS avg_price
+            FROM orders GROUP BY 1""",
+        "text_length_by_lang": """
+            SELECT lang, count(*) AS n,
+                   cast(min(length(text)) AS bigint) AS min_len,
+                   cast(max(length(text)) AS bigint) AS max_len,
+                   cast(sum(length(text)) AS bigint) AS sum_len,
+                   round(sum(length(text)) * 1.0 / count(*), 6) AS avg_len
+            FROM documents GROUP BY 1""",
+        "pattern_freq_customer": """
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                     c_name, '[a-z]', 'a', 'g'), '[A-Z]', 'A', 'g'), '[0-9]', '9', 'g') AS pattern,
+                   count(*) AS n
+            FROM customer GROUP BY 1""",
+        "cardinality_exact": """
+            SELECT (SELECT count(DISTINCT c_mktsegment) FROM customer) AS n_segments,
+                   (SELECT count(DISTINCT o_orderpriority) FROM orders) AS n_priorities,
+                   (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_flags""",
+        "histogram_quantity": """
+            SELECT cast(least(floor(l_quantity / 5), 9) AS bigint) AS bin, count(*) AS n
+            FROM lineitem GROUP BY 1""",
+        "quantiles_price": """
+            SELECT round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS median,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+            FROM lineitem""",
+        "frequency_events": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "value_quality_customer": """
+            SELECT count(*) FILTER (WHERE c_name IS NOT NULL AND trim(c_name) <> ''
+                     AND regexp_full_match(c_name, 'Customer#[0-9]+')) AS valid,
+                   count(*) FILTER (WHERE c_name IS NULL OR trim(c_name) = '') AS empty,
+                   count(*) FILTER (WHERE c_name IS NOT NULL AND trim(c_name) <> ''
+                     AND NOT regexp_full_match(c_name, 'Customer#[0-9]+')) AS invalid
+            FROM customer""",
+        "type_inference_docs": f"""
+            SELECT column_name, inferred_type, count(*) AS n FROM (
+              SELECT 'n_chars' AS column_name,
+                CASE WHEN trim(v) = '' THEN 'EMPTY'
+                     WHEN lower(trim(v)) IN ('true','false') THEN 'BOOLEAN'
+                     WHEN regexp_full_match(trim(v), '{_INT_RE_SQL}') THEN 'INTEGER'
+                     WHEN regexp_full_match(trim(v), '{_DBL_RE_SQL}') THEN 'DOUBLE'
+                     ELSE 'STRING' END AS inferred_type
+              FROM (SELECT cast(n_chars AS varchar) AS v FROM documents)
+              UNION ALL
+              SELECT 'text',
+                CASE WHEN v IS NULL OR trim(v) = '' THEN 'EMPTY'
+                     WHEN lower(trim(v)) IN ('true','false') THEN 'BOOLEAN'
+                     WHEN regexp_full_match(trim(v), '{_INT_RE_SQL}') THEN 'INTEGER'
+                     WHEN regexp_full_match(trim(v), '{_DBL_RE_SQL}') THEN 'DOUBLE'
+                     ELSE 'STRING' END
+              FROM (SELECT text AS v FROM documents)
+            ) GROUP BY 1, 2""",
+        "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "reservoir_sample_lineitem": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            ORDER BY md5('42-' || l_orderkey || '-' || l_linenumber) LIMIT 500""",
+        "knn_embeddings": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        "matching_pairs_supplier": """
+            SELECT a.s_name AS name_a, b.s_name AS name_b,
+                   levenshtein(a.s_name, b.s_name) AS dist
+            FROM supplier a JOIN supplier b
+              ON substring(a.s_name, 1, 14) = substring(b.s_name, 1, 14)
+             AND a.s_name < b.s_name
+            WHERE levenshtein(a.s_name, b.s_name) <= 2""",
+        "blocking_fingerprint_part": """
+            SELECT array_to_string(list_sort(list_distinct(list_filter(
+                     string_split_regex(lower(strip_accents(p_type)), '[^a-z0-9]+'),
+                     x -> x <> ''))), ' ') AS block_key,
+                   count(*) AS n
+            FROM part GROUP BY 1""",
+        "golden_record_orders": """
+            WITH pc AS (SELECT o_custkey, o_orderpriority AS p, count(*) AS c
+                        FROM orders GROUP BY 1, 2),
+            best AS (SELECT o_custkey, p FROM pc
+                     QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY c DESC, p ASC) = 1)
+            SELECT o.o_custkey,
+                   max(o.o_orderdate) AS most_recent,
+                   round(max(o.o_totalprice), 2) AS largest_total,
+                   any_value(b.p) AS common_priority
+            FROM orders o JOIN best b USING (o_custkey) GROUP BY 1""",
+        "customer_region_broadcast": """
+            SELECT c_custkey, r_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey""",
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""",
+        "julian_orders": "SELECT o_orderkey, round(julian(o_orderdate), 6) AS jd FROM orders",
+        "distance_convert_part": "SELECT p_partkey, round(p_size * 1.609344, 6) AS km FROM part",
+        "token_stats_docs": """
+            WITH t AS (SELECT source,
+                         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(n_tok) AS bigint) AS sum_tokens,
+                   round(sum(n_tok) * 1.0 / count(*), 6) AS avg_tokens
+            FROM t GROUP BY 1""",
+    }

@@ -1,0 +1,164 @@
+"""Blocking-key generation + blocked pair matching + record grouping.
+
+Rebuilds the record-linkage pipeline (SURVEY.md §3B):
+- blocking keys: pre-algorithm → key-algorithm → post-algorithm per column,
+  concatenated (genkey/AbstractGenerateKey.getGenKey:46-152, algorithm
+  inventory BlockingKeyAlgorithmEnum.java:27-41);
+- blocked matching: ``groupby(block_key)`` then all-pairs attribute
+  matching *within* the group (the shuffle key IS the blocking key —
+  never an unblocked cross join);
+- record grouping: within each block, VSR-style master-list clustering
+  (grouping/AbstractRecordGrouping.doGroup:201-254) with a deterministic
+  within-group order (required — the reference algorithm is
+  order-sensitive, SURVEY.md §2.4 MFB notes);
+- group-size cap with early reduction
+  (StringsClusterAnalyzer.blockSizeThreshold:57,85 precedent).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+from ..functions.matchers import MATCHERS, match_score, soundex, metaphone_simplified
+from ..functions.text import fingerprint_key_one
+
+# --- key algorithms (BlockingKeyAlgorithmEnum.java:27-41) ------------------
+
+
+def _first_char_each_word(s: str) -> str:
+    return "".join(w[0] for w in s.split() if w)
+
+
+KEY_ALGOS = {
+    "EXACT": lambda s, p: s,
+    "FIRST_CHAR_EW": lambda s, p: _first_char_each_word(s),
+    "FIRST_N_CHAR": lambda s, p: s[: int(p or 1)],
+    "LAST_N_CHAR": lambda s, p: s[-int(p or 1):] if s else "",
+    "FIRST_N_CONSONANTS": lambda s, p: "".join(c for c in s if c.isalpha() and c.lower() not in "aeiou")[: int(p or 1)],
+    "FIRST_N_VOWELS": lambda s, p: "".join(c for c in s if c.lower() in "aeiou")[: int(p or 1)],
+    "PICK_CHAR": lambda s, p: "".join(s[i] for i in _parse_picks(p) if i < len(s)),
+    "SUBSTR": lambda s, p: s[slice(*_parse_range(p))],
+    "SOUNDEX": lambda s, p: soundex(s),
+    "METAPHONE": lambda s, p: metaphone_simplified(s),
+    "FINGERPRINTKEY": lambda s, p: fingerprint_key_one(s),
+    "NGRAM": lambda s, p: s[: int(p or 2)] + s[-int(p or 2):] if s else "",
+}
+
+PRE_ALGOS = {
+    None: lambda s: s,
+    "REMOVE_DIACRITICS": lambda s: "".join(
+        c for c in unicodedata.normalize("NFD", s) if not unicodedata.combining(c)
+    ),
+    "LOWERCASE": lambda s: s.lower(),
+    "UPPERCASE": lambda s: s.upper(),
+    "LOWERCASE_REMOVE_DIACRITICS": lambda s: "".join(
+        c for c in unicodedata.normalize("NFD", s.lower()) if not unicodedata.combining(c)
+    ),
+}
+
+POST_ALGOS = {
+    None: lambda s, p: s,
+    "PAD": lambda s, p: s.ljust(int(p or 4), "_"),
+}
+
+
+def _parse_picks(p) -> list[int]:
+    return [int(x) - 1 for x in str(p or "1").split(";")]
+
+
+def _parse_range(p) -> tuple[int, int]:
+    a, b = (str(p or "0;1").split(";") + ["1"])[:2]
+    return int(a), int(b)
+
+
+def gen_block_key_one(row: dict, defs: list[dict]) -> str:
+    """One blocking key from N column definitions, concatenated
+    (AbstractGenerateKey.getGenKey:46-152). Each def:
+    {column, pre, algo, algo_param, post, post_param}."""
+    parts = []
+    for d in defs:
+        v = row.get(d["column"]) or ""
+        v = PRE_ALGOS[d.get("pre")](str(v))
+        v = KEY_ALGOS[d.get("algo", "EXACT")](v, d.get("algo_param"))
+        v = POST_ALGOS[d.get("post")](v, d.get("post_param"))
+        parts.append(v)
+    return "".join(parts)
+
+
+def add_block_key(ds, defs: list[dict], out_col: str = "block_key"):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[out_col] = [gen_block_key_one(r, defs) for r in batch.to_dict("records")]
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def blocked_pairs(ds, id_col: str, attr_cols: list[str], block_col: str,
+                  matcher="LEVENSHTEIN", threshold: float = 0.8,
+                  weights: list[float] | None = None,
+                  max_block: int = 10_000) -> pd.DataFrame:
+    """All pairs within each block whose weighted attribute score ≥
+    threshold (SimpleVSRRecordMatcher semantics). Oversized blocks are
+    truncated to ``max_block`` deterministic members (skew guard)."""
+    w = np.array(weights or [1.0] * len(attr_cols), dtype=np.float64)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_block)
+        recs = g[attr_cols].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                scores = [match_score(recs[i][c], recs[j][c], matcher) for c in range(len(attr_cols))]
+                s = float((np.array(scores) * w).sum() / w.sum())
+                if s >= threshold:
+                    out_a.append(ids[i]); out_b.append(ids[j]); out_s.append(round(s, 6))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def record_group(ds, id_col: str, attr_cols: list[str], block_col: str,
+                 matcher="JARO_WINKLER", threshold: float = 0.9,
+                 max_block: int = 10_000) -> pd.DataFrame:
+    """VSR grouping within blocks: scan rows in deterministic order,
+    compare to running master list, attach (gid, master_flag, score,
+    group_size) — AbstractRecordGrouping.doGroup:201-254 re-expressed as
+    ``groupby(block).map_groups``."""
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_block).reset_index(drop=True)
+        masters: list[int] = []  # row indices of masters
+        gid = np.empty(len(g), dtype=object)
+        score = np.zeros(len(g))
+        master_flag = np.zeros(len(g), dtype=bool)
+        recs = g[attr_cols].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        for i in range(len(g)):
+            best_m, best_s = None, 0.0
+            for m in masters:
+                scores = [match_score(recs[i][c], recs[m][c], matcher) for c in range(len(attr_cols))]
+                s = sum(scores) / len(scores)
+                if s >= threshold and s > best_s:
+                    best_m, best_s = m, s
+            if best_m is None:
+                masters.append(i)
+                gid[i] = ids[i]
+                master_flag[i] = True
+                score[i] = 1.0
+            else:
+                gid[i] = ids[best_m]
+                score[i] = best_s
+        out = g.copy()
+        out["gid"] = gid
+        out["is_master"] = master_flag
+        out["match_score"] = np.round(score, 6)
+        sizes = out.groupby("gid")["gid"].transform("size")
+        out["group_size"] = sizes
+        return out
+
+    return ds.groupby(block_col).map_groups(group, batch_format="pandas")

@@ -1,0 +1,81 @@
+"""Scalar converters — vectorized batch kernels.
+
+Rebuilds dataquality-converters:
+- StringTrimmer (converters/StringTrimmer.java:26-126)
+- DuplicateCharEraser (converters/DuplicateCharEraser.java:25-64)
+- CharWidthConverter full↔half width (converters/character/CharWidthConverter.java:16-43)
+- DistanceConverter / DurationConverter factor tables
+  (converters/DistanceConverter.java:36-68, DurationConverter.java:31-106)
+- JulianDayConverter (converters/JulianDayConverter.java:41-160) —
+  matches DuckDB's ``julian()`` for the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from datetime import datetime
+
+import numpy as np
+
+_DUP_CHAR_RE = re.compile(r"(.)\1+")
+
+
+def trim(values, chars: str | None = None) -> np.ndarray:
+    return np.array([None if v is None else v.strip(chars) for v in np.asarray(values, dtype=object)],
+                    dtype=object)
+
+
+def erase_duplicate_chars(values) -> np.ndarray:
+    """'aaabbb' → 'ab' (DuplicateCharEraser.removeRepeatedChar:64)."""
+    return np.array(
+        [None if v is None else _DUP_CHAR_RE.sub(r"\1", v) for v in np.asarray(values, dtype=object)],
+        dtype=object,
+    )
+
+
+def to_half_width(values) -> np.ndarray:
+    """Full→half width via NFKC (kana-aware like CharWidthConverter)."""
+    return np.array(
+        [None if v is None else unicodedata.normalize("NFKC", v) for v in np.asarray(values, dtype=object)],
+        dtype=object,
+    )
+
+
+# metres per unit (DistanceConverter factor table)
+DISTANCE_FACTORS = {
+    "MILLIMETER": 0.001, "CENTIMETER": 0.01, "DECIMETER": 0.1, "METER": 1.0,
+    "DEKAMETER": 10.0, "HECTOMETER": 100.0, "KILOMETER": 1000.0,
+    "INCH": 0.0254, "FOOT": 0.3048, "YARD": 0.9144, "MILE": 1609.344,
+    "NAUTICAL_MILE": 1852.0, "LIGHT_YEAR": 9.46073047258e15,
+}
+
+# milliseconds per unit (DurationConverter factor table)
+DURATION_FACTORS = {
+    "MILLISECOND": 1.0, "SECOND": 1000.0, "MINUTE": 60_000.0, "HOUR": 3_600_000.0,
+    "DAY": 86_400_000.0, "WEEK": 604_800_000.0, "MONTH": 2_629_800_000.0,
+    "YEAR": 31_557_600_000.0,
+}
+
+
+def convert_distance(values, from_unit: str, to_unit: str) -> np.ndarray:
+    f = DISTANCE_FACTORS[from_unit] / DISTANCE_FACTORS[to_unit]
+    return np.asarray(values, dtype=np.float64) * f
+
+
+def convert_duration(values, from_unit: str, to_unit: str) -> np.ndarray:
+    f = DURATION_FACTORS[from_unit] / DURATION_FACTORS[to_unit]
+    return np.asarray(values, dtype=np.float64) * f
+
+
+_JULIAN_EPOCH_OFFSET = 1721425.0  # DuckDB's julian(): day count from midnight (no 12:00 shift)
+
+
+def julian_day(ts: datetime) -> float:
+    """Julian day number of a (UTC-naive) timestamp; matches DuckDB julian()."""
+    frac = (ts.hour * 3600 + ts.minute * 60 + ts.second + ts.microsecond / 1e6) / 86400.0
+    return ts.toordinal() + _JULIAN_EPOCH_OFFSET + frac
+
+
+def julian_days(values) -> np.ndarray:
+    return np.array([julian_day(v) for v in values], dtype=np.float64)

@@ -1,0 +1,208 @@
+"""Attribute matchers — string-pair similarity kernels ∈ [0,1].
+
+Rebuild of the reference's attribute-matcher family
+(dataquality-record-linkage constant/AttributeMatcherType.java:26-42,
+attribute/*.java): EXACT, EXACT_IGNORE_CASE, LEVENSHTEIN, JARO,
+JARO_WINKLER, Q_GRAMS, HAMMING, LCS, SOUNDEX, METAPHONE(simplified),
+FINGERPRINTKEY. Null-handling options mirror
+IAttributeMatcher.java:24-28 (nullMatchNull / nullMatchAll / nullMatchNone
+— AbstractAttributeMatcher.getMatchingWeight:40-62).
+
+These are per-pair scalar kernels meant to run *inside* blocked groups
+(``groupby(block_key).map_groups``) where group sizes are bounded — never
+as an unblocked cross join.
+
+`levenshtein_distance` matches DuckDB's `levenshtein()` (plain edit
+distance, unit costs) so DuckDB can act as the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .text import fingerprint_key_one
+
+
+def levenshtein_distance(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_sim(a: str, b: str) -> float:
+    n = max(len(a), len(b))
+    return 1.0 if n == 0 else 1.0 - levenshtein_distance(a, b) / n
+
+
+def jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and a[i] == b[j]:
+                match_a[i] = match_b[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1) -> float:
+    j = jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca == cb:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1 - j)
+
+
+def hamming_sim(a: str, b: str) -> float:
+    if len(a) != len(b):
+        return 0.0
+    if not a:
+        return 1.0
+    return sum(x == y for x, y in zip(a, b)) / len(a)
+
+
+def qgrams_sim(a: str, b: str, q: int = 3) -> float:
+    def grams(s: str) -> dict:
+        s = ("#" * (q - 1)) + s + ("#" * (q - 1))
+        out: dict[str, int] = {}
+        for i in range(len(s) - q + 1):
+            g = s[i : i + q]
+            out[g] = out.get(g, 0) + 1
+        return out
+
+    ga, gb = grams(a), grams(b)
+    inter = sum(min(n, gb.get(g, 0)) for g, n in ga.items())
+    total = sum(ga.values()) + sum(gb.values())
+    return 2 * inter / total if total else 1.0
+
+
+def lcs_sim(a: str, b: str) -> float:
+    if not a or not b:
+        return 1.0 if a == b else 0.0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0] * (len(b) + 1)
+        for j, cb in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1] / max(len(a), len(b))
+
+
+def soundex(s: str) -> str:
+    """Classic 4-char American Soundex."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    codes = {**dict.fromkeys("BFPV", "1"), **dict.fromkeys("CGJKQSXZ", "2"),
+             **dict.fromkeys("DT", "3"), "L": "4", **dict.fromkeys("MN", "5"), "R": "6"}
+    out = s[0]
+    prev = codes.get(s[0], "")
+    for c in s[1:]:
+        code = codes.get(c, "")
+        if code and code != prev:
+            out += code
+        if c not in "HW":
+            prev = code
+    return (out + "000")[:4]
+
+
+def metaphone_simplified(s: str) -> str:
+    """Lightweight metaphone-style phonetic key (not the full 1990 rule set
+    — a deterministic consonant-skeleton variant adequate for blocking)."""
+    s = "".join(c for c in s.upper() if c.isalpha())
+    if not s:
+        return ""
+    subs = [("PH", "F"), ("CK", "K"), ("SH", "X"), ("TH", "0"), ("CH", "X"), ("WH", "W")]
+    for a, b in subs:
+        s = s.replace(a, b)
+    out = s[0]
+    for c in s[1:]:
+        if c in "AEIOU":
+            continue
+        if not out.endswith(c):
+            out += c
+    return out[:6]
+
+
+def exact(a: str, b: str) -> float:
+    return 1.0 if a == b else 0.0
+
+
+def exact_ignore_case(a: str, b: str) -> float:
+    return 1.0 if (a or "").lower() == (b or "").lower() else 0.0
+
+
+def soundex_sim(a: str, b: str) -> float:
+    return 1.0 if soundex(a) == soundex(b) else 0.0
+
+
+def fingerprint_sim(a: str, b: str) -> float:
+    return 1.0 if fingerprint_key_one(a) == fingerprint_key_one(b) else 0.0
+
+
+MATCHERS = {
+    "EXACT": exact,
+    "EXACT_IGNORE_CASE": exact_ignore_case,
+    "LEVENSHTEIN": levenshtein_sim,
+    "JARO": jaro,
+    "JARO_WINKLER": jaro_winkler,
+    "Q_GRAMS": qgrams_sim,
+    "HAMMING": hamming_sim,
+    "LCS": lcs_sim,
+    "SOUNDEX": soundex_sim,
+    "FINGERPRINTKEY": fingerprint_sim,
+}
+
+
+def match_score(a: str | None, b: str | None, matcher="LEVENSHTEIN", null_option="nullMatchNull") -> float:
+    """Null semantics per AbstractAttributeMatcher.getMatchingWeight:40-62."""
+    if a is None or b is None:
+        if null_option == "nullMatchNull":
+            return 1.0 if (a is None and b is None) else 0.0
+        if null_option == "nullMatchAll":
+            return 1.0
+        return 0.0
+    fn = MATCHERS[matcher] if isinstance(matcher, str) else matcher  # CUSTOM = callable
+    return float(fn(a, b))
+
+
+def weighted_record_score(scores: np.ndarray, weights: np.ndarray) -> float:
+    """SimpleVSRRecordMatcher weighted sum (record/SimpleVSRRecordMatcher.java:29-65)."""
+    w = np.asarray(weights, dtype=np.float64)
+    return float((np.asarray(scores) * w).sum() / w.sum())

@@ -1,0 +1,449 @@
+"""Named query/pipeline implementations over the sf parquet tables.
+
+Each function takes ``sf_dir`` and returns a pandas DataFrame / pyarrow
+Table / ray Dataset. These are the ``queries()`` entries of
+``__ray_entry__``; the matching DuckDB oracle SQL lives there. Column
+names and float rounding are part of the contract with the oracle
+(aggregates of money-scale sums round to 2 dp — double summation order
+differs between engines at ~1e-5 on 1e9-scale sums; ratios/averages round
+to 6 dp).
+
+Ray is assumed initialised by the caller (driver / bench / tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..dedup.blocking import blocked_pairs  # noqa: F401 (re-export surface)
+from ..dedup.exact import dedup_by_key
+from ..dedup.embedding import neardup_pairs_within
+from ..dedup.minhash import minhash_dedup
+from ..dedup.simhash import add_simhash
+from ..dedup.survivorship import golden_records
+from ..functions.converters import convert_distance, julian_days
+from ..functions.matchers import levenshtein_distance
+from ..functions.text import fingerprint_key_one, pattern_fingerprint, token_counts, unique_apply
+from ..functions.typeinfer import infer_type_one
+from ..pipelines.quality_filter import build_docs_chain
+from ..profiling.analyzers import HistogramAcc, QualityAcc, profile
+from ..rules import scrub as S
+from ..sampling.reservoir import reservoir_sample
+from ..similarity.knn import cosine_topk
+from ..stages.models import HeuristicLangID, NgramPerplexity
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship: quality-filter over the documents table (full DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """Docs-table rule chain (every rule SQL-expressible; langid reads the
+    ``lang`` column). → (doc_id, keep, first_rule, scrubbed_text)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def apply_chain(batch: pa.Table) -> pa.Table:
+        engine = build_docs_chain()
+        res = engine.apply(
+            batch["text"].to_numpy(zero_copy_only=False),
+            aux={"lang": batch["lang"].to_numpy(zero_copy_only=False)},
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "keep": pa.array(res.verdict != "DROP"),
+                "first_rule": pa.array(res.first_rule, type=pa.string()),
+                "scrubbed_text": pa.array(res.values, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(apply_chain, batch_format="pyarrow").to_pandas()
+
+
+def scrub_pii_docs(sf_dir: str) -> pd.DataFrame:
+    """PII/toxicity scrub chain alone → (doc_id, scrubbed_text); byte-
+    stable vs the DuckDB regexp_replace chain with identical patterns."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch["text"].to_numpy(zero_copy_only=False)
+        v = S.scrub_phone(S.scrub_ssn(S.scrub_email(S.scrub_toxic(v))))
+        return pa.table({"doc_id": batch["doc_id"], "scrubbed_text": pa.array(v, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# profiling operators
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """SummaryAnalyzer as grouped aggregation (Q1-shaped)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("l_extendedprice", alias_name="sum_price"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
+    out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+def summary_orders(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"),
+                   Min("o_totalprice", alias_name="min_price"),
+                   Max("o_totalprice", alias_name="max_price"))
+        .to_pandas()
+    )
+    out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
+def text_length_by_lang(sf_dir: str) -> pd.DataFrame:
+    """TextLengthAnalyzer (code-point lengths) per lang group."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"lang": t["lang"], "len": pc.utf8_length(t["text"])}),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n"), Min("len", alias_name="min_len"),
+                   Max("len", alias_name="max_len"), Sum("len", alias_name="sum_len"))
+        .to_pandas()
+    )
+    out["avg_len"] = (out["sum_len"] / out["n"]).round(6)
+    return out
+
+
+def pattern_freq_customer(sf_dir: str) -> pd.DataFrame:
+    """Pattern fingerprint frequency (CompositePatternFrequencyAnalyzer)."""
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pat = pattern_fingerprint(batch["c_name"])
+        return pa.table({"pattern": pa.array(pat, type=pa.string())})
+
+    from ray.data.aggregate import Count
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("pattern").aggregate(
+        Count(alias_name="n")).to_pandas()
+
+
+def cardinality_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct counts (CardinalityAnalyzer) — shuffle-based."""
+    n_seg = len(_read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment"))
+    n_pri = len(_read(sf_dir, "orders", columns=["o_orderpriority"]).unique("o_orderpriority"))
+    n_flag = len(_read(sf_dir, "lineitem", columns=["l_returnflag"]).unique("l_returnflag"))
+    return pd.DataFrame({"n_segments": [n_seg], "n_priorities": [n_pri], "n_flags": [n_flag]})
+
+
+def histogram_quantity(sf_dir: str) -> pd.DataFrame:
+    """Equal-width histogram [0,50] × 10 bins (HistogramAnalyzer)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    res = profile(ds, {"l_quantity": [("hist", lambda: HistogramAcc(0.0, 50.0, 10))]})
+    counts = res["l_quantity"]["hist"]["counts"]
+    return pd.DataFrame({"bin": np.arange(10, dtype=np.int64), "n": np.asarray(counts, dtype=np.int64)})
+
+
+def quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """EXACT quantiles (QuantileAnalyzer) — collects the single pruned
+    column to the driver (documented small-side exact; the t-digest
+    analyzer in profiling/ is the 100TB path)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    parts = [b["l_extendedprice"].to_numpy() for b in ds.iter_batches(batch_size=65536, batch_format="pandas")]
+    vals = np.concatenate(parts)
+    q = np.percentile(vals, [25, 50, 75])  # linear interpolation == quantile_cont
+    return pd.DataFrame({"q25": [round(q[0], 6)], "median": [round(q[1], 6)], "q75": [round(q[2], 6)]})
+
+
+def frequency_events(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    )
+
+
+CUSTOMER_NAME_PATTERN = r"Customer#[0-9]+"
+
+
+class _CustomerQualityFactory:
+    """Picklable accumulator factory (local lambdas can't ride the
+    cloudpickled closure AND the stdlib-pickled partials stream)."""
+
+    def __call__(self):
+        from ..profiling.analyzers import QualityAcc, RegexValidFn
+
+        return QualityAcc(RegexValidFn(CUSTOMER_NAME_PATTERN))
+
+
+def value_quality_customer(sf_dir: str) -> pd.DataFrame:
+    """valid/empty/invalid tallies vs a declared pattern (ValueQuality)."""
+    ds = _read(sf_dir, "customer", columns=["c_name"])
+    res = profile(ds, {"c_name": [("q", _CustomerQualityFactory())]})
+    r = res["c_name"]["q"]
+    return pd.DataFrame({"valid": [r["valid"]], "empty": [r["empty"]], "invalid": [r["invalid"]]})
+
+
+def type_inference_docs(sf_dir: str) -> pd.DataFrame:
+    """DataTypeAnalyzer over stringified columns → (column_name, inferred_type, n)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        rows_col, rows_type = [], []
+        for name, arr in (("n_chars", pc.cast(batch["n_chars"], pa.string())), ("text", batch["text"])):
+            types = unique_apply(arr.to_numpy(zero_copy_only=False), infer_type_one)
+            rows_col.extend([name] * len(types))
+            rows_type.extend(types)
+        return pa.table({"column_name": pa.array(rows_col), "inferred_type": pa.array(rows_type, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby(
+        ["column_name", "inferred_type"]).aggregate(Count(alias_name="n")).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# dedup / sampling / linkage / survivorship
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_by_key(ds, key="text", order_col="doc_id").to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def reservoir_sample_lineitem(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    return reservoir_sample(ds, ["l_orderkey", "l_linenumber"], k=500, seed=42)
+
+
+def knn_embeddings(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+    out = cosine_topk(ds, "vec_id", "embedding", qvec, k=10)
+    out["sim"] = out["sim"].round(6)
+    return out.rename(columns={"id": "vec_id"})
+
+
+def matching_pairs_supplier(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy self-join: same 14-char prefix block, levenshtein ≤ 2
+    (matches DuckDB's levenshtein). Blocking assumption documented: pairs
+    across blocks are not compared."""
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bk"] = b["s_name"].str[:14]
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("s_name")
+        names = g["s_name"].tolist()
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = levenshtein_distance(names[i], names[j])
+                if d <= 2:
+                    out_a.append(names[i]); out_b.append(names[j]); out_d.append(d)
+        return pd.DataFrame({"name_a": out_a, "name_b": out_b, "dist": pd.array(out_d, dtype="int64")})
+
+    out = (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby("bk").map_groups(pairs, batch_format="pandas").to_pandas()
+    )
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+def blocking_fingerprint_part(sf_dir: str) -> pd.DataFrame:
+    """Fingerprint blocking keys + block sizes (BlockingKeyHandler)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", columns=["p_type"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = unique_apply(batch["p_type"].to_numpy(zero_copy_only=False), fingerprint_key_one)
+        return pa.table({"block_key": pa.array(keys, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("block_key").aggregate(
+        Count(alias_name="n")).to_pandas()
+
+
+def golden_record_orders(sf_dir: str) -> pd.DataFrame:
+    """Survivorship per customer: MostRecent / Largest / MostCommon."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"])
+    out = golden_records(
+        ds, "o_custkey",
+        {"o_orderdate": "MostRecent", "o_totalprice": "Largest", "o_orderpriority": "MostCommon"},
+    ).to_pandas()
+    out = out.rename(columns={"o_orderdate": "most_recent", "o_totalprice": "largest_total",
+                              "o_orderpriority": "common_priority"})
+    out["largest_total"] = out["largest_total"].astype(float).round(2)
+    return out
+
+
+def customer_region_broadcast(sf_dir: str) -> pd.DataFrame:
+    """Broadcast small-side join (standardization pattern): nation→region
+    dict is ray.put once, read per task; no shuffle join."""
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    lookup = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    ref = ray.put(dict(zip(lookup["n_nationkey"], lookup["r_name"])))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(ref)
+        return pd.DataFrame({"c_custkey": batch["c_custkey"],
+                             "r_name": batch["c_nationkey"].map(d)})
+
+    return (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        .map_batches(f, batch_format="pandas").to_pandas()
+    )
+
+
+def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Within-label cosine near-dup pairs (partitioning assumption: the
+    label column is the bucket)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return neardup_pairs_within(ds, "vec_id", "embedding", "label", threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# converters
+# ---------------------------------------------------------------------------
+
+
+def julian_orders(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": batch["o_orderkey"],
+                             "jd": np.round(julian_days(batch["o_orderdate"].dt.to_pydatetime()), 6)})
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
+def distance_convert_part(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_partkey": batch["p_partkey"],
+                             "km": np.round(convert_distance(batch["p_size"].to_numpy(), "MILE", "KILOMETER"), 6)})
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
+def token_stats_docs(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": batch["source"],
+                         "n_tok": pa.array(token_counts(batch["text"]), type=pa.int64())})
+
+    out = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tokens"))
+        .to_pandas()
+    )
+    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(6)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent — model / sketch / backref ops)
+# ---------------------------------------------------------------------------
+
+
+def langid_heuristic_docs(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID distribution (stateful actor-pool stage)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    class Stage:
+        def __init__(self):
+            self.model = HeuristicLangID()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = self.model.predict(batch["text"].to_numpy(zero_copy_only=False))
+            return pa.table({"lang_pred": pa.array(pred, type=pa.string())})
+
+    return (
+        ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+        .groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
+    )
+
+
+def perplexity_docs(sf_dir: str) -> pd.DataFrame:
+    """KenLM-style perplexity scoring (model loaded once per actor)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Stage:
+        def __init__(self):
+            self.model = NgramPerplexity()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ppl = self.model.perplexity(batch["text"].to_numpy(zero_copy_only=False))
+            return pa.table({"doc_id": batch["doc_id"], "ppl": pa.array(np.round(ppl, 4))})
+
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2).to_pandas()
+
+
+def dup_char_collapse_docs(sf_dir: str) -> pd.DataFrame:
+    from ..functions.converters import erase_duplicate_chars
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "collapsed": pa.array(erase_duplicate_chars(batch["text"].to_numpy(zero_copy_only=False)), type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(ds, "doc_id", "text", threshold=0.5)
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return add_simhash(ds, "text").to_pandas()[["doc_id", "simhash"]]

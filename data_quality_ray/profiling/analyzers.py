@@ -198,6 +198,26 @@ class TypeAcc:
         return {"type_counts": dict(self.counter), "dominant_type": dominant_type(self.counter)}
 
 
+class RegexValidFn:
+    """Picklable regex predicate for QualityAcc (accumulators are pickled
+    into the partials stream — local lambdas would break there)."""
+
+    def __init__(self, pattern: str):
+        import re
+
+        self.pattern = pattern
+        self._rx = re.compile(pattern)
+
+    def __call__(self, vals: np.ndarray) -> np.ndarray:
+        return np.array([bool(self._rx.fullmatch(str(v))) for v in vals], dtype=bool)
+
+    def __getstate__(self):
+        return {"pattern": self.pattern}
+
+    def __setstate__(self, state):
+        self.__init__(state["pattern"])
+
+
 class QualityAcc:
     """valid/empty/invalid tallies vs a per-column predicate (declared type
     or regex), with capped invalid samples."""

@@ -1,0 +1,45 @@
+"""Distributed deterministic reservoir sampling.
+
+Reference: the weighted-key binary-heap reservoir
+(dataquality-sampling sampling/parallel/ReservoirSamplerWithBinaryHeap.java:27-69)
+— keep the k rows with the largest random keys; partials merge by keeping
+the global top-k, giving an EXACT uniform k-of-N sample that is
+partition-count independent.
+
+Here the "random" key is a deterministic digest ``md5(f"{seed}-{row_key}")``
+so (a) the sample is identical across runs and partitionings, and (b)
+DuckDB can act as the oracle (``ORDER BY md5(...) LIMIT k``). Keeping the k
+*smallest* digests == keeping largest random keys, just mirrored.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+
+def _digest(seed: int, key: str) -> str:
+    return hashlib.md5(f"{seed}-{key}".encode()).hexdigest()
+
+
+def reservoir_sample(ds, key_cols: list[str], k: int, seed: int = 42) -> pd.DataFrame:
+    """Exact deterministic k-of-N sample. Per-batch partial top-k (heap) →
+    tiny partials → final top-k on the driver. One pass, no shuffle."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        key = b[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "-" + b[c].astype(str)
+        b["__rk"] = [_digest(seed, s) for s in key]
+        return b.sort_values("__rk", kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # final merge: ≤ k rows per block arrive; keep the global k smallest
+    frames = []
+    for batch in partials.iter_batches(batch_size=4 * k, batch_format="pandas"):
+        frames.append(batch)
+    allp = pd.concat(frames) if frames else pd.DataFrame(columns=key_cols + ["__rk"])
+    out = allp.sort_values("__rk", kind="mergesort").head(k).drop(columns="__rk")
+    return out.reset_index(drop=True)

@@ -1,0 +1,70 @@
+"""Standardization — broadcast-dictionary synonym lookup.
+
+Rebuilds dataquality-standardization's Lucene synonym index
+(index/SynonymIndexSearcher.java:51-508, query/FirstNameStandardize.java:46-144)
+as the idiomatic Ray Data broadcast join: the dictionary is ``ray.put``
+ONCE on the driver; each actor reads it ONCE in ``__init__`` (zero-copy
+from the object store, never re-shipped per batch); lookups are exact
+first, then optional fuzzy fallback (Jaro-Winkler over the key set —
+the MatchMode/fuzzy-query analog) memoized per distinct value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.matchers import jaro_winkler
+from ..functions.text import unique_apply
+
+
+def build_dictionary(pairs: dict[str, str]) -> dict[str, str]:
+    """word/synonym → standardized form; keys lowercased."""
+    return {k.lower(): v for k, v in pairs.items()}
+
+
+class StandardizeStage:
+    """map_batches actor: adds ``<col>_std`` via broadcast dict lookup."""
+
+    def __init__(self, dict_ref, column: str, fuzzy: bool = False, fuzzy_threshold: float = 0.92):
+        import ray
+
+        self.dictionary = ray.get(dict_ref) if not isinstance(dict_ref, dict) else dict_ref
+        self.keys = sorted(self.dictionary)
+        self.column = column
+        self.fuzzy = fuzzy
+        self.fuzzy_threshold = fuzzy_threshold
+
+    def _lookup_one(self, v) -> str | None:
+        if v is None:
+            return None
+        key = str(v).lower()
+        hit = self.dictionary.get(key)
+        if hit is not None or not self.fuzzy:
+            return hit if hit is not None else v
+        best, best_s = None, self.fuzzy_threshold
+        for k in self.keys:  # fuzzy fallback over the (small) key set
+            s = jaro_winkler(key, k)
+            if s > best_s:
+                best, best_s = k, s
+        return self.dictionary[best] if best is not None else v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.column + "_std"] = unique_apply(
+            batch[self.column].to_numpy(dtype=object), self._lookup_one
+        )
+        return batch
+
+
+def standardize(ds, dictionary: dict[str, str], column: str, fuzzy: bool = False,
+                concurrency: int | tuple = 2):
+    import ray
+
+    ref = ray.put(build_dictionary(dictionary))
+    return ds.map_batches(
+        StandardizeStage,
+        fn_constructor_kwargs={"dict_ref": ref, "column": column, "fuzzy": fuzzy},
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
