@@ -1,0 +1,118 @@
+"""Bench driver.
+
+Headline: the north-star image+caption quality-filter pipeline
+(read parquet → actor-pool rule chain (langid + perplexity + heuristics +
+PII scrub) → phash-keyed dedup → partitioned parquet write + lineage
+manifest) over a deterministic synthetic F1 table sized to the sf tier.
+Also times the key sf-table pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "images": N,
+   "images_per_sec": N}
+
+``--scaling``: runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both + scaling efficiency
+(the two-cluster-size criterion proxied by two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def image_rows_for(sf_dir: str) -> int:
+    import duckdb
+
+    n_docs = duckdb.sql(f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    return max(2000, 10 * int(n_docs))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+    from data_quality_ray.pipelines import queries as Q
+    from data_quality_ray.sources.fixtures import write_f1
+
+    n_images = image_rows_for(SF_DIR)
+    fixture = f"/tmp/dq_bench_f1_{n_images}"
+    write_f1(fixture, n_rows=n_images, seed=42, with_labels=False)
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    rd.read_parquet(fixture).count()
+
+    out_dir = f"/tmp/dq_bench_out_{NUM_CPUS}_{n_images}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = run_quality_pipeline(fixture, out_dir, concurrency=max(2, NUM_CPUS // 2),
+                                 batch_size=2048)
+    headline = time.perf_counter() - t0
+
+    queries = {}
+    for name, fn in [
+        ("quality_filter_docs", Q.quality_filter_docs),
+        ("pricing_summary", Q.pricing_summary),
+        ("dedup_exact_docs", Q.dedup_exact_docs),
+        ("reservoir_sample_lineitem", Q.reservoir_sample_lineitem),
+        ("knn_embeddings", Q.knn_embeddings),
+        ("minhash_neardup_docs", Q.minhash_neardup_docs),
+        ("golden_record_orders", Q.golden_record_orders),
+        ("text_length_by_lang", Q.text_length_by_lang),
+    ]:
+        t = time.perf_counter()
+        fn(SF_DIR)
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "image quality-filter pipeline wall seconds (filter+scrub+dedup+write)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "images": n_images,
+        "images_per_sec": round(n_images / headline, 1),
+        "kept": stats.get("kept"),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py"], env=env, cwd=os.path.dirname(
+            os.path.abspath(__file__)), capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "images_per_sec_8": lo["images_per_sec"], "images_per_sec_32": hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3), "images": lo["images"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

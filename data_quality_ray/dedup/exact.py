@@ -21,20 +21,69 @@ def _keep_first(g: pd.DataFrame, order_col: str) -> pd.DataFrame:
     return g.sort_values(order_col, kind="mergesort").head(1)
 
 
-def dedup_by_key(ds, key: str, order_col: str):
+def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
+                 winners_from=None):
     """One surviving row per distinct ``key`` — the row with the minimal
-    ``order_col`` (deterministic representative). Streaming: batch-level
-    pre-dedup → groupby(key) shuffle → per-group first."""
+    ``order_col`` (deterministic representative).
 
-    def pre(batch: pd.DataFrame) -> pd.DataFrame:
-        # in-batch partial: keeps shuffle volume at one row per (batch, key)
-        return batch.sort_values(order_col, kind="mergesort").groupby(key, as_index=False).head(1)
+    Strategies:
+    - "aggregate" (default): batch pre-dedup → native vectorized
+      ``groupby(key).aggregate(Min(order_col))`` (shuffles only the two key
+      columns) → broadcast the surviving (key, order) pair-set via
+      ``ray.put`` → membership filter. Orders of magnitude faster than a
+      per-group Python callback; the broadcast set is #distinct-keys sized
+      — for key spaces too large for one broadcast, fall back to
+      "map_groups" (fully shuffled, no driver-side state).
+    - "map_groups": groupby(key).map_groups(keep-first) — streams
+      everything through the shuffle; no broadcast.
+    """
 
-    return (
-        ds.map_batches(pre, batch_format="pandas")
-        .groupby(key)
-        .map_groups(lambda g: _keep_first(g, order_col), batch_format="pandas")
+    import numpy as np
+    import pyarrow as pa
+
+    def pre(batch: pa.Table) -> pa.Table:
+        # in-batch partial: keeps shuffle volume at one row per (batch,
+        # key). Arrow-native: the index math runs on the two key columns;
+        # wide payload columns (image bytes) move only through zero-copy
+        # ``take`` — never converted to Python objects.
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        orders = batch[order_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((orders, keys))
+        sk = keys[idx]
+        first = np.ones(len(sk), dtype=bool)
+        if len(sk) > 1:
+            first[1:] = sk[1:] != sk[:-1]
+        return batch.take(pa.array(np.sort(idx[first])))
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow")
+    if strategy == "map_groups":
+        return pre_ds.groupby(key).map_groups(
+            lambda g: _keep_first(g, order_col), batch_format="pandas"
+        )
+
+    import ray
+    from ray.data.aggregate import Min
+
+    # the winners pass needs only (key, order): callers with a re-readable
+    # source should pass a column-pruned ``winners_from`` dataset so the
+    # wide payload (image bytes) isn't scanned twice
+    wsrc = winners_from if winners_from is not None else pre_ds.select_columns([key, order_col])
+    winners = (
+        wsrc.groupby(key)
+        .aggregate(Min(order_col, alias_name="__win"))
+        .to_pandas()
     )
+    win_ref = ray.put(set(zip(winners[key], winners["__win"])))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wins = ray.get(win_ref)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        orders = batch[order_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((k, o) in wins for k, o in zip(keys, orders)),
+                           dtype=bool, count=len(keys))
+        return batch.filter(pa.array(mask))
+
+    return pre_ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def dedup_by_content(ds, text_col: str, order_col: str, key_col: str = "__content_hash"):
