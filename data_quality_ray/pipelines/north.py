@@ -1,21 +1,31 @@
 """The end-to-end north-star pipeline with lineage + exact resume.
 
-    read (per-fragment tagged, wave of files)
-      → map_batches(QualityFilterStage, actor pool)     # caption rules
-      → write_parquet(out/filtered, partition_cols=[fragment])
-      → per-fragment lineage records → manifest (atomic commit per wave)
-    then (phase 2, over committed survivors)
-      → groupby(phash) keep-first dedup → out/final
+Phase 1 — ONE streaming job per wave (no re-reads):
+    fused read over the wave's files
+      → fragment tag (vectorized searchsorted over parquet-footer id
+        ranges; per-file union fallback for unsorted inputs)
+      → Phase1Stage actor pool: caption rule chain (langid + perplexity +
+        heuristics + PII/toxicity scrub) + image validation (decode,
+        dims + phash verify; corrupt rows → DROP 'corrupt_image')
+      → writes its own per-fragment parquet files (idempotent
+        deterministic names, tmp+rename atomic) as a side output
+      → RETURNS per-batch tally partials (tiny) — the job's only
+        object-store output
+    then per-fragment lineage records commit atomically to the manifest.
 
-Resume: fragments present in the manifest are skipped entirely; phase 2
-reruns from the committed phase-1 output (idempotent overwrite). Wave
-size bounds work lost to a crash (wave_files=1 → exact per-fragment).
+Phase 2 — phash dedup over committed survivors:
+    winners = read(key columns only) → groupby(phash).Min(image_id)
+    final   = read(full) → keep-winners membership filter → write
 
-Scale shape: the image ``bytes`` column rides through the filter stage
-zero-copy and is written back untouched (pixel integrity); the only
-shuffle is the phash groupby. Fragment tagging reads each input file as
-its own (lazy) Dataset and unions them — the union's read tasks still
-execute in parallel under the streaming executor.
+Resume: fragments in the manifest are skipped; stale partial output of
+uncommitted fragments is deleted before reprocessing. ``wave_files``
+bounds work lost to a crash (1 → exact per-fragment commits).
+
+Scale shape: bytes are scanned once in phase 1 (decoded for validation,
+written back untouched — pixel integrity) and once in phase 2's final
+pass; the only all-to-all exchange is the Min-aggregate over the two key
+columns. Payload parquet is written uncompressed/undictionaried (codec
+bytes are already compressed — re-encoding burned 6× the write CPU).
 """
 
 from __future__ import annotations
@@ -24,21 +34,146 @@ import glob
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
-from ..dedup.exact import dedup_by_key
+from ..stages.image import decode, phash64
 from ..state.manifest import Manifest
-from .quality_filter import QualityFilterStage, build_image_chain
+from .quality_filter import build_image_chain
+
+_PAYLOAD_WRITE_ARGS = dict(compression="none", use_dictionary=False)
+LOSSY_FORMATS = {"jpeg", "jpg", "webp"}
+PHASH_HAMMING_MAX_LOSSY = 4  # measured max 1 for the stand-in codec
 
 
 def _fragment_files(input_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(input_dir, "part-*.parquet")))
 
 
+def _frag_dir(filtered_dir: str, frag: int) -> str:
+    return os.path.join(filtered_dir, f"frag-{frag:06d}")
+
+
+class Phase1Stage:
+    """Actor stage: rule chain + image validation + in-stage partitioned
+    write. Returns tally partial rows; files are the side output."""
+
+    def __init__(self, filtered_dir: str, chain_builder=build_image_chain,
+                 validate_images: bool = True):
+        self.engine = chain_builder()
+        self.filtered_dir = filtered_dir
+        self.validate_images = validate_images
+
+    def _validate(self, batch: pa.Table, verdict: np.ndarray, first_rule: np.ndarray) -> None:
+        blobs = batch["bytes"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        phs = batch["phash"].to_numpy()
+        for i in np.flatnonzero(verdict != "DROP"):
+            ok = False
+            try:
+                px = decode(blobs[i], fmts[i])
+                if px.shape == (hs[i], ws[i], 3):
+                    d = bin((phash64(px) & (1 << 64) - 1) ^ (int(phs[i]) & (1 << 64) - 1)).count("1")
+                    ok = d == 0 if fmts[i] not in LOSSY_FORMATS else d <= PHASH_HAMMING_MAX_LOSSY
+            except Exception:
+                ok = False
+            if not ok:
+                verdict[i] = "DROP"
+                first_rule[i] = "corrupt_image"
+
+    _EMPTY = {"fragment": pa.array([], type=pa.int64()),
+              "key": pa.array([], type=pa.string()),
+              "n": pa.array([], type=pa.int64()),
+              "phash": pa.array([], type=pa.int64()),
+              "win_id": pa.array([], type=pa.string())}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(self._EMPTY)
+        res = self.engine.apply(batch["caption"].to_numpy(zero_copy_only=False))
+        verdict, first_rule = res.verdict, res.first_rule
+        if self.validate_images:
+            self._validate(batch, verdict, first_rule)
+        out = batch.set_column(
+            batch.schema.get_field_index("caption"), "caption",
+            pa.array(res.values, type=pa.string()),
+        )
+        out = out.append_column("verdict", pa.array(verdict, type=pa.string()))
+        out = out.append_column("first_rule", pa.array(first_rule, type=pa.string()))
+
+        frag_col = out["fragment"].to_numpy()
+        ids = out["image_id"].to_numpy(zero_copy_only=False)
+        frags, keys, ns = [], [], []
+        for frag in np.unique(frag_col):
+            mask = frag_col == frag
+            sub = out.filter(pa.array(mask))
+            d = _frag_dir(self.filtered_dir, int(frag))
+            os.makedirs(d, exist_ok=True)
+            # deterministic name from the id range → task retries overwrite
+            # the same file (idempotent); tmp+rename is atomic
+            sub_ids = ids[mask]
+            fname = f"part-{sub_ids.min()}-{sub_ids.max()}.parquet"
+            tmp = os.path.join(d, f".tmp-{os.getpid()}-{fname}")
+            pq.write_table(sub, tmp, **_PAYLOAD_WRITE_ARGS)
+            os.replace(tmp, os.path.join(d, fname))
+            for col, prefix in (("verdict", "verdict:"), ("first_rule", "rule:")):
+                for item in pc.value_counts(sub[col]):
+                    frags.append(int(frag))
+                    keys.append(prefix + item["values"].as_py())
+                    ns.append(item["counts"].as_py())
+        n_tally = len(frags)
+        # dedup winner partials (min image_id per phash among survivors in
+        # this batch) ride the same return table — phase 2 needs no extra
+        # scan of freshly-processed fragments
+        alive = verdict != "DROP"
+        ph = batch["phash"].to_numpy()[alive]
+        aid = ids[alive]
+        if len(ph):
+            idx = np.lexsort((aid, ph))
+            sk = ph[idx]
+            first = np.ones(len(sk), dtype=bool)
+            if len(sk) > 1:
+                first[1:] = sk[1:] != sk[:-1]
+            keep = idx[first]
+            win_ph, win_id = ph[keep], aid[keep]
+        else:
+            win_ph = np.empty(0, dtype=np.int64)
+            win_id = np.empty(0, dtype=object)
+        pad = [None] * n_tally
+        return pa.table({
+            "fragment": pa.array(frags + [None] * len(win_ph), type=pa.int64()),
+            "key": pa.array(keys + [None] * len(win_ph), type=pa.string()),
+            "n": pa.array(ns + [None] * len(win_ph), type=pa.int64()),
+            "phash": pa.array(pad + list(win_ph), type=pa.int64()),
+            "win_id": pa.array(pad + list(win_id), type=pa.string()),
+        })
+
+
+_STAGE_CACHE: dict = {}
+
+
+def _phase1_task(batch: pa.Table, filtered_dir: str, validate_images: bool) -> pa.Table:
+    """Task-mode phase-1 body: the stage object (rule chain + models) is
+    built once per WORKER PROCESS and cached at module level — Ray reuses
+    worker processes across jobs, so task mode skips per-job actor-pool
+    spawn entirely. Right when model setup is cheap (here: ~20 ms); for
+    heavy models (real fastText / KenLM binaries) use stage_mode='actors'
+    so setup amortizes per actor instead of per process."""
+    key = (filtered_dir, validate_images)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE[key] = Phase1Stage(filtered_dir, validate_images=validate_images)
+    return stage(batch)
+
+
 def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple = 4,
-                         batch_size: int = 2048, wave_files: int = 32,
-                         dedup: bool = True) -> dict:
+                         batch_size: int = 2048, wave_files: int = 64,
+                         dedup: bool = True, validate_images: bool = True,
+                         stage_mode: str = "tasks") -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics."""
     import ray.data as rd
 
@@ -47,52 +182,44 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     done = manifest.completed_fragments()
     pending = [(i, f) for i, f in enumerate(files) if i not in done]
     filtered_dir = os.path.join(out_dir, "filtered")
+    os.makedirs(filtered_dir, exist_ok=True)
 
+    win: dict = {}  # phash → min surviving image_id (for phase 2)
     for w in range(0, len(pending), wave_files):
         wave = pending[w : w + wave_files]
-        ranges = _id_ranges([p for _, p in wave], id_col="image_id")
-        if ranges is not None:
-            # fast path: ONE fused read over the wave's files; fragment
-            # recovered from footer min/max id ranges (vectorized
-            # searchsorted) — no union, full streaming fusion
-            wave_ds = rd.read_parquet([p for _, p in wave]).map_batches(
-                _RangeTagger([r[0] for r in ranges], [wave[i][0] for _, i in ranges]),
+        for frag_id, _ in wave:  # clear stale partial output (uncommitted)
+            shutil.rmtree(_frag_dir(filtered_dir, frag_id), ignore_errors=True)
+        wave_ds = _tagged_read(rd, wave)
+        if stage_mode == "actors":
+            result = wave_ds.map_batches(
+                Phase1Stage,
+                fn_constructor_kwargs={"filtered_dir": filtered_dir,
+                                       "validate_images": validate_images},
                 batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
             )
         else:
-            # fallback (id ranges overlap across files): per-file tag + union
-            parts = [
-                rd.read_parquet(path).map_batches(_FragmentTagger(frag_id), batch_format="pyarrow")
-                for frag_id, path in wave
-            ]
-            wave_ds = parts[0]
-            if len(parts) > 1:
-                wave_ds = wave_ds.union(*parts[1:])
-        out = wave_ds.map_batches(
-            QualityFilterStage,
-            fn_constructor_kwargs={"chain_builder": build_image_chain, "column": "caption"},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        out.write_parquet(filtered_dir, partition_cols=["fragment"])
-        # lineage from the COMMITTED output (consistent even under task
-        # retries): one tiny pass over the wave's verdict columns, with
-        # hive-partition pruning on the fragment partition column
-        wave_ids = [frag for frag, _ in wave]
-        # one root read; the hive partition column comes back as a string
-        # column, pruned to the 3 tiny columns (bytes never leave disk)
-        tallies = (
-            rd.read_parquet(filtered_dir, columns=["fragment", "verdict", "first_rule"])
-            .map_batches(_tally_batch, batch_format="pyarrow")
-            .to_pandas()
-        )
-        tallies = tallies[tallies["fragment"].isin(wave_ids)]
-        agg_all = tallies.groupby(["fragment", "key"])["n"].sum()
+            result = wave_ds.map_batches(
+                _phase1_task,
+                fn_kwargs={"filtered_dir": filtered_dir,
+                           "validate_images": validate_images},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        tally: dict[tuple[int, str], int] = {}
+        for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for frag, key, n in zip(b["fragment"].to_pylist(), b["key"].to_pylist(),
+                                    b["n"].to_pylist()):
+                if key is not None:
+                    tally[(frag, key)] = tally.get((frag, key), 0) + n
+            for ph, o in zip(b["phash"].to_pylist(), b["win_id"].to_pylist()):
+                if o is not None and (ph not in win or o < win[ph]):
+                    win[ph] = o
         src = dict(wave)
-        for frag_id in wave_ids:
-            agg = agg_all.loc[frag_id].to_dict() if frag_id in agg_all.index.get_level_values(0) else {}
-            record = {
+        for frag_id, _ in wave:
+            agg = {k: v for (f, k), v in tally.items() if f == frag_id}
+            manifest.commit({
                 "fragment": int(frag_id),
                 "source_file": os.path.basename(src[frag_id]),
                 "n_rows": int(sum(v for k, v in agg.items() if k.startswith("verdict:"))),
@@ -101,27 +228,95 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                 "corrected": int(agg.get("verdict:CORRECTED", 0)),
                 "rule_hits": {k.split(":", 1)[1]: int(v) for k, v in agg.items()
                               if k.startswith("rule:") and k != "rule:"},
-                "output_path": f"filtered/fragment={frag_id:d}",
-            }
-            manifest.commit(record)
+                "output_path": f"filtered/frag-{frag_id:06d}",
+            })
 
     totals = manifest.totals()
     if dedup:
-        final_dir = os.path.join(out_dir, "final")
-        shutil.rmtree(final_dir, ignore_errors=True)
-        def _surviving(t: pa.Table) -> pa.Table:
-            return t.filter(pc.not_equal(t["verdict"], pa.scalar("DROP")))
-
-        survivors = rd.read_parquet(filtered_dir).map_batches(_surviving, batch_format="pyarrow")
-        # winners pass over the two key columns only — bytes scanned once
-        keys_only = rd.read_parquet(
-            filtered_dir, columns=["phash", "image_id", "verdict"]
-        ).map_batches(_surviving, batch_format="pyarrow").select_columns(["phash", "image_id"])
-        deduped = dedup_by_key(survivors, key="phash", order_col="image_id",
-                               winners_from=keys_only)
-        deduped.write_parquet(final_dir)
-        totals["final_rows"] = rd.read_parquet(final_dir).count()
+        # winners for fragments committed in PREVIOUS runs (resume path):
+        # read their key columns only, merge into the winner map
+        if done:
+            prev_files = [
+                f for frag in sorted(done)
+                for f in sorted(glob.glob(os.path.join(_frag_dir(filtered_dir, frag), "*.parquet")))
+            ]
+            if prev_files:
+                _merge_winners_from_disk(rd, prev_files, win)
+        totals["final_rows"] = _dedup_phase(rd, filtered_dir,
+                                            os.path.join(out_dir, "final"), win)
     return totals
+
+
+def _tagged_read(rd, wave: list[tuple[int, str]]):
+    paths = [p for _, p in wave]
+    ranges = _id_ranges(paths, id_col="image_id")
+    if ranges is not None:
+        return rd.read_parquet(paths).map_batches(
+            _RangeTagger([r[0] for r in ranges], [wave[i][0] for _, i in ranges]),
+            batch_format="pyarrow",
+        )
+    parts = [
+        rd.read_parquet(path).map_batches(_FragmentTagger(frag_id), batch_format="pyarrow")
+        for frag_id, path in wave
+    ]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
+def _surviving(t: pa.Table) -> pa.Table:
+    return t.filter(pc.not_equal(t["verdict"], pa.scalar("DROP")))
+
+
+def _merge_winners_from_disk(rd, frag_dirs: list[str], win: dict) -> None:
+    """Merge min-image_id-per-phash partials for previously committed
+    fragments (resume path): reads the two key columns only."""
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        ks = batch["phash"].to_numpy()
+        os_ = batch["image_id"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((os_, ks))
+        sk = ks[idx]
+        first = np.ones(len(sk), dtype=bool)
+        if len(sk) > 1:
+            first[1:] = sk[1:] != sk[:-1]
+        keep = idx[first]
+        return pa.table({"phash": pa.array(ks[keep]),
+                         "image_id": pa.array(os_[keep], type=pa.string())})
+
+    partials = (
+        rd.read_parquet(frag_dirs, columns=["phash", "image_id", "verdict"])
+        .map_batches(_surviving, batch_format="pyarrow")
+        .map_batches(partial_min, batch_format="pyarrow")
+    )
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, o in zip(b["phash"].to_numpy(), b["image_id"].to_numpy(zero_copy_only=False)):
+            if k not in win or o < win[k]:
+                win[k] = o
+
+
+def _dedup_phase(rd, filtered_dir: str, final_dir: str, winners: dict) -> int:
+    """Keep-first-by-image_id per phash using the precomputed winner map
+    (broadcast once via ray.put; the map fits driver memory by strategy
+    assumption — beyond that use dedup_by_key(strategy='map_groups')).
+    Returns final row count."""
+    import ray
+
+    win_ref = ray.put(set(winners.items()))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wins = ray.get(win_ref)
+        ks = batch["phash"].to_numpy()
+        os_ = batch["image_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((k, o) in wins for k, o in zip(ks, os_)), dtype=bool, count=len(ks))
+        return batch.filter(pa.array(mask))
+
+    shutil.rmtree(final_dir, ignore_errors=True)
+    (
+        rd.read_parquet(filtered_dir)
+        .map_batches(_surviving, batch_format="pyarrow")
+        .map_batches(keep_winners, batch_format="pyarrow")
+        .write_parquet(final_dir, **_PAYLOAD_WRITE_ARGS)
+    )
+    return len(winners)
 
 
 def _id_ranges(paths: list[str], id_col: str):
@@ -129,8 +324,6 @@ def _id_ranges(paths: list[str], id_col: str):
     data read). Returns None when ranges overlap (caller falls back to
     per-file tagging). Assumption documented: web-scale shards are
     id-sorted; the synthetic F1 generator writes sequential id slices."""
-    import pyarrow.parquet as pq
-
     spans = []
     for i, p in enumerate(paths):
         md = pq.ParquetFile(p).metadata
@@ -154,14 +347,10 @@ class _RangeTagger:
     the sorted per-file min-id boundaries."""
 
     def __init__(self, boundaries: list, frag_ids: list[int]):
-        import numpy as np
-
         self.boundaries = np.asarray(boundaries, dtype=object)
         self.frag_ids = np.asarray(frag_ids, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         ids = batch["image_id"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(self.boundaries, ids, side="right") - 1
         return batch.append_column(
@@ -177,20 +366,3 @@ class _FragmentTagger:
         return batch.append_column(
             "fragment", pa.array([self.frag_id] * len(batch), type=pa.int32())
         )
-
-
-def _tally_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch partial tallies as (fragment, key, n) rows: verdict:* and
-    rule:* counters per fragment."""
-    frags, keys, ns = [], [], []
-    frag_col = pc.cast(batch["fragment"], pa.int64())
-    for frag in pc.unique(frag_col):
-        sub = batch.filter(pc.equal(frag_col, frag))
-        for col, prefix in (("verdict", "verdict:"), ("first_rule", "rule:")):
-            for item in pc.value_counts(sub[col]):
-                frags.append(frag.as_py())
-                keys.append(prefix + item["values"].as_py())
-                ns.append(item["counts"].as_py())
-    return pa.table({"fragment": pa.array(frags, type=pa.int64()),
-                     "key": pa.array(keys, type=pa.string()),
-                     "n": pa.array(ns, type=pa.int64())})

@@ -119,18 +119,24 @@ def _base_pixels(cluster_id: int, size: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def generate_f1(n_rows: int, seed: int = 42, dup_fraction: float = 0.15,
-                sizes: tuple[int, ...] = (32, 48)) -> pa.Table:
-    """Generate the F1 table in memory. ~dup_fraction of rows are near-dup
-    copies of a cluster base (same phash, tiny pixel noise)."""
-    rng = random.Random(seed)
+def generate_f1_shard(start_row: int, n_rows: int, seed: int = 42,
+                      dup_fraction: float = 0.15,
+                      sizes: tuple[int, ...] = (32, 48)) -> pa.Table:
+    """Generate rows [start_row, start_row+n_rows) of the F1 table.
+
+    Shards are INDEPENDENT and deterministic in (seed, start_row): near-dup
+    clusters never cross a shard boundary, so shards can be generated in
+    parallel (one Ray task each) and concatenated in any grouping to give
+    the identical table."""
+    rng = random.Random((seed << 20) ^ start_row)
     ids, blobs, ws, hs, fmts, caps, hashes = [], [], [], [], [], [], []
     n_clusters = max(1, int(n_rows * (1 - dup_fraction)))
     cluster_cache: dict[int, tuple[np.ndarray, str, int]] = {}
 
-    for i in range(n_rows):
-        if i < n_clusters:
-            cluster = i
+    for j in range(n_rows):
+        i = start_row + j
+        if j < n_clusters:
+            cluster = j
             cls = rng.choices(_CLASSES, weights=_WEIGHTS, k=1)[0]
             caption = _caption_for(cls, rng)
         else:
@@ -140,12 +146,12 @@ def generate_f1(n_rows: int, seed: int = 42, dup_fraction: float = 0.15,
         if cluster in cluster_cache:
             base, base_caption, _ = cluster_cache[cluster]
         else:
-            base = _base_pixels(seed * 1_000_003 + cluster, size)
+            base = _base_pixels(seed * 1_000_003 + start_row + cluster, size)
             base_caption = caption
             cluster_cache[cluster] = (base, base_caption, size)
         if caption is None:
             caption = base_caption
-            noise = np.random.RandomState(i).randint(-1, 2, size=base.shape)
+            noise = np.random.RandomState(i & 0x7FFFFFFF).randint(-1, 2, size=base.shape)
             pixels = np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
         else:
             pixels = base
@@ -172,6 +178,14 @@ def generate_f1(n_rows: int, seed: int = 42, dup_fraction: float = 0.15,
     )
 
 
+def generate_f1(n_rows: int, seed: int = 42, dup_fraction: float = 0.15,
+                sizes: tuple[int, ...] = (32, 48), shard_rows: int = 8192) -> pa.Table:
+    """Whole table in memory (small fixtures): concatenated shards."""
+    parts = [generate_f1_shard(s, min(shard_rows, n_rows - s), seed, dup_fraction, sizes)
+             for s in range(0, n_rows, shard_rows)]
+    return pa.concat_tables(parts)
+
+
 def write_f1(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 8192,
              with_labels: bool = True) -> str:
     """Write the F1 table as a directory of parquet files (+ labels.parquet
@@ -181,12 +195,26 @@ def write_f1(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 819
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_f1(n_rows, seed=seed)
-    for start in range(0, n_rows, rows_per_file):
-        part = table.slice(start, rows_per_file)
+
+    def _write_shard(start: int) -> None:
+        part = generate_f1_shard(start, min(rows_per_file, n_rows - start), seed)
         pq.write_table(part, os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet"),
                        row_group_size=2048)
+
+    starts = list(range(0, n_rows, rows_per_file))
+    try:  # parallel generation when a Ray session is up (big bench tables)
+        import ray
+
+        if ray.is_initialized():
+            task = ray.remote(_write_shard)
+            ray.get([task.remote(s) for s in starts])
+        else:
+            raise ImportError
+    except ImportError:
+        for s in starts:
+            _write_shard(s)
     if with_labels:
+        table = pq.read_table(out_dir)
         from ..pipelines.quality_filter import build_image_chain
         from ..rules.oracle import oracle_labels
 

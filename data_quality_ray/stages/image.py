@@ -102,11 +102,9 @@ def phash64(pixels: np.ndarray) -> int:
     g = g[: h - h % 8 or h, : w - w % 8 or w]
     bh, bw = g.shape[0] // 8, g.shape[1] // 8
     blocks = g[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(val.astype(np.int64))  # int64 per the input-hint schema
+    bits = (blocks > blocks.mean()).astype(np.uint8).ravel()
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return val - (1 << 64) if val >= (1 << 63) else val  # int64 per the input-hint schema
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

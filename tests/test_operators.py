@@ -1,0 +1,316 @@
+"""Operator-level tests: matchers (vs DuckDB), converters, datetime
+patterns, email chain, nested analyzer, sampling determinism, minhash/
+simhash/embedding dedup, standardization, survivorship, blocking."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from data_quality_ray.functions import matchers as M
+from data_quality_ray.functions import converters as C
+from data_quality_ray.functions.datetime_patterns import date_pattern_of, is_date_str, is_time_str
+from data_quality_ray.functions.text import (
+    acronym_one, fingerprint_key_one, pattern_fingerprint_one, word_pattern_one,
+)
+from data_quality_ray.functions.typeinfer import dominant_type, infer_type_one
+
+
+# ---------------------------------------------------------------------------
+# matchers
+# ---------------------------------------------------------------------------
+
+PAIRS = [("martha", "marhta"), ("kitten", "sitting"), ("abc", "abc"), ("", "x"),
+         ("dixon", "dicksonx"), ("Customer#001", "Customer#100")]
+
+
+def test_levenshtein_matches_duckdb():
+    con = duckdb.connect()
+    for a, b in PAIRS:
+        exp = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert M.levenshtein_distance(a, b) == exp, (a, b)
+
+
+def test_jaro_winkler_matches_duckdb():
+    con = duckdb.connect()
+    for a, b in PAIRS:
+        exp = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(M.jaro_winkler(a, b) - exp) < 1e-9, (a, b)
+
+
+def test_matcher_family():
+    assert M.exact("a", "a") == 1.0 and M.exact("a", "b") == 0.0
+    assert M.exact_ignore_case("AbC", "abc") == 1.0
+    assert M.hamming_sim("karolin", "kathrin") == pytest.approx(4 / 7)
+    assert M.lcs_sim("abcdef", "abdf") == pytest.approx(4 / 6)
+    assert 0 < M.qgrams_sim("night", "nacht") < 1
+    assert M.soundex("Robert") == "R163" and M.soundex("Rupert") == "R163"
+    assert M.soundex_sim("Robert", "Rupert") == 1.0
+    assert M.fingerprint_sim("The Dog", "dog the") == 1.0
+
+
+def test_null_options():
+    assert M.match_score(None, None, "EXACT", "nullMatchNull") == 1.0
+    assert M.match_score(None, "x", "EXACT", "nullMatchNull") == 0.0
+    assert M.match_score(None, "x", "EXACT", "nullMatchAll") == 1.0
+    assert M.match_score(None, None, "EXACT", "nullMatchNone") == 0.0
+    # CUSTOM matcher = plain callable
+    assert M.match_score("aa", "ab", lambda a, b: 0.5) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# converters
+# ---------------------------------------------------------------------------
+
+
+def test_converters():
+    assert C.trim(np.array(["  x  ", None], dtype=object)).tolist() == ["x", None]
+    assert C.erase_duplicate_chars(np.array(["aaabbbc", "abc"], dtype=object)).tolist() == ["abc", "abc"]
+    assert C.to_half_width(np.array(["ＡＢＣ１２３", "ｶﾞ"], dtype=object))[0] == "ABC123"
+    assert C.convert_distance(np.array([1.0]), "MILE", "KILOMETER")[0] == pytest.approx(1.609344)
+    assert C.convert_duration(np.array([2.0]), "HOUR", "MINUTE")[0] == 120.0
+    from datetime import datetime
+
+    con = duckdb.connect()
+    for ts in (datetime(2020, 1, 1), datetime(1999, 12, 31, 12, 30, 15)):
+        exp = con.execute("select julian(?::timestamp)", [ts]).fetchone()[0]
+        assert C.julian_day(ts) == pytest.approx(exp, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# datetime patterns + type inference
+# ---------------------------------------------------------------------------
+
+
+def test_date_patterns():
+    assert date_pattern_of("2020-08-17") == "yyyy-MM-dd"
+    assert date_pattern_of("8/17/2020") == "M/d/yyyy"
+    assert date_pattern_of("17.08.20") == "dd.MM.yy"
+    assert date_pattern_of("January 5, 2020") == "MMMM d yyyy"
+    assert date_pattern_of("20200817") == "yyyyMMdd"
+    assert not is_date_str("not a date")
+    assert not is_date_str("13/45/2020")  # fails strict parse
+    assert not is_date_str("123")  # too short
+    assert is_time_str("23:59:59") and is_time_str("9:30 PM") and not is_time_str("25:00")
+
+
+def test_type_inference():
+    cases = {"123": "INTEGER", "1,234,567": "INTEGER", "12.5%": "DOUBLE",
+             "１２３": "INTEGER", "-3.14e2": "DOUBLE", "true": "BOOLEAN",
+             "2020-01-01": "DATE", "10:30": "TIME", "hello": "STRING",
+             "": "EMPTY", None: "EMPTY"}
+    for v, t in cases.items():
+        assert infer_type_one(v) == t, v
+    assert dominant_type({"INTEGER": 6, "STRING": 4}) == "INTEGER"
+    assert dominant_type({"INTEGER": 3, "DOUBLE": 3, "STRING": 4}) == "DOUBLE"
+    # INTEGER+DOUBLE jointly cross the 0.5 threshold → folds to DOUBLE
+    assert dominant_type({"INTEGER": 2, "STRING": 2, "DOUBLE": 1}) == "DOUBLE"
+    assert dominant_type({"INTEGER": 1, "STRING": 2, "DATE": 2}) == "STRING"
+
+
+def test_text_fingerprints():
+    assert pattern_fingerprint_one("Talend 123") == "Aaaaaa 999"
+    assert pattern_fingerprint_one("８Ａけカ中한") == "9Ahk" + "CG"
+    assert word_pattern_one("John DOE-3") == "[Word] [WORD]-[number]"
+    assert word_pattern_one("John DOE-3", ignore_case=True) == "[word] [word]-[number]"
+    assert acronym_one("International Business Machines") == "IBM"
+    assert fingerprint_key_one("  Müller,  Thomas ") == "muller thomas"
+
+
+# ---------------------------------------------------------------------------
+# email chain
+# ---------------------------------------------------------------------------
+
+
+def test_email_verify_chain():
+    from data_quality_ray.rules.email import EmailVerify
+
+    cfg = EmailVerify(blacklist_domains=frozenset({"spam.com"}))
+    verdict, _ = cfg.verify(np.array(
+        ["ok@example.com", "bad email", "x@spam.com", "y@site.zzz"], dtype=object))
+    assert verdict.tolist() == ["VALID", "INVALID", "INVALID", "INVALID"]
+
+
+def test_email_correction():
+    from data_quality_ray.rules.email import EmailVerify
+
+    cfg = EmailVerify(derive_local_part=True, first_name_pattern="f",
+                      last_name_pattern="last", separator=".")
+    verdict, suggestion = cfg.verify(
+        np.array(["j.doe@corp.com", "wrong@corp.com"], dtype=object),
+        first_names=np.array(["John", "Jane"], dtype=object),
+        last_names=np.array(["Doe", "Doe"], dtype=object),
+    )
+    assert verdict.tolist() == ["VALID", "CORRECTED"]
+    assert suggestion[1] == "j.doe@corp.com"
+
+
+# ---------------------------------------------------------------------------
+# nested analyzer (F5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nested_table() -> pa.Table:
+    rec = pa.array([{"a": "1", "b": 5}, {"a": "x", "b": None}, None,
+                    {"a": "", "b": 7}] * 50)
+    arr = pa.array([[{"x": "2020-01-01"}], [], [{"x": "notdate"}, {"x": "3"}], None] * 50)
+    return pa.table({"rec": rec, "arr": arr})
+
+
+def test_profile_nested(ray_session, nested_table):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.nested import profile_nested
+
+    res = profile_nested(rd.from_arrow(nested_table), ["rec", "arr"], batch_size=32)
+    assert res["rec.a"]["type_counts"] == {"INTEGER": 50, "STRING": 50, "EMPTY": 50}
+    assert res["rec.a"]["quality"]["null"] == 50
+    assert res["rec.a"]["quality"]["empty"] == 50
+    assert res["rec.b"]["dominant_type"] == "INT64"
+    assert res["arr[].x"]["type_counts"] == {"DATE": 50, "STRING": 50, "INTEGER": 50}
+
+
+def test_add_type_metadata(ray_session, nested_table):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.nested import add_type_metadata
+
+    out = add_type_metadata(rd.from_arrow(nested_table), ["rec"]).take(2)
+    assert out[0]["rec__types"] == {"a": "INTEGER", "b": "INT64"}
+    assert out[1]["rec__types"] == {"a": "STRING", "b": None}
+
+
+# ---------------------------------------------------------------------------
+# sampling determinism (F6): partition-count invariance
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.sampling.reservoir import reservoir_sample
+
+    df = pd.DataFrame({"id": np.arange(20_000), "val": [f"v{i}" for i in range(20_000)]})
+    a = reservoir_sample(rd.from_pandas(df), ["id"], k=500, seed=7)
+    b = reservoir_sample(rd.from_pandas(df).repartition(13), ["id"], k=500, seed=7)
+    assert sorted(a["id"]) == sorted(b["id"])
+    c = reservoir_sample(rd.from_pandas(df), ["id"], k=500, seed=8)
+    assert sorted(a["id"]) != sorted(c["id"])  # seed changes the sample
+
+
+# ---------------------------------------------------------------------------
+# minhash / simhash / embedding dedup
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_finds_neardups(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different text about database engines and query optimization at scale"
+    rows = [{"id": 1, "text": base}, {"id": 2, "text": near}, {"id": 3, "text": other},
+            {"id": 4, "text": base}] + [
+        {"id": 10 + i, "text": f"unrelated document number {i} with its own unique words {i*7}"}
+        for i in range(20)
+    ]
+    out = minhash_dedup(rd.from_items(rows), "id", "text", threshold=0.5)
+    clusters = out.groupby("cluster")["id"].apply(set).tolist()
+    assert {1, 2, 4} in clusters
+    assert all(3 not in c for c in clusters)
+
+
+def test_simhash(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import hamming64, simhash64, simhash_candidates
+
+    a = "the quick brown fox jumps over the lazy dog tonight in the woods"
+    b = a.replace("lazy", "sleepy")
+    assert hamming64(simhash64(a), simhash64(b)) <= 12
+    rows = [{"id": 1, "text": a}, {"id": 2, "text": b},
+            {"id": 3, "text": "totally different content about spark and ray pipelines"}]
+    pairs = simhash_candidates(rd.from_items(rows), "id", "text", hamming_threshold=12, n_blocks=16)
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(1, 2)}
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.embedding import neardup_pairs_within
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(8)
+    rows = [
+        {"id": 1, "vec": v.tolist(), "b": 0},
+        {"id": 2, "vec": (v + 0.01 * rng.randn(8)).tolist(), "b": 0},
+        {"id": 3, "vec": rng.randn(8).tolist(), "b": 0},
+        {"id": 4, "vec": v.tolist(), "b": 1},  # same vector, other bucket → not compared
+    ]
+    out = neardup_pairs_within(rd.from_items(rows), "id", "vec", "b", threshold=0.99)
+    assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# standardization + survivorship + blocking
+# ---------------------------------------------------------------------------
+
+
+def test_standardize_broadcast(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages.standardize import standardize
+
+    ds = rd.from_items([{"name": "Bob"}, {"name": "robert"}, {"name": "Robrt"}, {"name": "zz"}])
+    out = standardize(ds, {"bob": "Robert", "robert": "Robert", "rob": "Robert"},
+                      "name", fuzzy=True).to_pandas()
+    got = dict(zip(out["name"], out["name_std"]))
+    assert got["Bob"] == "Robert" and got["robert"] == "Robert"
+    assert got["Robrt"] == "Robert"  # fuzzy fallback
+    assert got["zz"] == "zz"  # no match → passthrough
+
+
+def test_survivorship_rules(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.survivorship import golden_records
+
+    rows = [
+        {"gid": 1, "name": "Al", "score": 5.0, "city": "NY"},
+        {"gid": 1, "name": "Albert", "score": 3.0, "city": "NY"},
+        {"gid": 1, "name": "Ally", "score": 9.0, "city": "SF"},
+        {"gid": 2, "name": None, "score": 1.0, "city": ""},
+    ]
+    out = golden_records(rd.from_items(rows), "gid",
+                         {"name": "Longest", "score": "Largest", "city": "MostCommon"}).to_pandas()
+    g1 = out[out.gid == 1].iloc[0]
+    assert g1["name"] == "Albert" and g1["score"] == 9.0 and g1["city"] == "NY"
+    g2 = out[out.gid == 2].iloc[0]
+    assert g2["name"] is None and g2["score"] == 1.0
+
+
+def test_blocking_and_grouping(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.blocking import add_block_key, record_group
+
+    rows = [
+        {"id": "r1", "name": "John Smith"},
+        {"id": "r2", "name": "Jon Smith"},   # typo dup
+        {"id": "r3", "name": "Jane Doe"},
+        {"id": "r4", "name": "john smith"},  # case dup
+    ]
+    ds = add_block_key(rd.from_items(rows),
+                       [{"column": "name", "pre": "LOWERCASE_REMOVE_DIACRITICS", "algo": "SOUNDEX"}])
+    keyed = ds.to_pandas()
+    assert keyed[keyed.id == "r1"]["block_key"].iloc[0] == keyed[keyed.id == "r2"]["block_key"].iloc[0]
+    grouped = record_group(ds, "id", ["name"], "block_key",
+                           matcher="JARO_WINKLER", threshold=0.85).to_pandas()
+    gids = dict(zip(grouped["id"], grouped["gid"]))
+    assert gids["r1"] == gids["r2"] == gids["r4"]
+    assert gids["r3"] != gids["r1"]
+    assert grouped[grouped.id == "r1"]["is_master"].iloc[0]
