@@ -75,8 +75,10 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
     )
     win_ref = ray.put(set(zip(winners[key], winners["__win"])))
 
+    from ..functions.broadcast import cached_get
+
     def keep_winners(batch: pa.Table) -> pa.Table:
-        wins = ray.get(win_ref)
+        wins = cached_get(win_ref)  # deserialized once per worker process
         keys = batch[key].to_numpy(zero_copy_only=False)
         orders = batch[order_col].to_numpy(zero_copy_only=False)
         mask = np.fromiter(((k, o) in wins for k, o in zip(keys, orders)),

@@ -184,7 +184,7 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     filtered_dir = os.path.join(out_dir, "filtered")
     os.makedirs(filtered_dir, exist_ok=True)
 
-    win: dict = {}  # phash → min surviving image_id (for phase 2)
+    win_parts: list[tuple[np.ndarray, np.ndarray]] = []  # winner partials
     for w in range(0, len(pending), wave_files):
         wave = pending[w : w + wave_files]
         for frag_id, _ in wave:  # clear stale partial output (uncommitted)
@@ -209,13 +209,15 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             )
         tally: dict[tuple[int, str], int] = {}
         for b in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for frag, key, n in zip(b["fragment"].to_pylist(), b["key"].to_pylist(),
-                                    b["n"].to_pylist()):
-                if key is not None:
-                    tally[(frag, key)] = tally.get((frag, key), 0) + n
-            for ph, o in zip(b["phash"].to_pylist(), b["win_id"].to_pylist()):
-                if o is not None and (ph not in win or o < win[ph]):
-                    win[ph] = o
+            kmask = b["key"].is_valid()
+            tb = b.filter(kmask)
+            for frag, key, n in zip(tb["fragment"].to_pylist(), tb["key"].to_pylist(),
+                                    tb["n"].to_pylist()):
+                tally[(frag, key)] = tally.get((frag, key), 0) + n
+            wb = b.filter(pc.invert(kmask))
+            if len(wb):  # winner partials stay numpy; merged vectorized below
+                win_parts.append((wb["phash"].to_numpy(),
+                                  wb["win_id"].to_numpy(zero_copy_only=False)))
         src = dict(wave)
         for frag_id, _ in wave:
             agg = {k: v for (f, k), v in tally.items() if f == frag_id}
@@ -234,17 +236,33 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     totals = manifest.totals()
     if dedup:
         # winners for fragments committed in PREVIOUS runs (resume path):
-        # read their key columns only, merge into the winner map
+        # read their key columns only, merge into the winner partials
         if done:
             prev_files = [
                 f for frag in sorted(done)
                 for f in sorted(glob.glob(os.path.join(_frag_dir(filtered_dir, frag), "*.parquet")))
             ]
             if prev_files:
-                _merge_winners_from_disk(rd, prev_files, win)
+                _merge_winners_from_disk(rd, prev_files, win_parts)
+        wp, wi = _finalize_winners(win_parts)
         totals["final_rows"] = _dedup_phase(rd, filtered_dir,
-                                            os.path.join(out_dir, "final"), win)
+                                            os.path.join(out_dir, "final"), wp, wi)
     return totals
+
+
+def _finalize_winners(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """Vectorized final merge of (phash, image_id) winner partials:
+    sorted-unique phash with the lexicographically smallest image_id."""
+    if not parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype="U1")
+    ph = np.concatenate([p for p, _ in parts])
+    ids = np.concatenate([np.asarray(i, dtype=object) for _, i in parts]).astype(str)
+    idx = np.lexsort((ids, ph))
+    sp, si = ph[idx], ids[idx]
+    first = np.ones(len(sp), dtype=bool)
+    if len(sp) > 1:
+        first[1:] = sp[1:] != sp[:-1]
+    return sp[first], si[first]
 
 
 def _tagged_read(rd, wave: list[tuple[int, str]]):
@@ -266,8 +284,9 @@ def _surviving(t: pa.Table) -> pa.Table:
     return t.filter(pc.not_equal(t["verdict"], pa.scalar("DROP")))
 
 
-def _merge_winners_from_disk(rd, frag_dirs: list[str], win: dict) -> None:
-    """Merge min-image_id-per-phash partials for previously committed
+def _merge_winners_from_disk(rd, frag_dirs: list[str],
+                             win_parts: list[tuple[np.ndarray, np.ndarray]]) -> None:
+    """Append min-image_id-per-phash partials for previously committed
     fragments (resume path): reads the two key columns only."""
 
     def partial_min(batch: pa.Table) -> pa.Table:
@@ -288,25 +307,33 @@ def _merge_winners_from_disk(rd, frag_dirs: list[str], win: dict) -> None:
         .map_batches(partial_min, batch_format="pyarrow")
     )
     for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k, o in zip(b["phash"].to_numpy(), b["image_id"].to_numpy(zero_copy_only=False)):
-            if k not in win or o < win[k]:
-                win[k] = o
+        if len(b):
+            win_parts.append((b["phash"].to_numpy(),
+                              b["image_id"].to_numpy(zero_copy_only=False)))
 
 
-def _dedup_phase(rd, filtered_dir: str, final_dir: str, winners: dict) -> int:
-    """Keep-first-by-image_id per phash using the precomputed winner map
-    (broadcast once via ray.put; the map fits driver memory by strategy
-    assumption — beyond that use dedup_by_key(strategy='map_groups')).
-    Returns final row count."""
+def _dedup_phase(rd, filtered_dir: str, final_dir: str,
+                 wp: np.ndarray, wi: np.ndarray) -> int:
+    """Keep-first-by-image_id per phash using the precomputed winner
+    arrays (sorted by phash, phash unique; broadcast once via ray.put →
+    zero-copy plasma reads + vectorized searchsorted membership — a
+    Python set of tuples would re-unpickle per task). The winner arrays
+    fit driver memory by strategy assumption — beyond that use
+    dedup_by_key(strategy='map_groups'). Returns final row count."""
     import ray
 
-    win_ref = ray.put(set(winners.items()))
+    from ..functions.broadcast import cached_get
+
+    win_ref = ray.put((wp, np.asarray(wi)))
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        wins = ray.get(win_ref)
+        wphash, wid = cached_get(win_ref)
+        if len(wphash) == 0:
+            return batch.slice(0, 0)
         ks = batch["phash"].to_numpy()
-        os_ = batch["image_id"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(((k, o) in wins for k, o in zip(ks, os_)), dtype=bool, count=len(ks))
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(wphash, ks), 0, len(wphash) - 1)
+        mask = (wphash[pos] == ks) & (wid[pos] == ids)
         return batch.filter(pa.array(mask))
 
     shutil.rmtree(final_dir, ignore_errors=True)
@@ -316,7 +343,7 @@ def _dedup_phase(rd, filtered_dir: str, final_dir: str, winners: dict) -> int:
         .map_batches(keep_winners, batch_format="pyarrow")
         .write_parquet(final_dir, **_PAYLOAD_WRITE_ARGS)
     )
-    return len(winners)
+    return len(wp)
 
 
 def _id_ranges(paths: list[str], id_col: str):

@@ -325,8 +325,10 @@ def customer_region_broadcast(sf_dir: str) -> pd.DataFrame:
     lookup = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     ref = ray.put(dict(zip(lookup["n_nationkey"], lookup["r_name"])))
 
+    from ..functions.broadcast import cached_get
+
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(ref)
+        d = cached_get(ref)
         return pd.DataFrame({"c_custkey": batch["c_custkey"],
                              "r_name": batch["c_nationkey"].map(d)})
 

@@ -34,8 +34,10 @@ def cosine_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10) -
     q = q / np.linalg.norm(q)
     q_ref = ray.put(q)
 
+    from ..functions.broadcast import cached_get
+
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        qv = ray.get(q_ref)  # zero-copy read from the object store
+        qv = cached_get(q_ref)  # fetched/deserialized once per worker
         mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         sims = (mat @ qv) / np.where(norms == 0, 1, norms)
@@ -88,8 +90,10 @@ def lsh_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,
     qn = q / np.linalg.norm(q)
     q_ref = ray.put((qn, probes))
 
+    from ..functions.broadcast import cached_get
+
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        qv, probe_set = ray.get(q_ref)
+        qv, probe_set = cached_get(q_ref)
         mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         sig = stage.signature(mat / np.linalg.norm(mat, axis=1, keepdims=True))
         cand = np.isin(sig, list(probe_set))

@@ -239,3 +239,45 @@ def write_f1(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 819
         pass
     open(marker, "w").close()
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# F2 — typed-columns profiling table (mirrors Card_Exceptions_Preparation.csv)
+# ---------------------------------------------------------------------------
+
+F2_EXPECTED_TYPES = {
+    "int_col": "INTEGER", "double_us": "DOUBLE", "double_eu": "DOUBLE",
+    "double_sci": "DOUBLE", "percent_col": "DOUBLE", "bool_col": "BOOLEAN",
+    "date_iso": "DATE", "date_us_slash": "DATE", "date_text_month": "DATE",
+    "time_col": "TIME", "email_col": "STRING", "text_sentence": "STRING",
+    "empty_heavy": "STRING", "mixed_type": "INTEGER", "fullwidth_digits": "INTEGER",
+    "constant_col": "STRING",
+}
+
+
+def generate_f2(n_rows: int = 2000, seed: int = 42) -> "pa.Table":
+    """All-string profiling table with known per-column dominant types
+    (the reference's typed-fixture CSV pattern,
+    AnalyzerPerformanceTest.java:46-52)."""
+    rng = random.Random(seed)
+    months = ["January", "March", "July", "October"]
+    cols: dict[str, list] = {k: [] for k in F2_EXPECTED_TYPES}
+    for i in range(n_rows):
+        cols["int_col"].append(str(rng.randint(-5000, 5000)))
+        cols["double_us"].append(f"{rng.uniform(0, 9999):,.2f}")
+        cols["double_eu"].append(f"{rng.randint(1, 999)}.{rng.randint(100, 999)},{rng.randint(10, 99)}")
+        cols["double_sci"].append(f"{rng.uniform(-5, 5):.3f}e{rng.randint(-8, 8)}")
+        cols["percent_col"].append(f"{rng.uniform(0, 100):.1f}%")
+        cols["bool_col"].append(rng.choice(["true", "false", "TRUE", "False"]))
+        cols["date_iso"].append(f"{rng.randint(1990, 2024)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}")
+        cols["date_us_slash"].append(f"{rng.randint(1, 12)}/{rng.randint(1, 28)}/{rng.randint(1990, 2024)}")
+        cols["date_text_month"].append(f"{rng.choice(months)} {rng.randint(1, 28)}, {rng.randint(1990, 2024)}")
+        cols["time_col"].append(f"{rng.randint(0, 23)}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}")
+        cols["email_col"].append(f"user{i}@example.{rng.choice(['com', 'org'])}")
+        cols["text_sentence"].append(" ".join(rng.sample(["alpha", "beta", "gamma", "delta", "omega"], 3)))
+        cols["empty_heavy"].append("" if rng.random() < 0.3 else rng.choice(["x", "yy", "zzz"]))
+        # 70% int / 30% text — the 0.5 dominant-type threshold edge
+        cols["mixed_type"].append(str(rng.randint(0, 99)) if rng.random() < 0.7 else "text")
+        cols["fullwidth_digits"].append("".join("０１２３４５６７８９"[int(c)] for c in str(rng.randint(1, 9999))))
+        cols["constant_col"].append("CONST")
+    return pa.table({k: pa.array(v, type=pa.string()) for k, v in cols.items()})
