@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record_orders": Q.golden_record_orders,
         "customer_region_broadcast": Q.customer_region_broadcast,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
+        # validation chains over synthesized columns
+        "email_validate_customers": Q.email_validate_customers,
+        "phone_e164_customers": Q.phone_e164_customers,
+        "date_format_roundtrip": Q.date_format_roundtrip,
+        "word_pattern_freq_part": Q.word_pattern_freq_part,
         # converters
         "julian_orders": Q.julian_orders,
         "distance_convert_part": Q.distance_convert_part,
@@ -130,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _STOPS = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
+from data_quality_ray.rules.scrub import DEFAULT_TLDS  # noqa: E402
+
+_TLDS_SQL = ", ".join(f"'{t}'" for t in sorted(DEFAULT_TLDS))
 _TOXIC_RE_SQL = r"(?i)\b(?:" + "|".join(TOXIC_LEXICON) + r")\b"
 
 _QUALITY_FILTER_DOCS_SQL = f"""
@@ -311,6 +319,33 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""",
+        "email_validate_customers": f"""
+            WITH e AS (
+              SELECT c_custkey,
+                     lower(replace(c_name, '#', '.')) || '@' ||
+                     CASE WHEN c_nationkey % 3 = 0 THEN 'mail.example.com'
+                          WHEN c_nationkey % 3 = 1 THEN 'web.example.org'
+                          ELSE 'x.example.zz' END AS email
+              FROM customer)
+            SELECT c_custkey, email,
+                   (regexp_full_match(email, '{EMAIL_PATTERN}')
+                    AND lower(split_part(email, '.', -1)) IN ({_TLDS_SQL})) AS valid
+            FROM e""",
+        "phone_e164_customers": """
+            SELECT c_custkey,
+                   '(' || (200 + c_custkey % 700) || ') 555-' ||
+                     lpad(cast(c_custkey % 10000 AS varchar), 4, '0') AS raw,
+                   '+1' || (200 + c_custkey % 700) || '555' ||
+                     lpad(cast(c_custkey % 10000 AS varchar), 4, '0') AS e164
+            FROM customer""",
+        "date_format_roundtrip": """
+            SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS us_form,
+                   strftime(o_orderdate, '%Y-%m-%d') AS iso_form
+            FROM orders""",
+        "word_pattern_freq_part": """
+            SELECT regexp_replace(p_name, '[a-z]+', '[word]', 'g') AS word_pattern,
+                   count(*) AS n
+            FROM part GROUP BY 1""",
         "julian_orders": "SELECT o_orderkey, round(julian(o_orderdate), 6) AS jd FROM orders",
         "distance_convert_part": "SELECT p_partkey, round(p_size * 1.609344, 6) AS km FROM part",
         "token_stats_docs": """

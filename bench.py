@@ -89,6 +89,9 @@ def run_bench() -> dict:
         queries[name] = round(time.perf_counter() - t, 3)
 
     ray.shutdown()
+    # keep the cached fixture; drop this run's output (tmpfs outputs left
+    # around compete with the object store for RAM and skew later runs)
+    shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "metric": "image quality-filter pipeline wall seconds (filter+scrub+dedup+write)",
         "value": round(headline, 3),
@@ -106,7 +109,7 @@ def run_scaling() -> dict:
     # the scaling pair runs on a larger fixture so the job is compute-bound
     # rather than job-latency-bound (seconds-long jobs can't evidence
     # cluster scaling); generation is parallel and cached across runs
-    scale_images = os.environ.get("GRAFT_SCALE_IMAGES", "400000")
+    scale_images = os.environ.get("GRAFT_SCALE_IMAGES", "2000000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_IMAGES=scale_images,

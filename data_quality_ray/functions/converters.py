@@ -79,3 +79,42 @@ def julian_day(ts: datetime) -> float:
 
 def julian_days(values) -> np.ndarray:
     return np.array([julian_day(v) for v in values], dtype=np.float64)
+
+
+_JAVA_TO_STRPTIME = {
+    "yyyy": "%Y", "yy": "%y", "MMMM": "%B", "MMM": "%b", "MM": "%m",
+    "dd": "%d", "HH": "%H", "mm": "%M", "ss": "%S", "M": "%m", "d": "%d",
+}
+_JAVA_TOKEN_RE = re.compile("|".join(sorted(_JAVA_TO_STRPTIME, key=len, reverse=True)))
+
+
+def _java_fmt_to_strptime(fmt: str) -> str:
+    # single-pass tokenized substitution (sequential str.replace would
+    # re-substitute the 'd' inside an emitted '%d')
+    return _JAVA_TOKEN_RE.sub(lambda m: _JAVA_TO_STRPTIME[m.group(0)], fmt)
+
+
+def convert_date_format(values, out_format: str = "yyyy-MM-dd") -> np.ndarray:
+    """Re-render recognized date strings in ``out_format`` (Java-style
+    pattern letters); unrecognized values pass through unchanged
+    (DateCalendarConverter.convert:178 shape, ISO chronology only — the
+    Hijrah/Japanese/Minguo chronologies need locale tables we don't ship)."""
+    from datetime import datetime
+
+    from .datetime_patterns import DATE_PATTERNS, date_pattern_of
+    from .text import unique_apply
+
+    by_name = {name: fmt for _, fmt, name in DATE_PATTERNS}
+    out_fmt = _java_fmt_to_strptime(out_format)
+
+    def conv(v):
+        if v is None:
+            return None
+        pat = date_pattern_of(v)
+        if pat is None:
+            return v
+        probe = (v.replace("T", " ") if "T" in v and " " not in v else v).replace(",", "")
+        fmt = by_name[pat].replace("T", " ")
+        return datetime.strptime(probe, fmt).strftime(out_fmt)
+
+    return unique_apply(np.asarray(values, dtype=object), conv)

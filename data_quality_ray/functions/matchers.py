@@ -206,3 +206,33 @@ def weighted_record_score(scores: np.ndarray, weights: np.ndarray) -> float:
     """SimpleVSRRecordMatcher weighted sum (record/SimpleVSRRecordMatcher.java:29-65)."""
     w = np.asarray(weights, dtype=np.float64)
     return float((np.asarray(scores) * w).sum() / w.sum())
+
+
+def record_score(rec_a: dict, rec_b: dict, attrs: list[dict]) -> float:
+    """One match rule over a record pair: weighted sum of per-attribute
+    matcher scores, with per-attribute blocking thresholds — an attribute
+    scoring below its ``block_threshold`` short-circuits the rule to 0
+    (SimpleVSRRecordMatcher.java:29-46). Each attr:
+    {column, matcher, weight?, null_option?, block_threshold?}."""
+    scores, weights = [], []
+    for a in attrs:
+        s = match_score(rec_a.get(a["column"]), rec_b.get(a["column"]),
+                        a.get("matcher", "LEVENSHTEIN"), a.get("null_option", "nullMatchNull"))
+        if s < a.get("block_threshold", 0.0):
+            return 0.0
+        scores.append(s)
+        weights.append(a.get("weight", 1.0))
+    return weighted_record_score(np.array(scores), np.array(weights))
+
+
+def combined_record_score(rec_a: dict, rec_b: dict, rules: list[dict]) -> tuple[float, int]:
+    """CombinedRecordMatcher (record/CombinedRecordMatcher.java): ordered
+    rules OR'd — the FIRST rule whose score reaches its match threshold
+    wins. Returns (score, winning_rule_index) or (best_score, -1)."""
+    best = 0.0
+    for i, rule in enumerate(rules):
+        s = record_score(rec_a, rec_b, rule["attributes"])
+        if s >= rule.get("match_threshold", 0.85):
+            return s, i
+        best = max(best, s)
+    return best, -1

@@ -35,13 +35,22 @@ import pyarrow.compute as pc
 def unique_apply(values: np.ndarray, fn) -> np.ndarray:
     """Apply scalar ``fn`` once per distinct value, scatter results back.
 
-    ``values`` is an object/str ndarray. Returns ndarray of fn outputs.
-    This is the vectorized replacement for the reference's per-column LFU
-    memo cache (LFUCache.java:47-74): distinct-heavy work is O(#distinct).
+    ``values`` is an object/str ndarray (None-safe). Returns ndarray of fn
+    outputs. This is the vectorized replacement for the reference's
+    per-column LFU memo cache (LFUCache.java:47-74): distinct-heavy work
+    is O(#distinct).
     """
-    uniq, inv = np.unique(values, return_inverse=True)
-    out = np.array([fn(u) for u in uniq], dtype=object)
-    return out[inv]
+    values = np.asarray(values, dtype=object)
+    isnone = np.array([v is None for v in values], dtype=bool)
+    out = np.empty(len(values), dtype=object)
+    if isnone.any():
+        out[isnone] = fn(None)
+    rest = values[~isnone]
+    if len(rest):
+        uniq, inv = np.unique(rest, return_inverse=True)
+        mapped = np.array([fn(u) for u in uniq], dtype=object)
+        out[~isnone] = mapped[inv]
+    return out
 
 
 # ---------------------------------------------------------------------------

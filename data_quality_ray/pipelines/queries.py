@@ -389,6 +389,75 @@ def token_stats_docs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def email_validate_customers(sf_dir: str) -> pd.DataFrame:
+    """EmailVerify chain over deterministically synthesized emails
+    (c_name + nation-keyed domain): (c_custkey, email, valid)."""
+    from ..rules.email import EmailVerify
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    cfg = EmailVerify()
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        domain = np.where(batch["c_nationkey"] % 3 == 0, "mail.example.com",
+                          np.where(batch["c_nationkey"] % 3 == 1, "web.example.org",
+                                   "x.example.zz"))
+        email = batch["c_name"].str.lower().str.replace("#", ".", regex=False) + "@" + domain
+        verdict, _ = cfg.verify(email.to_numpy(dtype=object))
+        return pd.DataFrame({"c_custkey": batch["c_custkey"], "email": email,
+                             "valid": verdict == "VALID"})
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
+def phone_e164_customers(sf_dir: str) -> pd.DataFrame:
+    """Phone parse/format surface (PhoneNumberHandlerBase.formatE164) over
+    deterministically synthesized national numbers."""
+    from ..rules.scrub import phone_format_e164
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"]
+        raw = "(" + (200 + k % 700).astype(str) + ") 555-" + (k % 10000).astype(str).str.zfill(4)
+        e164 = [phone_format_e164(v) for v in raw]
+        return pd.DataFrame({"c_custkey": k, "raw": raw, "e164": e164})
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
+def date_format_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Datetime pattern recognition + re-rendering: US slash strings →
+    recognized pattern → ISO (SystemDateTimePatternManager +
+    DateCalendarConverter shape)."""
+    from ..functions.converters import convert_date_format
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        slash = batch["o_orderdate"].dt.strftime("%m/%d/%Y")
+        iso = convert_date_format(slash.to_numpy(dtype=object), "yyyy-MM-dd")
+        return pd.DataFrame({"o_orderkey": batch["o_orderkey"], "us_form": slash,
+                             "iso_form": iso.astype(str)})
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
+def word_pattern_freq_part(sf_dir: str) -> pd.DataFrame:
+    """Word-level pattern frequency (WordPatternRecognizer) over p_name."""
+    from ray.data.aggregate import Count
+
+    from ..functions.text import word_pattern_one
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        pats = unique_apply(batch["p_name"].to_numpy(zero_copy_only=False), word_pattern_one)
+        return pa.table({"word_pattern": pa.array(pats, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").groupby("word_pattern").aggregate(
+        Count(alias_name="n")).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL equivalent — model / sketch / backref ops)
 # ---------------------------------------------------------------------------

@@ -68,3 +68,13 @@ def standardize(ds, dictionary: dict[str, str], column: str, fuzzy: bool = False
         batch_format="pandas",
         concurrency=concurrency,
     )
+
+
+def standardize_record(ds, column_dicts: dict[str, dict[str, str]], fuzzy: bool = False,
+                       concurrency: int | tuple = 2):
+    """Record-level standardization across N columns
+    (record/SynonymRecordSearcher.java analog): compose one broadcast
+    lookup stage per column in a single pipeline."""
+    for column, dictionary in column_dicts.items():
+        ds = standardize(ds, dictionary, column, fuzzy=fuzzy, concurrency=concurrency)
+    return ds

@@ -314,3 +314,41 @@ def test_blocking_and_grouping(ray_session):
     assert gids["r1"] == gids["r2"] == gids["r4"]
     assert gids["r3"] != gids["r1"]
     assert grouped[grouped.id == "r1"]["is_master"].iloc[0]
+
+
+def test_combined_record_matcher():
+    from data_quality_ray.functions.matchers import combined_record_score, record_score
+
+    a = {"name": "john smith", "city": "springfield"}
+    b = {"name": "jon smith", "city": "springfeld"}
+    rules = [
+        {"attributes": [{"column": "name", "matcher": "EXACT"}], "match_threshold": 1.0},
+        {"attributes": [{"column": "name", "matcher": "JARO_WINKLER", "weight": 2.0},
+                        {"column": "city", "matcher": "JARO_WINKLER"}], "match_threshold": 0.9},
+    ]
+    s, i = combined_record_score(a, b, rules)
+    assert i == 1 and s >= 0.9  # first rule misses, second wins
+    # per-attribute blocking threshold short-circuits the whole rule
+    s2 = record_score(a, {"name": "zzzz", "city": "springfield"},
+                      [{"column": "name", "matcher": "JARO_WINKLER", "block_threshold": 0.5},
+                       {"column": "city", "matcher": "EXACT"}])
+    assert s2 == 0.0
+
+
+def test_convert_date_format():
+    from data_quality_ray.functions.converters import convert_date_format
+
+    out = convert_date_format(
+        np.array(["8/17/2020", "17.08.2020", "January 5, 2020", "nope", None], dtype=object),
+        "yyyy-MM-dd")
+    assert out.tolist() == ["2020-08-17", "2020-08-17", "2020-01-05", "nope", None]
+
+
+def test_standardize_record_multi_column(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages.standardize import standardize_record
+
+    ds = rd.from_items([{"fn": "bob", "country": "u.s.a."}])
+    out = standardize_record(ds, {"fn": {"bob": "Robert"}, "country": {"u.s.a.": "US"}}).to_pandas()
+    assert out["fn_std"].iloc[0] == "Robert" and out["country_std"].iloc[0] == "US"
