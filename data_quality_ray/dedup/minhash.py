@@ -66,32 +66,55 @@ def minhash_bands(ds, id_col: str, text_col: str, n_perm: int = 64, bands: int =
             self.mh = MinHasher(n_perm, shingle_size, seed)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out_band, out_hash, out_id = [], [], []
-            for doc_id, text in zip(batch[id_col], batch[text_col]):
-                sig = self.mh.signature(text or "")
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    out_band.append(b)
-                    out_hash.append(int(stable_hash64(np.array(["|".join(map(str, chunk))], dtype=object))[0]))
-                    out_id.append(doc_id)
-            return pd.DataFrame({"band_id": out_band, "band_hash": out_hash, id_col: out_id})
+            sigs = [self.mh.signature(t or "") for t in batch[text_col]]
+            # ONE vectorized hash call per batch (per-row calls to the
+            # SipHash kernel have ~100µs fixed cost each)
+            band_strs = np.array(
+                ["|".join(map(str, sig[b * rows_per_band : (b + 1) * rows_per_band]))
+                 for sig in sigs for b in range(bands)],
+                dtype=object,
+            )
+            hashes = stable_hash64(band_strs).astype(np.int64)
+            return pd.DataFrame({
+                "band_id": np.tile(np.arange(bands), len(sigs)),
+                "band_hash": hashes,
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+            })
 
-    return ds.map_batches(Sign, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Sign, batch_format="pandas", batch_size=1024, concurrency=(2, 8))
 
 
-def candidate_pairs(band_ds, id_col: str) -> pd.DataFrame:
-    """Stage 3: docs sharing a (band_id, band_hash) bucket → unique pairs."""
+def candidate_pairs(band_ds, id_col: str, strategy: str = "collect") -> pd.DataFrame:
+    """Stage 3: docs sharing a (band_id, band_hash) bucket → unique pairs.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"id_a": a, "id_b": b})
+    - "collect" (default): the band table is 2 ints + an id per (doc,
+      band) — tiny relative to the corpus — so collect it and pair with a
+      vectorized pandas self-merge on the duplicated buckets. Right up to
+      ~1e8 band rows.
+    - "shuffle": ``groupby(band).map_groups`` — no driver-side state, for
+      corpora whose band table itself is too big for one node. Slower at
+      small scale (a Python callback per mostly-singleton bucket).
+    """
+    if strategy == "shuffle":
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = sorted(g[id_col].unique())
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
+            return pd.DataFrame({"id_a": a, "id_b": b})
 
-    out = band_ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    pdf = out.to_pandas()
-    return pdf.drop_duplicates().reset_index(drop=True)
+        out = band_ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+        return out.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    pdf = band_ds.to_pandas()
+    dup = pdf[pdf.duplicated(["band_id", "band_hash"], keep=False)]
+    if dup.empty:
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    m = dup.merge(dup, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+    m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+    out = m[[f"{id_col}_a", f"{id_col}_b"]].rename(
+        columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+    return out.drop_duplicates().reset_index(drop=True)
 
 
 def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
