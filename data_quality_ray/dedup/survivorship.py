@@ -102,26 +102,87 @@ RULE_FUNCTIONS = {
 }
 
 
-def golden_records(ds, group_col: str, rules: dict[str, str | tuple]) -> pd.DataFrame:
+_VECTOR_RULES = {"Largest", "Smallest", "Longest", "Shortest", "MostCommon",
+                 "MostRecent", "MostAncient"}
+
+
+def _resolve_group(g: pd.DataFrame, group_col: str, rules: dict) -> pd.DataFrame:
+    out = {group_col: [g[group_col].iloc[0]]}
+    for col, rule in rules.items():
+        if isinstance(rule, tuple):
+            name, param = rule
+            if name == "MatchRegex":
+                out[col] = [match_regex_first(g[col], param)]
+            elif name == "ExcludeValues":
+                out[col] = [exclude_values(g[col], set(param))]
+            elif name == "FillEmpty":
+                out[col] = [fill_empty(g[col], param)]
+            else:
+                raise KeyError(name)
+        else:
+            out[col] = [RULE_FUNCTIONS[rule](g[col])]
+    return pd.DataFrame(out)
+
+
+def _resolve_bucket_vectorized(b: pd.DataFrame, group_col: str, rules: dict) -> pd.DataFrame:
+    """Pandas-vectorized resolution of ALL groups in one bucket (no
+    per-group Python callback): each named rule maps to a groupby
+    aggregation with deterministic tie-breaks."""
+    gb = b.groupby(group_col, sort=True)
+    out = pd.DataFrame({group_col: list(gb.groups)})
+    for col, rule in rules.items():
+        s = b[[group_col, col]].copy()
+        nonnull = s[s[col].notna() & (s[col].astype(str).str.strip() != "")]
+        g2 = nonnull.groupby(group_col, sort=True)[col]
+        if rule in ("Largest", "MostRecent"):
+            res = g2.max()
+        elif rule in ("Smallest", "MostAncient"):
+            res = g2.min()
+        elif rule in ("Longest", "Shortest"):
+            asc = rule == "Shortest"
+            t = nonnull.assign(__len=nonnull[col].astype(str).str.len())
+            t = t.sort_values([col], kind="mergesort").sort_values(
+                ["__len"], ascending=asc, kind="mergesort")
+            res = t.groupby(group_col, sort=True)[col].first()
+        elif rule == "MostCommon":
+            counts = nonnull.groupby([group_col, col], sort=True).size().reset_index(name="__n")
+            counts = counts.sort_values([col], kind="mergesort").sort_values(
+                ["__n"], ascending=False, kind="mergesort")
+            res = counts.groupby(group_col, sort=True)[col].first()
+        else:  # pragma: no cover — guarded by caller
+            raise KeyError(rule)
+        mapped = out[group_col].map(res).astype(object)
+        out[col] = mapped.where(mapped.notna(), None)  # all-empty group → None, not NaN
+    return out
+
+
+def golden_records(ds, group_col: str, rules: dict[str, str | tuple],
+                   n_buckets: int = 64) -> pd.DataFrame:
     """One golden record per group. ``rules``: column → rule name (or
     (name, param) for MatchRegex / ExcludeValues / FillEmpty).
-    Returns DataFrame with group_col + resolved columns."""
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        out = {group_col: [g[group_col].iloc[0]]}
-        for col, rule in rules.items():
-            if isinstance(rule, tuple):
-                name, param = rule
-                if name == "MatchRegex":
-                    out[col] = [match_regex_first(g[col], param)]
-                elif name == "ExcludeValues":
-                    out[col] = [exclude_values(g[col], set(param))]
-                elif name == "FillEmpty":
-                    out[col] = [fill_empty(g[col], param)]
-                else:
-                    raise KeyError(name)
-            else:
-                out[col] = [RULE_FUNCTIONS[rule](g[col])]
-        return pd.DataFrame(out)
+    When every rule is one of the vectorizable named rules, groups are
+    hash-bucketed (``key % n_buckets``) and each bucket resolves ALL its
+    groups with pandas groupby aggregations — one Python call per bucket
+    instead of one per group (the per-tiny-group callback is the classic
+    map_groups scaling trap). Parameterized rules fall back to the
+    per-group path."""
+    vectorizable = all(not isinstance(r, tuple) and r in _VECTOR_RULES for r in rules.values())
+    if not vectorizable:
+        return ds.groupby(group_col).map_groups(
+            lambda g: _resolve_group(g, group_col, rules), batch_format="pandas")
 
-    return ds.groupby(group_col).map_groups(resolve, batch_format="pandas")
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b[group_col].to_numpy()) % n_buckets).astype("int64")
+        return b
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(lambda b: _resolve_bucket_vectorized(b, group_col, rules),
+                    batch_format="pandas")
+    )
+    return out

@@ -1,0 +1,91 @@
+"""North pipeline: lineage manifest, exact resume, dedup, validation."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def north_run(ray_session, f1_dir, tmp_path_factory):
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    out = str(tmp_path_factory.mktemp("north"))
+    stats = run_quality_pipeline(f1_dir, out, concurrency=2, batch_size=256, wave_files=2)
+    return out, stats
+
+
+def test_totals_match_input(north_run, f1_dir):
+    _, stats = north_run
+    assert stats["n_rows"] == 600
+    assert stats["kept"] + stats["dropped"] + stats["corrected"] == 600
+    assert stats["final_rows"] <= stats["kept"] + stats["corrected"]
+
+
+def test_manifest_per_fragment(north_run, f1_dir):
+    out, stats = north_run
+    from data_quality_ray.state.manifest import Manifest
+
+    m = Manifest(out)
+    records = m.load()
+    import glob
+
+    n_files = len(glob.glob(f1_dir + "/part-*.parquet"))
+    assert len(records) == n_files
+    for r in records:
+        assert set(r) >= {"fragment", "source_file", "n_rows", "kept", "dropped",
+                          "corrected", "rule_hits", "output_path"}
+        assert r["n_rows"] == r["kept"] + r["dropped"] + r["corrected"]
+    assert m.totals()["n_rows"] == 600
+
+
+def test_verdicts_match_oracle_labels(north_run, f1_dir):
+    """Per-row keep/drop + scrubbed caption of the pipeline OUTPUT equals
+    the row-by-row oracle (image validation must not flip healthy rows)."""
+    out, _ = north_run
+    import ray.data as rd
+
+    got = rd.read_parquet(out + "/filtered").to_pandas().sort_values("image_id")
+    labels = pq.read_table(f1_dir + "/_labels.parquet").to_pandas().sort_values("image_id")
+    assert (got["image_id"].to_numpy() == labels["image_id"].to_numpy()).all()
+    assert ((got["verdict"] != "DROP").to_numpy() == labels["keep"].to_numpy()).all()
+    keep = labels["keep"].to_numpy()
+    assert (got["caption"].to_numpy()[keep] == labels["scrubbed_caption"].to_numpy()[keep]).all()
+
+
+def test_final_unique_on_phash(north_run):
+    out, stats = north_run
+    import ray.data as rd
+
+    final = rd.read_parquet(out + "/final").to_pandas()
+    assert len(final) == stats["final_rows"]
+    assert final["phash"].nunique() == len(final)
+    assert (final["verdict"] != "DROP").all()
+
+
+def test_exact_resume_skips_completed(north_run, f1_dir):
+    out, stats = north_run
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    stats2 = run_quality_pipeline(f1_dir, out, concurrency=2, batch_size=256, wave_files=2)
+    assert stats2["n_rows"] == stats["n_rows"]
+    assert stats2["final_rows"] == stats["final_rows"]
+    assert stats2["rule_hits"] == stats["rule_hits"]
+
+
+def test_partial_resume_reprocesses_only_missing(north_run, f1_dir):
+    out, stats = north_run
+    # drop one fragment's manifest record AND its output → resume must
+    # rebuild exactly that fragment and reproduce identical totals
+    victim = sorted(os.listdir(out + "/_manifest"))[1]
+    frag = int(victim[5:-5])
+    os.remove(os.path.join(out, "_manifest", victim))
+    shutil.rmtree(os.path.join(out, "filtered", f"frag-{frag:06d}"))
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    stats2 = run_quality_pipeline(f1_dir, out, concurrency=2, batch_size=256, wave_files=2)
+    assert stats2["n_rows"] == stats["n_rows"]
+    assert stats2["final_rows"] == stats["final_rows"]
+    assert stats2["rule_hits"] == stats["rule_hits"]
