@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record_orders": Q.golden_record_orders,
         "customer_region_broadcast": Q.customer_region_broadcast,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
+        "events_hourly_window": Q.events_hourly_window,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
         "phone_e164_customers": Q.phone_e164_customers,
@@ -319,6 +320,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""",
+        "events_hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
         "email_validate_customers": f"""
             WITH e AS (
               SELECT c_custkey,

@@ -151,8 +151,10 @@ def _resolve_bucket_vectorized(b: pd.DataFrame, group_col: str, rules: dict) -> 
             res = counts.groupby(group_col, sort=True)[col].first()
         else:  # pragma: no cover — guarded by caller
             raise KeyError(rule)
-        mapped = out[group_col].map(res).astype(object)
-        out[col] = mapped.where(mapped.notna(), None)  # all-empty group → None, not NaN
+        mapped = out[group_col].map(res)
+        if mapped.isna().any():  # all-empty group → None (keep dtype otherwise)
+            mapped = mapped.astype(object).where(mapped.notna(), None)
+        out[col] = mapped
     return out
 
 

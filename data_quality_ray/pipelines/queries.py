@@ -89,18 +89,17 @@ def scrub_pii_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """SummaryAnalyzer as grouped aggregation (Q1-shaped)."""
-    from ray.data.aggregate import Count, Sum
+    """SummaryAnalyzer as grouped aggregation (Q1-shaped). Batch-level
+    partial combine: the shuffle moves ~6 rows per batch, not 600k rows."""
+    from ..profiling.groupagg import grouped_aggregate
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                   Sum("l_extendedprice", alias_name="sum_price"),
-                   Count(alias_name="n"))
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"), "sum_price": ("l_extendedprice", "sum"),
+         "n": ("", "count")},
+    ).to_pandas()
     out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
     out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
     out["sum_qty"] = out["sum_qty"].round(2)
@@ -109,16 +108,14 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def summary_orders(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ..profiling.groupagg import grouped_aggregate
 
     ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
-    out = (
-        ds.groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"),
-                   Min("o_totalprice", alias_name="min_price"),
-                   Max("o_totalprice", alias_name="max_price"))
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        ds, ["o_orderstatus"],
+        {"n": ("", "count"), "sum_price": ("o_totalprice", "sum"),
+         "min_price": ("o_totalprice", "min"), "max_price": ("o_totalprice", "max")},
+    ).to_pandas()
     out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
     out["sum_price"] = out["sum_price"].round(2)
     return out
@@ -127,19 +124,20 @@ def summary_orders(sf_dir: str) -> pd.DataFrame:
 def text_length_by_lang(sf_dir: str) -> pd.DataFrame:
     """TextLengthAnalyzer (code-point lengths) per lang group."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..profiling.groupagg import grouped_aggregate
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     ds = ds.map_batches(
-        lambda t: pa.table({"lang": t["lang"], "len": pc.utf8_length(t["text"])}),
+        lambda t: pa.table({"lang": t["lang"],
+                            "len": pc.cast(pc.utf8_length(t["text"]), pa.int64())}),
         batch_format="pyarrow",
     )
-    out = (
-        ds.groupby("lang")
-        .aggregate(Count(alias_name="n"), Min("len", alias_name="min_len"),
-                   Max("len", alias_name="max_len"), Sum("len", alias_name="sum_len"))
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        ds, ["lang"],
+        {"n": ("", "count"), "min_len": ("len", "min"), "max_len": ("len", "max"),
+         "sum_len": ("len", "sum")},
+    ).to_pandas()
     out["avg_len"] = (out["sum_len"] / out["n"]).round(6)
     return out
 
@@ -186,12 +184,12 @@ def quantiles_price(sf_dir: str) -> pd.DataFrame:
 
 
 def frequency_events(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count
+    from ..profiling.groupagg import grouped_aggregate
 
-    return (
-        _read(sf_dir, "events", columns=["event_type"])
-        .groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
-    )
+    return grouped_aggregate(
+        _read(sf_dir, "events", columns=["event_type"]),
+        ["event_type"], {"n": ("", "count")},
+    ).to_pandas()
 
 
 CUSTOMER_NAME_PATTERN = r"Customer#[0-9]+"
@@ -371,7 +369,7 @@ def distance_convert_part(sf_dir: str) -> pd.DataFrame:
 
 
 def token_stats_docs(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Sum
+    from ..profiling.groupagg import grouped_aggregate
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
@@ -379,13 +377,34 @@ def token_stats_docs(sf_dir: str) -> pd.DataFrame:
         return pa.table({"source": batch["source"],
                          "n_tok": pa.array(token_counts(batch["text"]), type=pa.int64())})
 
-    out = (
-        ds.map_batches(f, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), Sum("n_tok", alias_name="sum_tokens"))
-        .to_pandas()
-    )
+    out = grouped_aggregate(
+        ds.map_batches(f, batch_format="pyarrow"), ["source"],
+        {"n_docs": ("", "count"), "sum_tokens": ("n_tok", "sum")},
+    ).to_pandas()
     out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(6)
+    return out
+
+
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling one-hour windows over the events stream table (the input
+    treated as an ordered log; windows = groupby(type, hour) since the
+    aggregate is algebraic — no per-key state needed). → (event_type,
+    window_start, n, sum_value)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "window_start": b["ts"].dt.floor("h"),
+                             "value": b["value"]})
+
+    out = grouped_aggregate(
+        ds.map_batches(add_window, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n": ("", "count"), "sum_value": ("value", "sum")},
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
     return out
 
 

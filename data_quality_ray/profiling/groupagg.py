@@ -1,0 +1,48 @@
+"""Grouped aggregation with batch-level partial combine.
+
+A bare ``ds.groupby(keys).aggregate(...)`` shuffles EVERY row. For
+algebraic aggregates (sum/count/min/max — and mean as sum+count) the
+batch can first collapse to one row per (batch, key): the shuffle then
+moves #distinct-keys×#batches rows instead of #rows — at 100 TB with
+low-cardinality keys this is the difference between an all-to-all of the
+table and an all-to-all of kilobytes. (The reference's mergeable stats
+beans exist for exactly this partial/final contract — SURVEY.md §4.)
+
+``grouped_aggregate(ds, keys, {out_col: (in_col, fn)})`` with fn ∈
+{sum, count, min, max} runs: map_batches(pandas groupby partial) →
+groupby(keys).aggregate(final) where the final fn for count is Sum.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_FINAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
+    """Returns a Dataset with columns keys + list(aggs). Each agg:
+    out_col → (in_col, fn); fn in sum/count/min/max. in_col is ignored
+    for count."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    for fn_name in (fn for _, fn in aggs.values()):
+        if fn_name not in _FINAL:
+            raise ValueError(f"non-algebraic aggregate: {fn_name}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gb = batch.groupby(keys, sort=False)
+        cols = {}
+        for out_col, (in_col, fn) in aggs.items():
+            if fn == "count":
+                cols[out_col] = gb.size()
+            else:
+                cols[out_col] = getattr(gb[in_col], fn)()
+        return pd.DataFrame(cols).reset_index()
+
+    final_aggs = []
+    for out_col, (_, fn) in aggs.items():
+        cls = {"sum": Sum, "min": Min, "max": Max}[_FINAL[fn]]
+        final_aggs.append(cls(out_col, alias_name=out_col))
+
+    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(*final_aggs)
