@@ -38,6 +38,12 @@ DATE_PATTERNS: list[tuple[re.Pattern, str, str]] = [
     (re.compile(rf"^(?:{_MONTHS_EN_AB})\.?\s+\d{{1,2}},?\s+\d{{4}}$", re.I), "%b %d %Y", "MMM d yyyy"),
     (re.compile(rf"^\d{{1,2}}\s+(?:{_MONTHS_EN})\s+\d{{4}}$", re.I), "%d %B %Y", "d MMMM yyyy"),
     (re.compile(r"^\d{4}/\d{1,2}/\d{1,2}$"), "%Y/%m/%d", "yyyy/M/d"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:Z|[+-]\d{2}:?\d{2})$"),
+     "%Y-%m-%dT%H:%M:%S%z", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+    (re.compile(rf"^\d{{1,2}}-(?:{_MONTHS_EN_AB})-\d{{2}}$", re.I), "%d-%b-%y", "d-MMM-yy"),
+    (re.compile(rf"^\d{{1,2}}-(?:{_MONTHS_EN_AB})-\d{{4}}$", re.I), "%d-%b-%Y", "d-MMM-yyyy"),
+    (re.compile(r"^\d{4}\.\d{1,2}\.\d{1,2}$"), "%Y.%m.%d", "yyyy.M.d"),
+    (re.compile(r"^\d{1,2} \d{1,2} \d{4}$"), "%d %m %Y", "d M yyyy"),
 ]
 
 TIME_PATTERNS: list[tuple[re.Pattern, str, str]] = [

@@ -352,3 +352,17 @@ def test_standardize_record_multi_column(ray_session):
     ds = rd.from_items([{"fn": "bob", "country": "u.s.a."}])
     out = standardize_record(ds, {"fn": {"bob": "Robert"}, "country": {"u.s.a.": "US"}}).to_pandas()
     assert out["fn_std"].iloc[0] == "Robert" and out["country_std"].iloc[0] == "US"
+
+
+def test_date_patterns_extended():
+    cases = {
+        "2020-08-17T10:30:00Z": "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "2020-08-17T10:30:00+02:00": "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "5-Jan-20": "d-MMM-yy",
+        "15-Mar-2021": "d-MMM-yyyy",
+        "2021.3.15": "yyyy.M.d",
+        "15 03 2021": "d M yyyy",
+    }
+    for v, exp in cases.items():
+        assert date_pattern_of(v) == exp, v
+    assert date_pattern_of("32-Jan-20") is None  # strict parse rejects
