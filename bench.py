@@ -119,12 +119,18 @@ def run_scaling() -> dict:
             os.path.abspath(__file__)), capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # default pair 4→16: this box has 16 physical cores (+SMT to 32);
+    # beyond 16 the hardware itself scales at ≤0.66 (pure-ALU probe in
+    # BASELINE.md), so 4→16 is the honest N→4N cluster proxy
+    n_lo, n_hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(","))
+    lo, hi = run(n_lo), run(n_hi)
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     return {
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "images_per_sec_8": lo["images_per_sec"], "images_per_sec_32": hi["images_per_sec"],
+        f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+        f"images_per_sec_{n_lo}": lo["images_per_sec"],
+        f"images_per_sec_{n_hi}": hi["images_per_sec"],
         "scaling_efficiency": round(eff, 3), "images": lo["images"], "sf": SF_DIR,
+        "cpus": [n_lo, n_hi],
     }
 
 
