@@ -208,6 +208,87 @@ def weighted_record_score(scores: np.ndarray, weights: np.ndarray) -> float:
     return float((np.asarray(scores) * w).sum() / w.sum())
 
 
+def _hungarian(cost: np.ndarray) -> list[tuple[int, int]]:
+    """Exact minimum-cost assignment (Jonker-style augmenting-path O(n³))
+    for the small token matrices this is used on (≤ ~32 tokens). Pure
+    numpy — the environment has no scipy."""
+    cost = np.asarray(cost, dtype=np.float64)
+    n_rows, n_cols = cost.shape
+    transposed = n_rows > n_cols
+    if transposed:
+        cost = cost.T
+        n_rows, n_cols = n_cols, n_rows
+    INF = float("inf")
+    u = np.zeros(n_rows + 1)
+    v = np.zeros(n_cols + 1)
+    p = np.zeros(n_cols + 1, dtype=int)  # p[j] = row assigned to col j (1-based)
+    way = np.zeros(n_cols + 1, dtype=int)
+    for i in range(1, n_rows + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n_cols + 1, INF)
+        used = np.zeros(n_cols + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, n_cols + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n_cols + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    pairs = [(int(p[j]) - 1, j - 1) for j in range(1, n_cols + 1) if p[j] != 0]
+    return [(c, r) for r, c in pairs] if transposed else pairs
+
+
+def tokenized_score(a: str | None, b: str | None, mode: str = "ANYORDER",
+                    matcher="JARO_WINKLER") -> float:
+    """Token-level matching modes (TokenizedResolutionMethod.java:7-10,
+    AbstractAttributeMatcher.:149-187):
+
+    - NO: plain whole-string match
+    - SAMEPLACE: position-aligned token pairs, averaged
+    - SAMEORDER: tokens joined in order then matched
+    - ANYORDER: optimal token assignment (Hungarian) regardless of order
+    """
+    if a is None or b is None:
+        return match_score(a, b, matcher)
+    if mode == "NO":
+        return match_score(a, b, matcher)
+    ta, tb = a.split(), b.split()
+    if not ta or not tb:
+        return match_score(a, b, matcher)
+    if mode == "SAMEORDER":
+        return match_score(" ".join(ta), " ".join(tb), matcher)
+    if mode == "SAMEPLACE":
+        n = max(len(ta), len(tb))
+        return sum(
+            match_score(ta[i] if i < len(ta) else None, tb[i] if i < len(tb) else None, matcher)
+            for i in range(n)
+        ) / n
+    # ANYORDER — maximize total pairwise similarity via exact assignment
+    sim = np.array([[match_score(x, y, matcher) for y in tb] for x in ta])
+    pairs = _hungarian(1.0 - sim)
+    total = sum(sim[r, c] for r, c in pairs)
+    return total / max(len(ta), len(tb))
+
+
 def record_score(rec_a: dict, rec_b: dict, attrs: list[dict]) -> float:
     """One match rule over a record pair: weighted sum of per-attribute
     matcher scores, with per-attribute blocking thresholds — an attribute

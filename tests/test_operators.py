@@ -366,3 +366,26 @@ def test_date_patterns_extended():
     for v, exp in cases.items():
         assert date_pattern_of(v) == exp, v
     assert date_pattern_of("32-Jan-20") is None  # strict parse rejects
+
+
+def test_tokenized_modes_and_hungarian():
+    import itertools
+
+    from data_quality_ray.functions.matchers import _hungarian, tokenized_score
+
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        n, m = int(rng.randint(1, 6)), int(rng.randint(1, 6))
+        cost = rng.rand(n, m)
+        got = sum(cost[r, c] for r, c in _hungarian(cost))
+        if n <= m:
+            best = min(sum(cost[i, c] for i, c in enumerate(cols))
+                       for cols in itertools.permutations(range(m), n))
+        else:
+            best = min(sum(cost[r, j] for j, r in enumerate(rows))
+                       for rows in itertools.permutations(range(n), m))
+        assert abs(got - best) < 1e-9
+    assert tokenized_score("john smith", "smith john", "ANYORDER", "EXACT") == 1.0
+    assert tokenized_score("john smith", "smith john", "SAMEPLACE", "EXACT") == 0.0
+    assert tokenized_score("john smith", "john smith", "SAMEORDER", "EXACT") == 1.0
+    assert tokenized_score("john adam smith", "smith john", "ANYORDER", "EXACT") == pytest.approx(2 / 3)
