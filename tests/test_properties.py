@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just fixtures.
+
+The central one: the vectorized short-circuit chain applied to a batch
+must decide every row exactly as a row-at-a-time application (the
+reference's per-record execution shape) — batching is an optimization,
+never a semantic.
+"""
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from data_quality_ray.functions import matchers as M
+from data_quality_ray.functions.text import unique_apply
+from data_quality_ray.pipelines.quality_filter import build_image_chain
+from data_quality_ray.profiling.sketches import HyperLogLog
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFFF),
+    max_size=80,
+)
+texts_st = st.lists(st.one_of(st.none(), text_st), min_size=1, max_size=30)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts_st)
+def test_chain_batch_equals_rowwise(values):
+    engine = build_image_chain()
+    batch = engine.apply(np.array(values, dtype=object))
+    for i, v in enumerate(values):
+        row = engine.apply(np.array([v], dtype=object))
+        assert batch.verdict[i] == row.verdict[0], v
+        assert batch.first_rule[i] == row.first_rule[0], v
+        assert batch.values[i] == row.values[0], v
+
+
+ascii_st = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ascii_st, ascii_st)
+def test_levenshtein_matches_duckdb_random(a, b):
+    con = duckdb.connect()
+    exp = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert M.levenshtein_distance(a, b) == exp
+
+
+ascii_nonempty_st = st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                            min_size=1, max_size=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(ascii_nonempty_st, ascii_nonempty_st)
+def test_jaro_winkler_matches_duckdb_random(a, b):
+    """Parity on non-empty strings. (Deliberate divergence on empties:
+    DuckDB scores jaro_winkler('','') = 0; this matcher keeps identity
+    semantics a==b → 1.0 like the reference's exact-equality fast path.)"""
+    con = duckdb.connect()
+    exp = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert abs(M.jaro_winkler(a, b) - exp) < 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(ascii_st, min_size=0, max_size=200), st.integers(1, 5))
+def test_hll_merge_partition_invariant(values, n_parts):
+    """Merging per-partition HLLs == one HLL over everything, for any
+    partitioning."""
+    arr = np.array(values, dtype=object)
+    whole = HyperLogLog(p=8)
+    if len(arr):
+        whole.update_array(arr)
+    merged = HyperLogLog(p=8)
+    for part in np.array_split(arr, n_parts):
+        h = HyperLogLog(p=8)
+        if len(part):
+            h.update_array(part)
+        merged.merge(h)
+    assert merged.estimate() == whole.estimate()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), ascii_st), min_size=1, max_size=60))
+def test_unique_apply_equals_direct_map(values):
+    fn = lambda v: ("N" if v is None else v.upper() + "!")  # noqa: E731
+    got = unique_apply(np.array(values, dtype=object), fn)
+    assert got.tolist() == [fn(v) for v in values]
+
+
+@settings(max_examples=40, deadline=None)
+@given(ascii_st, ascii_st)
+def test_matcher_bounds_and_symmetry(a, b):
+    for name in ("LEVENSHTEIN", "JARO", "JARO_WINKLER", "Q_GRAMS", "LCS"):
+        s = M.match_score(a, b, name)
+        assert 0.0 <= s <= 1.0
+        assert abs(s - M.match_score(b, a, name)) < 1e-9  # symmetric
+        assert M.match_score(a, a, name) == 1.0
