@@ -82,6 +82,10 @@ def run_bench() -> dict:
         ("minhash_neardup_docs", Q.minhash_neardup_docs),
         ("golden_record_orders", Q.golden_record_orders),
         ("text_length_by_lang", Q.text_length_by_lang),
+        ("events_hourly_window", Q.events_hourly_window),
+        ("embedding_neardup_pairs", Q.embedding_neardup_pairs),
+        ("matching_pairs_supplier", Q.matching_pairs_supplier),
+        ("quality_filter_docs_scrub", Q.scrub_pii_docs),
     ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -125,3 +125,27 @@ def test_tally_merge():
     b = RuleTally(counts={"x": 1, "y": 5}, total=20, kept=15, dropped=5)
     a.merge(b)
     assert a.counts == {"x": 3, "y": 5} and a.total == 30 and a.kept == 23
+
+
+def test_rule_registry_config_chain():
+    from data_quality_ray.rules.registry import (
+        available_rules, build_chain_from_config, register_drop_rule,
+    )
+
+    @register_drop_rule("all_caps")
+    def all_caps(values):
+        return np.array([v is not None and v.isupper() for v in values], dtype=bool)
+
+    assert "all_caps" in available_rules()["drop"]
+    assert "scrub_email" in available_rules()["scrub"]
+
+    engine = build_chain_from_config([
+        {"rule": "empty"},
+        {"rule": "length", "params": {"min_len": 3, "max_len": 100}, "as": "len3_100"},
+        {"rule": "all_caps"},
+        {"rule": "scrub_email"},
+    ])
+    res = engine.apply(np.array(["", "ab", "SHOUTY TEXT", "mail me a@b.com ok"], dtype=object))
+    assert res.verdict.tolist() == ["DROP", "DROP", "DROP", "CORRECTED"]
+    assert res.first_rule.tolist() == ["empty", "len3_100", "all_caps", "scrub_email"]
+    assert res.values[3] == "mail me <EMAIL> ok"
