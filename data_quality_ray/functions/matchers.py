@@ -39,6 +39,26 @@ def levenshtein_distance(a: str, b: str) -> int:
     return prev[-1]
 
 
+def levenshtein_pairs_fixed(a_codes: np.ndarray, b_codes: np.ndarray) -> np.ndarray:
+    """Vectorized edit distance for MANY pairs of equal-fixed-length
+    strings at once: ``a_codes``/``b_codes`` are (n_pairs, L) integer
+    char-code matrices. One (L+1)×(L+1) DP run with every cell vectorized
+    across the pair axis — used inside blocked self-joins where a block
+    guarantees a common prefix (lev(p+a, p+b) == lev(a, b)), turning
+    500k scalar DPs into ~L² numpy ops."""
+    n, L = a_codes.shape
+    prev = np.broadcast_to(np.arange(L + 1), (n, L + 1)).copy()
+    for i in range(1, L + 1):
+        cur = np.empty((n, L + 1), dtype=np.int64)
+        cur[:, 0] = i
+        ai = a_codes[:, i - 1][:, None]
+        sub = prev[:, :-1] + (ai != b_codes)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub[:, j - 1])
+        prev = cur
+    return prev[:, -1]
+
+
 def levenshtein_sim(a: str, b: str) -> float:
     n = max(len(a), len(b))
     return 1.0 if n == 0 else 1.0 - levenshtein_distance(a, b) / n

@@ -269,15 +269,24 @@ def matching_pairs_supplier(sf_dir: str) -> pd.DataFrame:
         return b
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.matchers import levenshtein_pairs_fixed
+
         g = g.sort_values("s_name")
-        names = g["s_name"].tolist()
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
-                d = levenshtein_distance(names[i], names[j])
-                if d <= 2:
-                    out_a.append(names[i]); out_b.append(names[j]); out_d.append(d)
-        return pd.DataFrame({"name_a": out_a, "name_b": out_b, "dist": pd.array(out_d, dtype="int64")})
+        names = g["s_name"].to_numpy(dtype=object)
+        lens = np.array([len(n) for n in names])
+        iu = np.triu_indices(len(names), k=1)
+        ia, ib = iu
+        if len(ia) and (lens == lens[0]).all():
+            # block guarantees a 14-char common prefix; equal lengths →
+            # lev(full, full) == lev(suffix, suffix), vectorized DP
+            codes = np.array([[ord(c) for c in n[14:]] for n in names], dtype=np.int64)
+            d = levenshtein_pairs_fixed(codes[ia], codes[ib])
+        else:
+            d = np.array([levenshtein_distance(names[i], names[j]) for i, j in zip(ia, ib)],
+                         dtype=np.int64)
+        keep = d <= 2
+        return pd.DataFrame({"name_a": names[ia[keep]], "name_b": names[ib[keep]],
+                             "dist": pd.array(d[keep], dtype="int64")})
 
     out = (
         ds.map_batches(add_key, batch_format="pandas")

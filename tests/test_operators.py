@@ -389,3 +389,15 @@ def test_tokenized_modes_and_hungarian():
     assert tokenized_score("john smith", "smith john", "SAMEPLACE", "EXACT") == 0.0
     assert tokenized_score("john smith", "john smith", "SAMEORDER", "EXACT") == 1.0
     assert tokenized_score("john adam smith", "smith john", "ANYORDER", "EXACT") == pytest.approx(2 / 3)
+
+
+def test_levenshtein_pairs_fixed_vectorized():
+    from data_quality_ray.functions.matchers import levenshtein_distance, levenshtein_pairs_fixed
+
+    rng = np.random.RandomState(1)
+    A = rng.randint(97, 123, size=(200, 5))
+    B = rng.randint(97, 123, size=(200, 5))
+    vec = levenshtein_pairs_fixed(A, B)
+    for i in range(200):
+        a = "".join(map(chr, A[i])); b = "".join(map(chr, B[i]))
+        assert vec[i] == levenshtein_distance(a, b)
