@@ -99,7 +99,7 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         ds, ["l_returnflag", "l_linestatus"],
         {"sum_qty": ("l_quantity", "sum"), "sum_price": ("l_extendedprice", "sum"),
          "n": ("", "count")},
-    ).to_pandas()
+    )
     out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
     out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
     out["sum_qty"] = out["sum_qty"].round(2)
@@ -115,7 +115,7 @@ def summary_orders(sf_dir: str) -> pd.DataFrame:
         ds, ["o_orderstatus"],
         {"n": ("", "count"), "sum_price": ("o_totalprice", "sum"),
          "min_price": ("o_totalprice", "min"), "max_price": ("o_totalprice", "max")},
-    ).to_pandas()
+    )
     out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
     out["sum_price"] = out["sum_price"].round(2)
     return out
@@ -137,7 +137,7 @@ def text_length_by_lang(sf_dir: str) -> pd.DataFrame:
         ds, ["lang"],
         {"n": ("", "count"), "min_len": ("len", "min"), "max_len": ("len", "max"),
          "sum_len": ("len", "sum")},
-    ).to_pandas()
+    )
     out["avg_len"] = (out["sum_len"] / out["n"]).round(6)
     return out
 
@@ -189,7 +189,7 @@ def frequency_events(sf_dir: str) -> pd.DataFrame:
     return grouped_aggregate(
         _read(sf_dir, "events", columns=["event_type"]),
         ["event_type"], {"n": ("", "count")},
-    ).to_pandas()
+    )
 
 
 CUSTOMER_NAME_PATTERN = r"Customer#[0-9]+"
@@ -389,7 +389,7 @@ def token_stats_docs(sf_dir: str) -> pd.DataFrame:
     out = grouped_aggregate(
         ds.map_batches(f, batch_format="pyarrow"), ["source"],
         {"n_docs": ("", "count"), "sum_tokens": ("n_tok", "sum")},
-    ).to_pandas()
+    )
     out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(6)
     return out
 
@@ -412,7 +412,7 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(add_window, batch_format="pandas"),
         ["event_type", "window_start"],
         {"n": ("", "count"), "sum_value": ("value", "sum")},
-    ).to_pandas()
+    )
     out["sum_value"] = out["sum_value"].round(6)
     return out
 

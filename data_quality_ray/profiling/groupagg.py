@@ -20,12 +20,19 @@ import pandas as pd
 _FINAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
-def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
-    """Returns a Dataset with columns keys + list(aggs). Each agg:
-    out_col → (in_col, fn); fn in sum/count/min/max. in_col is ignored
-    for count."""
-    from ray.data.aggregate import Max, Min, Sum
+def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                      final: str = "driver"):
+    """Returns keys + list(aggs) columns. Each agg: out_col → (in_col, fn);
+    fn in sum/count/min/max (in_col ignored for count).
 
+    ``final``:
+    - "driver" (default): the per-batch partials (one row per (batch,key))
+      stream to the driver and merge with one pandas groupby — right for
+      low-cardinality keys, where Ray's sort-based shuffle costs seconds
+      of fixed latency to move kilobytes. Returns a pandas DataFrame.
+    - "shuffle": ``groupby(keys).aggregate(...)`` over the partials — for
+      key spaces too large to merge on one node. Returns a Dataset.
+    """
     for fn_name in (fn for _, fn in aggs.values()):
         if fn_name not in _FINAL:
             raise ValueError(f"non-algebraic aggregate: {fn_name}")
@@ -40,9 +47,22 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]]):
                 cols[out_col] = getattr(gb[in_col], fn)()
         return pd.DataFrame(cols).reset_index()
 
-    final_aggs = []
-    for out_col, (_, fn) in aggs.items():
-        cls = {"sum": Sum, "min": Min, "max": Max}[_FINAL[fn]]
-        final_aggs.append(cls(out_col, alias_name=out_col))
+    partials = ds.map_batches(partial, batch_format="pandas")
 
-    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(*final_aggs)
+    if final == "shuffle":
+        from ray.data.aggregate import Max, Min, Sum
+
+        final_aggs = []
+        for out_col, (_, fn) in aggs.items():
+            cls = {"sum": Sum, "min": Min, "max": Max}[_FINAL[fn]]
+            final_aggs.append(cls(out_col, alias_name=out_col))
+        return partials.groupby(keys).aggregate(*final_aggs)
+
+    frames = list(partials.iter_batches(batch_size=65536, batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame(columns=keys + list(aggs))
+    allp = pd.concat(frames, ignore_index=True)
+    gb = allp.groupby(keys, sort=True)
+    out = pd.DataFrame({out_col: getattr(gb[out_col], _FINAL[fn])()
+                        for out_col, (_, fn) in aggs.items()}).reset_index()
+    return out

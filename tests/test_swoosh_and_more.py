@@ -115,3 +115,35 @@ def test_read_any_and_read_images(ray_session, f1_dir, tmp_path):
     assert read_any(str(p)).count() == 2
     with pytest.raises((NotImplementedError, ValueError)):
         read_any("/nonexistent.lance")
+
+
+def test_dedup_pathological_skew(ray_session):
+    """Every row shares one key (the worst hot-key case): both dedup
+    strategies return exactly one survivor, no failure."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_key
+
+    rows = [{"id": f"r{i:05d}", "k": 7} for i in range(20_000)]
+    for strategy in ("aggregate", "map_groups"):
+        out = dedup_by_key(rd.from_items(rows), key="k", order_col="id",
+                           strategy=strategy).to_pandas()
+        assert len(out) == 1 and out["id"].iloc[0] == "r00000"
+
+
+def test_grouped_aggregate_modes(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    drv = grouped_aggregate(ds, ["l_returnflag"],
+                            {"n": ("", "count"), "s": ("l_quantity", "sum")})
+    shf = grouped_aggregate(ds, ["l_returnflag"],
+                            {"n": ("", "count"), "s": ("l_quantity", "sum")},
+                            final="shuffle").to_pandas()
+    a = drv.sort_values("l_returnflag").reset_index(drop=True)
+    b = shf.sort_values("l_returnflag").reset_index(drop=True)
+    assert a["n"].tolist() == b["n"].tolist()
+    assert np.allclose(a["s"], b["s"])
