@@ -1,0 +1,164 @@
+"""Multimodal image/video operator stages.
+
+Actor-pool ``map_batches`` stages over opaque binary payload columns —
+the Ray-side plumbing (schema in/out, batch sizing, actor signature) the
+north rule requires for multimodal data. Decode/resize/feature-extract
+are REAL against this repo's codecs (stages/image.py: spec-compliant PNG,
+marked lossy stand-in); frame sampling is the video STUB (no video codec
+exists in this environment — the stage validates the container header and
+emits deterministic frame offsets; swap ``_decode_video`` for pyav/ffmpeg
+in production).
+
+All stages keep payloads in Arrow binary columns end-to-end; decoded
+pixels never leave the worker (features/resized bytes are the outputs).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .image import decode, encode, phash64
+
+
+def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-mean resize (box filter) via bincount over target-cell ids —
+    deterministic, pure numpy."""
+    h, w, _ = pixels.shape
+    row_ids = (np.arange(h) * out_h) // h
+    col_ids = (np.arange(w) * out_w) // w
+    cell = (row_ids[:, None] * out_w + col_ids[None, :]).ravel()
+    counts = np.bincount(cell, minlength=out_h * out_w)
+    out = np.empty((out_h * out_w, 3), dtype=np.float64)
+    flat = pixels.reshape(-1, 3)
+    for c in range(3):
+        out[:, c] = np.bincount(cell, weights=flat[:, c], minlength=out_h * out_w)
+    out /= counts[:, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8).reshape(out_h, out_w, 3)
+
+
+class ImageResizeStage:
+    """Decode → box-filter resize → re-encode (same fmt). Appends
+    ``bytes_resized`` + updated ``w``/``h`` columns."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_numpy(zero_copy_only=False)
+        out = []
+        for b, f in zip(blobs, fmts):
+            try:
+                out.append(encode(resize_pixels(decode(b, f), self.out_w, self.out_h), f))
+            except Exception:
+                out.append(None)
+        batch = batch.append_column("bytes_resized", pa.array(out, type=pa.binary()))
+        batch = batch.append_column("resized_w", pa.array([self.out_w] * len(batch), type=pa.int32()))
+        return batch.append_column("resized_h", pa.array([self.out_h] * len(batch), type=pa.int32()))
+
+
+class ImageFeatureStage:
+    """Per-image features from decoded pixels: mean RGB, luminance
+    mean/std, 8-bin luminance histogram, recomputed phash. Appends
+    fixed-size list/scalar columns (embedding-ready)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch["bytes"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_numpy(zero_copy_only=False)
+        mean_rgb, lum_mean, lum_std, lum_hist, ph = [], [], [], [], []
+        for b, f in zip(blobs, fmts):
+            try:
+                px = decode(b, f).astype(np.float64)
+                lum = px @ np.array([0.299, 0.587, 0.114])
+                mean_rgb.append([round(float(x), 4) for x in px.mean(axis=(0, 1))])
+                lum_mean.append(round(float(lum.mean()), 4))
+                lum_std.append(round(float(lum.std()), 4))
+                hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+                lum_hist.append((hist / max(1, lum.size)).round(6).tolist())
+                ph.append(phash64(px.astype(np.uint8)))
+            except Exception:
+                mean_rgb.append(None)
+                lum_mean.append(None)
+                lum_std.append(None)
+                lum_hist.append(None)
+                ph.append(None)
+        batch = batch.append_column("mean_rgb", pa.array(mean_rgb, type=pa.list_(pa.float64())))
+        batch = batch.append_column("lum_mean", pa.array(lum_mean, type=pa.float64()))
+        batch = batch.append_column("lum_std", pa.array(lum_std, type=pa.float64()))
+        batch = batch.append_column("lum_hist", pa.array(lum_hist, type=pa.list_(pa.float64())))
+        return batch.append_column("phash_recomputed", pa.array(ph, type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling — STUB container (no video codec in this env)
+# ---------------------------------------------------------------------------
+
+_FVID_MAGIC = b"FVID"
+
+
+def encode_fake_video(frames: list[np.ndarray]) -> bytes:
+    """Deterministic stand-in video container: FVID | n | w | h | zlib
+    frames. Swap for a real muxer in production."""
+    h, w, _ = frames[0].shape
+    payload = zlib.compress(np.stack(frames).tobytes(), 3)
+    return _FVID_MAGIC + struct.pack(">HHH", len(frames), w, h) + payload
+
+
+def _decode_video(data: bytes) -> np.ndarray:
+    """STUB decode for the FVID container. A real implementation would
+    bind pyav/ffmpeg; anything else raises NotImplementedError."""
+    if data[:4] != _FVID_MAGIC:
+        raise NotImplementedError("real video codecs are not available in this environment")
+    n, w, h = struct.unpack(">HHH", data[4:10])
+    return np.frombuffer(zlib.decompress(data[10:]), dtype=np.uint8).reshape(n, h, w, 3)
+
+
+class FrameSampleStage:
+    """Uniformly sample ``n_frames`` frames from a video payload column →
+    list<binary> of encoded frames + frame indices. Deterministic
+    (index-based sampling, no RNG)."""
+
+    def __init__(self, n_frames: int = 4, frame_fmt: str = "png", video_col: str = "video"):
+        self.n_frames = n_frames
+        self.frame_fmt = frame_fmt
+        self.video_col = video_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_out, idx_out = [], []
+        for blob in batch[self.video_col].to_numpy(zero_copy_only=False):
+            try:
+                vid = _decode_video(blob)
+                n = vid.shape[0]
+                idx = np.unique(np.linspace(0, n - 1, min(self.n_frames, n)).astype(int))
+                frames_out.append([encode(vid[i], self.frame_fmt) for i in idx])
+                idx_out.append(idx.tolist())
+            except NotImplementedError:
+                frames_out.append(None)
+                idx_out.append(None)
+        batch = batch.append_column("frames", pa.array(frames_out, type=pa.list_(pa.binary())))
+        return batch.append_column("frame_indices", pa.array(idx_out, type=pa.list_(pa.int32())))
+
+
+def extract_image_features(ds, concurrency: int | tuple = 4, batch_size: int = 512):
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def resize_images(ds, out_w: int, out_h: int, concurrency: int | tuple = 4,
+                  batch_size: int = 512):
+    return ds.map_batches(ImageResizeStage,
+                          fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds, n_frames: int = 4, video_col: str = "video",
+                  concurrency: int | tuple = 2, batch_size: int = 64):
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"n_frames": n_frames, "video_col": video_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
