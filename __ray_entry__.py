@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_region_broadcast": Q.customer_region_broadcast,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "events_hourly_window": Q.events_hourly_window,
+        "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
         "phone_e164_customers": Q.phone_e164_customers,
@@ -324,6 +325,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "session_windows_events": """
+            WITH marks AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE OR
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM marks),
+            sizes AS (SELECT user_id, session_id, count(*) AS n
+                      FROM sess GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n) AS longest_session_events
+            FROM sizes GROUP BY 1""",
         "email_validate_customers": f"""
             WITH e AS (
               SELECT c_custkey,

@@ -417,6 +417,42 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def session_windows_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user session windows (30-min inactivity gap) over the events
+    log: the stream-shaped pattern — partition by key, sort by ts within
+    the partition, window inside ``map_groups`` (guide: 'streaming-shaped
+    workloads'; ordering assumption: per-user event order by ts).
+    → (user_id, n_sessions, longest_session_events)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per bucket: groups are hash-bucketed users; within
+        # the bucket one pandas pass computes per-user session ids
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        session_id = (new_user | gap).cumsum()
+        per_session = g.groupby([g["user_id"], session_id]).size()
+        out = per_session.groupby(level=0).agg(["count", "max"]).reset_index()
+        out.columns = ["user_id", "n_sessions", "longest_session_events"]
+        return out
+
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b["user_id"].to_numpy()) % 32).astype("int64")
+        return b
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def email_validate_customers(sf_dir: str) -> pd.DataFrame:
     """EmailVerify chain over deterministically synthesized emails
     (c_name + nation-keyed domain): (c_custkey, email, valid)."""

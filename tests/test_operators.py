@@ -401,3 +401,21 @@ def test_levenshtein_pairs_fixed_vectorized():
     for i in range(200):
         a = "".join(map(chr, A[i])); b = "".join(map(chr, B[i]))
         assert vec[i] == levenshtein_distance(a, b)
+
+
+def test_chronology_conversions():
+    from datetime import date, timedelta
+
+    from data_quality_ray.functions import chronology as CH
+
+    assert CH.to_thai_buddhist(date(2020, 1, 1)) == (2563, 1, 1)
+    assert CH.to_minguo(date(2020, 1, 1)) == (109, 1, 1)
+    assert CH.to_japanese(date(2019, 5, 1)) == ("Reiwa", 1, 5, 1)
+    assert CH.to_japanese(date(2019, 4, 30)) == ("Heisei", 31, 4, 30)
+    assert CH.convert_chronology(date(2020, 1, 1), "Japanese") == "Reiwa 2-01-01"
+    assert CH.convert_chronology(date(2020, 1, 1), "ThaiBuddhist") == "2563-01-01"
+    d = date(1950, 3, 7)
+    for _ in range(300):
+        assert CH.from_islamic(*CH.to_islamic(d)) == d
+        assert CH.from_japanese(*CH.to_japanese(d)) == d
+        d += timedelta(days=97)
