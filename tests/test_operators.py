@@ -419,3 +419,20 @@ def test_chronology_conversions():
         assert CH.from_islamic(*CH.to_islamic(d)) == d
         assert CH.from_japanese(*CH.to_japanese(d)) == d
         d += timedelta(days=97)
+
+
+def test_phone_region_metadata():
+    from data_quality_ray.rules import phone as P
+
+    assert P.is_valid("+1 415-555-2671")
+    assert P.region_of("+1 415-555-2671") == "US"
+    assert P.is_valid("+44 20 7946 0958") and P.region_of("+44 20 7946 0958") == "GB"
+    assert P.is_valid("+33 1 42 68 53 00") and P.region_of("+33 1 42 68 53 00") == "FR"
+    assert P.is_valid("01 42 68 53 00", "FR")  # national with trunk prefix
+    assert P.format_e164("01 42 68 53 00", "FR") == "+33142685300"
+    assert P.format_national("+33 1 42 68 53 00") == "0142685300"
+    # possible but NOT valid: US number with 9 digits
+    assert P.is_possible("415-555-267", "US")
+    assert not P.is_valid("415-555-267", "US")
+    assert not P.is_possible("12-34", "US")
+    assert P.parse("garbage") is None
