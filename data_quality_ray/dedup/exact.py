@@ -36,6 +36,12 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
       "map_groups" (fully shuffled, no driver-side state).
     - "map_groups": groupby(key).map_groups(keep-first) — streams
       everything through the shuffle; no broadcast.
+
+    ``order_col`` must be unique per row (a row id): the winner filter
+    admits every row whose (key, order) equals the per-key minimum, so
+    duplicated order values would admit duplicates. Correctness is
+    batching-independent — the global per-key minimum row survives any
+    batch-level pre-dedup, and no other row's pair is in the winner set.
     """
 
     import numpy as np

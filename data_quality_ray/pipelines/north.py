@@ -14,8 +14,10 @@ Phase 1 — ONE streaming job per wave (no re-reads):
     then per-fragment lineage records commit atomically to the manifest.
 
 Phase 2 — phash dedup over committed survivors:
-    winners = read(key columns only) → groupby(phash).Min(image_id)
-    final   = read(full) → keep-winners membership filter → write
+    winners = min(image_id) per phash, merged vectorized from the phase-1
+              partials (resume-path fragments contribute via a pruned
+              key-column read) and broadcast as sorted numpy arrays
+    final   = read(full) → searchsorted keep-winners filter → write
 
 Resume: fragments in the manifest are skipped; stale partial output of
 uncommitted fragments is deleted before reprocessing. ``wave_files``
