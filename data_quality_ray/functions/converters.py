@@ -113,8 +113,13 @@ def convert_date_format(values, out_format: str = "yyyy-MM-dd") -> np.ndarray:
         pat = date_pattern_of(v)
         if pat is None:
             return v
-        probe = (v.replace("T", " ") if "T" in v and " " not in v else v).replace(",", "")
-        fmt = by_name[pat].replace("T", " ")
-        return datetime.strptime(probe, fmt).strftime(out_fmt)
+        try:
+            probe = (v.replace("T", " ") if "T" in v and " " not in v else v).replace(",", "")
+            fmt = by_name[pat].replace("T", " ")
+            return datetime.strptime(probe, fmt).strftime(out_fmt)
+        except (KeyError, ValueError):
+            # recognized by a non-strptime recognizer (textual foreign
+            # month, era form) — pass through unchanged
+            return v
 
     return unique_apply(np.asarray(values, dtype=object), conv)

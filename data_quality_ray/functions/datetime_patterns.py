@@ -23,6 +23,29 @@ from functools import lru_cache
 _MONTHS_EN = "january|february|march|april|may|june|july|august|september|october|november|december"
 _MONTHS_EN_AB = "jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec"
 
+# multi-language month names → month number (the reference pins 45 locales;
+# we ship the en/fr/de/es sets its date fixtures exercise)
+MONTH_NAMES: dict[str, int] = {}
+for i, names in enumerate([
+    ["january", "jan", "janvier", "januar", "enero", "ene"],
+    ["february", "feb", "février", "fevrier", "februar", "febrero"],
+    ["march", "mar", "mars", "märz", "maerz", "marzo"],
+    ["april", "apr", "avril", "abril"],
+    ["may", "mai", "mayo"],
+    ["june", "jun", "juin", "juni", "junio"],
+    ["july", "jul", "juillet", "juli", "julio"],
+    ["august", "aug", "août", "aout", "agosto", "ago"],
+    ["september", "sep", "sept", "septembre", "septiembre"],
+    ["october", "oct", "octobre", "oktober", "octubre"],
+    ["november", "nov", "novembre", "noviembre"],
+    ["december", "dec", "décembre", "decembre", "dezember", "diciembre", "dic"],
+], start=1):
+    for n in names:
+        MONTH_NAMES[n] = i
+_MONTH_ANY = "|".join(sorted(MONTH_NAMES, key=len, reverse=True))
+_TEXTUAL_DMY = re.compile(rf"^(\d{{1,2}})\s+({_MONTH_ANY})\.?\s+(\d{{4}})$", re.I)
+_TEXTUAL_MDY = re.compile(rf"^({_MONTH_ANY})\.?\s+(\d{{1,2}}),?\s+(\d{{4}})$", re.I)
+
 # (compiled prefilter regex, strptime format) — ordered frequent-first.
 DATE_PATTERNS: list[tuple[re.Pattern, str, str]] = [
     (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d", "yyyy-MM-dd"),
@@ -44,6 +67,14 @@ DATE_PATTERNS: list[tuple[re.Pattern, str, str]] = [
     (re.compile(rf"^\d{{1,2}}-(?:{_MONTHS_EN_AB})-\d{{4}}$", re.I), "%d-%b-%Y", "d-MMM-yyyy"),
     (re.compile(r"^\d{4}\.\d{1,2}\.\d{1,2}$"), "%Y.%m.%d", "yyyy.M.d"),
     (re.compile(r"^\d{1,2} \d{1,2} \d{4}$"), "%d %m %Y", "d M yyyy"),
+    # EU slash AFTER the US form: '26/1/1969' fails the strict %m/%d parse
+    # and falls through to here ('1/2/1969'-style stays US — reference order)
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{4}$"), "%d/%m/%Y", "d/M/yyyy"),
+    (re.compile(r"^\d{1,2}-\d{1,2}-\d{4}$"), "%m-%d-%Y", "M-d-yyyy"),
+    (re.compile(r"^\d{4}-\d{1,2}-\d{1,2}$"), "%Y-%m-%d", "yyyy-M-d"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2}$"), "%m/%d/%Y %H:%M:%S", "M/d/yyyy HH:mm:ss"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2} [AP]M$", re.I), "%m/%d/%Y %I:%M:%S %p", "M/d/yyyy hh:mm:ss a"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} AD$"), "__era__", "yyyy-MM-dd G"),
 ]
 
 TIME_PATTERNS: list[tuple[re.Pattern, str, str]] = [
@@ -62,6 +93,27 @@ def _precheck(v: str) -> bool:
     return 4 <= len(v) <= 64 and any(c.isdigit() for c in v) and bool(_DATE_CHARS.match(v))
 
 
+def _try_textual(v: str) -> str | None:
+    """Multi-language textual month forms: 'd MONTH yyyy' / 'MONTH d yyyy'."""
+    from datetime import date
+
+    for rx, name, order in ((_TEXTUAL_DMY, "d MMMM yyyy", "dmy"),
+                            (_TEXTUAL_MDY, "MMMM d yyyy", "mdy")):
+        m = rx.match(v)
+        if m:
+            g = m.groups()
+            day, mon, year = (g[0], g[1], g[2]) if order == "dmy" else (g[1], g[0], g[2])
+            month = MONTH_NAMES.get(mon.lower())
+            if month is None:
+                continue
+            try:
+                date(int(year), month, int(day))
+                return name
+            except ValueError:
+                continue
+    return None
+
+
 @lru_cache(maxsize=65536)
 def date_pattern_of(v: str) -> str | None:
     """Return the matched date pattern name (Java-style), or None."""
@@ -69,6 +121,12 @@ def date_pattern_of(v: str) -> str | None:
         return None
     for rx, fmt, name in DATE_PATTERNS:
         if rx.match(v):
+            if fmt == "__era__":
+                try:
+                    datetime.strptime(v[:-3], "%Y-%m-%d")
+                    return name
+                except ValueError:
+                    continue
             normalized = v.replace("T", " ") if "T" in v and " " not in v else v
             probe = normalized.replace(",", "") if "," in v else normalized
             try:
@@ -77,7 +135,7 @@ def date_pattern_of(v: str) -> str | None:
                 return name
             except ValueError:
                 continue
-    return None
+    return _try_textual(v)
 
 
 @lru_cache(maxsize=65536)

@@ -17,17 +17,37 @@ import numpy as np
 
 from .datetime_patterns import is_date_str, is_time_str
 
-# Mirrors TypeInferenceUtils.java:28-45 semantics: optional sign, ASCII or
-# full-width digits, optional US (1,234,567) or EU (1.234.567) grouping,
-# optional exponent, optional trailing '%'.
-_D = "0-9０-９"
-INTEGER_RE = re.compile(rf"^[-+]?(?:[{_D}]+|[{_D}]{{1,3}}(?:,[{_D}]{{3}})+)%?$")
+# Mirrors TypeInferenceUtils.java:28-45 semantics, validated against the
+# reference's own test vectors (type/TypeInferenceUtilsTest.java:100-165):
+# optional sign; US grouping "1,045,350" / EU grouping "1.045.350" / space
+# grouping "1 045 350" (incl. NBSP/figure/narrow spaces); decimal '.' only
+# with US/no grouping, decimal ',' with EU/space/no grouping; optional
+# exponent with a space allowed BEFORE e ("1.0 e-4"), none after; optional
+# trailing '%' with a space allowed before it; full-width digits, signs,
+# separators and ％ normalize to ASCII first.
+
+_FW_TRANS = {0x3000: " ", 0xFF0B: "+", 0xFF0D: "-", 0xFF0E: ".", 0xFF0C: ",",
+             0xFF05: "%", 0xFF25: "E", 0xFF45: "e",
+             0xA0: " ", 0x2007: " ", 0x202F: " "}
+for _cp in range(0xFF10, 0xFF1A):
+    _FW_TRANS[_cp] = chr(_cp - 0xFF10 + 0x30)
+
+
+def _normalize_numeric(v: str) -> str:
+    return v.translate(_FW_TRANS)
+
+
+_EXP = r"(?: ?[eE][-+]?\d+)?"
+_PCT = r"(?: ?%)?"
+INTEGER_RE = re.compile(
+    rf"^[-+]?(?:\d+|\d{{1,3}}(?:,\d{{3}})+){_PCT}$"
+)
 DOUBLE_RE = re.compile(
     rf"^[-+]?(?:"
-    rf"(?:[{_D}]+|[{_D}]{{1,3}}(?:,[{_D}]{{3}})+)(?:\.[{_D}]*)?"
-    rf"|(?:[{_D}]{{1,3}}(?:\.[{_D}]{{3}})+)(?:,[{_D}]*)?"
-    rf"|\.[{_D}]+"
-    rf")(?:[eE][-+]?[{_D}]+)?%?$"
+    rf"(?:\d+|\d{{1,3}}(?:,\d{{3}})+)(?:\.\d+)?"          # US/no grouping + .dec
+    rf"|(?:\d{{1,3}}(?:\.\d{{3}})+|\d{{1,3}}(?: \d{{3}})+|\d+)(?:,\d+)?"  # EU/space/no grouping + ,dec
+    rf"|\.\d+"
+    rf"){_EXP}{_PCT}$"
 )
 _BOOL = {"true", "false"}
 
@@ -39,11 +59,14 @@ def is_empty(v: str | None) -> bool:
 
 
 def is_integer(v: str) -> bool:
-    return bool(v) and bool(INTEGER_RE.match(v))
+    return bool(v) and bool(INTEGER_RE.match(_normalize_numeric(v)))
 
 
 def is_double(v: str) -> bool:
-    return bool(v) and bool(DOUBLE_RE.match(v)) and not INTEGER_RE.match(v)
+    """Reference semantics: isDouble accepts integers too
+    (TypeInferenceUtilsTest: isDouble("100") is true); classification
+    order in ``infer_type_one`` checks INTEGER first."""
+    return bool(v) and bool(DOUBLE_RE.match(_normalize_numeric(v)))
 
 
 def is_boolean(v: str) -> bool:
@@ -57,9 +80,9 @@ def infer_type_one(v: str | None) -> str:
     v = v.strip()
     if is_boolean(v):
         return "BOOLEAN"
-    if INTEGER_RE.match(v):
+    if is_integer(v):
         return "INTEGER"
-    if DOUBLE_RE.match(v):
+    if is_double(v):
         return "DOUBLE"
     if is_date_str(v):
         return "DATE"
