@@ -29,8 +29,15 @@ from .scrub import DEFAULT_TLDS, EMAIL_PATTERN
 
 VALID, INVALID, CORRECTED, REJECTED = "VALID", "INVALID", "CORRECTED", "REJECTED"
 
-_EMAIL_RE = re.compile(r"^" + EMAIL_PATTERN + r"$")
-_LOCAL_DEFAULT_RE = re.compile(r"^[A-Za-z0-9._%+-]+$")
+# Default syntax regex: unicode letters allowed in the local part
+# (reference vector: 'gégé@laposte.fr' is VALID —
+# RegularRegexCheckerImplTest). Identical to the RE2-safe ASCII
+# EMAIL_PATTERN (rules/scrub.py, shared with the SQL oracles) on ASCII
+# input; the scrub detector stays ASCII for byte-stable cross-engine
+# rewrites.
+EMAIL_UNICODE_PATTERN = r"[\w.%+-]+@[\w-]+(?:\.[\w-]+)*\.[A-Za-z]{2,}"
+_EMAIL_RE = re.compile(r"^" + EMAIL_UNICODE_PATTERN + r"$", re.UNICODE)
+_LOCAL_DEFAULT_RE = re.compile(r"^[\w.%+-]+$", re.UNICODE)
 
 
 @dataclass

@@ -77,3 +77,28 @@ def test_reference_get_data_type_vectors():
     assert infer_type_one("abc") == "STRING"
     assert infer_type_one("2019-12-25") == "DATE"
     assert infer_type_one("15:23:56") == "TIME"
+
+
+def test_reference_email_regex_vectors():
+    """RegularRegexCheckerImplTest vectors (incl. unicode local part)."""
+    import numpy as np
+
+    from data_quality_ray.rules.email import EmailVerify
+
+    cfg = EmailVerify(check_tlds=False)
+    v, _ = cfg.verify(np.array(
+        ["ab.c@yahoo.com", "_1ab.c@yahoo.com", "gégé@laposte.fr",
+         ";-abc@yahoo.com.", "abc", "qiongli-163.com"], dtype=object))
+    assert v.tolist() == ["VALID", "VALID", "VALID", "INVALID", "INVALID", "INVALID"]
+
+
+def test_reference_soundex_vectors():
+    """SOUNDEX class agreement on the classic pairs the reference's
+    matcher family exercises."""
+    from data_quality_ray.functions.matchers import soundex
+
+    assert soundex("Robert") == soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"
+    assert soundex("Honeyman") == "H555"
