@@ -18,7 +18,14 @@ from datetime import datetime
 
 import numpy as np
 
-_DUP_CHAR_RE = re.compile(r"(.)\1+")
+# reference default pattern (DuplicateCharEraser.java:46): repeated
+# whitespace-ish sequences only — any \s, NEL, Unicode Z category, or the
+# two-char CRLF unit; char mode collapses just the given char/substring
+_DUP_WS_RE = re.compile(
+    "([" "\\s" "\u0085\u00a0\u1680\u180e\u2000-\u200a"
+    "\u2028\u2029\u202f\u205f\u3000" "]|\r\n)" "\\1+"
+)
+_DUP_ANY_RE = re.compile(r"(.)\1+", re.DOTALL)
 
 
 def trim(values, chars: str | None = None) -> np.ndarray:
@@ -26,10 +33,34 @@ def trim(values, chars: str | None = None) -> np.ndarray:
                     dtype=object)
 
 
-def erase_duplicate_chars(values) -> np.ndarray:
-    """'aaabbb' → 'ab' (DuplicateCharEraser.removeRepeatedChar:64)."""
+def erase_duplicate_chars(values, repeat_char: str | None = None) -> np.ndarray:
+    """DuplicateCharEraser.removeRepeatedChar semantics
+    (converters/DuplicateCharEraser.java:21-64, validated against
+    DuplicateCharEraserTest):
+
+    - default: collapse repeated WHITESPACE sequences only ('a  b' →
+      'a b', repeated CRLF → one CRLF); letters are untouched
+    - ``repeat_char``: collapse runs of exactly that char/substring
+      (case-sensitive)
+    - ``repeat_char="*"``-style any-char collapse: pass ``repeat_char=...``
+      per char, or use ``collapse_all`` for the dedup heuristic
+    """
+    if repeat_char is None:
+        rx, repl = _DUP_WS_RE, r"\1"
+    else:
+        rx = re.compile("(" + re.escape(repeat_char) + r")\1+")
+        repl = r"\1"
     return np.array(
-        [None if v is None else _DUP_CHAR_RE.sub(r"\1", v) for v in np.asarray(values, dtype=object)],
+        [None if v is None else rx.sub(repl, v) for v in np.asarray(values, dtype=object)],
+        dtype=object,
+    )
+
+
+def collapse_all_repeats(values) -> np.ndarray:
+    """'aaabbb' → 'ab' — the aggressive any-char collapse used by the
+    caption repetition heuristics (not the reference default)."""
+    return np.array(
+        [None if v is None else _DUP_ANY_RE.sub(r"\1", v) for v in np.asarray(values, dtype=object)],
         dtype=object,
     )
 

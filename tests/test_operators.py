@@ -66,7 +66,11 @@ def test_null_options():
 
 def test_converters():
     assert C.trim(np.array(["  x  ", None], dtype=object)).tolist() == ["x", None]
-    assert C.erase_duplicate_chars(np.array(["aaabbbc", "abc"], dtype=object)).tolist() == ["abc", "abc"]
+    # default mode: only repeated whitespace collapses (reference semantics)
+    assert C.erase_duplicate_chars(np.array(["a  b\t\tc", "aaabbbc"], dtype=object)).tolist() == \
+        ["a b\tc", "aaabbbc"]
+    assert C.erase_duplicate_chars(np.array(["011111123"], dtype=object), repeat_char="1").tolist() == ["0123"]
+    assert C.collapse_all_repeats(np.array(["aaabbbc"], dtype=object)).tolist() == ["abc"]
     assert C.to_half_width(np.array(["ＡＢＣ１２３", "ｶﾞ"], dtype=object))[0] == "ABC123"
     assert C.convert_distance(np.array([1.0]), "MILE", "KILOMETER")[0] == pytest.approx(1.609344)
     assert C.convert_duration(np.array([2.0]), "HOUR", "MINUTE")[0] == 120.0

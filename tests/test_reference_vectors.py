@@ -102,3 +102,23 @@ def test_reference_soundex_vectors():
     assert soundex("Tymczak") == "T522"
     assert soundex("Pfister") == "P236"
     assert soundex("Honeyman") == "H555"
+
+
+def test_reference_duplicate_char_eraser_vectors():
+    """DuplicateCharEraserTest vectors (whitespace default, char mode)."""
+    import numpy as np
+
+    from data_quality_ray.functions.converters import erase_duplicate_chars
+
+    def E(v, **kw):
+        return erase_duplicate_chars(np.array([v], dtype=object), **kw)[0]
+
+    assert E("a\rbccccdeaa\r\r\ry") == "a\rbccccdeaa\ry"
+    assert E("a\nbccccdeaa\n\n\ny") == "a\nbccccdeaa\ny"
+    assert E("a\r\nbccccdeaa\r\n\r\n\r\ny") == "a\r\nbccccdeaa\r\ny"
+    assert E("a\tbccccdeaa\t\t\t\t\t\ty") == "a\tbccccdeaa\ty"
+    assert E("atbccccdeaaCCtcy", repeat_char="c") == "atbcdeaaCCtcy"
+    assert E("aaatbccccdeaaCCtcy", repeat_char="a") == "atbccccdeaCCtcy"
+    assert E("abcdef", repeat_char="a") == "abcdef"
+    assert E("011111123", repeat_char="1") == "0123"
+    assert E("apple 12333", repeat_char="3") == "apple 123"
