@@ -122,3 +122,37 @@ def test_reference_duplicate_char_eraser_vectors():
     assert E("abcdef", repeat_char="a") == "abcdef"
     assert E("011111123", repeat_char="1") == "0123"
     assert E("apple 12333", repeat_char="3") == "apple 123"
+
+
+def test_reference_distance_converter_vectors():
+    """DistanceConverterTest vectors (mm → every unit, mile → km)."""
+    import numpy as np
+
+    from data_quality_ray.functions.converters import convert_distance
+
+    def conv(v, a, b):
+        return float(convert_distance(np.array([v]), a, b)[0])
+
+    assert conv(1.0, "MILE", "KILOMETER") == pytest.approx(1.609344, abs=1e-12)
+    mm_expect = {
+        "MILLIMETER": 1.0, "CENTIMETER": 0.1, "DECIMETER": 0.01, "METER": 0.001,
+        "DEKAMETER": 0.0001, "HECTOMETER": 0.00001, "KILOMETER": 0.000001,
+        "INCH": 0.03937007874015748, "FOOT": 0.0032808398950131233,
+        "YARD": 0.0010936132983377078, "MILE": 6.213711922373339e-07,
+        "NAUTICAL_MILE": 5.399568034557235e-07, "LIGHT_YEAR": 1.0570008340246155e-19,
+    }
+    for unit, expect in mm_expect.items():
+        assert conv(1.0, "MILLIMETER", unit) == pytest.approx(expect, rel=1e-9), unit
+
+
+def test_reference_string_trimmer_vectors():
+    import numpy as np
+
+    from data_quality_ray.functions.converters import trim
+
+    def T(v, chars=None):
+        return trim(np.array([v], dtype=object), chars)[0]
+
+    for v in ["abc", " abc", " abc ", " abc  ", "  abc ", "  abc  "]:
+        assert T(v) == "abc"
+    assert T(" ab c") == "ab c"
