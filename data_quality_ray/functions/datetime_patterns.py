@@ -138,18 +138,71 @@ def date_pattern_of(v: str) -> str | None:
     return _try_textual(v)
 
 
+# Time decorations the reference's 46 locale patterns carry around the
+# core H:mm[:ss] (TimeSampleTable.txt): am/pm markers (incl. Chinese
+# 上午/下午), timezone names (CET/MEZ/...), o'clock / Uhr tokens, UTC
+# offsets, dot or CJK (时/時/分/秒) separators, French "5 h 06".
+_TIME_AMPM_RE = re.compile(r"(?:^|(?<=[ 上下]))(?:[AP]M)(?=$|[ ])", re.I)
+_TIME_CJK_AMPM_RE = re.compile(r"^[上下]午")
+_TIME_TZ_RE = re.compile(r"(?<=[ ])[A-Z]{2,5}(?=$|[ ])")
+_TIME_OFFSET_RE = re.compile(r"[+-]\d{2}(?::?\d{2})?$")
+_TIME_TOKENS_RE = re.compile(r"\b(?:o'?'?clock|Uhr)\b", re.I)
+_TIME_CJK_RE = re.compile(r"^(\d{1,2})[时時](\d{1,2})分(?:(\d{1,2})秒)?$")
+_TIME_FRH_RE = re.compile(r"^(\d{1,2}) h (\d{2})$")
+# colon form may carry fractional seconds; dot-separated form may not
+# (else '1.2.3.4' would pass)
+_TIME_CORE_RE = re.compile(
+    r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.\d{1,9})?)?$"
+    r"|^(\d{1,2})\.(\d{2})(?:\.(\d{2}))?$"
+)
+
+
 @lru_cache(maxsize=65536)
 def time_pattern_of(v: str) -> str | None:
-    if not (3 <= len(v) <= 24):
+    if not (3 <= len(v) <= 40):
         return None
-    for rx, fmt, name in TIME_PATTERNS:
-        if rx.match(v):
-            try:
-                datetime.strptime(v, fmt)
-                return name
-            except ValueError:
-                continue
-    return None
+    s = v.strip()
+    parts = []
+    if _TIME_CJK_AMPM_RE.match(s):
+        s = s[2:].strip()
+        parts.append("a")
+    if _TIME_AMPM_RE.search(s):
+        s = _TIME_AMPM_RE.sub("", s).strip()
+        parts.append("a")
+    if _TIME_TOKENS_RE.search(s):
+        s = _TIME_TOKENS_RE.sub("", s).strip()
+    m = _TIME_OFFSET_RE.search(s)
+    if m:
+        s = s[: m.start()].strip()
+        parts.append("X")
+    if _TIME_TZ_RE.search(s):
+        s = _TIME_TZ_RE.sub("", s).strip()
+        parts.append("z")
+    # a second am/pm may follow the tz ("5:06:07 CET AM")
+    if _TIME_AMPM_RE.search(" " + s):
+        s = _TIME_AMPM_RE.sub("", " " + s).strip()
+        if "a" not in parts:
+            parts.append("a")
+    s = re.sub(r"\s{2,}", " ", s).strip()
+    cjk = _TIME_CJK_RE.match(s)
+    if cjk:
+        h, mi, sec = cjk.groups()
+    else:
+        fr = _TIME_FRH_RE.match(s)
+        if fr:
+            h, mi, sec = fr.group(1), fr.group(2), None
+        else:
+            core = _TIME_CORE_RE.match(s)
+            if not core:
+                return None
+            g = core.groups()
+            h, mi, sec = (g[0], g[1], g[2]) if g[0] is not None else (g[3], g[4], g[5])
+    if not (0 <= int(h) <= 23 and 0 <= int(mi) <= 59 and (sec is None or 0 <= int(sec) <= 59)):
+        return None
+    if "a" in parts and not 0 <= int(h) <= 12:
+        return None
+    name = ("h" if "a" in parts else "H") + ":mm" + (":ss" if sec is not None else "")
+    return " ".join([name] + sorted(set(parts)))
 
 
 def is_date_str(v: str) -> bool:

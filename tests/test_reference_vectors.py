@@ -156,3 +156,14 @@ def test_reference_string_trimmer_vectors():
     for v in ["abc", " abc", " abc ", " abc  ", "  abc ", "  abc  "]:
         assert T(v) == "abc"
     assert T(" ab c") == "ab c"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference checkout absent")
+def test_reference_time_sample_table_all_recognized():
+    """All 46 locale time forms of TimeSampleTable.txt recognize."""
+    from data_quality_ray.functions.datetime_patterns import is_time_str
+
+    rows = [l.strip().split("\t")[0]
+            for l in open(f"{_REF}/TimeSampleTable.txt", encoding="utf-8")
+            if l.strip() and not l.startswith(("#", "Sample"))]
+    assert rows and all(is_time_str(v) for v in rows)
