@@ -40,11 +40,45 @@ for i, names in enumerate([
     ["november", "nov", "novembre", "noviembre"],
     ["december", "dec", "décembre", "decembre", "dezember", "diciembre", "dic"],
 ], start=1):
+    names_it = [["gennaio", "gen"], ["febbraio"], ["marzo"], ["aprile"], ["maggio", "mag"],
+                ["giugno", "giu"], ["luglio", "lug"], ["agosto"], ["settembre", "set"],
+                ["ottobre", "ott"], ["novembre"], ["dicembre"]][i - 1]
+    names = list(names) + names_it
     for n in names:
         MONTH_NAMES[n] = i
 _MONTH_ANY = "|".join(sorted(MONTH_NAMES, key=len, reverse=True))
-_TEXTUAL_DMY = re.compile(rf"^(\d{{1,2}})\s+({_MONTH_ANY})\.?\s+(\d{{4}})$", re.I)
+_TEXTUAL_DMY = re.compile(rf"^(\d{{1,2}})\.?\s+({_MONTH_ANY})\.?\s+(\d{{4}})$", re.I)
 _TEXTUAL_MDY = re.compile(rf"^({_MONTH_ANY})\.?\s+(\d{{1,2}}),?\s+(\d{{4}})$", re.I)
+# textual month with -, / or . separators, 2- or 4-digit year:
+# 'd-MMM-yyyy', '22/Mar/99', 'Mar.22.1999'
+_TEXTUAL_D_M_Y = re.compile(
+    rf"^(\d{{1,2}})([-/.])({_MONTH_ANY})\2(\d{{2}}|\d{{4}})$", re.I)
+_TEXTUAL_M_D_Y = re.compile(
+    rf"^({_MONTH_ANY})([-/.])(\d{{1,2}})\2(\d{{2}}|\d{{4}})$", re.I)
+
+# weekday names (en/fr/de/es/it + English abbreviations) — the EEEE/EEE
+# decoration
+WEEKDAY_NAMES = frozenset(
+    "monday tuesday wednesday thursday friday saturday sunday "
+    "mon tue wed thu fri sat sun "
+    "lundi mardi mercredi jeudi vendredi samedi dimanche "
+    "montag dienstag mittwoch donnerstag freitag samstag sonntag "
+    "lunes martes miércoles miercoles jueves viernes sábado sabado domingo "
+    "lunedì lunedi martedì martedi mercoledì mercoledi giovedì giovedi "
+    "venerdì venerdi sabato domenica".split()
+)
+_WEEKDAY_ANY = "|".join(sorted(WEEKDAY_NAMES, key=len, reverse=True))
+_WEEKDAY_PREFIX_RE = re.compile(rf"^(?:{_WEEKDAY_ANY}),?\s+", re.I)
+_CJK_DATE_RE = re.compile(r"^(\d{4})年(\d{1,2})月(\d{1,2})日(?:\s*星期[一二三四五六日天])?$")
+# unix ctime: 'Mon Mar 22 05:06:07 CET 1999'
+_CTIME_RE = re.compile(
+    rf"^(?:{_WEEKDAY_ANY}) ({_MONTH_ANY}) (\d{{1,2}}) (\d{{2}}:\d{{2}}:\d{{2}}) [A-Z]{{2,5}} (\d{{4}})$",
+    re.I)
+# trailing zone-id / offset decorations on date(-time) values
+_ZONE_ID_RE = re.compile(r"\[\w+(?:/\w+)*\]$")
+_TRAIL_OFFSET_RE = re.compile(r"(?:[+-]\d{2}(?::?\d{2})?|Z)$")
+_ORDINAL_DATE_RE = re.compile(r"^(\d{4})-(\d{3})$")
+_ISO_WEEK_RE = re.compile(r"^(\d{4})-?W(\d{2})-?(\d)$")
 
 # (compiled prefilter regex, strptime format) — ordered frequent-first.
 DATE_PATTERNS: list[tuple[re.Pattern, str, str]] = [
@@ -75,6 +109,23 @@ DATE_PATTERNS: list[tuple[re.Pattern, str, str]] = [
     (re.compile(r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2}$"), "%m/%d/%Y %H:%M:%S", "M/d/yyyy HH:mm:ss"),
     (re.compile(r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2} [AP]M$", re.I), "%m/%d/%Y %I:%M:%S %p", "M/d/yyyy hh:mm:ss a"),
     (re.compile(r"^\d{4}-\d{2}-\d{2} AD$"), "__era__", "yyyy-MM-dd G"),
+    # two-digit-year SHORT-style forms (DateSampleTable groups). The
+    # reference supports the PADDED EU dd/MM/yy but documents non-padded
+    # d/M/yy as unsupported (ListOfInvalidDates '26/1/69') — the \d{2}
+    # quantifiers preserve exactly that split.
+    (re.compile(r"^\d{2}/\d{2}/\d{2}$"), "%d/%m/%y", "dd/MM/yy"),
+    (re.compile(r"^\d{2}-\d{2}-\d{2}$"), "%y-%m-%d", "yy-MM-dd"),
+    (re.compile(r"^\d{2}/\d{2}/\d{2}$"), "%y/%m/%d", "yy/MM/dd"),
+    (re.compile(r"^\d{2}-\d{1,2}-\d{1,2}$"), "%y-%m-%d", "yy-M-d"),
+    (re.compile(r"^\d{2}\.\d{2}\.\d{2}$"), "%y.%m.%d", "yy.MM.dd"),
+    (re.compile(r"^\d{1,2}-\d{1,2}-\d{2}$"), "%m-%d-%y", "M-d-yy"),
+    (re.compile(r"^\d{1,2}-\d{1,2}-\d{2}$"), "%d-%m-%y", "d-M-yy"),
+    (re.compile(r"^\d{2}\.\d{1,2}\.\d{1,2}$"), "%y.%m.%d", "yy.M.d"),
+    (re.compile(r"^\d{2}\.\d{1,2}\.\d{1,2}$"), "%y.%d.%m", "yy.d.M"),
+    (re.compile(r"^\d{4}\.\d{1,2}\.\d{1,2}$"), "%Y.%d.%m", "yyyy.d.M"),
+    (re.compile(r"^\d{2}\. \d{1,2}\. \d{1,2}$"), "%y. %m. %d", "yy. M. d"),
+    (re.compile(r"^\d{4}\. \d{1,2}\. \d{1,2}$"), "%Y. %m. %d", "yyyy. M. d"),
+    (re.compile(r"^\d{1,2}\.\d{1,2}\.\d{4}$"), "%m.%d.%Y", "M.d.yyyy"),
 ]
 
 TIME_PATTERNS: list[tuple[re.Pattern, str, str]] = [
@@ -84,7 +135,7 @@ TIME_PATTERNS: list[tuple[re.Pattern, str, str]] = [
     (re.compile(r"^\d{1,2}:\d{2}\s*[ap]m$", re.I), "%I:%M %p", "h:mm a"),
 ]
 
-_DATE_CHARS = re.compile(r"^[\w\s:/.,\-+'TZ]+$", re.UNICODE)
+_DATE_CHARS = re.compile(r"^[\w\s:/.,\-+'TZ\[\]]+$", re.UNICODE)
 
 
 def _precheck(v: str) -> bool:
@@ -94,8 +145,15 @@ def _precheck(v: str) -> bool:
 
 
 def _try_textual(v: str) -> str | None:
-    """Multi-language textual month forms: 'd MONTH yyyy' / 'MONTH d yyyy'."""
+    """Multi-language textual month forms: 'd MONTH yyyy' / 'MONTH d yyyy'
+    / 'd-MMM-yyyy' plus the CJK yyyy年M月d日 form."""
     from datetime import date
+
+    def pivot(year: str) -> int:  # strptime %y pivot: 69 → 1969, 68 → 2068
+        y = int(year)
+        if len(year) == 4:
+            return y
+        return 2000 + y if y < 69 else 1900 + y
 
     for rx, name, order in ((_TEXTUAL_DMY, "d MMMM yyyy", "dmy"),
                             (_TEXTUAL_MDY, "MMMM d yyyy", "mdy")):
@@ -107,18 +165,47 @@ def _try_textual(v: str) -> str | None:
             if month is None:
                 continue
             try:
-                date(int(year), month, int(day))
+                date(pivot(year), month, int(day))
                 return name
             except ValueError:
                 continue
+    for rx, order in ((_TEXTUAL_D_M_Y, "dmy"), (_TEXTUAL_M_D_Y, "mdy")):
+        m = rx.match(v)
+        if m:
+            g = m.groups()  # (a, sep, b, year)
+            day, mon = (g[0], g[2]) if order == "dmy" else (g[2], g[0])
+            month = MONTH_NAMES.get(mon.lower())
+            if month is None:
+                continue
+            try:
+                date(pivot(g[3]), month, int(day))
+                ml = "MMM" if len(mon) <= 3 else "MMMM"
+                yl = "yyyy" if len(g[3]) == 4 else "yy"
+                sep = g[1]
+                return (f"d{sep}{ml}{sep}{yl}" if order == "dmy" else f"{ml}{sep}d{sep}{yl}")
+            except ValueError:
+                continue
+    m = _CJK_DATE_RE.match(v)
+    if m:
+        try:
+            date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+            return "yyyy'年'M'月'd'日'"
+        except ValueError:
+            pass
+    m = _ORDINAL_DATE_RE.match(v)
+    if m and 1 <= int(m.group(2)) <= 366:
+        return "yyyy-DDD"
+    m = _ISO_WEEK_RE.match(v)
+    if m and 1 <= int(m.group(2)) <= 53 and 1 <= int(m.group(3)) <= 7:
+        return "YYYY'W'wc" if "-" not in v else "YYYY-'W'w-c"
     return None
 
 
-@lru_cache(maxsize=65536)
-def date_pattern_of(v: str) -> str | None:
-    """Return the matched date pattern name (Java-style), or None."""
-    if not _precheck(v):
-        return None
+def _date_core(v: str) -> str | None:
+    if v.endswith(".") and re.match(r"^\d", v):  # Hungarian-style '1999.03.22.'
+        inner = _date_core(v[:-1])
+        if inner is not None and "." in inner:
+            return inner + "."
     for rx, fmt, name in DATE_PATTERNS:
         if rx.match(v):
             if fmt == "__era__":
@@ -138,6 +225,65 @@ def date_pattern_of(v: str) -> str | None:
     return _try_textual(v)
 
 
+@lru_cache(maxsize=65536)
+def date_pattern_of(v: str) -> str | None:
+    """Return the matched date pattern name (Java-style), or None.
+
+    Composition mirrors the reference's 253-group inventory
+    (DateRegexesGrouped.txt): [weekday] DATE-CORE [TIME-TAIL], where the
+    weekday decoration is a multilingual EEEE token and the time tail is
+    anything ``time_pattern_of`` accepts (itself decoration-aware)."""
+    if not _precheck(v):
+        return None
+    s = v.strip()
+    suffix = ""
+    m = _ZONE_ID_RE.search(s)
+    if m:  # '…[Europe/Paris]' zone-id decoration
+        s = s[: m.start()].rstrip()
+        suffix = " VV"
+    # comma decimal fraction (',SSS' groups) → dot, leaving list commas alone
+    s = re.sub(r"(\d),(\d{3})(?=\D|$)", r"\1.\2", s)
+    m = _CTIME_RE.match(s)
+    if m:
+        from datetime import date as _date
+
+        month = MONTH_NAMES.get(m.group(1).lower())
+        try:
+            if month:
+                _date(int(m.group(4)), month, int(m.group(2)))
+                if time_pattern_of(m.group(3)):
+                    return "EEE MMM dd HH:mm:ss z yyyy"
+        except ValueError:
+            pass
+    prefix = ""
+    m = _WEEKDAY_PREFIX_RE.match(s)
+    if m:
+        s = s[m.end():]
+        prefix = "EEEE "
+    core = _date_core(s)
+    if core is not None:
+        return prefix + core + suffix
+    # bare trailing offset on a date ('19990322+0100', '1999-03-22+01:00')
+    m = _TRAIL_OFFSET_RE.search(s)
+    if m and _date_core(s[: m.start()].rstrip()) is not None:
+        return prefix + _date_core(s[: m.start()].rstrip()) + " X" + suffix
+    # date + time tail (either order): find a split where both recognize
+    pos = [i for i, c in enumerate(s) if c == " "]
+    for i in pos:
+        d, t = s[:i], s[i + 1:]
+        dname = _date_core(d)
+        if dname is not None:
+            tname = time_pattern_of(t)
+            if tname is not None:
+                return f"{prefix}{dname} {tname}{suffix}"
+        dname = _date_core(t)  # time-first forms: '05:06 22/03/99'
+        if dname is not None:
+            tname = time_pattern_of(d)
+            if tname is not None:
+                return f"{prefix}{tname} {dname}{suffix}"
+    return None
+
+
 # Time decorations the reference's 46 locale patterns carry around the
 # core H:mm[:ss] (TimeSampleTable.txt): am/pm markers (incl. Chinese
 # 上午/下午), timezone names (CET/MEZ/...), o'clock / Uhr tokens, UTC
@@ -153,7 +299,7 @@ _TIME_FRH_RE = re.compile(r"^(\d{1,2}) h (\d{2})$")
 # (else '1.2.3.4' would pass)
 _TIME_CORE_RE = re.compile(
     r"^(\d{1,2}):(\d{2})(?::(\d{2})(?:\.\d{1,9})?)?$"
-    r"|^(\d{1,2})\.(\d{2})(?:\.(\d{2}))?$"
+    r"|^(\d{1,2})\.(\d{2})(?:\.(\d{2})(?:\.\d{3,9})?)?$"
 )
 
 
@@ -163,6 +309,13 @@ def time_pattern_of(v: str) -> str | None:
         return None
     s = v.strip()
     parts = []
+    if s.endswith(":"):  # locale forms with a dangling separator ('05:06:')
+        s = s[:-1]
+    m = re.search(r"\.([A-Z]{2})$", s)
+    if m and m.group(1) not in ("AM", "PM"):
+        # dot-attached locale day-period marker ('5.06.PD')
+        s = s[: m.start()]
+        parts.append("a")
     if _TIME_CJK_AMPM_RE.match(s):
         s = s[2:].strip()
         parts.append("a")
@@ -178,6 +331,11 @@ def time_pattern_of(v: str) -> str | None:
     if _TIME_TZ_RE.search(s):
         s = _TIME_TZ_RE.sub("", s).strip()
         parts.append("z")
+        m = re.search(r"\.([A-Z]{2})$", s)  # '.PD' marker was tz-shadowed
+        if m and m.group(1) not in ("AM", "PM"):
+            s = s[: m.start()]
+            if "a" not in parts:
+                parts.append("a")
     # a second am/pm may follow the tz ("5:06:07 CET AM")
     if _TIME_AMPM_RE.search(" " + s):
         s = _TIME_AMPM_RE.sub("", " " + s).strip()

@@ -167,3 +167,13 @@ def test_reference_time_sample_table_all_recognized():
             for l in open(f"{_REF}/TimeSampleTable.txt", encoding="utf-8")
             if l.strip() and not l.startswith(("#", "Sample"))]
     assert rows and all(is_time_str(v) for v in rows)
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference checkout absent")
+def test_reference_date_sample_table_all_recognized():
+    """All 253 locale date(-time) forms of DateSampleTable.txt recognize."""
+    rows = [l.rstrip("\n").split("\t")[0]
+            for l in open(f"{_REF}/DateSampleTable.txt", encoding="utf-8")
+            if l.strip() and not l.startswith(("#", "Sample"))]
+    assert len(rows) >= 250
+    assert all(is_date_str(v) for v in rows)
