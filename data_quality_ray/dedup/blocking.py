@@ -122,29 +122,47 @@ def blocked_pairs(ds, id_col: str, attr_cols: list[str], block_col: str,
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
 
 
-def record_group(ds, id_col: str, attr_cols: list[str], block_col: str,
+def record_group(ds, id_col: str, attr_cols: list[str] | None = None,
+                 block_col: str = "block_key",
                  matcher="JARO_WINKLER", threshold: float = 0.9,
-                 max_block: int = 10_000) -> pd.DataFrame:
-    """VSR grouping within blocks: scan rows in deterministic order,
-    compare to running master list, attach (gid, master_flag, score,
-    group_size) — AbstractRecordGrouping.doGroup:201-254 re-expressed as
-    ``groupby(block).map_groups``."""
+                 max_block: int = 10_000, attrs: list[tuple] | None = None,
+                 attach: str = "best", order: str = "id") -> pd.DataFrame:
+    """VSR grouping within blocks: scan rows, compare to the running
+    master list, attach (gid, master_flag, score, group_size) —
+    AbstractRecordGrouping.doGroup:201-254 / vsrMatch:253-310 re-expressed
+    as ``groupby(block).map_groups``.
+
+    - ``attrs``: [(column, matcher, weight)] weighted multi-attribute rule
+      (falls back to equally-weighted ``attr_cols`` × one ``matcher``)
+    - ``attach``: "first" = first master whose score ≥ threshold wins
+      (the reference's vsrMatch loop order — validated against its
+      incoming_customers goldens); "best" = highest-scoring master
+    - ``order``: "id" = deterministic sort by id_col; "input" = preserve
+      incoming row order (the reference's semantics; deterministic only
+      if the upstream order is)
+    """
+    rule = attrs or [(c, matcher, 1.0) for c in (attr_cols or [])]
+    wsum = sum(w for _, _, w in rule)
 
     def group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_block).reset_index(drop=True)
+        if order == "id":
+            g = g.sort_values(id_col, kind="mergesort")
+        g = g.head(max_block).reset_index(drop=True)
         masters: list[int] = []  # row indices of masters
         gid = np.empty(len(g), dtype=object)
         score = np.zeros(len(g))
         master_flag = np.zeros(len(g), dtype=bool)
-        recs = g[attr_cols].to_numpy(dtype=object)
+        cols = {c: g[c].to_numpy(dtype=object) for c, _, _ in rule}
         ids = g[id_col].to_numpy()
         for i in range(len(g)):
             best_m, best_s = None, 0.0
             for m in masters:
-                scores = [match_score(recs[i][c], recs[m][c], matcher) for c in range(len(attr_cols))]
-                s = sum(scores) / len(scores)
-                if s >= threshold and s > best_s:
+                s = sum(w * match_score(cols[c][m], cols[c][i], alg)
+                        for c, alg, w in rule) / wsum
+                if s >= threshold and (attach == "first" or s > best_s):
                     best_m, best_s = m, s
+                    if attach == "first":
+                        break
             if best_m is None:
                 masters.append(i)
                 gid[i] = ids[i]
@@ -157,8 +175,7 @@ def record_group(ds, id_col: str, attr_cols: list[str], block_col: str,
         out["gid"] = gid
         out["is_master"] = master_flag
         out["match_score"] = np.round(score, 6)
-        sizes = out.groupby("gid")["gid"].transform("size")
-        out["group_size"] = sizes
+        out["group_size"] = out.groupby("gid")["gid"].transform("size")
         return out
 
     return ds.groupby(block_col).map_groups(group, batch_format="pandas")

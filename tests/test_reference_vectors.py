@@ -177,3 +177,34 @@ def test_reference_date_sample_table_all_recognized():
             if l.strip() and not l.startswith(("#", "Sample"))]
     assert len(rows) >= 250
     assert all(is_date_str(v) for v in rows)
+
+
+_GROUPING = ("/root/reference/dataquality-record-linkage/src/test/resources/"
+             "org/talend/dataquality/record/linkage/grouping")
+
+
+@pytest.mark.skipif(not os.path.isdir(_GROUPING), reason="reference checkout absent")
+def test_reference_vsr_grouping_golden(ray_session):
+    """AbstractRecordGroupingTest.testDoGroup2 replicated on the
+    reference's own incoming_customers.txt: weighted multi-attribute VSR
+    rule (2×JARO_WINKLER(lname) + 0.8×LEVENSHTEIN(state), record
+    threshold 0.95, first-match-wins, input order) reproduces the exact
+    expected group sizes."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.blocking import record_group
+
+    rows = [l.rstrip("\n").split("|")
+            for l in open(f"{_GROUPING}/incoming_customers.txt", encoding="utf-8")]
+    items = [{"account": r[0], "lname": r[1], "state": r[6], "bk": "all"} for r in rows]
+    out = record_group(
+        rd.from_items(items), "account", block_col="bk",
+        attrs=[("lname", "JARO_WINKLER", 1.0), ("lname", "JARO_WINKLER", 1.0),
+               ("state", "LEVENSHTEIN", 0.8)],
+        threshold=0.95, attach="first", order="input",
+    ).to_pandas()
+    sizes = dict(zip(out["account"], out["group_size"]))
+    expected = {"26997914900": 5, "13700177100": 6, "12083684802": 4,
+                "13758354187": 1, "15114446900": 2}
+    for acct, exp in expected.items():
+        assert sizes[acct] == exp, (acct, sizes[acct], exp)
