@@ -208,3 +208,16 @@ def test_reference_vsr_grouping_golden(ray_session):
                 "13758354187": 1, "15114446900": 2}
     for acct, exp in expected.items():
         assert sizes[acct] == exp, (acct, sizes[acct], exp)
+
+
+def test_reference_lcs_and_hamming_vectors():
+    """LCSMatcherTest.testGetWeight (code-point semantics incl. astral
+    plane) and HammingMatcherTest identity cases."""
+    from data_quality_ray.functions.matchers import hamming_sim, lcs_sim
+
+    assert lcs_sim("abcd", "abcfg") == pytest.approx(0.6)
+    assert lcs_sim("𠀀𠀁", "𠀀𠀁我ab") == pytest.approx(0.4)
+    assert lcs_sim("malequa", "malequz") == pytest.approx(6 / 7)
+    assert hamming_sim("malequa", "malequa") == 1.0
+    assert 0.0 < hamming_sim("malequa", "malequz") < 1.0
+    assert hamming_sim(" ", " ") == 1.0
