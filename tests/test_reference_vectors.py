@@ -221,3 +221,25 @@ def test_reference_lcs_and_hamming_vectors():
     assert hamming_sim("malequa", "malequa") == 1.0
     assert 0.0 < hamming_sim("malequa", "malequz") < 1.0
     assert hamming_sim(" ", " ") == 1.0
+
+
+@pytest.mark.skipif(not os.path.isdir(_GROUPING), reason="reference checkout absent")
+def test_reference_swoosh_grouping_golden():
+    """SwooshRecordGroupingTest.testDoGroup (incoming_customers_swoosh1):
+    JARO_WINKLER on the id column at threshold 0.95 → master '1' group of
+    3, masters '2' and '7' groups of 2 (T-Swoosh queue semantics)."""
+    import pandas as pd
+
+    from data_quality_ray.dedup.swoosh import swoosh_group
+
+    rows = [l.rstrip("\n").split("|")
+            for l in open(f"{_GROUPING}/incoming_customers_swoosh1.txt", encoding="utf-8")]
+    df = pd.DataFrame({"rid": [r[0] for r in rows], "c0": [r[0] for r in rows]})
+    df["__ord"] = range(len(df))
+    out = swoosh_group(df, "__ord", ["c0"], matcher="JARO_WINKLER", threshold=0.95)
+    sizes = {}
+    for _, r in out.iterrows():
+        members = [df["rid"].iloc[i] for i in r["members"]]
+        for m in members:
+            sizes.setdefault(m, len(members))
+    assert sizes["1"] == 3 and sizes["2"] == 2 and sizes["7"] == 2
