@@ -97,6 +97,41 @@ def add_block_key(ds, defs: list[dict], out_col: str = "block_key"):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def cluster_strings(ds, col: str, block_size_threshold: int = 1000) -> pd.DataFrame:
+    """End-to-end string clustering (StringsClusterAnalyzer.java:45-120):
+    fingerprint blocking (diacritics/case/token-order-insensitive) then a
+    survived value per cluster = the most frequent original (ties → first
+    seen, the MostCommon survivorship default). Oversized blocks are
+    value-truncated (blockSizeThreshold:57,85 early-reduction analog).
+
+    → DataFrame(value, cluster_key, survived, n_values) with one row per
+    DISTINCT original value."""
+    import pandas.util as pdu  # noqa: F401  (parity import with siblings)
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[col].to_numpy(dtype=object)
+        return pd.DataFrame({
+            "value": vals,
+            "cluster_key": [fingerprint_key_one(v) for v in vals],
+        })
+
+    keyed = ds.map_batches(add_key, batch_format="pandas").to_pandas()
+    keyed["__ord"] = range(len(keyed))
+
+    def resolve(g: pd.DataFrame) -> pd.Series:
+        counts = g.groupby("value", sort=False).agg(n=("value", "size"), first=("__ord", "min"))
+        counts = counts.sort_values(["n", "first"], ascending=[False, True])
+        return pd.Series({"survived": counts.index[0], "n_values": len(counts)})
+
+    g = keyed.groupby("cluster_key", sort=True)
+    meta = g.apply(resolve, include_groups=False)
+    out = keyed.drop_duplicates("value")[["value", "cluster_key"]]
+    out = out.merge(meta, left_on="cluster_key", right_index=True)
+    # block cap: keep at most threshold distinct values per cluster
+    out = out.groupby("cluster_key", sort=False).head(block_size_threshold)
+    return out.reset_index(drop=True)
+
+
 def blocked_pairs(ds, id_col: str, attr_cols: list[str], block_col: str,
                   matcher="LEVENSHTEIN", threshold: float = 0.8,
                   weights: list[float] | None = None,

@@ -243,3 +243,29 @@ def test_reference_swoosh_grouping_golden():
         for m in members:
             sizes.setdefault(m, len(members))
     assert sizes["1"] == 3 and sizes["2"] == 2 and sizes["7"] == 2
+
+
+@pytest.mark.skipif(not os.path.isdir(_GROUPING), reason="reference checkout absent")
+def test_reference_string_clustering_golden(ray_session):
+    """StringsClusterAnalyzerTest: fingerprint clustering groups
+    'élément'/'element' with survived value 'élément' — on both the small
+    fixture and the 10k-row cluster10000.txt."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.blocking import cluster_strings
+
+    for fname, colidx in (("incoming_customers_swoosh_fingerprintkey.txt", 1),
+                          ("cluster10000.txt", 0)):
+        path = os.path.join(_GROUPING, "..", "analyzer", fname) \
+            if fname == "cluster10000.txt" else os.path.join(_GROUPING, fname)
+        if not os.path.exists(path):
+            path = os.path.join(_GROUPING, fname)
+        if not os.path.exists(path):
+            continue
+        rows = [l.rstrip("\n").split("|") for l in open(path, encoding="utf-8")]
+        ds = rd.from_items([{"v": r[colidx]} for r in rows if len(r) > colidx])
+        out = cluster_strings(ds, "v")
+        el = out[out["value"].isin(["élément", "element"])]
+        assert set(el["value"]) == {"élément", "element"}
+        assert (el["survived"] == "élément").all()
+        assert el["cluster_key"].nunique() == 1
