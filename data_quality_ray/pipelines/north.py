@@ -175,8 +175,14 @@ def _phase1_task(batch: pa.Table, filtered_dir: str, validate_images: bool) -> p
 def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple = 4,
                          batch_size: int = 2048, wave_files: int = 64,
                          dedup: bool = True, validate_images: bool = True,
-                         stage_mode: str = "tasks") -> dict:
-    """Run (or resume) the full pipeline. Returns run-level metrics."""
+                         stage_mode: str = "tasks",
+                         dedup_strategy: str = "broadcast") -> dict:
+    """Run (or resume) the full pipeline. Returns run-level metrics.
+
+    ``dedup_strategy``: "broadcast" (default — winner map fits driver
+    memory; SCALE.md capacity assumption) or "shuffle" (unbounded key
+    spaces: groupby(phash).map_groups keep-first, no driver-side state).
+    """
     import ray.data as rd
 
     manifest = Manifest(out_dir)
@@ -236,6 +242,17 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             })
 
     totals = manifest.totals()
+    if dedup and dedup_strategy == "shuffle":
+        from ..dedup.exact import dedup_by_key
+
+        final_dir = os.path.join(out_dir, "final")
+        shutil.rmtree(final_dir, ignore_errors=True)
+        survivors = rd.read_parquet(filtered_dir).map_batches(_surviving, batch_format="pyarrow")
+        deduped = dedup_by_key(survivors, key="phash", order_col="image_id",
+                               strategy="map_groups")
+        deduped.write_parquet(final_dir, **_PAYLOAD_WRITE_ARGS)
+        totals["final_rows"] = rd.read_parquet(final_dir).count()
+        return totals
     if dedup:
         # winners for fragments committed in PREVIOUS runs (resume path):
         # read their key columns only, merge into the winner partials

@@ -89,3 +89,21 @@ def test_partial_resume_reprocesses_only_missing(north_run, f1_dir):
     assert stats2["n_rows"] == stats["n_rows"]
     assert stats2["final_rows"] == stats["final_rows"]
     assert stats2["rule_hits"] == stats["rule_hits"]
+
+
+def test_shuffle_dedup_strategy_matches_broadcast(north_run, f1_dir, tmp_path):
+    """dedup_strategy='shuffle' (unbounded-key-space path) produces the
+    identical final row set as the default broadcast-winner path."""
+    import ray.data as rd
+
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    out_b, stats_b = north_run
+    out_s = str(tmp_path / "shuffle")
+    stats_s = run_quality_pipeline(f1_dir, out_s, concurrency=2, batch_size=256,
+                                   wave_files=2, dedup_strategy="shuffle")
+    assert stats_s["final_rows"] == stats_b["final_rows"]
+    a = rd.read_parquet(out_b + "/final").to_pandas().sort_values("image_id")
+    b = rd.read_parquet(out_s + "/final").to_pandas().sort_values("image_id")
+    assert (a["image_id"].to_numpy() == b["image_id"].to_numpy()).all()
+    assert (a["caption"].to_numpy() == b["caption"].to_numpy()).all()
