@@ -269,3 +269,17 @@ def test_reference_string_clustering_golden(ray_session):
         assert set(el["value"]) == {"élément", "element"}
         assert (el["survived"] == "élément").all()
         assert el["cluster_key"].nunique() == 1
+
+
+def test_reference_chronology_conversion_vectors():
+    """DateCalendarConverterTest constants: ISO 1996-10-29 equals Hijrah
+    1417-06-16, Minguo 85-10-29, ThaiBuddhist 2539-10-29, Heisei 8-10-29."""
+    from datetime import date
+
+    from data_quality_ray.functions import chronology as CH
+
+    d = date(1996, 10, 29)
+    assert CH.to_islamic(d) == (1417, 6, 16)
+    assert CH.to_minguo(d) == (85, 10, 29)
+    assert CH.to_thai_buddhist(d) == (2539, 10, 29)
+    assert CH.to_japanese(d) == ("Heisei", 8, 10, 29)
