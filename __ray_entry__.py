@@ -75,6 +75,20 @@ def quality_filter_images(sf_dir: str):
     )
 
 
+def image_features(sf_dir: str):
+    """Multimodal feature extraction (decode → mean RGB, luminance stats,
+    histogram, phash recompute) over the image table — rows-only check;
+    per-pixel correctness is gated in tests/test_image_ops.py."""
+    import ray.data as rd
+
+    from data_quality_ray.stages.image_ops import extract_image_features
+
+    ds = rd.read_parquet(_image_fixture(sf_dir))
+    return extract_image_features(ds, concurrency=4).select_columns(
+        ["image_id", "lum_mean", "lum_std", "phash_recomputed"]
+    )
+
+
 def phash_dedup_images(sf_dir: str):
     """phash-keyed exact near-dup collapse on the image table."""
     import ray.data as rd
@@ -129,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": Q.simhash_docs,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
+        "image_features": image_features,
     }
 
 
