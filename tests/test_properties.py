@@ -95,3 +95,20 @@ def test_matcher_bounds_and_symmetry(a, b):
         assert 0.0 <= s <= 1.0
         assert abs(s - M.match_score(b, a, name)) < 1e-9  # symmetric
         assert M.match_score(a, a, name) == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+def test_scrub_chain_idempotent(s):
+    """Applying the scrub chain twice equals once — a retried/reapplied
+    scrub stage must never double-rewrite (task-retry safety)."""
+    import numpy as np
+
+    from data_quality_ray.rules import scrub as S
+
+    def chain(v):
+        a = np.array([v], dtype=object)
+        return S.scrub_phone(S.scrub_ssn(S.scrub_email(S.scrub_toxic(a))))[0]
+
+    once = chain(s)
+    assert chain(once) == once
