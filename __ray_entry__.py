@@ -151,6 +151,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL — shares pattern constants with the library
 # ---------------------------------------------------------------------------
 
+_ORACLE_DIR = "/tmp/dq_oracle"
+
+
+def _ensure_oracle_artifacts() -> None:
+    """Write the deterministic side tables some oracles SELECT from:
+
+    - ``ppl_corpus.parquet`` — the perplexity LM's training sentences
+      (stages/corpus.training_sentences); the SQL re-trains the bigram
+      model from scratch and re-scores every document independently.
+
+    Idempotent (marker file); pure Python, no Ray.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    marker = os.path.join(_ORACLE_DIR, "_DONE_v1")
+    if os.path.exists(marker):
+        return
+    from data_quality_ray.stages.corpus import training_sentences
+
+    pq.write_table(pa.table({"s": pa.array(training_sentences(), type=pa.string())}),
+                   os.path.join(_ORACLE_DIR, "ppl_corpus.parquet"))
+    open(marker, "w").close()
+
+
 _STOPS = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
 from data_quality_ray.rules.scrub import DEFAULT_TLDS  # noqa: E402
 
@@ -218,8 +246,112 @@ _DBL_RE_SQL = (r"[-+]?(([0-9]+|[0-9]{1,3}(,[0-9]{3})+)(\.[0-9]*)?"
                r"|([0-9]{1,3}(\.[0-9]{3})+)(,[0-9]*)?|\.[0-9]+)([eE][-+]?[0-9]+)?%?")
 
 
+# --- langid heuristic, replicated in SQL (shares the marker sets) ----------
+
+def _langid_sql() -> str:
+    from data_quality_ray.stages.models import _LANG_MARKERS, _LANG_ORDER
+
+    marker_lists = {
+        lang: ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) for lang in _LANG_ORDER
+    }
+    score_cols = ",\n        ".join(
+        f"len(list_filter(toks, x -> list_contains([{marker_lists[lang]}], x))) AS s_{lang}"
+        for lang in _LANG_ORDER
+    )
+    # strictly-greater argmax in _LANG_ORDER (ties → earlier language), 0 → unknown
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+             length(replace(text, ' ', '')) AS nonsp,
+             regexp_extract_all(lower(text), '\\p{{L}}+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, cjk, nonsp, len(toks) AS ntok,
+        {score_cols}
+      FROM t),
+    pred AS (
+      SELECT CASE
+        WHEN text IS NULL OR text = '' THEN 'unknown'
+        WHEN cjk > 0 AND cjk * 1.0 / greatest(nonsp, 1) > 0.2 THEN 'zh'
+        WHEN ntok = 0 THEN 'unknown'
+        WHEN s_en > 0 AND s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+        WHEN s_es > 0 AND s_es >= greatest(s_fr, s_de) THEN 'es'
+        WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+        WHEN s_de > 0 THEN 'de'
+        ELSE 'unknown' END AS lang_pred
+      FROM s)
+    SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1"""
+
+
+# --- bigram-perplexity LM, re-trained and re-scored entirely in SQL --------
+
+_PPL_SQL = f"""
+WITH sents AS (
+  SELECT row_number() OVER () AS sid, s
+  FROM read_parquet('{_ORACLE_DIR}/ppl_corpus.parquet')),
+stoks AS (
+  SELECT sid, ['<s>'] || list_filter(string_split_regex(lower(s), '\\s+'), x -> x <> '') AS l
+  FROM sents),
+tx AS (SELECT sid, unnest(l) AS tok, unnest(generate_series(1, len(l))) AS i FROM stoks),
+uni AS (SELECT tok, count(*) AS c FROM tx GROUP BY 1),
+bi AS (
+  SELECT a.tok AS prev, b.tok AS w, count(*) AS c
+  FROM tx a JOIN tx b ON a.sid = b.sid AND b.i = a.i + 1 GROUP BY 1, 2),
+vt AS (SELECT count(*) + 1 AS v FROM uni),
+dt AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+dx AS (SELECT doc_id, unnest(l) AS rawtok, unnest(generate_series(1, len(l))) AS i FROM dt),
+mapped AS (
+  SELECT d.doc_id, d.i, CASE WHEN u.tok IS NULL THEN '<unk>' ELSE d.rawtok END AS tok
+  FROM dx d LEFT JOIN uni u ON u.tok = d.rawtok),
+pairs AS (
+  SELECT m.doc_id, coalesce(p.tok, '<s>') AS prev, m.tok AS w
+  FROM mapped m LEFT JOIN mapped p ON p.doc_id = m.doc_id AND p.i = m.i - 1),
+scored AS (
+  SELECT doc_id,
+         sum(ln((coalesce(bc.c, 0) + 0.1) / (coalesce(uc.c, 0) + 0.1 * (SELECT v FROM vt)))) AS lp,
+         count(*) AS n
+  FROM pairs
+  LEFT JOIN bi bc ON bc.prev = pairs.prev AND bc.w = pairs.w
+  LEFT JOIN uni uc ON uc.tok = pairs.prev
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN s.n IS NULL THEN 'infinity'::DOUBLE ELSE round(exp(-s.lp / s.n), 4) END AS ppl
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+# --- DuplicateCharEraser (whitespace default) as char-wise list ops --------
+# CRLF-unit runs are collapsed first (no backreference needed), then runs of
+# an identical whitespace char keep only their first char. Matches the
+# backref regex for every input whose whitespace runs are homogeneous (the
+# general contract is vector-tested in tests/test_reference_vectors.py).
+_DUP_WS_CLASS_SQL = (
+    "[\\s\\x{85}\\x{a0}\\x{1680}\\x{180e}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+_DUP_CHAR_SQL = f"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\\r\\n)(\\r\\n)+', chr(13) || chr(10), 'g') AS t
+  FROM documents),
+chars AS (SELECT doc_id, t, string_split(t, '') AS cs FROM pre)
+SELECT doc_id,
+       array_to_string(
+         list_filter(cs, (c, i) -> i = 1 OR c <> cs[i - 1]
+                                   OR NOT regexp_matches(c, '^{_DUP_WS_CLASS_SQL}$')),
+         '') AS collapsed
+FROM chars
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_oracle_artifacts()
     return {
+        "langid_heuristic_docs": _langid_sql(),
+        "perplexity_docs": _PPL_SQL,
+        "dup_char_collapse_docs": _DUP_CHAR_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
         "scrub_pii_docs": f"""
             SELECT doc_id,
