@@ -346,10 +346,107 @@ FROM chars
 """
 
 
+# --- SimHash recomputed bit-for-bit in SQL (md5_number_lower tokens) -------
+
+_SIMHASH_SQL = r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x <> '') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM dt),
+h AS (SELECT doc_id, md5_number_lower(tok) AS hv FROM tok),
+votes AS (
+  SELECT doc_id, t.i, sum(CASE WHEN (hv >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(0, 64) t(i) GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN s.u IS NULL THEN 0
+            WHEN s.u >= 9223372036854775808::HUGEINT
+              THEN (s.u - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE s.u::BIGINT END AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+# --- MinHash+LSH near-dup clustering, replayed end-to-end in SQL -----------
+
+def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
+                 shingle_size: int = 3, seed: int = 17) -> str:
+    from data_quality_ray.dedup.minhash import perm_coefficients
+
+    a, b = perm_coefficients(n_perm, seed)
+    params = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(n_perm))
+    rpb = n_perm // bands
+    u64 = "18446744073709551616::HUGEINT"
+    empty_key = "|".join(["18446744073709551615"] * rpb)
+    return f"""
+    WITH RECURSIVE params(p, a, b) AS (SELECT * FROM (VALUES {params})),
+    dt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+             WHEN len(toks) < {shingle_size} THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(generate_series(1, len(toks) - {shingle_size - 1}),
+                                 i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(shingle_size))})
+        END) AS gram
+      FROM dt),
+    gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+    gh AS (SELECT doc_id, md5_number_lower(gram) AS h FROM gset),
+    sig AS (
+      SELECT doc_id, p.p AS perm,
+             min((((p.a::HUGEINT * h::HUGEINT) % {u64} + p.b) % {u64})
+                 % 2305843009213693951) AS mv
+      FROM gh CROSS JOIN params p GROUP BY 1, 2),
+    bandk AS (
+      SELECT doc_id, perm // {rpb} AS band_id,
+             string_agg(mv::UBIGINT::VARCHAR, '|' ORDER BY perm) AS band_key
+      FROM sig GROUP BY 1, 2
+      UNION ALL
+      SELECT d.doc_id, t.i AS band_id, '{empty_key}' AS band_key
+      FROM dt d, range(0, {bands}) t(i) WHERE len(d.toks) = 0),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandk x JOIN bandk y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    gcnt AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY 1),
+    pair_inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN gset ga ON ga.doc_id = c.id_a
+      JOIN gset gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      LEFT JOIN pair_inter pi USING (id_a, id_b)
+      LEFT JOIN gcnt na ON na.doc_id = c.id_a
+      LEFT JOIN gcnt nb ON nb.doc_id = c.id_b
+      WHERE CASE WHEN coalesce(na.n, 0) = 0 AND coalesce(nb.n, 0) = 0 THEN true
+            ELSE coalesce(pi.inter, 0) * 1.0 /
+                 greatest(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(pi.inter, 0), 1)
+                 >= {threshold} END),
+    nodes AS (SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified),
+    edges AS (SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    cc(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id)
+    SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
         "langid_heuristic_docs": _langid_sql(),
+        "simhash_docs": _SIMHASH_SQL,
+        "minhash_neardup_docs": _minhash_sql(),
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,

@@ -79,16 +79,24 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
         .aggregate(Min(order_col, alias_name="__win"))
         .to_pandas()
     )
-    win_ref = ray.put(set(zip(winners[key], winners["__win"])))
+    # sorted winner ARRAYS (not a set of tuples): numpy arrays ride the
+    # object store zero-copy and membership is a vectorized searchsorted —
+    # the same kernel as the flagship's _dedup_phase (pipelines/north.py)
+    worder = np.argsort(winners[key].to_numpy(), kind="mergesort")
+    wk = winners[key].to_numpy()[worder]
+    wo = winners["__win"].to_numpy()[worder]
+    win_ref = ray.put((wk, wo))
 
     from ..functions.broadcast import cached_get
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        wins = cached_get(win_ref)  # deserialized once per worker process
+        wkeys, worders = cached_get(win_ref)  # deserialized once per worker process
+        if len(wkeys) == 0:
+            return batch.slice(0, 0)
         keys = batch[key].to_numpy(zero_copy_only=False)
         orders = batch[order_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(((k, o) in wins for k, o in zip(keys, orders)),
-                           dtype=bool, count=len(keys))
+        pos = np.clip(np.searchsorted(wkeys, keys), 0, len(wkeys) - 1)
+        mask = (wkeys[pos] == keys) & (worders[pos] == orders)
         return batch.filter(pa.array(mask))
 
     return pre_ds.map_batches(keep_winners, batch_format="pyarrow")

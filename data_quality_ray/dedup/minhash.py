@@ -4,106 +4,181 @@ Pipeline shape (the canonical web-scale text-dedup recipe):
   1. shingle each doc (word n-grams) and minhash → signature of
      ``n_perm`` 64-bit minima, per batch, vectorized;
   2. split the signature into ``bands``; explode to one row per
-     (band_id, band_hash, doc_id);
+     (band_id, band_key, doc_id);
   3. ``groupby(["band_id", "band_hash"])`` — the only shuffle; docs
      sharing any band bucket are candidate pairs;
   4. verify candidates with exact shingle-set Jaccard;
-  5. connected components via iterated min-label propagation
-     (groupby rounds) → cluster id per doc; keep min doc per cluster.
+  5. connected components → cluster id per doc (min id of the
+     component); keep min doc per cluster.
 
 Reference precedent: blocking-key dedup (genkey/BlockingKeyHandler.java)
-with the band hash as the generated key; the per-group "first wins"
+with the band key as the generated key; the per-group "first wins"
 mirrors master-record selection in AbstractRecordGrouping.java:201-254.
 
-Hashing uses deterministic SipHash (pandas.util.hash_array) + the standard
-(a·h + b mod p) permutation family with a seeded generator, so results are
-partition-count independent and reproducible.
+Scale defaults: ``candidate_pairs(strategy="auto")`` collects the band
+table only while it is provably small (row-count check on the
+materialized band table) and otherwise shuffles; components go through
+driver union-find only for small verified-pair sets and otherwise through
+distributed iterated min-label propagation (``distributed_components``).
+
+Hashing: ``hash_fn="stable"`` (SipHash via pandas.util.hash_array, the
+fast default) or ``hash_fn="md5"`` (low half of md5 == DuckDB's
+``md5_number_lower``), which makes the whole pipeline — signatures, band
+keys, candidates, Jaccard verification, components — reproducible in SQL
+for the driver's correctness oracle. Permutations are the standard
+(a·h + b) mod p family over a seeded generator; arithmetic wraps mod 2^64
+(numpy uint64) before the Mersenne-prime mod, and the oracle replicates
+that exactly with HUGEINT math.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 
-from ..profiling.sketches import stable_hash64
+from ..profiling.sketches import HASH64
 
 _P = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+_U64_MAX = np.iinfo(np.uint64).max
+
+
+def perm_coefficients(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation constants — exposed so the SQL oracle can
+    embed the identical values."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_strings(text: str | None, k: int) -> list[str]:
+    toks = (text or "").lower().split()
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
 class MinHasher:
-    def __init__(self, n_perm: int = 64, shingle_size: int = 3, seed: int = 17):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
-        self.b = rng.randint(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    def __init__(self, n_perm: int = 64, shingle_size: int = 3, seed: int = 17,
+                 hash_fn: str = "stable"):
+        self.a, self.b = perm_coefficients(n_perm, seed)
         self.n_perm = n_perm
         self.shingle_size = shingle_size
+        self.hash = HASH64[hash_fn]
 
     def shingles(self, text: str) -> np.ndarray:
-        toks = text.lower().split()
-        k = self.shingle_size
-        if len(toks) < k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        return stable_hash64(np.array(grams, dtype=object)) if grams else np.empty(0, dtype=np.uint64)
+        grams = shingle_strings(text, self.shingle_size)
+        return self.hash(np.array(grams, dtype=object)) if grams else np.empty(0, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        h = self.shingles(text)
-        if len(h) == 0:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*h + b) mod p for each permutation — vectorized outer product
-        vals = (np.multiply.outer(self.a, h) + self.b[:, None]) % _P
-        return vals.min(axis=1)
+        return self.signatures_batch([text])[0]
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_rows × n_perm) signatures with ONE hash call over the
+        batch's unique shingles (shingles repeat heavily across docs);
+        per-row minima via ``np.minimum.reduceat`` on row boundaries."""
+        gram_lists = [shingle_strings(t, self.shingle_size) for t in texts]
+        counts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+        n = len(gram_lists)
+        out = np.full((n, self.n_perm), _U64_MAX, dtype=np.uint64)
+        if counts.sum() == 0:
+            return out
+        flat = np.array([g for gl in gram_lists for g in gl], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = self.hash(uniq)
+        # (n_perm × n_uniq) permuted values; wraparound mod 2^64 then mod p
+        perm_vals = (np.multiply.outer(self.a, h) + self.b[:, None]) % _P
+        flat_vals = perm_vals[:, inv]  # n_perm × n_flat, in row order
+        nonempty = counts > 0
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nonempty]
+        mins = np.minimum.reduceat(flat_vals, starts, axis=1)  # n_perm × n_nonempty
+        out[nonempty] = mins.T
+        return out
+
+
+@lru_cache(maxsize=8)
+def _cached_hasher(n_perm: int, shingle_size: int, seed: int, hash_fn: str) -> MinHasher:
+    return MinHasher(n_perm, shingle_size, seed, hash_fn)
 
 
 def minhash_bands(ds, id_col: str, text_col: str, n_perm: int = 64, bands: int = 16,
-                  shingle_size: int = 3, seed: int = 17):
-    """Stage 1+2: Dataset of (band_id, band_hash, id) rows."""
+                  shingle_size: int = 3, seed: int = 17, hash_fn: str = "stable"):
+    """Stage 1+2: Dataset of (band_id, band_hash, id) rows.
+
+    band_hash is a 64-bit re-hash of the signature slice in "stable" mode
+    (compact shuffle key), and the raw "v|v|v|v" slice string in "md5"
+    mode (lets the SQL oracle reproduce the bucket key verbatim)."""
     rows_per_band = n_perm // bands
 
     class Sign:
         def __init__(self):
-            self.mh = MinHasher(n_perm, shingle_size, seed)
+            self.mh = _cached_hasher(n_perm, shingle_size, seed, hash_fn)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = [self.mh.signature(t or "") for t in batch[text_col]]
-            # ONE vectorized hash call per batch (per-row calls to the
-            # SipHash kernel have ~100µs fixed cost each)
+            sigs = self.mh.signatures_batch(batch[text_col].to_numpy(dtype=object))
             band_strs = np.array(
                 ["|".join(map(str, sig[b * rows_per_band : (b + 1) * rows_per_band]))
                  for sig in sigs for b in range(bands)],
                 dtype=object,
             )
-            hashes = stable_hash64(band_strs).astype(np.int64)
+            keys = band_strs if hash_fn == "md5" else HASH64["stable"](band_strs).astype(np.int64)
             return pd.DataFrame({
                 "band_id": np.tile(np.arange(bands), len(sigs)),
-                "band_hash": hashes,
+                "band_hash": keys,
                 id_col: np.repeat(batch[id_col].to_numpy(), bands),
             })
 
     return ds.map_batches(Sign, batch_format="pandas", batch_size=1024, concurrency=(2, 8))
 
 
-def candidate_pairs(band_ds, id_col: str, strategy: str = "collect") -> pd.DataFrame:
+# band tables below this row count are collected to the driver (3 small
+# columns per row); larger ones pair up via the shuffle path
+COLLECT_MAX_BAND_ROWS = 2_000_000
+
+
+def candidate_pairs(band_ds, id_col: str, strategy: str = "auto") -> pd.DataFrame:
     """Stage 3: docs sharing a (band_id, band_hash) bucket → unique pairs.
 
-    - "collect" (default): the band table is 2 ints + an id per (doc,
-      band) — tiny relative to the corpus — so collect it and pair with a
-      vectorized pandas self-merge on the duplicated buckets. Right up to
-      ~1e8 band rows.
-    - "shuffle": ``groupby(band).map_groups`` — no driver-side state, for
-      corpora whose band table itself is too big for one node. Slower at
-      small scale (a Python callback per mostly-singleton bucket).
+    - "auto" (default): materialize the band table (tiny rows), check its
+      size, and pick collect vs shuffle — the scale-safe default.
+    - "collect": driver-side pandas self-merge on duplicated buckets.
+    - "shuffle": ``groupby(band).map_groups`` over hash buckets of band
+      keys — no driver-side state; for corpora whose band table is too
+      big for one node. Bucketing keeps the Python callback per hash
+      bucket (vectorized pandas inside), not per tiny band group.
     """
-    if strategy == "shuffle":
-        def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            ids = sorted(g[id_col].unique())
-            if len(ids) < 2:
-                return pd.DataFrame({"id_a": [], "id_b": []})
-            a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))])
-            return pd.DataFrame({"id_a": a, "id_b": b})
+    if strategy == "auto":
+        band_ds = band_ds.materialize()
+        strategy = "collect" if band_ds.count() <= COLLECT_MAX_BAND_ROWS else "shuffle"
 
-        out = band_ds.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    if strategy == "shuffle":
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            import pandas.util as pdu
+
+            h = pdu.hash_array(b["band_hash"].to_numpy()) ^ pdu.hash_array(
+                b["band_id"].to_numpy())
+            b["__bucket"] = (h % 64).astype("int64")
+            return b
+
+        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop_duplicates(["band_id", "band_hash", id_col])
+            dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+            if dup.empty:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            m = dup.merge(dup, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            return m[[f"{id_col}_a", f"{id_col}_b"]].rename(
+                columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}).drop_duplicates()
+
+        out = (
+            band_ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+        )
         return out.to_pandas().drop_duplicates().reset_index(drop=True)
 
     pdf = band_ds.to_pandas()
@@ -117,36 +192,18 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "collect") -> pd.DataF
     return out.drop_duplicates().reset_index(drop=True)
 
 
-def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
-    mh = MinHasher(shingle_size=shingle_size)
+def jaccard(text_a: str, text_b: str, shingle_size: int = 3, hash_fn: str = "stable") -> float:
+    mh = _cached_hasher(64, shingle_size, 17, hash_fn)
     sa, sb = set(mh.shingles(text_a or "").tolist()), set(mh.shingles(text_b or "").tolist())
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
-                  n_perm: int = 64, bands: int = 16, shingle_size: int = 3,
-                  seed: int = 17) -> pd.DataFrame:
-    """Full near-dup pass → DataFrame(id, cluster) for docs in near-dup
-    clusters (verified Jaccard ≥ threshold). Candidate verification needs
-    the texts: the text lookup is broadcast for the candidate subset only
-    (candidates ≪ corpus at scale)."""
-    bands_ds = minhash_bands(ds, id_col, text_col, n_perm, bands, shingle_size, seed)
-    pairs = candidate_pairs(bands_ds, id_col)
-    if pairs.empty:
-        return pd.DataFrame({id_col: [], "cluster": []})
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    texts = (
-        ds.map_batches(lambda b: b[b[id_col].isin(cand_ids)][[id_col, text_col]], batch_format="pandas")
-        .to_pandas().set_index(id_col)[text_col].to_dict()
-    )
-    keep = [
-        jaccard(texts.get(a, ""), texts.get(b, ""), shingle_size) >= threshold
-        for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    verified = pairs[np.array(keep, dtype=bool)]
-    # union-find on the (small) verified pair set
+def union_find_components(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find → (id, cluster=min id of component). For
+    small verified-pair sets; the distributed path is
+    ``distributed_components``."""
     parent: dict = {}
 
     def find(x):
@@ -155,9 +212,138 @@ def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
             x = parent[x]
         return x
 
-    for a, b in zip(verified["id_a"], verified["id_b"]):
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     members = sorted(parent)
-    return pd.DataFrame({id_col: members, "cluster": [find(m) for m in members]})
+    return pd.DataFrame({"id": members, "cluster": [find(m) for m in members]})
+
+
+def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64) -> pd.DataFrame:
+    """Connected components by iterated min-label propagation over Ray
+    Dataset rounds — no driver-side union-find. Each round is one shuffle:
+    edge messages (dst ← label[src]) union'd with current labels, then a
+    hash-bucketed pandas min-groupby (never a Python callback per tiny
+    group). Converges in O(component diameter) rounds; near-dup clusters
+    are shallow. Returns (id, cluster). Labels stay distributed between
+    rounds; only the per-round change count hits the driver.
+    """
+    import ray.data as rd
+
+    edges = pairs_ds if not isinstance(pairs_ds, pd.DataFrame) else rd.from_pandas(pairs_ds)
+    # undirected: keep both directions as (src, dst)
+    both = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "src": np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()]),
+            "dst": np.concatenate([b["id_b"].to_numpy(), b["id_a"].to_numpy()]),
+        }),
+        batch_format="pandas",
+    ).materialize()
+    labels = both.map_batches(
+        lambda b: pd.DataFrame({"id": b["src"].unique()}).assign(lbl=lambda d: d["id"]),
+        batch_format="pandas",
+    )
+
+    def add_bucket(col):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            import pandas.util as pdu
+
+            b = b.copy()
+            b["__bucket"] = (pdu.hash_array(b[col].to_numpy()) % n_buckets).astype("int64")
+            return b
+
+        return f
+
+    for _ in range(max_iter):
+        # join edges with labels on src (bucketed repartition join), emit
+        # candidate labels for dst, min-combine with current labels.
+        # Rows are (key, val, tag): tag 0 = edge (val=dst), 1 = label
+        # (val=lbl) — one schema, no NaN dtype churn.
+        tagged_e = both.map_batches(
+            lambda b: pd.DataFrame({"key": b["src"], "val": b["dst"],
+                                    "tag": np.zeros(len(b), dtype=np.int8)}),
+            batch_format="pandas")
+        tagged_l = labels.map_batches(
+            lambda b: pd.DataFrame({"key": b["id"], "val": b["lbl"],
+                                    "tag": np.ones(len(b), dtype=np.int8)}),
+            batch_format="pandas")
+
+        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            lbl = g[g["tag"] == 1][["key", "val"]]
+            edg = g[g["tag"] == 0][["key", "val"]]
+            m = edg.merge(lbl, on="key", suffixes=("_dst", "_lbl"))
+            return pd.DataFrame({"id": m["val_dst"], "lbl": m["val_lbl"]})
+
+        msgs = (
+            tagged_e.union(tagged_l)
+            .map_batches(add_bucket("key"), batch_format="pandas")
+            .groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+        )
+
+        def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("id", as_index=False).agg(new=("lbl", "min"))
+            old = g[g["tag"] == 1][["id", "lbl"]].rename(columns={"lbl": "old"})
+            return agg.merge(old, on="id")
+
+        merged = (
+            labels.map_batches(
+                lambda b: pd.DataFrame({"id": b["id"], "lbl": b["lbl"],
+                                        "tag": np.ones(len(b), dtype=np.int8)}),
+                batch_format="pandas")
+            .union(msgs.map_batches(
+                lambda b: pd.DataFrame({"id": b["id"], "lbl": b["lbl"],
+                                        "tag": np.zeros(len(b), dtype=np.int8)}),
+                batch_format="pandas"))
+            .map_batches(add_bucket("id"), batch_format="pandas")
+            .groupby("__bucket").map_groups(min_bucket, batch_format="pandas")
+        ).materialize()
+        changed = merged.map_batches(
+            lambda b: pd.DataFrame({"c": [int((b["new"] < b["old"]).sum())]}),
+            batch_format="pandas").sum("c")
+        labels = merged.map_batches(
+            lambda b: pd.DataFrame({"id": b["id"], "lbl": b["new"]}), batch_format="pandas")
+        if not changed:
+            break
+    out = labels.to_pandas()
+    return pd.DataFrame({"id": out["id"], "cluster": out["lbl"].astype(out["id"].dtype)}
+                        ).sort_values("id").reset_index(drop=True)
+
+
+# verified-pair sets larger than this go through distributed_components
+UNION_FIND_MAX_PAIRS = 5_000_000
+
+
+def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
+                  n_perm: int = 64, bands: int = 16, shingle_size: int = 3,
+                  seed: int = 17, hash_fn: str = "stable",
+                  strategy: str = "auto") -> pd.DataFrame:
+    """Full near-dup pass → DataFrame(id, cluster) for docs in near-dup
+    clusters (verified Jaccard ≥ threshold). Candidate verification needs
+    the texts: the text lookup is broadcast for the candidate subset only
+    (candidates ≪ corpus at scale)."""
+    bands_ds = minhash_bands(ds, id_col, text_col, n_perm, bands, shingle_size, seed, hash_fn)
+    pairs = candidate_pairs(bands_ds, id_col, strategy=strategy)
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster": []})
+    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    texts = (
+        ds.map_batches(lambda b: b[b[id_col].isin(cand_ids)][[id_col, text_col]], batch_format="pandas")
+        .to_pandas().set_index(id_col)[text_col].to_dict()
+    )
+    mh = _cached_hasher(64, shingle_size, 17, hash_fn)
+    shingle_sets = {i: set(mh.shingles(t or "").tolist()) for i, t in texts.items()}
+
+    def pair_ok(a, b) -> bool:
+        sa, sb = shingle_sets.get(a, set()), shingle_sets.get(b, set())
+        if not sa and not sb:
+            return True
+        return len(sa & sb) / max(1, len(sa | sb)) >= threshold
+
+    keep = [pair_ok(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    verified = pairs[np.array(keep, dtype=bool)]
+    if len(verified) <= UNION_FIND_MAX_PAIRS:
+        comp = union_find_components(verified)
+    else:
+        comp = distributed_components(verified)
+    return comp.rename(columns={"id": id_col})

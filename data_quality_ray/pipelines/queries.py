@@ -575,10 +575,15 @@ def dup_char_collapse_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup clusters — md5-based hashing and raw band-key
+    strings so the DuckDB oracle replays signatures, banding, candidate
+    pairs, Jaccard verification and connected components exactly."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup(ds, "doc_id", "text", threshold=0.5)
+    return minhash_dedup(ds, "doc_id", "text", threshold=0.5, hash_fn="md5")
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc — md5-based token hash so the DuckDB oracle
+    can recompute every fingerprint bit-for-bit."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return add_simhash(ds, "text").to_pandas()[["doc_id", "simhash"]]
+    return add_simhash(ds, "text", hash_fn="md5").to_pandas()[["doc_id", "simhash"]]

@@ -28,6 +28,24 @@ def stable_hash64(values: np.ndarray) -> np.ndarray:
     return pdu.hash_array(np.asarray(values, dtype=object)).astype(np.uint64)
 
 
+def md5_hash64(values: np.ndarray) -> np.ndarray:
+    """64-bit hash = low half of md5, little-endian — bit-identical to
+    DuckDB's ``md5_number_lower(s)``, which is what makes the simhash /
+    minhash driver queries SQL-oracle-able. Slower than ``stable_hash64``;
+    callers memoize over unique values (tokens/shingles repeat heavily)."""
+    import hashlib
+
+    vals = np.asarray(values, dtype=object)
+    out = np.empty(len(vals), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, v in enumerate(vals):
+        out[i] = int.from_bytes(md5(v.encode("utf-8")).digest()[8:], "little")
+    return out
+
+
+HASH64 = {"stable": stable_hash64, "md5": md5_hash64}
+
+
 class HyperLogLog:
     def __init__(self, p: int = 14):
         self.p = p

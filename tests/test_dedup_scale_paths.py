@@ -1,0 +1,123 @@
+"""Parity tests for the scale-path variants of the generic dedup ops:
+the collect and shuffle candidate strategies must agree, driver
+union-find and distributed min-label propagation must agree, and the
+md5 hash mode must match DuckDB's md5_number_lower (the oracle contract).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_df(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+             "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(n):
+        base = " ".join(rng.choice(words, size=12))
+        rows.append((2 * i, base))
+        if rng.rand() < 0.3:  # planted near-dup: one word swapped
+            toks = base.split()
+            toks[rng.randint(len(toks))] = rng.choice(words)
+            rows.append((2 * i + 1, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_candidate_pairs_collect_equals_shuffle(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import candidate_pairs, minhash_bands
+
+    ds = rd.from_pandas(_docs_df()).repartition(8)
+    bands = minhash_bands(ds, "doc_id", "text").materialize()
+    a = candidate_pairs(bands, "doc_id", strategy="collect")
+    b = candidate_pairs(bands, "doc_id", strategy="shuffle")
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].to_numpy()))
+    assert key(a) == key(b)
+    assert len(a) > 0  # planted near-dups must produce candidates
+
+
+def test_union_find_equals_distributed_components(ray_session):
+    rng = np.random.RandomState(3)
+    # random graph: chains + stars + isolated pairs
+    edges = []
+    for c in range(30):
+        base = c * 50
+        ln = rng.randint(2, 8)
+        members = base + np.sort(rng.choice(40, size=ln, replace=False))
+        for u, v in zip(members, members[1:]):
+            edges.append((int(u), int(v)) if rng.rand() < 0.5 else (int(v), int(u)))
+    pairs = pd.DataFrame(edges, columns=["id_a", "id_b"])
+
+    from data_quality_ray.dedup.minhash import (
+        distributed_components, union_find_components,
+    )
+
+    uf = union_find_components(pairs).sort_values("id").reset_index(drop=True)
+    dc = distributed_components(pairs, n_buckets=8).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        uf.astype({"id": "int64", "cluster": "int64"}),
+        dc.astype({"id": "int64", "cluster": "int64"}),
+    )
+
+
+def test_minhash_dedup_md5_equals_stable_clusters(ray_session):
+    """Cluster CONTENT should agree between hash modes on planted exact
+    dups (different hash families, same verified-Jaccard semantics)."""
+    import ray.data as rd
+
+    df = _docs_df(150, seed=11)
+    dup = df.head(20).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000  # exact dups (J=1) always verify
+    ds = rd.from_pandas(pd.concat([df, dup], ignore_index=True)).repartition(4)
+
+    from data_quality_ray.dedup.minhash import minhash_dedup
+
+    for mode in ("stable", "md5"):
+        out = minhash_dedup(ds, "doc_id", "text", threshold=0.9, hash_fn=mode)
+        got = set(zip(out["doc_id"], out["cluster"]))
+        for a, b in zip(dup["doc_id"], df.head(20)["doc_id"]):
+            assert (a, b) in got, (mode, a, b)
+
+
+def test_md5_hash64_matches_duckdb():
+    import duckdb
+
+    from data_quality_ray.profiling.sketches import md5_hash64
+
+    vals = ["", "abc", "héllo wörld", "a b c", "東京", "x" * 500]
+    py = md5_hash64(np.array(vals, dtype=object))
+    con = duckdb.connect()
+    for v, h in zip(vals, py):
+        assert con.execute("select md5_number_lower(?)", [v]).fetchone()[0] == int(h)
+
+
+def test_simhash_batch_matches_scalar():
+    from data_quality_ray.dedup.simhash import simhash64, simhash64_batch
+
+    texts = ["one two three", "", None, "one one ONE oNe", "unique tokens only here"]
+    batch = simhash64_batch(texts)
+    for t, s in zip(texts, batch):
+        assert simhash64(t if t is not None else "") == int(np.uint64(np.int64(s).astype(np.uint64)))
+
+
+def test_dedup_by_key_searchsorted_winner_kernel(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_key
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, size=500),
+        "rid": np.arange(500),
+        "payload": [f"p{i}" for i in range(500)],
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    out = dedup_by_key(ds, key="k", order_col="rid").to_pandas()
+    expect = df.sort_values("rid").groupby("k", as_index=False).first()
+    assert sorted(out["rid"]) == sorted(expect["rid"])
+    # string keys hit the object-dtype searchsorted path
+    df2 = df.assign(k=df["k"].map(lambda x: f"key{x:03d}"))
+    out2 = dedup_by_key(rd.from_pandas(df2).repartition(6), key="k", order_col="rid").to_pandas()
+    assert sorted(out2["rid"]) == sorted(expect["rid"])
