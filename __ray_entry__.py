@@ -50,7 +50,8 @@ def entry() -> Any:
 
 def _image_fixture(sf_dir: str) -> str:
     """Deterministic image+caption table sized to the sf tier (north-rule
-    input_hint shape), cached under /tmp."""
+    input_hint shape), cached under /tmp. Labels include the golden
+    feature columns so every image query has a DuckDB oracle."""
     import duckdb
 
     n_docs = duckdb.sql(f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
@@ -58,7 +59,7 @@ def _image_fixture(sf_dir: str) -> str:
     out = f"/tmp/dq_ray_f1_{n}"
     from data_quality_ray.sources.fixtures import write_f1
 
-    write_f1(out, n_rows=n, seed=42)
+    write_f1(out, n_rows=n, seed=42, feature_labels=True)
     return out
 
 
@@ -160,23 +161,46 @@ def _ensure_oracle_artifacts() -> None:
     - ``ppl_corpus.parquet`` — the perplexity LM's training sentences
       (stages/corpus.training_sentences); the SQL re-trains the bigram
       model from scratch and re-scores every document independently.
+    - the F1 image fixtures (with golden label tables) for every sf tier
+      the driver may use: the image-query oracles SELECT the right
+      ``_labels.parquet`` by matching ``documents`` row count, and all
+      referenced paths must exist for DuckDB to bind the UNION.
 
-    Idempotent (marker file); pure Python, no Ray.
+    Idempotent (marker files). Fixture generation parallelizes over Ray
+    when a session is up (the driver initialises one before importing us).
     """
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from data_quality_ray.sources.fixtures import write_f1
+
     os.makedirs(_ORACLE_DIR, exist_ok=True)
     marker = os.path.join(_ORACLE_DIR, "_DONE_v1")
-    if os.path.exists(marker):
-        return
-    from data_quality_ray.stages.corpus import training_sentences
+    if not os.path.exists(marker):
+        from data_quality_ray.stages.corpus import training_sentences
 
-    pq.write_table(pa.table({"s": pa.array(training_sentences(), type=pa.string())}),
-                   os.path.join(_ORACLE_DIR, "ppl_corpus.parquet"))
-    open(marker, "w").close()
+        pq.write_table(pa.table({"s": pa.array(training_sentences(), type=pa.string())}),
+                       os.path.join(_ORACLE_DIR, "ppl_corpus.parquet"))
+        open(marker, "w").close()
+    for n in _F1_SIZES:  # sf0.001/sf0.01 → 1000; sf0.1 → 10000
+        write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
+
+
+# fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
+_F1_SIZES = (1000, 10000)
+
+
+def _f1_labels_sql(select: str) -> str:
+    """Dispatch ``select`` over the per-tier label tables: the branch whose
+    fixture size matches the current ``documents`` view is the live one."""
+    branches = " UNION ALL ".join(
+        f"SELECT * FROM (SELECT {select} FROM read_parquet('/tmp/dq_ray_f1_{n}/_labels.parquet'))"
+        f" WHERE (SELECT greatest(500, 2 * count(*)) FROM documents) = {n}"
+        for n in _F1_SIZES
+    )
+    return branches
 
 
 _STOPS = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
@@ -447,6 +471,12 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic_docs": _langid_sql(),
         "simhash_docs": _SIMHASH_SQL,
         "minhash_neardup_docs": _minhash_sql(),
+        "quality_filter_images": _f1_labels_sql(
+            "image_id, verdict, first_rule, scrubbed_caption AS caption, phash"),
+        "phash_dedup_images": "SELECT phash, min(image_id) AS image_id FROM (" +
+            _f1_labels_sql("image_id, phash") + ") GROUP BY phash",
+        "image_features": _f1_labels_sql(
+            "image_id, lum_mean, lum_std, phash_recomputed"),
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,

@@ -186,58 +186,108 @@ def generate_f1(n_rows: int, seed: int = 42, dup_fraction: float = 0.15,
     return pa.concat_tables(parts)
 
 
-def write_f1(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 8192,
-             with_labels: bool = True) -> str:
-    """Write the F1 table as a directory of parquet files (+ labels.parquet
-    alongside when requested). Idempotent: returns early if already
-    complete (a _DONE marker names rows+seed)."""
-    marker = os.path.join(out_dir, f"_DONE_{n_rows}_{seed}")
+def label_table(tbl: pa.Table, feature_labels: bool = False) -> pa.Table:
+    """Construction-time oracle labels for an F1 shard: the row-by-row
+    rule-chain oracle (rules/oracle.py) plus, when ``feature_labels``,
+    per-image golden features (luminance mean/std, recomputed phash) from
+    the decoded pixels — the independent comparison side for the driver's
+    image-query oracles."""
+    from ..pipelines.quality_filter import build_image_chain
+    from ..rules.oracle import oracle_labels
+
+    keep, first_rule, scrubbed = oracle_labels(
+        tbl["caption"].to_numpy(zero_copy_only=False), build_image_chain()
+    )
+    verdict = np.where(~keep, "DROP", np.where(first_rule != "", "CORRECTED", "KEEP"))
+    cols = {
+        "image_id": tbl["image_id"],
+        "keep": pa.array(keep),
+        "verdict": pa.array(verdict.astype(object), type=pa.string()),
+        "first_rule": pa.array(first_rule, type=pa.string()),
+        "scrubbed_caption": pa.array(scrubbed, type=pa.string()),
+        "phash": tbl["phash"],
+    }
+    if feature_labels:
+        from ..stages.image import decode, phash64
+
+        lum_w = np.array([0.299, 0.587, 0.114])
+        lum_mean, lum_std, ph = [], [], []
+        for b, f in zip(tbl["bytes"].to_numpy(zero_copy_only=False),
+                        tbl["fmt"].to_numpy(zero_copy_only=False)):
+            px = decode(b, f).astype(np.float64)
+            lum = px @ lum_w
+            lum_mean.append(round(float(lum.mean()), 4))
+            lum_std.append(round(float(lum.std()), 4))
+            ph.append(phash64(px.astype(np.uint8)))
+        cols["lum_mean"] = pa.array(lum_mean, type=pa.float64())
+        cols["lum_std"] = pa.array(lum_std, type=pa.float64())
+        cols["phash_recomputed"] = pa.array(ph, type=pa.int64())
+    return pa.table(cols)
+
+
+def _write_labels(out_dir: str, n_rows: int, seed: int, feature_labels: bool) -> None:
+    mode = "full" if feature_labels else "basic"
+    marker = os.path.join(out_dir, f"_LABELS_{n_rows}_{seed}_{mode}_v2")
     if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+        return
+    import glob as _glob
 
-    def _write_shard(start: int) -> None:
-        part = generate_f1_shard(start, min(rows_per_file, n_rows - start), seed)
-        pq.write_table(part, os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet"),
-                       row_group_size=2048)
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
 
-    starts = list(range(0, n_rows, rows_per_file))
-    try:  # parallel generation when a Ray session is up (big bench tables)
+    def one(path: str) -> pa.Table:
+        return label_table(pq.read_table(path), feature_labels)
+
+    try:  # parallel labelling when a Ray session is up
         import ray
 
-        if ray.is_initialized():
-            task = ray.remote(_write_shard)
-            ray.get([task.remote(s) for s in starts])
+        if ray.is_initialized() and len(files) > 1:
+            task = ray.remote(one)
+            parts = ray.get([task.remote(f) for f in files])
         else:
             raise ImportError
     except ImportError:
-        for s in starts:
-            _write_shard(s)
-    if with_labels:
-        table = pq.read_table(out_dir)
-        from ..pipelines.quality_filter import build_image_chain
-        from ..rules.oracle import oracle_labels
-
-        keep, first_rule, scrubbed = oracle_labels(
-            table["caption"].to_numpy(zero_copy_only=False), build_image_chain()
-        )
-        labels = pa.table(
-            {
-                "image_id": table["image_id"],
-                "keep": pa.array(keep),
-                "first_rule": pa.array(first_rule, type=pa.string()),
-                "scrubbed_caption": pa.array(scrubbed, type=pa.string()),
-            }
-        )
-        # leading underscore → ignored by pyarrow/Ray dataset discovery
-        pq.write_table(labels, os.path.join(out_dir, "_labels.parquet"))
-    try:  # optional Lance mirror (not available in this sandbox)
-        import lance  # noqa: F401
-
-        lance.write_dataset(table, os.path.join(out_dir, "images.lance"))
-    except ImportError:
-        pass
+        parts = [one(f) for f in files]
+    # leading underscore → ignored by pyarrow/Ray dataset discovery
+    pq.write_table(pa.concat_tables(parts), os.path.join(out_dir, "_labels.parquet"))
     open(marker, "w").close()
+
+
+def write_f1(out_dir: str, n_rows: int, seed: int = 42, rows_per_file: int = 8192,
+             with_labels: bool = True, feature_labels: bool = False) -> str:
+    """Write the F1 table as a directory of parquet files (+ _labels.parquet
+    alongside when requested). Idempotent: image shards and the label file
+    carry independent marker files, so label schema upgrades never force
+    an image regeneration (the big bench fixtures stay cached)."""
+    marker = os.path.join(out_dir, f"_DONE_{n_rows}_{seed}")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+
+        def _write_shard(start: int) -> None:
+            part = generate_f1_shard(start, min(rows_per_file, n_rows - start), seed)
+            pq.write_table(part, os.path.join(out_dir, f"part-{start // rows_per_file:05d}.parquet"),
+                           row_group_size=2048)
+
+        starts = list(range(0, n_rows, rows_per_file))
+        try:  # parallel generation when a Ray session is up (big bench tables)
+            import ray
+
+            if ray.is_initialized():
+                task = ray.remote(_write_shard)
+                ray.get([task.remote(s) for s in starts])
+            else:
+                raise ImportError
+        except ImportError:
+            for s in starts:
+                _write_shard(s)
+        try:  # optional Lance mirror (not available in this sandbox)
+            import lance  # noqa: F401
+
+            lance.write_dataset(pq.read_table(out_dir), os.path.join(out_dir, "images.lance"))
+        except ImportError:
+            pass
+        open(marker, "w").close()
+    if with_labels:
+        _write_labels(out_dir, n_rows, seed, feature_labels)
     return out_dir
 
 
