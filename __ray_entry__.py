@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phone_e164_customers": Q.phone_e164_customers,
         "date_format_roundtrip": Q.date_format_roundtrip,
         "word_pattern_freq_part": Q.word_pattern_freq_part,
+        "phonetic_keys_part": Q.phonetic_keys_part,
         # converters
         "julian_orders": Q.julian_orders,
         "distance_convert_part": Q.distance_convert_part,
@@ -186,6 +187,52 @@ def _ensure_oracle_artifacts() -> None:
         open(marker, "w").close()
     for n in _F1_SIZES:  # sf0.001/sf0.01 → 1000; sf0.1 → 10000
         write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
+    _write_phonetic_goldens()
+
+
+def _write_phonetic_goldens() -> None:
+    """Serial golden key tables for phonetic_keys_part, one per sf tier
+    (dispatched by part-table row count). Same key functions as the Ray
+    query — the oracle pins distributed == serial evaluation; algorithm
+    parity with the reference lives in tests/test_reference_vectors.py."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.dedup.blocking import KEY_ALGOS
+    from data_quality_ray.pipelines.queries import PHONETIC_ALGOS
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        part_path = os.path.join(sf_dir, "part.parquet")
+        if not os.path.exists(part_path):
+            continue
+        tbl = pq.read_table(part_path, columns=["p_partkey", "p_name"])
+        out = os.path.join(_ORACLE_DIR, f"phonetic_part_{tbl.num_rows}.parquet")
+        if os.path.exists(out):
+            continue
+        names = tbl["p_name"].to_pylist()
+        cols = {"p_partkey": tbl["p_partkey"]}
+        for col, algo in PHONETIC_ALGOS:
+            fn = KEY_ALGOS[algo]
+            cols[col] = pa.array([fn(v, None) for v in names], type=pa.string())
+        pq.write_table(pa.table(cols), out)
+
+
+def _phonetic_part_sql() -> str:
+    import glob
+    import os
+    import re
+
+    files = sorted(glob.glob(os.path.join(_ORACLE_DIR, "phonetic_part_*.parquet")))
+    pat = re.compile(r"_(\d+)[.]parquet$")
+    branches = []
+    for f in files:
+        n = pat.search(f).group(1)
+        branches.append(f"SELECT * FROM read_parquet('{f}')"
+                        f" WHERE (SELECT count(*) FROM part) = {n}")
+    return " UNION ALL ".join(branches)
 
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
@@ -477,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
             _f1_labels_sql("image_id, phash") + ") GROUP BY phash",
         "image_features": _f1_labels_sql(
             "image_id, lum_mean, lum_std, phash_recomputed"),
+        "phonetic_keys_part": _phonetic_part_sql(),
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,

@@ -22,7 +22,8 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
-from ..functions.matchers import MATCHERS, match_score, soundex, metaphone_simplified
+from ..functions.matchers import MATCHERS, match_score, soundex
+from ..functions.phonetics import cologne_phonetic, double_metaphone, metaphone, soundex_fr
 from ..functions.text import fingerprint_key_one
 
 # --- key algorithms (BlockingKeyAlgorithmEnum.java:27-41) ------------------
@@ -42,7 +43,10 @@ KEY_ALGOS = {
     "PICK_CHAR": lambda s, p: "".join(s[i] for i in _parse_picks(p) if i < len(s)),
     "SUBSTR": lambda s, p: s[slice(*_parse_range(p))],
     "SOUNDEX": lambda s, p: soundex(s),
-    "METAPHONE": lambda s, p: metaphone_simplified(s),
+    "SOUNDEX_FR": lambda s, p: soundex_fr(s) or "",
+    "METAPHONE": lambda s, p: metaphone(s),
+    "DOUBLE_METAPHONE": lambda s, p: double_metaphone(s) or "",
+    "COLOGNE_PHONETIC": lambda s, p: cologne_phonetic(s) or "",
     "FINGERPRINTKEY": lambda s, p: fingerprint_key_one(s),
     "NGRAM": lambda s, p: s[: int(p or 2)] + s[-int(p or 2):] if s else "",
 }

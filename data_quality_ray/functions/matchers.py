@@ -162,24 +162,6 @@ def soundex(s: str) -> str:
     return (out + "000")[:4]
 
 
-def metaphone_simplified(s: str) -> str:
-    """Lightweight metaphone-style phonetic key (not the full 1990 rule set
-    — a deterministic consonant-skeleton variant adequate for blocking)."""
-    s = "".join(c for c in s.upper() if c.isalpha())
-    if not s:
-        return ""
-    subs = [("PH", "F"), ("CK", "K"), ("SH", "X"), ("TH", "0"), ("CH", "X"), ("WH", "W")]
-    for a, b in subs:
-        s = s.replace(a, b)
-    out = s[0]
-    for c in s[1:]:
-        if c in "AEIOU":
-            continue
-        if not out.endswith(c):
-            out += c
-    return out[:6]
-
-
 def exact(a: str, b: str) -> float:
     return 1.0 if a == b else 0.0
 
@@ -196,6 +178,14 @@ def fingerprint_sim(a: str, b: str) -> float:
     return 1.0 if fingerprint_key_one(a) == fingerprint_key_one(b) else 0.0
 
 
+def _phonetic_sims():
+    from .phonetics import double_metaphone_sim, metaphone_sim, soundex_fr_sim
+
+    return metaphone_sim, double_metaphone_sim, soundex_fr_sim
+
+
+_METAPHONE_SIM, _DOUBLE_METAPHONE_SIM, _SOUNDEX_FR_SIM = _phonetic_sims()
+
 MATCHERS = {
     "EXACT": exact,
     "EXACT_IGNORE_CASE": exact_ignore_case,
@@ -206,6 +196,11 @@ MATCHERS = {
     "HAMMING": hamming_sim,
     "LCS": lcs_sim,
     "SOUNDEX": soundex_sim,
+    # difference/max-code-length weights (MetaphoneMatcher.java:33-47,
+    # DoubleMetaphoneMatcher.java:33-47, SoundexFRMatcher.java:52-63)
+    "METAPHONE": _METAPHONE_SIM,
+    "DOUBLE_METAPHONE": _DOUBLE_METAPHONE_SIM,
+    "SOUNDEX_FR": _SOUNDEX_FR_SIM,
     "FINGERPRINTKEY": fingerprint_sim,
 }
 

@@ -506,6 +506,33 @@ def date_format_roundtrip(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(f, batch_format="pandas").to_pandas()
 
 
+PHONETIC_ALGOS = (("soundex", "SOUNDEX"), ("metaphone", "METAPHONE"),
+                  ("dmetaphone", "DOUBLE_METAPHONE"),
+                  ("cologne", "COLOGNE_PHONETIC"), ("soundex_fr", "SOUNDEX_FR"))
+
+
+def phonetic_keys_part(sf_dir: str) -> pd.DataFrame:
+    """Phonetic blocking keys over p_name for the full matcher/blocking
+    family (SOUNDEX, METAPHONE, DOUBLE_METAPHONE, COLOGNE_PHONETIC,
+    SOUNDEX_FR). Oracle: a serially-computed golden table (same shared key
+    functions — the driver check pins distributed == serial; the
+    algorithms themselves are pinned to reference vectors in
+    tests/test_reference_vectors.py)."""
+    from ..dedup.blocking import KEY_ALGOS
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        names = batch["p_name"].to_numpy(dtype=object)
+        out = {"p_partkey": batch["p_partkey"]}
+        for col, algo in PHONETIC_ALGOS:
+            fn = KEY_ALGOS[algo]
+            out[col] = unique_apply(names, lambda v, fn=fn: fn(v, None))
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
 def word_pattern_freq_part(sf_dir: str) -> pd.DataFrame:
     """Word-level pattern frequency (WordPatternRecognizer) over p_name."""
     from ray.data.aggregate import Count

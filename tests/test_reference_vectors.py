@@ -283,3 +283,82 @@ def test_reference_chronology_conversion_vectors():
     assert CH.to_minguo(d) == (85, 10, 29)
     assert CH.to_thai_buddhist(d) == (2539, 10, 29)
     assert CH.to_japanese(d) == ("Heisei", 8, 10, 29)
+
+
+def test_reference_phonetic_matcher_vectors():
+    """AbstractAttributeMatcherTest testcase rows for SOUNDEX_FR /
+    DOUBLE_METAPHONE (attribute/AbstractAttributeMatcherTest.java:55-76)
+    plus the Metaphone/DoubleMetaphone matcher unit tests
+    (MetaphoneMatcherTest.java, DoubleMetaphoneMatcherTest.java:36-62);
+    scores agree to the reference's 0.01 delta."""
+    from data_quality_ray.functions.matchers import match_score
+
+    rows = [
+        ("SOUNDEX_FR", "kate", "Cade", 0.75),
+        ("SOUNDEX_FR", "unmottreslong", "unautremotlong", 0.25),
+        ("SOUNDEX_FR", "steff", "stephanie", 0.75),
+        ("SOUNDEX_FR", "Sebastiao", "Sepastien", 0.75),
+        ("SOUNDEX_FR", "Sizhao", "sejao", 0.75),
+        ("SOUNDEX_FR", "A", "Ä", 0.75),
+        ("DOUBLE_METAPHONE", "kate", "Cade", 1.0),
+        ("DOUBLE_METAPHONE", "unmottreslong", "unautremotlong", 0.5),
+        ("DOUBLE_METAPHONE", "steff", "stephanie", 0.75),
+        ("DOUBLE_METAPHONE", "Sebastiao", "Sepastien", 0.75),
+        ("DOUBLE_METAPHONE", "Sizhao", "sejao", 1.0),
+        ("DOUBLE_METAPHONE", "A", "Ä", 0.0),
+        ("DOUBLE_METAPHONE", "中文", "中国", 0.0),
+        ("DOUBLE_METAPHONE", "中文", "中问", 0.0),
+        ("DOUBLE_METAPHONE", "中文", "中文", 1.0),
+        ("DOUBLE_METAPHONE", "", "stephanie", 0.0),
+        ("DOUBLE_METAPHONE", "John", "Jon", 1.0),
+        ("DOUBLE_METAPHONE", "23", "23", 1.0),
+        ("DOUBLE_METAPHONE", "JohnFit", "JohnFitzgeraldKennedy", 1.0),
+        ("DOUBLE_METAPHONE", "\n", "Hulme", 0.0),
+        ("METAPHONE", "John", "Jon", 1.0),
+        ("METAPHONE", " ", " ", 1.0),
+        ("METAPHONE", "23", "23", 1.0),
+        ("METAPHONE", "JohnFit", "JohnFitzgeraldKennedy", 1.0),
+        ("METAPHONE", "\n", "Hulme", 0.0),
+    ]
+    for m, a, b, exp in rows:
+        got = match_score(a, b, matcher=m)
+        assert abs(got - exp) < 0.011, (m, a, b, exp, got)
+    # null handling through the matcher frame (DoubleMetaphone rows
+    # AbstractAttributeMatcherTest.java:139-141)
+    assert match_score(None, None, matcher="DOUBLE_METAPHONE") == 1.0
+    assert match_score("stephanie", None, matcher="DOUBLE_METAPHONE") == 0.0
+
+
+def test_reference_phonetic_key_vectors():
+    """AlgoBox blocking-key vectors (windowkey/AlgoBoxTest.java:74-93,
+    262-275): colognePhonetic / doublemetaphone / metaphone codes."""
+    from data_quality_ray.functions.phonetics import (
+        cologne_phonetic, double_metaphone, metaphone,
+    )
+
+    assert cologne_phonetic(None) is None
+    assert cologne_phonetic("test") == "282"
+    assert cologne_phonetic("") == ""
+    assert cologne_phonetic("null") == "65"
+    assert cologne_phonetic('"') == ""
+    assert cologne_phonetic("リンゴ") == ""
+    # Kölner Phonetik canonical examples (Postel 1969)
+    assert cologne_phonetic("Müller-Lüdenscheidt") == "65752682"
+    assert cologne_phonetic("Breschnew") == "17863"
+    assert cologne_phonetic("Wikipedia") == "3412"
+
+    assert double_metaphone("test") == "TST"
+    assert double_metaphone("") is None
+    assert double_metaphone("null") == "NL"
+    assert double_metaphone('"') == ""
+    assert double_metaphone("リンゴ") == ""
+
+    assert metaphone("test") == "TST"
+    assert metaphone("Test\ntest") == "TSTT"
+    assert metaphone("Test\ttest") == "TSTT"
+    assert metaphone("Test test123t") == "TSTT"
+    assert metaphone("") == ""
+    assert metaphone(" ") == " "
+    assert metaphone("Null") == "NL"
+    assert metaphone('"') == '"'
+    assert metaphone("リンゴ") == ""
