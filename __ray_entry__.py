@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_pairs_supplier": Q.matching_pairs_supplier,
         "blocking_fingerprint_part": Q.blocking_fingerprint_part,
         "golden_record_orders": Q.golden_record_orders,
+        "survivorship_extended_orders": Q.survivorship_extended_orders,
         "customer_region_broadcast": Q.customer_region_broadcast,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "events_hourly_window": Q.events_hourly_window,
@@ -633,6 +634,27 @@ def oracle_sql() -> dict[str, str]:
                    round(max(o.o_totalprice), 2) AS largest_total,
                    any_value(b.p) AS common_priority
             FROM orders o JOIN best b USING (o_custkey) GROUP BY 1""",
+        "survivorship_extended_orders": """
+            WITH mr AS (SELECT o_custkey, max(o_orderdate) AS most_recent
+                        FROM orders GROUP BY 1),
+            rp AS (SELECT o.o_custkey, min(o.o_totalprice) AS recent_price
+                   FROM orders o JOIN mr ON o.o_custkey = mr.o_custkey
+                                        AND o.o_orderdate = mr.most_recent
+                   GROUP BY 1),
+            fk AS (SELECT o_custkey, min(o_orderkey) AS k FROM orders GROUP BY 1),
+            fc AS (SELECT o.o_custkey, any_value(o.o_orderpriority) AS first_priority
+                   FROM orders o JOIN fk ON o.o_custkey = fk.o_custkey
+                                        AND o.o_orderkey = fk.k
+                   GROUP BY 1),
+            p AS (SELECT o_custkey,
+                         min(o_totalprice) FILTER (WHERE o_totalprice > 150000) AS big
+                  FROM orders GROUP BY 1)
+            SELECT mr.o_custkey, mr.most_recent AS o_orderdate,
+                   round(rp.recent_price, 2) AS recent_price,
+                   fc.first_priority,
+                   round(p.big, 2) AS price_over_150k
+            FROM mr JOIN rp USING (o_custkey) JOIN fc USING (o_custkey)
+                    JOIN p USING (o_custkey)""",
         "customer_region_broadcast": """
             SELECT c_custkey, r_name
             FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -322,6 +322,38 @@ def golden_record_orders(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def survivorship_extended_orders(sf_dir: str) -> pd.DataFrame:
+    """Survivorship with the parameterized rule family: SurviveAs (price
+    from the most-recent order's row), RemoveDuplicate (first clerk in
+    orderkey order), Expression (smallest total above a threshold).
+    Reference: model/RuleDefinition.java:195-221."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "recent_price": b["o_totalprice"],
+            "first_priority": b["o_orderpriority"],
+            "__ord": b["o_orderkey"],
+            "price_over_150k": b["o_totalprice"],
+        })
+
+    out = golden_records(
+        ds.map_batches(prep, batch_format="pandas"), "o_custkey",
+        {
+            "o_orderdate": "MostRecent",
+            "recent_price": ("SurviveAs", "o_orderdate"),
+            "first_priority": ("RemoveDuplicate", "__ord"),
+            "price_over_150k": ("Expression", "> 150000"),
+        },
+    ).to_pandas()
+    out["recent_price"] = out["recent_price"].astype(float).round(2)
+    out["price_over_150k"] = out["price_over_150k"].astype(float).round(2)
+    return out
+
+
 def customer_region_broadcast(sf_dir: str) -> pd.DataFrame:
     """Broadcast small-side join (standardization pattern): nation→region
     dict is ray.put once, read per task; no shuffle join."""

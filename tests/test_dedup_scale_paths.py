@@ -121,3 +121,46 @@ def test_dedup_by_key_searchsorted_winner_kernel(ray_session):
     df2 = df.assign(k=df["k"].map(lambda x: f"key{x:03d}"))
     out2 = dedup_by_key(rd.from_pandas(df2).repartition(6), key="k", order_col="rid").to_pandas()
     assert sorted(out2["rid"]) == sorted(expect["rid"])
+
+
+def test_survivorship_new_rules_vectorized_equals_pergroup(ray_session):
+    """Expression / RemoveDuplicate / SurviveAs: the hash-bucketed
+    vectorized bucket path and the per-group fallback must agree."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.survivorship import (
+        _resolve_group, golden_records,
+    )
+
+    rng = np.random.RandomState(9)
+    n = 400
+    df = pd.DataFrame({
+        "gid": rng.randint(0, 40, size=n),
+        "ord": np.arange(n),
+        "d": pd.to_datetime("2020-01-01") + pd.to_timedelta(rng.randint(0, 900, size=n), unit="D"),
+        "price": np.round(rng.uniform(10, 1000, size=n), 2),
+        "tag": rng.choice(["a", "b", "c", None], size=n),
+    })
+    df["ref_price"] = df["price"]
+    rules = {
+        "d": "MostRecent",
+        "ref_price": ("SurviveAs", "d"),
+        "tag": ("RemoveDuplicate", "ord"),
+        "price": ("Expression", "> 500"),
+    }
+    vec = golden_records(rd.from_pandas(df).repartition(5), "gid", rules).to_pandas()
+    vec = vec.sort_values("gid").reset_index(drop=True)
+    exp = pd.concat([
+        _resolve_group(g, "gid", rules) for _, g in df.groupby("gid", sort=True)
+    ]).reset_index(drop=True)
+    for c in rules:
+        a, e = vec[c].tolist(), exp[c].tolist()
+        for x, y in zip(a, e):
+            if isinstance(x, float) and isinstance(y, float) and np.isnan(x) and np.isnan(y):
+                continue
+            assert (pd.isna(x) and pd.isna(y)) or x == y, (c, x, y)
+    # Expression string form equals callable form
+    rules2 = dict(rules, price=("Expression", lambda x: x > 500))
+    vec2 = golden_records(rd.from_pandas(df).repartition(5), "gid", rules2).to_pandas()
+    assert vec2.sort_values("gid")["price"].fillna(-1).tolist() == \
+        vec.sort_values("gid")["price"].fillna(-1).tolist()
