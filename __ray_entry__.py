@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_keys_part": Q.phonetic_keys_part,
         # converters
         "julian_orders": Q.julian_orders,
+        "chronology_convert_orders": Q.chronology_convert_orders,
         "distance_convert_part": Q.distance_convert_part,
         "token_stats_docs": Q.token_stats_docs,
         # model / sketch stages (rows-only — not SQL-expressible)
@@ -513,9 +514,71 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
     SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY 1"""
 
 
+# --- chronology conversions recomputed in SQL ------------------------------
+
+def _chronology_sql() -> str:
+    from data_quality_ray.functions.chronology import _islamic_year_days
+
+    # cumulative day offsets of year-in-cycle i (1..30) within the
+    # 10631-day 30-year tabular cycle, and of month m within a year
+    cums, acc = [], 0
+    for i in range(1, 31):
+        cums.append((i, acc))
+        acc += _islamic_year_days(i)
+    ytab = ", ".join(f"({i}, {c})" for i, c in cums)
+    mcums, acc = [], 0
+    for m in range(1, 13):
+        mcums.append((m, acc))
+        acc += 30 if m % 2 == 1 else 29
+    mtab = ", ".join(f"({m}, {c})" for m, c in mcums)
+    return f"""
+    WITH ytab(i, ycum) AS (SELECT * FROM (VALUES {ytab})),
+    mtab(m, mcum) AS (SELECT * FROM (VALUES {mtab})),
+    base AS (
+      SELECT o_orderkey, o_orderdate,
+             julian(o_orderdate)::BIGINT - 1948440 AS hd
+      FROM orders),
+    cyc AS (SELECT *, hd // 10631 AS cycles, hd % 10631 AS rem FROM base),
+    ysel AS (
+      SELECT o_orderkey, max(i) AS yi
+      FROM cyc JOIN ytab ON ytab.ycum <= cyc.rem GROUP BY 1),
+    ypick AS (
+      SELECT c.*, ysel.yi, ytab.ycum, c.rem - ytab.ycum AS rem2
+      FROM cyc c JOIN ysel USING (o_orderkey) JOIN ytab ON ytab.i = ysel.yi),
+    msel AS (
+      SELECT o_orderkey, max(m) AS mi
+      FROM ypick JOIN mtab ON mtab.mcum <= ypick.rem2 GROUP BY 1),
+    hij AS (
+      SELECT y.o_orderkey, y.o_orderdate,
+             y.cycles * 30 + y.yi AS hy, msel.mi AS hm,
+             y.rem2 - mtab.mcum + 1 AS hdy
+      FROM ypick y JOIN msel USING (o_orderkey) JOIN mtab ON mtab.m = msel.mi)
+    SELECT o_orderkey,
+           lpad((year(o_orderdate) + 543)::VARCHAR, 4, '0')
+             || strftime(o_orderdate, '-%m-%d') AS thai,
+           lpad((year(o_orderdate) - 1911)::VARCHAR, 4, '0')
+             || strftime(o_orderdate, '-%m-%d') AS minguo,
+           lpad(hy::VARCHAR, 4, '0') || '-' || lpad(hm::VARCHAR, 2, '0')
+             || '-' || lpad(hdy::VARCHAR, 2, '0') AS hijrah,
+           lpad((year(o_orderdate) - CASE
+                   WHEN o_orderdate >= DATE '2019-05-01' THEN 2019
+                   WHEN o_orderdate >= DATE '1989-01-08' THEN 1989
+                   WHEN o_orderdate >= DATE '1926-12-25' THEN 1926
+                   WHEN o_orderdate >= DATE '1912-07-30' THEN 1912
+                   ELSE 1868 END + 1)::VARCHAR, 4, '0')
+             || strftime(o_orderdate, '-%m-%d') || ' ' || CASE
+                   WHEN o_orderdate >= DATE '2019-05-01' THEN 'Reiwa'
+                   WHEN o_orderdate >= DATE '1989-01-08' THEN 'Heisei'
+                   WHEN o_orderdate >= DATE '1926-12-25' THEN 'Showa'
+                   WHEN o_orderdate >= DATE '1912-07-30' THEN 'Taisho'
+                   ELSE 'Meiji' END AS japanese
+    FROM hij"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
+        "chronology_convert_orders": _chronology_sql(),
         "langid_heuristic_docs": _langid_sql(),
         "simhash_docs": _SIMHASH_SQL,
         "minhash_neardup_docs": _minhash_sql(),

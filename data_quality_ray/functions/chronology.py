@@ -113,6 +113,196 @@ CHRONOLOGIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# DateCalendarConverter: pattern × chronology × locale re-rendering
+# (converters/DateCalendarConverter.java:43-200; vectors from
+# DateCalendarConverterTest.java)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_MONTHS_ABBR = {
+    "en": ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
+           "Nov", "Dec"],
+    "fr": ["janv.", "févr.", "mars", "avr.", "mai", "juin", "juil.", "août",
+           "sept.", "oct.", "nov.", "déc."],
+    "zh": ["1月", "2月", "3月", "4月", "5月", "6月", "7月", "8月", "9月", "10月",
+           "11月", "12月"],
+}
+
+# era display names per chronology: (full, narrow) and ja-locale full
+_ERA_NAMES = {
+    "Iso": {"full": "AD", "narrow": "A"},
+    "Hijrah": {"full": "AH", "narrow": "AH"},
+    "Minguo": {"full": "Minguo", "narrow": "Minguo"},
+    "ThaiBuddhist": {"full": "BE", "narrow": "BE"},
+}
+_JP_ERA_NARROW = {"Meiji": "M", "Taisho": "T", "Showa": "S", "Heisei": "H", "Reiwa": "R"}
+_JP_ERA_JA = {"Meiji": "明治", "Taisho": "大正", "Showa": "昭和", "Heisei": "平成",
+              "Reiwa": "令和"}
+
+_PATTERN_TOKEN_RE = _re.compile(r"(G+|y+|u+|M+|d+|.)")
+
+
+def _tokenize(pattern: str) -> list[str]:
+    return _PATTERN_TOKEN_RE.findall(pattern)
+
+
+_TOKEN_RX = {
+    "yyyy": r"(\d{4})", "yyy": r"(\d{3,4})", "yy": r"(\d{2})", "y": r"(\d{1,4})",
+    "uuuu": r"(\d{4})", "u": r"(\d{1,4})",
+    "MM": r"(\d{2})", "M": r"(\d{1,2})",
+    "dd": r"(\d{2})", "d": r"(\d{1,2})",
+}
+
+
+class ChronoDateConverter:
+    """convert(s): parse ``s`` with the input pattern under the input
+    chronology, re-render under the output chronology/pattern/locale.
+    Unparseable input → "" (DateCalendarConverter.convert:160-178);
+    null/blank input → unchanged.
+
+    Japanese year-of-era input WITHOUT an era field resolves to Heisei —
+    the reference's own vectors fix this interpretation (JAPANESE_STR
+    "0008-10-29" ↔ 1996-10-29, JAPANESE_STR_1 "0031-04-30" ↔ 2019-04-30).
+    """
+
+    def __init__(self, in_pattern: str = "yyyy-MM-dd", out_pattern: str | None = None,
+                 in_chronology: str = "Iso", out_chronology: str = "Iso",
+                 in_locale: str = "en", out_locale: str = "en"):
+        self.in_chronology = in_chronology
+        self.out_chronology = out_chronology
+        self.in_pattern = in_pattern
+        self.out_pattern = out_pattern if out_pattern is not None else (
+            "yyyy-MM-dd G" if out_chronology == "Japanese" else "yyyy-MM-dd")
+        self.in_locale, self.out_locale = in_locale, out_locale
+        self._in_tokens = _tokenize(self.in_pattern)
+        self._out_tokens = _tokenize(self.out_pattern)
+        rx, groups = [], []
+        for t in self._in_tokens:
+            if t in _TOKEN_RX:
+                rx.append(_TOKEN_RX[t])
+                groups.append(t[0])
+            elif t[0] == "M" and len(t) >= 3:
+                rx.append(r"([^\s/]+)")
+                groups.append("MMM")
+            elif t[0] == "G":
+                rx.append(r"(\S+)")
+                groups.append("G")
+            else:
+                rx.append(_re.escape(t))
+        self._in_rx = _re.compile("".join(rx) + r"\Z")
+        self._in_groups = groups
+
+    # -- parse ---------------------------------------------------------------
+
+    def _parse(self, s: str) -> date | None:
+        m = self._in_rx.match(s.strip())
+        if not m:
+            return None
+        fields: dict[str, object] = {}
+        gi = 0
+        for g in self._in_groups:
+            gi += 1
+            fields[g] = m.group(gi)
+        try:
+            y = int(fields.get("y", fields.get("u", 0)))
+            mo = int(fields["M"]) if "M" in fields else self._month_from_name(
+                str(fields["MMM"]), self.in_locale)
+            d = int(fields["d"])
+            era = fields.get("G")
+            return self._to_iso(y, mo, d, era)
+        except (KeyError, ValueError, TypeError):
+            return None
+
+    def _month_from_name(self, name: str, locale: str) -> int:
+        months = _MONTHS_ABBR.get(locale, _MONTHS_ABBR["en"])
+        return months.index(name) + 1
+
+    def _to_iso(self, y: int, m: int, d: int, era) -> date | None:
+        c = self.in_chronology
+        try:
+            if c == "Iso":
+                return date(y, m, d)
+            if c == "Japanese":
+                era_name = None
+                if era:
+                    rev = {v: k for k, v in _JP_ERA_NARROW.items()}
+                    rev.update({v: k for k, v in _JP_ERA_JA.items()})
+                    era_name = rev.get(str(era), str(era))
+                    if era_name not in dict(JAPANESE_ERAS):
+                        return None
+                else:
+                    era_name = "Heisei"
+                out = from_japanese(era_name, y, m, d)
+                # strict: year-of-era must fall inside the era's range
+                if to_japanese(out)[0] != era_name:
+                    return None
+                return out
+            to_fn, from_fn = CHRONOLOGIES[c]
+            return from_fn(y, m, d)
+        except ValueError:
+            return None
+
+    # -- render --------------------------------------------------------------
+
+    def _render(self, iso: date) -> str:
+        c = self.out_chronology
+        era_name = None
+        if c == "Iso":
+            y, mo, d = iso.year, iso.month, iso.day
+        elif c == "Japanese":
+            era_name, y, mo, d = to_japanese(iso)
+        else:
+            y, mo, d = CHRONOLOGIES[c][0](iso)
+        out = []
+        for t in self._out_tokens:
+            k = t[0]
+            if k in "yu":
+                out.append(str(y % 100).zfill(2) if len(t) == 2 else str(y).zfill(len(t)))
+            elif k == "M":
+                if len(t) >= 3:
+                    out.append(_MONTHS_ABBR.get(self.out_locale, _MONTHS_ABBR["en"])[mo - 1])
+                else:
+                    out.append(str(mo).zfill(len(t)))
+            elif k == "d":
+                out.append(str(d).zfill(len(t)))
+            elif k == "G":
+                narrow = len(t) >= 5
+                if c == "Japanese":
+                    if self.out_locale == "ja":
+                        out.append(_JP_ERA_JA[era_name])
+                    else:
+                        out.append(_JP_ERA_NARROW[era_name] if narrow else era_name)
+                else:
+                    names = _ERA_NAMES[c]
+                    out.append(names["narrow"] if narrow else names["full"])
+            else:
+                out.append(t)
+        return "".join(out)
+
+    def convert(self, s: str | None) -> str | None:
+        if s is None or s.strip() == "":
+            return s
+        # the reference substitutes y→u in the input pattern (strict
+        # resolver, DateCalendarConverter.java:137-139) BEFORE its
+        # same-pattern short-circuit, so the short-circuit only fires for
+        # patterns without 'y' (or with an era field)
+        eff_in = self.in_pattern if "G" in self.in_pattern else self.in_pattern.replace("y", "u")
+        if self.in_chronology == self.out_chronology and eff_in == self.out_pattern:
+            return s
+        iso = self._parse(s)
+        return self._render(iso) if iso is not None else ""
+
+    def convert_values(self, values):
+        """Vectorized over a column (memoized per distinct value)."""
+        import numpy as np
+
+        from .text import unique_apply
+
+        return unique_apply(np.asarray(values, dtype=object), self.convert)
+
+
 def convert_chronology(d: date, chronology: str) -> str:
     """Render an ISO date in another chronology as 'y-m-d' (or
     'Era y-m-d' for Japanese) — the DateCalendarConverter output shape."""

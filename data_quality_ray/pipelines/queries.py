@@ -565,6 +565,32 @@ def phonetic_keys_part(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(f, batch_format="pandas").to_pandas()
 
 
+def chronology_convert_orders(sf_dir: str) -> pd.DataFrame:
+    """DateCalendarConverter over o_orderdate: ISO → ThaiBuddhist, Minguo,
+    tabular-Hijrah and Japanese-era renderings
+    (converters/DateCalendarConverter.java:43-200). The DuckDB oracle
+    recomputes all four independently — incl. the 30-year-cycle Islamic
+    calendar arithmetic in pure SQL."""
+    from ..functions.chronology import ChronoDateConverter
+
+    convs = [
+        ("thai", ChronoDateConverter(out_chronology="ThaiBuddhist")),
+        ("minguo", ChronoDateConverter(out_chronology="Minguo")),
+        ("hijrah", ChronoDateConverter(out_chronology="Hijrah")),
+        ("japanese", ChronoDateConverter(out_chronology="Japanese")),  # 'yyyy-MM-dd G'
+    ]
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        iso = batch["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy(dtype=object)
+        out = {"o_orderkey": batch["o_orderkey"]}
+        for col, cv in convs:
+            out[col] = cv.convert_values(iso)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(f, batch_format="pandas").to_pandas()
+
+
 def word_pattern_freq_part(sf_dir: str) -> pd.DataFrame:
     """Word-level pattern frequency (WordPatternRecognizer) over p_name."""
     from ray.data.aggregate import Count

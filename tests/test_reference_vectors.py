@@ -362,3 +362,47 @@ def test_reference_phonetic_key_vectors():
     assert metaphone("Null") == "NL"
     assert metaphone('"') == '"'
     assert metaphone("リンゴ") == ""
+
+
+def test_reference_date_calendar_converter_vectors():
+    """DateCalendarConverterTest.java:150-300 — the pattern × chronology ×
+    locale convert surface (ISO↔Hijrah/Japanese/Minguo/ThaiBuddhist,
+    pattern re-rendering, era fields, localized literal months, strict
+    era-range resolution, unparseable→'')."""
+    from data_quality_ray.functions.chronology import ChronoDateConverter as C
+
+    P = "yyyy-MM-dd"
+    cases = [
+        (P, P, "Iso", "Hijrah", "en", "en", "1996-10-29", "1417-06-16"),
+        (P, P, "Iso", "Japanese", "en", "en", "1996-10-29", "0008-10-29"),
+        (P, P, "Iso", "Japanese", "en", "en", "2019-04-30", "0031-04-30"),
+        (P, P, "Iso", "Japanese", "en", "en", "2019-05-01", "0001-05-01"),
+        (P, P, "Iso", "Minguo", "en", "en", "1996-10-29", "0085-10-29"),
+        (P, P, "Iso", "ThaiBuddhist", "en", "en", "1996-10-29", "2539-10-29"),
+        (P, "yy/MM/dd", "Iso", "Iso", "en", "en", "1996-10-29", "96/10/29"),
+        (P, "MM/dd/yyyy", "Iso", "Iso", "en", "en", "1996-10-29", "10/29/1996"),
+        (P, "yyyyMMdd", "Iso", "Iso", "en", "en", "1996-10-29", "19961029"),
+        (P, "M/d/yyyy GGGGG", "Iso", "Iso", "en", "en", "1996-10-29", "10/29/1996 A"),
+        (P, "yyyy/MM/dd", "Iso", "Hijrah", "en", "en", "1996-10-29", "1417/06/16"),
+        ("yyyy/MM/dd", P, "Hijrah", "Iso", "en", "en", "1417/06/16", "1996-10-29"),
+        (P, "yyyy MM dd", "Iso", "Hijrah", "en", "en", "1996-10-29", "1417 06 16"),
+        (P, P, "Japanese", "Iso", "en", "en", "0008-10-29", "1996-10-29"),
+        (P, P, "Minguo", "Iso", "en", "en", "0085-10-29", "1996-10-29"),
+        (P, P, "ThaiBuddhist", "Iso", "en", "en", "2539-10-29", "1996-10-29"),
+        (P, P, "Hijrah", "Iso", "en", "en", "1417-06-16", "1996-10-29"),
+        ("dd/MMM/yyyy", "dd/MMM/yyyy", "Iso", "Iso", "en", "fr",
+         "01/Sep/2015", "01/sept./2015"),
+        ("dd/MMM/yyyy", "dd MMM yyyy", "Iso", "Minguo", "en", "zh",
+         "01/Sep/2015", "01 9月 0104"),
+        (P, "yyyy-MM-dd G", "Iso", "Japanese", "en", "ja", "1996-10-29", "0008-10-29 平成"),
+        (P, "yyyy-MM-dd G", "Iso", "Japanese", "en", "ja", "2019-05-01", "0001-05-01 令和"),
+        ("yyyy-MM-dd G", P, "Japanese", "Iso", "en", "en", "0008-10-29 平成", "1996-10-29"),
+        ("yyyy-MM-dd G", P, "Japanese", "Iso", "en", "en", "0031-04-30 平成", "2019-04-30"),
+        ("yyyy-MM-dd G", P, "Japanese", "Iso", "en", "en", "0031-05-01 平成", ""),
+        ("yyyy-MM-dd G", P, "Japanese", "Iso", "en", "en", "0001-04-30 令和", ""),
+        (P, P, "Iso", "Iso", "en", "en", "not-a-date", ""),
+        (P, "MM/dd/yyyy", "Iso", "Iso", "en", "en", "", ""),
+    ]
+    for ip, op, ic, oc, il, ol, s, exp in cases:
+        got = C(ip, op, ic, oc, il, ol).convert(s)
+        assert got == exp, ((ip, op, ic, oc, s), exp, got)
