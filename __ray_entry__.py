@@ -31,10 +31,10 @@ def entry() -> Any:
                          columns=["doc_id", "text", "lang"])
     import pyarrow as pa
 
-    from data_quality_ray.pipelines.quality_filter import build_docs_chain
+    from data_quality_ray.pipelines.quality_filter import build_docs_chain, cached_chain
 
     def apply_chain(batch: pa.Table) -> pa.Table:
-        res = build_docs_chain().apply(
+        res = cached_chain(build_docs_chain).apply(
             batch["text"].to_numpy(zero_copy_only=False),
             aux={"lang": batch["lang"].to_numpy(zero_copy_only=False)},
         )
@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_length_by_lang": Q.text_length_by_lang,
         "pattern_freq_customer": Q.pattern_freq_customer,
         "cardinality_exact": Q.cardinality_exact,
+        "cardinality_hll_customer": Q.cardinality_hll_customer,
+        "quantiles_tdigest_price": Q.quantiles_tdigest_price,
+        "nested_profile_customer": Q.nested_profile_customer,
         "histogram_quantity": Q.histogram_quantity,
         "quantiles_price": Q.quantiles_price,
         "frequency_events": Q.frequency_events,
@@ -640,6 +643,24 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.75), 6) AS q75
             FROM lineitem""",
         "frequency_events": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "cardinality_hll_customer": """
+            SELECT count(DISTINCT c_name) AS exact_names, true AS names_ok,
+                   count(DISTINCT c_mktsegment) AS exact_segments, true AS segments_ok
+            FROM customer""",
+        "quantiles_tdigest_price": """
+            SELECT count(*) AS n, true AS q25_ok, true AS median_ok, true AS q75_ok
+            FROM lineitem""",
+        "nested_profile_customer": """
+            SELECT 'rec.acctbal' AS path, 'DOUBLE' AS dominant_type,
+                   count(c_acctbal) AS valid, count(*) - count(c_acctbal) AS nulls
+            FROM customer
+            UNION ALL
+            SELECT 'rec.name', 'STRING', count(c_name), count(*) - count(c_name)
+            FROM customer
+            UNION ALL
+            SELECT 'rec.segment', 'STRING', count(c_mktsegment),
+                   count(*) - count(c_mktsegment)
+            FROM customer""",
         "value_quality_customer": """
             SELECT count(*) FILTER (WHERE c_name IS NOT NULL AND trim(c_name) <> ''
                      AND regexp_full_match(c_name, 'Customer#[0-9]+')) AS valid,

@@ -109,6 +109,12 @@ def julian_day(ts: datetime) -> float:
 
 
 def julian_days(values) -> np.ndarray:
+    """Vectorized fast path for datetime64 input (the hot batch shape) —
+    integer microsecond arithmetic, no Python datetime materialization."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        us = arr.astype("datetime64[us]").astype(np.int64)
+        return us / 86400e6 + (719163 + _JULIAN_EPOCH_OFFSET)
     return np.array([julian_day(v) for v in values], dtype=np.float64)
 
 

@@ -84,6 +84,20 @@ def build_docs_chain() -> RuleEngine:
     return RuleEngine(drop, scrub)
 
 
+_CHAIN_CACHE: dict[str, RuleEngine] = {}
+
+
+def cached_chain(builder=build_docs_chain) -> RuleEngine:
+    """Per-process chain cache: plain-function map_batches callers get the
+    once-per-worker construction the actor-pool stage gets from
+    ``__init__`` (the north.py _STAGE_CACHE pattern) instead of a rebuild
+    per batch."""
+    key = builder.__qualname__
+    if key not in _CHAIN_CACHE:
+        _CHAIN_CACHE[key] = builder()
+    return _CHAIN_CACHE[key]
+
+
 class QualityFilterStage:
     """Actor-pool batch stage: appends verdict / first_rule / rewritten
     caption columns. Models load once per actor; batches stay Arrow."""

@@ -53,7 +53,9 @@ def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def apply_chain(batch: pa.Table) -> pa.Table:
-        engine = build_docs_chain()
+        from ..pipelines.quality_filter import cached_chain
+
+        engine = cached_chain(build_docs_chain)
         res = engine.apply(
             batch["text"].to_numpy(zero_copy_only=False),
             aux={"lang": batch["lang"].to_numpy(zero_copy_only=False)},
@@ -190,6 +192,91 @@ def frequency_events(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "events", columns=["event_type"]),
         ["event_type"], {"n": ("", "count")},
     )
+
+
+def _sketch_partials(ds, make_acc, update):
+    """Per-batch sketch partials (pickled, one tiny row per batch) merged
+    on the driver — the mergeable-statistics-bean pattern
+    (CardinalityHLLStatistics.java:53-58, TDigestAnalyzer.java:32-102)."""
+    import pickle
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = make_acc()
+        update(acc, batch)
+        return pa.table({"p": pa.array([pickle.dumps(acc)], type=pa.binary())})
+
+    merged = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=64, batch_format="pyarrow"):
+        for blob in b["p"]:
+            acc = pickle.loads(blob.as_py())
+            merged = acc if merged is None else merged.merge(acc)
+    return merged
+
+
+def cardinality_hll_customer(sf_dir: str) -> pd.DataFrame:
+    """HLL cardinality with a tolerance gate the exact-hash driver compare
+    can check: the query returns the EXACT distinct counts plus booleans
+    asserting the HLL estimate is within 3·rsd (p=14 → rsd ≈ 0.81%); the
+    oracle returns the exact counts and literal trues. A drifting sketch
+    flips a boolean and fails the hash (CardinalityHLLAnalyzer.java:33-84)."""
+    from ..profiling.sketches import HyperLogLog
+
+    out = {}
+    for col, label in (("c_name", "names"), ("c_mktsegment", "segments")):
+        ds = _read(sf_dir, "customer", columns=[col])
+        hll = _sketch_partials(
+            ds, HyperLogLog,
+            lambda acc, b, col=col: acc.update_array(b[col].to_numpy(zero_copy_only=False)))
+        exact = len(_read(sf_dir, "customer", columns=[col]).unique(col))
+        rsd = 1.04 / np.sqrt(hll.m)
+        out[f"exact_{label}"] = [np.int64(exact)]
+        out[f"{label}_ok"] = [bool(abs(hll.estimate() - exact) <= max(3 * rsd * exact, 2.0))]
+    return pd.DataFrame(out)
+
+
+def quantiles_tdigest_price(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantiles vs exact, tolerance-gated (0.5% relative) so the
+    mergeable sketch is driver-checkable (TDigestAnalyzer.java:32-102)."""
+    from ..profiling.sketches import TDigest
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    td = _sketch_partials(
+        ds, TDigest,
+        lambda acc, b: acc.update_array(b["l_extendedprice"].to_numpy()))
+    parts = [b["l_extendedprice"].to_numpy()
+             for b in ds.iter_batches(batch_size=65536, batch_format="pandas")]
+    vals = np.concatenate(parts)
+    exact = np.percentile(vals, [25, 50, 75])
+    oks = [bool(abs(td.quantile(q) - e) <= 0.005 * max(abs(e), 1.0))
+           for q, e in zip((0.25, 0.5, 0.75), exact)]
+    return pd.DataFrame({"n": [np.int64(len(vals))], "q25_ok": [oks[0]],
+                         "median_ok": [oks[1]], "q75_ok": [oks[2]]})
+
+
+def nested_profile_customer(sf_dir: str) -> pd.DataFrame:
+    """Nested (struct) discovery+quality profiling: pack customer columns
+    into a struct column, profile leaf paths in one distributed pass
+    (AvroDataTypeDiscoveryAnalyzer.java:110-189 semantics)."""
+    from ..profiling.nested import profile_nested
+
+    ds = _read(sf_dir, "customer", columns=["c_name", "c_acctbal", "c_mktsegment"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        struct = pa.StructArray.from_arrays(
+            [b["c_name"].combine_chunks(), b["c_acctbal"].combine_chunks(),
+             b["c_mktsegment"].combine_chunks()],
+            ["name", "acctbal", "segment"],
+        )
+        return pa.table({"rec": struct})
+
+    res = profile_nested(ds.map_batches(pack, batch_format="pyarrow"), ["rec"])
+    rows = []
+    for path, info in sorted(res.items()):
+        q = info["quality"]
+        rows.append((path, info["dominant_type"],
+                     np.int64(q.get("valid", 0)), np.int64(q.get("null", 0))))
+    return pd.DataFrame(rows, columns=["path", "dominant_type", "valid", "nulls"])
 
 
 CUSTOMER_NAME_PATTERN = r"Customer#[0-9]+"
@@ -394,7 +481,7 @@ def julian_orders(sf_dir: str) -> pd.DataFrame:
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"o_orderkey": batch["o_orderkey"],
-                             "jd": np.round(julian_days(batch["o_orderdate"].dt.to_pydatetime()), 6)})
+                             "jd": np.round(julian_days(batch["o_orderdate"].to_numpy()), 6)})
 
     return ds.map_batches(f, batch_format="pandas").to_pandas()
 
@@ -515,7 +602,7 @@ def phone_e164_customers(sf_dir: str) -> pd.DataFrame:
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["c_custkey"]
         raw = "(" + (200 + k % 700).astype(str) + ") 555-" + (k % 10000).astype(str).str.zfill(4)
-        e164 = [phone_format_e164(v) for v in raw]
+        e164 = unique_apply(raw.to_numpy(dtype=object), phone_format_e164)
         return pd.DataFrame({"c_custkey": k, "raw": raw, "e164": e164})
 
     return ds.map_batches(f, batch_format="pandas").to_pandas()

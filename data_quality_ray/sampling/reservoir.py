@@ -32,7 +32,12 @@ def reservoir_sample(ds, key_cols: list[str], k: int, seed: int = 42) -> pd.Data
         key = b[key_cols[0]].astype(str)
         for c in key_cols[1:]:
             key = key + "-" + b[c].astype(str)
-        b["__rk"] = [_digest(seed, s) for s in key]
+        # string building stays vectorized; the digest loop keeps raw
+        # bytes (hex order == byte order, md5 hex sorts identically) and
+        # hoists every attribute lookup out of the row loop
+        md5 = hashlib.md5
+        prefix = f"{seed}-".encode()
+        b["__rk"] = [md5(prefix + s).digest() for s in key.str.encode("utf-8")]
         return b.sort_values("__rk", kind="mergesort").head(k)
 
     partials = ds.map_batches(partial, batch_format="pandas")
