@@ -784,12 +784,19 @@ def oracle_sql() -> dict[str, str]:
                     AND lower(split_part(email, '.', -1)) IN ({_TLDS_SQL})) AS valid
             FROM e""",
         "phone_e164_customers": """
+            WITH p AS (
+              SELECT c_custkey, c_custkey % 7 = 0 AS short,
+                     (200 + c_custkey % 700)::VARCHAR AS area,
+                     CASE WHEN c_custkey % 7 = 0
+                          THEN lpad((c_custkey % 1000)::VARCHAR, 3, '0')
+                          ELSE lpad((c_custkey % 10000)::VARCHAR, 4, '0') END AS suffix
+              FROM customer)
             SELECT c_custkey,
-                   '(' || (200 + c_custkey % 700) || ') 555-' ||
-                     lpad(cast(c_custkey % 10000 AS varchar), 4, '0') AS raw,
-                   '+1' || (200 + c_custkey % 700) || '555' ||
-                     lpad(cast(c_custkey % 10000 AS varchar), 4, '0') AS e164
-            FROM customer""",
+                   '(' || area || ') 555-' || suffix AS raw,
+                   CASE WHEN short THEN '+' || area || '555' || suffix
+                        ELSE '+1' || area || '555' || suffix END AS e164,
+                   NOT short AS valid
+            FROM p""",
         "date_format_roundtrip": """
             SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS us_form,
                    strftime(o_orderdate, '%Y-%m-%d') AS iso_form

@@ -593,17 +593,27 @@ def email_validate_customers(sf_dir: str) -> pd.DataFrame:
 
 
 def phone_e164_customers(sf_dir: str) -> pd.DataFrame:
-    """Phone parse/format surface (PhoneNumberHandlerBase.formatE164) over
-    deterministically synthesized national numbers."""
+    """Phone parse/format/validity surface (PhoneNumberHandlerBase
+    formatE164:120 + isValidPhoneNumber:78) over deterministically
+    synthesized national numbers; every 7th number is one digit short
+    (possible but NOT valid under the US numbering plan)."""
+    from ..rules.phone import is_valid
     from ..rules.scrub import phone_format_e164
 
     ds = _read(sf_dir, "customer", columns=["c_custkey"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["c_custkey"]
-        raw = "(" + (200 + k % 700).astype(str) + ") 555-" + (k % 10000).astype(str).str.zfill(4)
-        e164 = unique_apply(raw.to_numpy(dtype=object), phone_format_e164)
-        return pd.DataFrame({"c_custkey": k, "raw": raw, "e164": e164})
+        short = (k % 7 == 0)
+        suffix = (k % 10000).astype(str).str.zfill(4).where(~short,
+                  (k % 1000).astype(str).str.zfill(3))
+        raw = "(" + (200 + k % 700).astype(str) + ") 555-" + suffix
+        arr = raw.to_numpy(dtype=object)
+        return pd.DataFrame({
+            "c_custkey": k, "raw": raw,
+            "e164": unique_apply(arr, phone_format_e164),
+            "valid": unique_apply(arr, lambda v: is_valid(v, "US")).astype(bool),
+        })
 
     return ds.map_batches(f, batch_format="pandas").to_pandas()
 

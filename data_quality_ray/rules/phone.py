@@ -21,6 +21,8 @@ import re
 from dataclasses import dataclass
 
 # region → (country code, min/max national significant digits, trunk prefix)
+# public ITU-T E.164 numbering-plan facts for the top calling codes (the
+# reference gets these from libphonenumber's metadata, absent here)
 REGION_METADATA: dict[str, tuple[str, int, int, str]] = {
     "US": ("1", 10, 10, ""),
     "CA": ("1", 10, 10, ""),
@@ -34,6 +36,39 @@ REGION_METADATA: dict[str, tuple[str, int, int, str]] = {
     "ES": ("34", 9, 9, ""),
     "IT": ("39", 9, 10, ""),
     "BR": ("55", 10, 11, "0"),
+    "MX": ("52", 10, 10, ""),
+    "RU": ("7", 10, 10, "8"),
+    "KR": ("82", 8, 10, "0"),
+    "NL": ("31", 9, 9, "0"),
+    "SE": ("46", 7, 9, "0"),
+    "NO": ("47", 8, 8, ""),
+    "DK": ("45", 8, 8, ""),
+    "FI": ("358", 5, 10, "0"),
+    "PL": ("48", 9, 9, ""),
+    "PT": ("351", 9, 9, ""),
+    "CH": ("41", 9, 9, "0"),
+    "AT": ("43", 4, 11, "0"),
+    "BE": ("32", 8, 9, "0"),
+    "IE": ("353", 7, 9, "0"),
+    "NZ": ("64", 8, 10, "0"),
+    "SG": ("65", 8, 8, ""),
+    "HK": ("852", 8, 8, ""),
+    "TW": ("886", 8, 9, "0"),
+    "TH": ("66", 8, 9, "0"),
+    "ID": ("62", 8, 11, "0"),
+    "MY": ("60", 7, 9, "0"),
+    "PH": ("63", 8, 10, "0"),
+    "VN": ("84", 9, 10, "0"),
+    "TR": ("90", 10, 10, "0"),
+    "SA": ("966", 8, 9, "0"),
+    "AE": ("971", 8, 9, "0"),
+    "IL": ("972", 8, 9, "0"),
+    "EG": ("20", 8, 10, "0"),
+    "ZA": ("27", 9, 9, "0"),
+    "NG": ("234", 7, 10, "0"),
+    "AR": ("54", 10, 10, "0"),
+    "CL": ("56", 8, 9, ""),
+    "CO": ("57", 10, 10, "0"),
 }
 _CC_TO_REGION: dict[str, str] = {}
 for _r, (_cc, *_rest) in REGION_METADATA.items():

@@ -440,3 +440,38 @@ def test_phone_region_metadata():
     assert not P.is_valid("415-555-267", "US")
     assert not P.is_possible("12-34", "US")
     assert P.parse("garbage") is None
+
+
+def test_phone_region_metadata_breadth():
+    """Top-calling-code coverage (the reference spans libphonenumber's
+    full metadata; this table carries the ~45 busiest regions)."""
+    from data_quality_ray.rules import phone as P
+
+    assert len(P.REGION_METADATA) >= 40
+    vectors = [
+        ("+52 55 1234 5678", "MX", True),
+        ("+7 495 123 45 67", "RU", True),
+        ("8 495 123 45 67", "RU", True),      # trunk '8' national form
+        ("+82 2 312 3456", "KR", True),
+        ("+31 20 123 4567", "NL", True),
+        ("+47 21 23 45 67", "NO", True),
+        ("+358 9 1234567", "FI", True),
+        ("+351 21 123 4567", "PT", True),
+        ("+852 2123 4567", "HK", True),
+        ("+886 2 1234 5678", "TW", True),
+        ("+971 4 123 4567", "AE", True),
+        ("+972 2 123 4567", "IL", True),
+        ("+27 11 123 4567", "ZA", True),
+        ("+234 1 234 5678", "NG", True),
+        ("+90 212 123 45 67", "TR", True),
+        ("+65 6123 4567", "SG", True),
+        ("+65 612 4567", "SG", False),        # 7 digits: invalid for SG
+    ]
+    for raw, region, valid in vectors:
+        if raw.startswith("+"):
+            assert P.region_of(raw) == region, raw
+            assert P.is_valid(raw) == valid, raw
+        else:
+            assert P.is_valid(raw, region) == valid, raw
+    assert P.format_e164("8 495 123 45 67", "RU") == "+74951234567"
+    assert P.format_national("+7 495 123 45 67") == "84951234567"
