@@ -86,6 +86,10 @@ def run_bench() -> dict:
         ("embedding_neardup_pairs", Q.embedding_neardup_pairs),
         ("matching_pairs_supplier", Q.matching_pairs_supplier),
         ("quality_filter_docs_scrub", Q.scrub_pii_docs),
+        ("simhash_docs", Q.simhash_docs),
+        ("phonetic_keys_part", Q.phonetic_keys_part),
+        ("chronology_convert_orders", Q.chronology_convert_orders),
+        ("survivorship_extended_orders", Q.survivorship_extended_orders),
     ]
     for name, fn in query_list:
         t = time.perf_counter()
