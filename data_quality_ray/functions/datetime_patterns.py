@@ -201,28 +201,89 @@ def _try_textual(v: str) -> str | None:
     return None
 
 
+def _try_core_pattern(v: str, rx, fmt: str, name: str) -> str | None:
+    """One (regex prefilter, strict parse) probe — the loop body of the
+    reference's isFoundRegex + validateWithPattern pair."""
+    if not rx.match(v):
+        return None
+    if fmt == "__era__":
+        try:
+            datetime.strptime(v[:-3], "%Y-%m-%d")
+            return name
+        except ValueError:
+            return None
+    normalized = v.replace("T", " ") if "T" in v and " " not in v else v
+    probe = normalized.replace(",", "") if "," in v else normalized
+    try:
+        f = fmt.replace("T", " ") if "T" in fmt else fmt
+        datetime.strptime(probe, f)
+        return name
+    except ValueError:
+        return None
+
+
 def _date_core(v: str) -> str | None:
     if v.endswith(".") and re.match(r"^\d", v):  # Hungarian-style '1999.03.22.'
         inner = _date_core(v[:-1])
         if inner is not None and "." in inner:
             return inner + "."
     for rx, fmt, name in DATE_PATTERNS:
-        if rx.match(v):
-            if fmt == "__era__":
-                try:
-                    datetime.strptime(v[:-3], "%Y-%m-%d")
-                    return name
-                except ValueError:
-                    continue
-            normalized = v.replace("T", " ") if "T" in v and " " not in v else v
-            probe = normalized.replace(",", "") if "," in v else normalized
-            try:
-                f = fmt.replace("T", " ") if "T" in fmt else fmt
-                datetime.strptime(probe, f)
-                return name
-            except ValueError:
-                continue
+        hit = _try_core_pattern(v, rx, fmt, name)
+        if hit is not None:
+            return hit
     return _try_textual(v)
+
+
+class SortedList(list):
+    """The reference's self-organizing frequency list
+    (statistics/type/SortedList.java:28-44): entries are [value, freq]
+    pairs kept sorted by descending frequency via adjacent swaps on
+    increment (swap is sufficient because one increment changes the
+    frequency by exactly 1)."""
+
+    def add_new_value(self, value) -> None:
+        self.append([value, 0])
+
+    def increment(self, found_index: int) -> None:
+        self[found_index][1] += 1
+        f = self[found_index][1]
+        j = found_index - 1
+        while j >= 0 and self[j][1] < f:
+            j -= 1
+        if j + 1 != found_index:
+            self[j + 1], self[found_index] = self[found_index], self[j + 1]
+
+
+class FrequentFirstDateRecognizer:
+    """Per-analyzer frequent-pattern cache for BOOLEAN date recognition
+    (SystemDateTimePatternManager.getDateTimePatterns:323-381 with its
+    SortedList cache). Only the any-match decision goes through the
+    reordered probe — it is order-invariant by construction; pattern
+    ATTRIBUTION (``date_pattern_of``) stays on the deterministic
+    fixed-order path so ambiguous values resolve identically everywhere.
+    """
+
+    def __init__(self):
+        self.cache = SortedList()
+        self._cached_names: set[str] = set()
+        self._by_name = {name: (rx, fmt, name) for rx, fmt, name in DATE_PATTERNS}
+
+    def is_date(self, v: str | None) -> bool:
+        if v is None or not _precheck(v):
+            return False
+        s = v.strip()
+        for i in range(len(self.cache)):
+            if _try_core_pattern(s, *self.cache[i][0]) is not None:
+                self.cache.increment(i)
+                return True
+        name = date_pattern_of(v)
+        if name is None:
+            return False
+        core = self._by_name.get(name)
+        if core is not None and name not in self._cached_names:
+            self.cache.add_new_value(core)
+            self._cached_names.add(name)
+        return True
 
 
 @lru_cache(maxsize=65536)

@@ -406,3 +406,38 @@ def test_reference_date_calendar_converter_vectors():
     for ip, op, ic, oc, il, ol, s, exp in cases:
         got = C(ip, op, ic, oc, il, ol).convert(s)
         assert got == exp, ((ip, op, ic, oc, s), exp, got)
+
+
+def test_reference_sorted_list_vectors():
+    """SortedListTest.testIncrement (statistics/type/SortedListTest.java)."""
+    from data_quality_ray.functions.datetime_patterns import SortedList
+
+    sl = SortedList()
+    sl.add_new_value("value1")
+    sl.add_new_value("value2")
+    sl.add_new_value("value3")
+    assert sl[0][0] == "value1"
+    sl.increment(2)
+    assert sl[0][0] == "value3"
+    sl.increment(2)
+    sl.increment(1)
+    assert sl[0][0] == "value1"
+
+
+def test_frequent_first_recognizer_matches_fixed_path():
+    """The SortedList-backed boolean recognizer must agree with the
+    deterministic fixed-order path on every sample, while ordering its
+    cache by hit frequency."""
+    from data_quality_ray.functions.datetime_patterns import (
+        FrequentFirstDateRecognizer, is_date_str,
+    )
+
+    samples = (["2001-02-03", "4/5/2006", "07.08.2009", "not a date", "12:34:56",
+                "March 4, 2021", "2021-03-04T05:06:07", ""] * 5 +
+               ["2020-01-%02d" % d for d in range(1, 25)])
+    rec = FrequentFirstDateRecognizer()
+    for s in samples:
+        assert rec.is_date(s) == is_date_str(s), s
+    assert len(rec.cache) >= 1
+    freqs = [f for _, f in rec.cache]
+    assert freqs == sorted(freqs, reverse=True)
