@@ -4,9 +4,14 @@
   matrix is broadcast ONCE via ``ray.put`` and read in every task (not
   re-shipped per batch); each batch does one float64 matmul; per-batch
   top-k partials merge on the driver (k rows per block, tiny).
-- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing: only
+- ``lsh_topk``: a scale path — random-hyperplane LSH bucketing: only
   batches' vectors whose signature matches one of the query's probe
   signatures are scored. Same merge; recall < 1 by design.
+- ``ivf_topk``: the other scale path — IVF: a deterministic seeded
+  k-means coarse quantizer (trained once on a head sample, broadcast),
+  vectors assigned to their nearest centroid list, queries scored only
+  against the ``nprobe`` nearest lists. At 100 TB the assignment column
+  becomes the partition key so probing is I/O-level pruning.
 
 Computation is float64 end-to-end so DuckDB's ``list_cosine_similarity``
 (also float64) can be the oracle for the brute-force variant.
@@ -97,6 +102,88 @@ def lsh_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,
         mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         sig = stage.signature(mat / np.linalg.norm(mat, axis=1, keepdims=True))
         cand = np.isin(sig, list(probe_set))
+        if not cand.any():
+            return pd.DataFrame({"id": [], "sim": []})
+        sub = mat[cand]
+        sims = (sub @ qv) / np.linalg.norm(sub, axis=1)
+        return _batch_topk(batch[id_col].to_numpy()[cand], sims, k)
+
+    parts = pd.concat(
+        list(ds.map_batches(score, batch_format="pandas").iter_batches(batch_size=4 * k, batch_format="pandas")),
+        ignore_index=True,
+    )
+    out = parts.sort_values(["sim", "id"], ascending=[False, True], kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+def train_ivf_centroids(ds, vec_col: str, n_lists: int = 16, sample_rows: int = 4096,
+                        iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded k-means on a bounded head
+    sample (unit-normalized). Train-once, broadcast-everywhere — the IVF
+    analog of a model loaded per actor."""
+    sample = []
+    need = sample_rows
+    for b in ds.iter_batches(batch_size=1024, batch_format="pandas"):
+        sample.append(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        need -= len(b)
+        if need <= 0:
+            break
+    x = np.concatenate(sample)[:sample_rows]
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+class IVFAssignStage:
+    """Appends an ``ivf_list`` int column = nearest-centroid id. The
+    centroid matrix rides the object store once (``ray.put`` by the
+    caller) — not re-shipped per batch."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.centroids_ref = centroids_ref
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import cached_get
+
+        cent = cached_get(self.centroids_ref)
+        mat = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        batch = batch.copy()
+        batch["ivf_list"] = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        return batch
+
+
+def ivf_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,
+             n_lists: int = 16, nprobe: int = 4, sample_rows: int = 4096,
+             seed: int = 11) -> pd.DataFrame:
+    """Approximate top-k via IVF: score only vectors assigned to the
+    ``nprobe`` centroid lists nearest the query. Recall < 1 by design;
+    grows with nprobe (nprobe == n_lists ⇒ exact)."""
+    import ray
+
+    cent = train_ivf_centroids(ds, vec_col, n_lists, sample_rows, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_lists = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    ref = ray.put((qn, cent, probe_lists))
+
+    from ..functions.broadcast import cached_get
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv, c, probes = cached_get(ref)
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax((mat / norms) @ c.T, axis=1)
+        cand = np.isin(assign, list(probes))
         if not cand.any():
             return pd.DataFrame({"id": [], "sim": []})
         sub = mat[cand]

@@ -1,6 +1,7 @@
 """Similarity search: brute-force cosine top-k and LSH-bucketed ANN."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -49,3 +50,27 @@ def test_lsh_topk_recall(ray_session):
                       multiprobe_bits=1)
     recall = len(set(approx["id"]) & exact) / 10
     assert recall >= 0.8
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(4)
+    n, d = 2000, 16
+    base = rng.randn(8, d)
+    vecs = base[rng.randint(0, 8, size=n)] + 0.15 * rng.randn(n, d)
+    df = pd.DataFrame({"vid": np.arange(n), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    q = vecs[17]
+
+    from data_quality_ray.similarity.knn import cosine_topk, ivf_topk
+
+    exact = set(cosine_topk(ds, "vid", "embedding", q, k=10)["id"])
+    approx = set(ivf_topk(ds, "vid", "embedding", q, k=10, n_lists=8, nprobe=3)["id"])
+    assert len(exact & approx) >= 7  # clustered data: high recall expected
+    # nprobe == n_lists degenerates to exact
+    full = set(ivf_topk(ds, "vid", "embedding", q, k=10, n_lists=8, nprobe=8)["id"])
+    assert full == exact
+    # deterministic across runs
+    again = set(ivf_topk(ds, "vid", "embedding", q, k=10, n_lists=8, nprobe=3)["id"])
+    assert again == approx
