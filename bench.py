@@ -57,14 +57,36 @@ def run_bench() -> dict:
     # disk saturates at ~250 MB/s and hides CPU scaling; tmpfs proxies a
     # cluster where every node contributes its own storage bandwidth
     tmpdir = os.environ.get("GRAFT_BENCH_TMPDIR", "/tmp")
-    fixture = f"{tmpdir}/dq_bench_f1_{n_images}"
-    write_f1(fixture, n_rows=n_images, seed=42, with_labels=False)
+    # small fixtures get small fragments: a 50k-image table in 8k-row files
+    # caps the wave at 7 parallel tasks on 32 cores (fragment = unit of
+    # work + resume); 2k-row files match a real cluster's shard counts.
+    # The big scaling fixture keeps 8192 (cached; per-task overhead is
+    # amortized there).
+    rpf = 2048 if n_images <= 200_000 else 8192
+    fixture = (f"{tmpdir}/dq_bench_f1_{n_images}" if rpf == 8192
+               else f"{tmpdir}/dq_bench_f1_{n_images}_rpf{rpf}")
+    write_f1(fixture, n_rows=n_images, seed=42, with_labels=False, rows_per_file=rpf)
 
     # warm the page cache (measure compute+shuffle, not first disk read)
     rd.read_parquet(fixture).count()
 
-    out_dir = f"{tmpdir}/dq_bench_out_{NUM_CPUS}_{n_images}"
+    import glob
     import shutil
+
+    # warm worker imports + codecs on a 2-fragment slice so the timed run
+    # measures steady-state compute, not first-task module loading
+    warm_in = f"{tmpdir}/dq_bench_warm_in_{NUM_CPUS}"
+    warm_out = f"{tmpdir}/dq_bench_warm_out_{NUM_CPUS}"
+    shutil.rmtree(warm_in, ignore_errors=True)
+    shutil.rmtree(warm_out, ignore_errors=True)
+    os.makedirs(warm_in)
+    for f in sorted(glob.glob(f"{fixture}/part-*.parquet"))[:2]:
+        os.symlink(f, os.path.join(warm_in, os.path.basename(f)))
+    run_quality_pipeline(warm_in, warm_out, concurrency=(2, NUM_CPUS), batch_size=1024)
+    shutil.rmtree(warm_in, ignore_errors=True)
+    shutil.rmtree(warm_out, ignore_errors=True)
+
+    out_dir = f"{tmpdir}/dq_bench_out_{NUM_CPUS}_{n_images}"
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
