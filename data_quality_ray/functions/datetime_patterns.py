@@ -424,7 +424,28 @@ def time_pattern_of(v: str) -> str | None:
     return " ".join([name] + sorted(set(parts)))
 
 
-def is_date_str(v: str) -> bool:
+@lru_cache(maxsize=256)
+def _custom_strptime(java_pattern: str) -> str:
+    from .converters import _java_fmt_to_strptime
+
+    return _java_fmt_to_strptime(java_pattern)
+
+
+def matches_custom_pattern(v: str, java_pattern: str) -> bool:
+    """Strict parse against ONE user-supplied Java-style pattern
+    (SystemDateTimePatternManager custom-pattern path:434-447)."""
+    try:
+        datetime.strptime(v.strip(), _custom_strptime(java_pattern))
+        return True
+    except (ValueError, re.error):
+        return False
+
+
+def is_date_str(v: str, custom_patterns: tuple[str, ...] = ()) -> bool:
+    """Date recognition; ``custom_patterns`` (user Java-style patterns,
+    DataTypeAnalyzer.customDateTimePatterns:42) are tried first."""
+    if custom_patterns and any(matches_custom_pattern(v, p) for p in custom_patterns):
+        return True
     return date_pattern_of(v) is not None
 
 

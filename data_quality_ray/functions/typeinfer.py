@@ -73,8 +73,10 @@ def is_boolean(v: str) -> bool:
     return v is not None and v.strip().lower() in _BOOL
 
 
-def infer_type_one(v: str | None) -> str:
-    """DataTypeEnum-style verdict for one value (TypeInferenceUtils.getDataType)."""
+def infer_type_one(v: str | None, custom_date_patterns: tuple[str, ...] = ()) -> str:
+    """DataTypeEnum-style verdict for one value (TypeInferenceUtils.getDataType;
+    ``custom_date_patterns`` = DataTypeAnalyzer.customDateTimePatterns:42,
+    user Java-style patterns tried before the system inventory)."""
     if is_empty(v):
         return "EMPTY"
     v = v.strip()
@@ -84,7 +86,7 @@ def infer_type_one(v: str | None) -> str:
         return "INTEGER"
     if is_double(v):
         return "DOUBLE"
-    if is_date_str(v):
+    if is_date_str(v, custom_date_patterns):
         return "DATE"
     if is_time_str(v):
         return "TIME"

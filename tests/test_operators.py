@@ -475,3 +475,19 @@ def test_phone_region_metadata_breadth():
             assert P.is_valid(raw, region) == valid, raw
     assert P.format_e164("8 495 123 45 67", "RU") == "+74951234567"
     assert P.format_national("+7 495 123 45 67") == "84951234567"
+
+
+def test_custom_date_patterns():
+    """DataTypeAnalyzer.customDateTimePatterns: user Java-style patterns
+    accepted ahead of the system inventory."""
+    from data_quality_ray.functions.datetime_patterns import is_date_str
+    from data_quality_ray.functions.typeinfer import infer_type_one
+
+    exotic = "2021|07|15"  # not in any system inventory
+    assert not is_date_str(exotic)
+    assert is_date_str(exotic, ("yyyy|MM|dd",))
+    assert infer_type_one(exotic) == "STRING"
+    assert infer_type_one(exotic, ("yyyy|MM|dd",)) == "DATE"
+    # custom patterns are strict: a mismatch falls back to system behavior
+    assert infer_type_one("2021-07-15", ("yyyy|MM|dd",)) == "DATE"
+    assert infer_type_one("not a date", ("yyyy|MM|dd",)) == "STRING"
