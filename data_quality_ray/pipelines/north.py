@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..stages.image import decode, phash64
+from ..stages.image import decode, phash64, phash64_batch  # noqa: F401 (phash64: API surface)
 from ..state.manifest import Manifest
 from .quality_filter import build_image_chain
 
@@ -74,18 +74,30 @@ class Phase1Stage:
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         phs = batch["phash"].to_numpy()
-        for i in np.flatnonzero(verdict != "DROP"):
-            ok = False
+        # decode per survivor (shapes vary); phash in ONE vectorized pass
+        alive = np.flatnonzero(verdict != "DROP")
+        good_idx, good_px = [], []
+        for i in alive:
             try:
                 px = decode(blobs[i], fmts[i])
-                if px.shape == (hs[i], ws[i], 3):
-                    d = bin((phash64(px) & (1 << 64) - 1) ^ (int(phs[i]) & (1 << 64) - 1)).count("1")
-                    ok = d == 0 if fmts[i] not in LOSSY_FORMATS else d <= PHASH_HAMMING_MAX_LOSSY
             except Exception:
-                ok = False
-            if not ok:
+                px = None
+            if px is None or px.shape != (hs[i], ws[i], 3):
                 verdict[i] = "DROP"
                 first_rule[i] = "corrupt_image"
+            else:
+                good_idx.append(i)
+                good_px.append(px)
+        if not good_idx:
+            return
+        recomputed = phash64_batch(good_px).view(np.uint64)
+        stored = phs[np.array(good_idx)].astype(np.int64).view(np.uint64)
+        dist = np.array([bin(int(x)).count("1") for x in recomputed ^ stored])
+        lossy = np.isin(fmts[np.array(good_idx)], list(LOSSY_FORMATS))
+        bad = np.where(lossy, dist > PHASH_HAMMING_MAX_LOSSY, dist != 0)
+        for i in np.array(good_idx)[bad]:
+            verdict[i] = "DROP"
+            first_rule[i] = "corrupt_image"
 
     _EMPTY = {"fragment": pa.array([], type=pa.int64()),
               "key": pa.array([], type=pa.string()),

@@ -75,3 +75,14 @@ def test_frame_sampling(ray_session):
     assert len(sampled) == 4
     assert np.array_equal(decode(bytes(sampled[0]), "png"), frames[0])
     assert tbl["frames"][i2].as_py() is None
+
+
+def test_phash64_batch_bit_identical():
+    from data_quality_ray.stages.image import phash64, phash64_batch
+
+    rng = np.random.RandomState(2)
+    imgs = [rng.randint(0, 256, size=(s, s, 3), dtype=np.uint8)
+            for s in (32, 48, 32, 33, 17, 48)]  # mixed + non-multiple-of-8
+    batch = phash64_batch(imgs)
+    for px, v in zip(imgs, batch):
+        assert phash64(px) == int(v)
