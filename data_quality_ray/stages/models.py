@@ -46,21 +46,36 @@ class HeuristicLangID:
 
     def __init__(self):
         self.markers = _LANG_MARKERS
+        # token → tuple of language indices containing it: ONE dict probe
+        # per token instead of four set-membership passes
+        self._tok_langs: dict[str, tuple[int, ...]] = {}
+        for li, lang in enumerate(_LANG_ORDER):
+            for w in _LANG_MARKERS[lang]:
+                self._tok_langs[w] = self._tok_langs.get(w, ()) + (li,)
 
     def predict_one(self, text: str | None) -> str:
         if not text:
             return "unknown"
-        cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
-        if cjk and cjk / max(1, len(text.replace(" ", ""))) > 0.2:
-            return "zh"
-        toks = [t.lower() for t in _TOKEN_RE.findall(text)]
-        if not toks:
+        if not text.isascii():  # C-speed prefilter: CJK needs non-ASCII
+            cjk = sum(1 for c in text if 0x4E00 <= ord(c) <= 0x9FFF)
+            if cjk and cjk / max(1, len(text.replace(" ", ""))) > 0.2:
+                return "zh"
+        findall = _TOKEN_RE.findall
+        get = self._tok_langs.get
+        scores = [0, 0, 0, 0]
+        n_toks = 0
+        for t in findall(text):
+            n_toks += 1
+            hit = get(t.lower())
+            if hit is not None:
+                for li in hit:
+                    scores[li] += 1
+        if n_toks == 0:
             return "unknown"
         best_lang, best = "unknown", 0
-        for lang in _LANG_ORDER:
-            score = sum(1 for t in toks if t in self.markers[lang])
-            if score > best:
-                best_lang, best = lang, score
+        for li, lang in enumerate(_LANG_ORDER):
+            if scores[li] > best:
+                best_lang, best = lang, scores[li]
         return best_lang
 
     def predict(self, values) -> np.ndarray:
@@ -89,6 +104,22 @@ class NgramPerplexity:
         self.vocab = set(uni)
         self.V = len(self.vocab) + 1  # + UNK
         self.uni, self.bi = dict(uni), dict(bi)
+        # precomputed log-probs (one log per DISTINCT event at init, none
+        # per scored pair): seen bigrams + per-prev unseen fallback
+        self._logp_pair = {
+            (p, w): math.log((c + self.k) / (self.uni.get(p, 0) + self.k * self.V))
+            for (p, w), c in self.bi.items()
+        }
+        self._logp_miss = {
+            p: math.log((0 + self.k) / (c + self.k * self.V)) for p, c in self.uni.items()
+        }
+        self._logp_miss_unk = math.log((0 + self.k) / (0 + self.k * self.V))
+
+    def _pair_logp(self, prev: str, w: str) -> float:
+        lp = self._logp_pair.get((prev, w))
+        if lp is None:
+            lp = self._logp_miss.get(prev, self._logp_miss_unk)
+        return lp
 
     def perplexity_one(self, text: str | None) -> float:
         if not text:
@@ -99,9 +130,7 @@ class NgramPerplexity:
             return float("inf")
         lp = 0.0
         for prev, w in zip(toks, toks[1:]):
-            c_bi = self.bi.get((prev, w), 0)
-            c_uni = self.uni.get(prev, 0)
-            lp += math.log((c_bi + self.k) / (c_uni + self.k * self.V))
+            lp += self._pair_logp(prev, w)
         return math.exp(-lp / (len(toks) - 1))
 
     def perplexity(self, values) -> np.ndarray:
