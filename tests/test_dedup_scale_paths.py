@@ -164,3 +164,29 @@ def test_survivorship_new_rules_vectorized_equals_pergroup(ray_session):
     vec2 = golden_records(rd.from_pandas(df).repartition(5), "gid", rules2).to_pandas()
     assert vec2.sort_values("gid")["price"].fillna(-1).tolist() == \
         vec.sort_values("gid")["price"].fillna(-1).tolist()
+
+
+def test_new_code_edge_inputs(ray_session):
+    """Degenerate inputs through the round-2 code paths: empty batches,
+    single rows, all-empty reference columns."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import distributed_components, minhash_dedup
+    from data_quality_ray.dedup.survivorship import golden_records
+    from data_quality_ray.functions.chronology import ChronoDateConverter
+    from data_quality_ray.stages.image import phash64_batch
+
+    assert list(phash64_batch([])) == []
+    one = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["only one doc"]}))
+    assert len(minhash_dedup(one, "doc_id", "text")) == 0
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                         "text": pd.Series([], dtype="object")}))
+    assert len(minhash_dedup(empty, "doc_id", "text")) == 0
+    dc = distributed_components(pd.DataFrame({"id_a": [5], "id_b": [3]}), n_buckets=4)
+    assert dc.to_dict("records") == [{"id": 3, "cluster": 3}, {"id": 5, "cluster": 3}]
+    df = pd.DataFrame({"g": [1, 1], "d": pd.to_datetime([None, None]), "p": [1.0, 2.0]})
+    out = golden_records(rd.from_pandas(df), "g",
+                         {"d": "MostRecent", "p": ("SurviveAs", "d")}).to_pandas()
+    assert out["p"].isna().all()
+    assert ChronoDateConverter().convert(None) is None
+    assert ChronoDateConverter(out_chronology="Hijrah").convert("  ") == "  "
