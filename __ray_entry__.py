@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_region_broadcast": Q.customer_region_broadcast,
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -753,6 +754,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "events_sliding_window": """
+            WITH w AS (
+              SELECT event_type, value,
+                     date_trunc('minute', ts) - INTERVAL (extract(minute FROM ts)::int % 15) MINUTE
+                       - INTERVAL (o.i * 15) MINUTE AS window_start
+              FROM events, range(0, 4) o(i))
+            SELECT event_type, window_start, count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY 1, 2""",
         "session_windows_events": """
             WITH marks AS (
               SELECT user_id, ts,

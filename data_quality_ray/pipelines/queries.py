@@ -536,6 +536,37 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_sliding_window(sf_dir: str, size_min: int = 60, slide_min: int = 15) -> pd.DataFrame:
+    """Sliding one-hour windows advancing every 15 min over the events
+    log: each event belongs to size/slide = 4 windows — assignment is a
+    vectorized flat-map (np.repeat over slide offsets), then the same
+    algebraic groupby as the tumbling case. → (event_type, window_start,
+    n, sum_value)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    k = size_min // slide_min
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["ts"].dt.floor(f"{slide_min}min")
+        n = len(b)
+        starts = np.repeat(base.to_numpy(), k) - np.tile(
+            np.arange(k) * np.timedelta64(slide_min, "m"), n)
+        return pd.DataFrame({
+            "event_type": np.repeat(b["event_type"].to_numpy(), k),
+            "window_start": starts,
+            "value": np.repeat(b["value"].to_numpy(), k),
+        })
+
+    out = grouped_aggregate(
+        ds.map_batches(assign, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n": ("", "count"), "sum_value": ("value", "sum")},
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
 def session_windows_events(sf_dir: str) -> pd.DataFrame:
     """Per-user session windows (30-min inactivity gap) over the events
     log: the stream-shaped pattern — partition by key, sort by ts within

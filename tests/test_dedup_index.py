@@ -1,0 +1,76 @@
+"""Cross-run incremental dedup index: crash-safe generations, idempotent
+re-append, and day-over-day dedup semantics."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _day(rng, n, overlap_keys=None, frac=0.3):
+    keys = rng.randint(0, 1 << 40, size=n)
+    if overlap_keys is not None and len(overlap_keys):
+        take = rng.choice(overlap_keys, size=int(n * frac))
+        keys[: len(take)] = take
+    return pd.DataFrame({"phash": keys.astype(np.int64),
+                         "image_id": [f"im{rng.randint(1<<30)}-{i}" for i in range(n)]})
+
+
+def test_incremental_dedup_across_runs(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_key
+    from data_quality_ray.state.dedup_index import DedupIndex, load_keys
+
+    rng = np.random.RandomState(7)
+    idx_dir = str(tmp_path / "phash_index")
+
+    # day 1: everything is new
+    day1 = _day(rng, 2000)
+    idx = DedupIndex(idx_dir)
+    assert idx.n_keys == 0
+    fresh1 = idx.filter_new(rd.from_pandas(day1).repartition(4), "phash")
+    out1 = dedup_by_key(fresh1, "phash", "image_id")
+    idx.commit(out1, "phash")
+    n_keys_1 = len(load_keys(idx_dir))
+    assert n_keys_1 == day1["phash"].nunique()
+
+    # day 2: ~30% of keys repeat day 1 — they must be dropped entirely
+    day2 = _day(rng, 1500, overlap_keys=day1["phash"].to_numpy())
+    idx2 = DedupIndex(idx_dir)  # fresh process: reload committed state
+    assert idx2.n_keys == n_keys_1
+    fresh2 = idx2.filter_new(rd.from_pandas(day2).repartition(4), "phash").to_pandas()
+    assert not set(fresh2["phash"]) & set(day1["phash"])  # no historical key survives
+    expected_new = set(day2["phash"]) - set(day1["phash"])
+    assert set(fresh2["phash"]) == expected_new
+    idx2.commit(rd.from_pandas(fresh2), "phash")
+    assert len(load_keys(idx_dir)) == n_keys_1 + len(expected_new)
+
+
+def test_uncommitted_generation_is_invisible(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.state.dedup_index import append, load_keys
+
+    idx_dir = str(tmp_path / "idx")
+    append(idx_dir, np.array([1, 2, 3], dtype=np.int64))
+    # simulate a crashed writer: keys file present, no _GEN marker
+    os.makedirs(os.path.join(idx_dir, "gen-1"))
+    pq.write_table(pa.table({"key": pa.array([99], type=pa.int64())}),
+                   os.path.join(idx_dir, "gen-1", "keys-0000.parquet"))
+    assert list(load_keys(idx_dir)) == [1, 2, 3]
+    # the next committed generation must not reuse the crashed number
+    gen = append(idx_dir, np.array([7], dtype=np.int64))
+    assert gen.endswith("gen-2")
+    assert list(load_keys(idx_dir)) == [1, 2, 3, 7]
+
+
+def test_reappend_idempotent(tmp_path):
+    from data_quality_ray.state.dedup_index import append, load_keys
+
+    idx_dir = str(tmp_path / "idx")
+    append(idx_dir, np.array([5, 6], dtype=np.int64))
+    append(idx_dir, np.array([5, 6], dtype=np.int64))  # retry re-appends
+    assert list(load_keys(idx_dir)) == [5, 6]  # union semantics: no dupes
