@@ -188,14 +188,27 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          batch_size: int = 2048, wave_files: int = 64,
                          dedup: bool = True, validate_images: bool = True,
                          stage_mode: str = "tasks",
-                         dedup_strategy: str = "broadcast") -> dict:
+                         dedup_strategy: str = "broadcast",
+                         dedup_index_dir: str | None = None) -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics.
 
     ``dedup_strategy``: "broadcast" (default — winner map fits driver
     memory; SCALE.md capacity assumption) or "shuffle" (unbounded key
     spaces: groupby(phash).map_groups keep-first, no driver-side state).
+
+    ``dedup_index_dir``: optional cross-RUN dedup index
+    (state/dedup_index.py). Rows whose phash was committed by a previous
+    run are dropped BEFORE phase 1 (no decode/scoring spent on known
+    dups), and this run's surviving phashes are committed as the next
+    index generation after phase 2 — idempotent under crash/retry.
     """
     import ray.data as rd
+
+    index = None
+    if dedup_index_dir is not None:
+        from ..state.dedup_index import DedupIndex
+
+        index = DedupIndex(dedup_index_dir)
 
     manifest = Manifest(out_dir)
     files = _fragment_files(input_dir)
@@ -210,6 +223,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
         for frag_id, _ in wave:  # clear stale partial output (uncommitted)
             shutil.rmtree(_frag_dir(filtered_dir, frag_id), ignore_errors=True)
         wave_ds = _tagged_read(rd, wave)
+        if index is not None and index.n_keys:
+            wave_ds = index.filter_new(wave_ds, "phash")
         if stage_mode == "actors":
             result = wave_ds.map_batches(
                 Phase1Stage,
@@ -278,6 +293,10 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
         wp, wi = _finalize_winners(win_parts)
         totals["final_rows"] = _dedup_phase(rd, filtered_dir,
                                             os.path.join(out_dir, "final"), wp, wi)
+        if index is not None:
+            from ..state.dedup_index import append as _index_append
+
+            _index_append(index.index_dir, wp)
     return totals
 
 

@@ -74,3 +74,39 @@ def test_reappend_idempotent(tmp_path):
     append(idx_dir, np.array([5, 6], dtype=np.int64))
     append(idx_dir, np.array([5, 6], dtype=np.int64))  # retry re-appends
     assert list(load_keys(idx_dir)) == [5, 6]  # union semantics: no dupes
+
+
+def test_flagship_with_cross_run_index(ray_session, tmp_path):
+    """Two flagship runs sharing a dedup index: run 2's output contains
+    no phash that run 1 committed, and the index grows monotonically."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+    from data_quality_ray.sources.fixtures import write_f1
+    from data_quality_ray.state.dedup_index import load_keys
+
+    idx_dir = str(tmp_path / "idx")
+    d1, d2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    # different seeds → some shared phashes are unlikely, so overlap run 2
+    # with run 1's own files for a guaranteed repeat set
+    write_f1(d1, n_rows=600, seed=42, rows_per_file=256, with_labels=False)
+    write_f1(d2, n_rows=600, seed=43, rows_per_file=256, with_labels=False)
+    # splice one of run-1's shards into run 2's input → guaranteed overlap
+    import shutil
+
+    shutil.copy(os.path.join(d1, "part-00000.parquet"),
+                os.path.join(d2, "part-00099.parquet"))
+
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    t1 = run_quality_pipeline(d1, out1, concurrency=2, batch_size=256,
+                              dedup_index_dir=idx_dir)
+    keys_after_1 = load_keys(idx_dir)
+    assert len(keys_after_1) == t1["final_rows"]
+
+    t2 = run_quality_pipeline(d2, out2, concurrency=2, batch_size=256,
+                              dedup_index_dir=idx_dir)
+    out2_ph = pq.read_table(os.path.join(out2, "final"), columns=["phash"])["phash"].to_numpy()
+    assert len(set(out2_ph) & set(keys_after_1)) == 0
+    keys_after_2 = load_keys(idx_dir)
+    assert len(keys_after_2) == len(keys_after_1) + t2["final_rows"]
