@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": Q.embedding_neardup_pairs,
         "events_hourly_window": Q.events_hourly_window,
         "events_sliding_window": Q.events_sliding_window,
+        "asof_last_order_events": Q.asof_last_order_events,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -754,6 +755,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "asof_last_order_events": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate AS last_order_date,
+                     max(o_totalprice) AS price
+              FROM orders GROUP BY 1, 2)
+            SELECT e.user_id, e.ts, r.last_order_date,
+                   round(r.price, 2) AS last_order_price
+            FROM events e ASOF JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.last_order_date""",
         "events_sliding_window": """
             WITH w AS (
               SELECT event_type, value,

@@ -1,0 +1,74 @@
+"""Distributed join operators Ray Data's Dataset API doesn't ship.
+
+``asof_join``: for every left row, the most recent right row with
+``right_on <= left_on`` within the same ``by`` key — the classic
+time-series enrichment join. Shape: both sides are reindexed to one
+common schema, tagged, hash-bucketed on ``by`` (co-location is the
+partitioning assumption: a key's rows all meet in one bucket), and each
+bucket runs one vectorized ``pd.merge_asof``. Never a per-key Python
+callback; skew in ``by`` is bounded by the bucket count (salt hot keys
+into sub-buckets upstream if one key dominates).
+
+Ties on ``right_on`` within a key make "the most recent row" ambiguous —
+resolve them BEFORE joining (e.g. aggregate the right side to one row per
+(by, right_on)); this mirrors what DuckDB's ASOF JOIN needs for
+deterministic output, which is exactly what makes the operator
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
+              right_cols: list[str], how: str = "inner", n_buckets: int = 32):
+    """→ Dataset of left rows + ``right_on`` + ``right_cols`` from the
+    as-of match. ``how="inner"`` drops unmatched left rows (DuckDB ASOF
+    JOIN semantics); ``how="left"`` keeps them with nulls.
+    ``left_on``/``right_on`` must be differently named columns."""
+    import pandas.util as pdu
+
+    if left_on == right_on:
+        raise ValueError("left_on and right_on must differ (rename one side)")
+    left_cols = list(left_ds.schema().names)
+    all_cols = left_cols + [right_on] + [c for c in right_cols if c not in left_cols]
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.reindex(columns=all_cols)
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[by, right_on, *right_cols]].reindex(columns=all_cols)
+        out["__side"] = np.int8(1)
+        return out
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b[by].to_numpy()) % n_buckets).astype("int64")
+        return b
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][left_cols].sort_values(left_on, kind="mergesort")
+        right = g[g["__side"] == 1][[by, right_on, *right_cols]]
+        right = right.dropna(subset=[right_on]).sort_values(right_on, kind="mergesort")
+        if right[right_on].dtype != left[left_on].dtype:
+            # a bucket with no right rows arrives with an all-null float
+            # column; empty astype restores the join-key dtype
+            right = right.astype({right_on: left[left_on].dtype})
+        if left.empty:
+            return pd.DataFrame(columns=all_cols)
+        merged = pd.merge_asof(left, right, left_on=left_on, right_on=right_on,
+                               by=by, direction="backward")
+        if how == "inner":
+            merged = merged[merged[right_on].notna()]
+        return merged[all_cols]
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pandas")
+        .union(right_ds.map_batches(tag_right, batch_format="pandas"))
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

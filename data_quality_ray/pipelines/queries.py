@@ -567,6 +567,34 @@ def events_sliding_window(sf_dir: str, size_min: int = 60, slide_min: int = 15) 
     return out
 
 
+def asof_last_order_events(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event enriched with the user's most recent order
+    at or before the event time (right side pre-aggregated to one row per
+    (custkey, date) so the as-of pick is deterministic — the same
+    requirement DuckDB's native ASOF JOIN oracle has).
+    → (user_id, ts, last_order_date, last_order_price)."""
+    from ..functions.joins import asof_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    right = grouped_aggregate(
+        orders.map_batches(
+            lambda b: pd.DataFrame({"user_id": b["o_custkey"],
+                                    "last_order_date": b["o_orderdate"],
+                                    "price": b["o_totalprice"]}),
+            batch_format="pandas"),
+        ["user_id", "last_order_date"], {"last_order_price": ("price", "max")},
+    )
+    import ray.data as rd
+
+    out = asof_join(events, rd.from_pandas(right), by="user_id", left_on="ts",
+                    right_on="last_order_date",
+                    right_cols=["last_order_price"]).to_pandas()
+    out["last_order_price"] = out["last_order_price"].round(2)
+    return out
+
+
 def session_windows_events(sf_dir: str) -> pd.DataFrame:
     """Per-user session windows (30-min inactivity gap) over the events
     log: the stream-shaped pattern — partition by key, sort by ts within

@@ -491,3 +491,30 @@ def test_custom_date_patterns():
     # custom patterns are strict: a mismatch falls back to system behavior
     assert infer_type_one("2021-07-15", ("yyyy|MM|dd",)) == "DATE"
     assert infer_type_one("not a date", ("yyyy|MM|dd",)) == "STRING"
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join vs a per-row reference: latest right row <= left ts per
+    key; inner drops unmatched; left keeps them."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "t": pd.to_datetime(["2020-01-05", "2020-01-01", "2020-06-01", "2020-01-01"]),
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "rt": pd.to_datetime(["2020-01-02", "2020-01-04", "2020-05-30"]),
+        "v": [10.0, 20.0, 30.0],
+    })
+    out = asof_join(rd.from_pandas(left).repartition(2), rd.from_pandas(right),
+                    by="k", left_on="t", right_on="rt", right_cols=["v"],
+                    n_buckets=4).to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # (1, 01-01): no right row <= -> dropped (inner); (1, 01-05)->20; (2,...)->30; (3,...) dropped
+    assert out[["k", "v"]].to_dict("records") == [{"k": 1, "v": 20.0}, {"k": 2, "v": 30.0}]
+    out_l = asof_join(rd.from_pandas(left).repartition(2), rd.from_pandas(right),
+                      by="k", left_on="t", right_on="rt", right_cols=["v"],
+                      how="left", n_buckets=4).to_pandas()
+    assert len(out_l) == 4 and out_l["v"].isna().sum() == 2
