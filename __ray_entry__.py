@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": Q.events_hourly_window,
         "events_sliding_window": Q.events_sliding_window,
         "asof_last_order_events": Q.asof_last_order_events,
+        "range_join_orders_bands": Q.range_join_orders_bands,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -580,6 +581,17 @@ def _chronology_sql() -> str:
     FROM hij"""
 
 
+def _range_bands_sql() -> str:
+    from data_quality_ray.pipelines.queries import PRICE_BANDS
+
+    vals = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in PRICE_BANDS)
+    return f"""
+    WITH bands(lo, hi, band) AS (SELECT * FROM (VALUES {vals}))
+    SELECT b.band, count(*) AS n, round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
@@ -755,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "range_join_orders_bands": _range_bands_sql(),
         "asof_last_order_events": """
             WITH r AS (
               SELECT o_custkey AS user_id, o_orderdate AS last_order_date,

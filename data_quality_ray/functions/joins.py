@@ -72,3 +72,44 @@ def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
         .map_batches(add_bucket, batch_format="pandas")
     )
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str,
+               attach_cols: list[str], how: str = "inner"):
+    """Banded-dimension range join: attach interval attributes to every
+    row whose ``on`` value falls in [lo, hi). The intervals table is the
+    SMALL side (rate tables, price bands, IP→geo ranges): broadcast once
+    via ``ray.put`` as sorted edge arrays, matched per batch with ONE
+    vectorized searchsorted — never a shuffle, never a cross join.
+
+    Assumes intervals are disjoint (validated here); overlapping-interval
+    joins need the bucketed-pairs shape instead.
+    """
+    import ray
+
+    from .broadcast import cached_get
+
+    iv = intervals.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    lo = iv[lo_col].to_numpy()
+    hi = iv[hi_col].to_numpy()
+    if (hi[:-1] > lo[1:]).any() if len(iv) > 1 else False:
+        raise ValueError("intervals overlap — range_join requires disjoint bands")
+    attach = {c: iv[c].to_numpy() for c in attach_cols}
+    ref = ray.put((lo, hi, attach))
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        lo_a, hi_a, att = cached_get(ref)
+        v = b[on].to_numpy()
+        pos = np.searchsorted(lo_a, v, side="right") - 1
+        ok = (pos >= 0) & (v < hi_a[np.clip(pos, 0, len(hi_a) - 1)])
+        out = b.copy()
+        safe = np.clip(pos, 0, len(lo_a) - 1)
+        for c, arr in att.items():
+            col = arr[safe].astype(object)
+            col[~ok] = None
+            out[c] = col
+        if how == "inner":
+            out = out[ok]
+        return out
+
+    return ds.map_batches(match, batch_format="pandas")

@@ -595,6 +595,26 @@ def asof_last_order_events(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+PRICE_BANDS = [(i * 25_000.0, (i + 1) * 25_000.0, f"band{i:02d}") for i in range(24)]
+
+
+def range_join_orders_bands(sf_dir: str) -> pd.DataFrame:
+    """Banded range join: each order tagged with its deterministic price
+    band ([lo, hi) intervals broadcast once, searchsorted per batch) and
+    aggregated per band. → (band, n, sum_price)."""
+    from ..functions.joins import range_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    bands = pd.DataFrame(PRICE_BANDS, columns=["lo", "hi", "band"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    joined = range_join(ds, bands, on="o_totalprice", lo_col="lo", hi_col="hi",
+                        attach_cols=["band"])
+    out = grouped_aggregate(joined, ["band"],
+                            {"n": ("", "count"), "sum_price": ("o_totalprice", "sum")})
+    out["sum_price"] = out["sum_price"].round(2)
+    return out
+
+
 def session_windows_events(sf_dir: str) -> pd.DataFrame:
     """Per-user session windows (30-min inactivity gap) over the events
     log: the stream-shaped pattern — partition by key, sort by ts within

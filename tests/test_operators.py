@@ -518,3 +518,24 @@ def test_asof_join_semantics(ray_session):
                       by="k", left_on="t", right_on="rt", right_cols=["v"],
                       how="left", n_buckets=4).to_pandas()
     assert len(out_l) == 4 and out_l["v"].isna().sum() == 2
+
+
+def test_range_join(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import range_join
+
+    rows = pd.DataFrame({"id": range(6), "x": [5, 15, 25, 99, 100, -1]})
+    bands = pd.DataFrame({"lo": [0, 10, 20], "hi": [10, 20, 100], "name": ["a", "b", "c"]})
+    out = range_join(rd.from_pandas(rows).repartition(2), bands, "x", "lo", "hi",
+                     ["name"]).to_pandas().sort_values("id")
+    assert out[["id", "name"]].to_dict("records") == [
+        {"id": 0, "name": "a"}, {"id": 1, "name": "b"},
+        {"id": 2, "name": "c"}, {"id": 3, "name": "c"}]
+    outl = range_join(rd.from_pandas(rows), bands, "x", "lo", "hi", ["name"],
+                      how="left").to_pandas()
+    assert len(outl) == 6 and outl["name"].isna().sum() == 2
+    with pytest.raises(ValueError):
+        range_join(rd.from_pandas(rows),
+                   pd.DataFrame({"lo": [0, 5], "hi": [10, 20], "name": ["a", "b"]}),
+                   "x", "lo", "hi", ["name"])
