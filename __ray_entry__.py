@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_hll_customer": Q.cardinality_hll_customer,
         "quantiles_tdigest_price": Q.quantiles_tdigest_price,
         "nested_profile_customer": Q.nested_profile_customer,
+        "heavy_hitter_tokens_docs": Q.heavy_hitter_tokens_docs,
         "histogram_quantity": Q.histogram_quantity,
         "quantiles_price": Q.quantiles_price,
         "frequency_events": Q.frequency_events,
@@ -664,6 +665,13 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_tdigest_price": """
             SELECT count(*) AS n, true AS q25_ok, true AS median_ok, true AS q75_ok
             FROM lineitem""",
+        "heavy_hitter_tokens_docs": f"""
+            WITH t AS (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+              FROM documents)
+            SELECT token, count(*) AS n, true AS ok
+            FROM t GROUP BY 1
+            ORDER BY n DESC, token ASC LIMIT {Q.HEAVY_HITTER_K}""",
         "nested_profile_customer": """
             SELECT 'rec.acctbal' AS path, 'DOUBLE' AS dominant_type,
                    count(c_acctbal) AS valid, count(*) - count(c_acctbal) AS nulls

@@ -254,6 +254,40 @@ def quantiles_tdigest_price(sf_dir: str) -> pd.DataFrame:
                          "median_ok": [oks[1]], "q75_ok": [oks[2]]})
 
 
+HEAVY_HITTER_K = 10
+
+
+def heavy_hitter_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """Count-min heavy hitters over the documents token stream: the
+    sketch's estimates for the EXACT top-K tokens must over-count by at
+    most εN (CMS guarantee → boolean gate the exact-hash compare checks);
+    exact counts come from a distributed token groupby.
+    → (token, n, ok) for the top K tokens by exact count."""
+    from ray.data.aggregate import Count
+
+    from ..profiling.sketches import CountMinSketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = [t for v in batch["text"].to_numpy(zero_copy_only=False)
+                for t in (v or "").split()]
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    tok_ds = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+    exact = (tok_ds.groupby("token").aggregate(Count(alias_name="n")).to_pandas()
+             .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+             .head(HEAVY_HITTER_K).reset_index(drop=True))
+    cms = _sketch_partials(
+        tok_ds, CountMinSketch,
+        lambda acc, b: acc.update_array(b["token"].to_numpy(zero_copy_only=False)))
+    est = cms.estimate(exact["token"].to_numpy(dtype=object))
+    eps_n = np.e / cms.width * cms.n
+    ok = (est >= exact["n"].to_numpy()) & (est - exact["n"].to_numpy() <= eps_n)
+    return pd.DataFrame({"token": exact["token"], "n": exact["n"].astype(np.int64),
+                         "ok": ok.astype(bool)})
+
+
 def nested_profile_customer(sf_dir: str) -> pd.DataFrame:
     """Nested (struct) discovery+quality profiling: pack customer columns
     into a struct column, profile leaf paths in one distributed pass

@@ -165,3 +165,51 @@ class TDigest:
         if target >= cum[-1]:
             return float(self._max if np.isfinite(self._max) else m[-1])
         return float(np.interp(target, cum, m))
+
+
+class CountMinSketch:
+    """Mergeable count-min sketch (Cormode & Muthukrishnan 2005) for
+    heavy-hitter frequency estimation over unbounded key spaces: d rows of
+    w counters, per-row hash = the stable 64-bit hash salted per row;
+    estimate = min over rows (never under-counts, over-counts by at most
+    εN with ε≈e/w at δ≈e^-d). Same partial/merge contract as the HLL and
+    t-digest sketches (one sketch per block rides the partials stream)."""
+
+    def __init__(self, width: int = 2048, depth: int = 5):
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h = stable_hash64(values)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            # odd multiplier per row = independent-enough salted family
+            salt = np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+            out[d] = ((h * np.uint64(2 * d + 1) + salt)
+                      % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def update_array(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return
+        c = np.ones(len(values), dtype=np.int64) if counts is None else np.asarray(counts)
+        pos = self._positions(values)
+        for d in range(self.depth):
+            np.add.at(self.table[d], pos[d], c)
+        self.n += int(c.sum())
+
+    def estimate(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(values)
+        ests = np.stack([self.table[d][pos[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        self.n += other.n
+        return self

@@ -142,3 +142,38 @@ def test_profile_one_pass_via_ray(ray_session):
         "select l_returnflag, count(*) from '/root/testdata/sf0.001/lineitem.parquet' group by 1"
     ).fetchall())
     assert top == exp_top
+
+
+def test_count_min_sketch_merge_and_bounds():
+    import numpy as np
+
+    from data_quality_ray.profiling.sketches import CountMinSketch
+
+    rng = np.random.RandomState(3)
+    # zipf-ish stream: a few heavy keys + long tail
+    keys = np.array([f"k{i}" for i in range(5000)], dtype=object)
+    stream = np.concatenate([
+        np.repeat(keys[:5], 2000),                 # heavy hitters
+        keys[rng.randint(0, 5000, size=30000)],    # tail
+    ])
+    rng.shuffle(stream)
+    whole = CountMinSketch()
+    whole.update_array(stream)
+    # merge of partials == whole
+    parts = [CountMinSketch() for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_array(stream[i::4])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert (merged.table == whole.table).all() and merged.n == whole.n
+    # never under-counts; heavy hitters within epsilon*N
+    import collections
+
+    exact = collections.Counter(stream)
+    heavy = keys[:5]
+    est = whole.estimate(heavy)
+    eps_n = int(np.e / whole.width * whole.n) + 1
+    for k, e in zip(heavy, est):
+        assert e >= exact[k]
+        assert e - exact[k] <= eps_n
