@@ -111,28 +111,29 @@ def minhash_bands(ds, id_col: str, text_col: str, n_perm: int = 64, bands: int =
 
     band_hash is a 64-bit re-hash of the signature slice in "stable" mode
     (compact shuffle key), and the raw "v|v|v|v" slice string in "md5"
-    mode (lets the SQL oracle reproduce the bucket key verbatim)."""
+    mode (lets the SQL oracle reproduce the bucket key verbatim).
+
+    Runs as TASKS with a per-worker-process hasher cache (the north.py
+    stage_mode="tasks" pattern) — the hasher is cheap to build, and an
+    actor pool's spin-up dominates small jobs."""
     rows_per_band = n_perm // bands
 
-    class Sign:
-        def __init__(self):
-            self.mh = _cached_hasher(n_perm, shingle_size, seed, hash_fn)
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _cached_hasher(n_perm, shingle_size, seed, hash_fn)
+        sigs = mh.signatures_batch(batch[text_col].to_numpy(dtype=object))
+        band_strs = np.array(
+            ["|".join(map(str, sig[b * rows_per_band : (b + 1) * rows_per_band]))
+             for sig in sigs for b in range(bands)],
+            dtype=object,
+        )
+        keys = band_strs if hash_fn == "md5" else HASH64["stable"](band_strs).astype(np.int64)
+        return pd.DataFrame({
+            "band_id": np.tile(np.arange(bands), len(sigs)),
+            "band_hash": keys,
+            id_col: np.repeat(batch[id_col].to_numpy(), bands),
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            sigs = self.mh.signatures_batch(batch[text_col].to_numpy(dtype=object))
-            band_strs = np.array(
-                ["|".join(map(str, sig[b * rows_per_band : (b + 1) * rows_per_band]))
-                 for sig in sigs for b in range(bands)],
-                dtype=object,
-            )
-            keys = band_strs if hash_fn == "md5" else HASH64["stable"](band_strs).astype(np.int64)
-            return pd.DataFrame({
-                "band_id": np.tile(np.arange(bands), len(sigs)),
-                "band_hash": keys,
-                id_col: np.repeat(batch[id_col].to_numpy(), bands),
-            })
-
-    return ds.map_batches(Sign, batch_format="pandas", batch_size=1024, concurrency=(2, 8))
+    return ds.map_batches(sign, batch_format="pandas", batch_size=1024)
 
 
 # band tables below this row count are collected to the driver (3 small
