@@ -112,6 +112,9 @@ def run_bench() -> dict:
         ("phonetic_keys_part", Q.phonetic_keys_part),
         ("chronology_convert_orders", Q.chronology_convert_orders),
         ("survivorship_extended_orders", Q.survivorship_extended_orders),
+        ("asof_last_order_events", Q.asof_last_order_events),
+        ("range_join_orders_bands", Q.range_join_orders_bands),
+        ("heavy_hitter_tokens_docs", Q.heavy_hitter_tokens_docs),
     ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     runp.add_argument("--wave-files", type=int, default=64)
     runp.add_argument("--no-dedup", action="store_true")
     runp.add_argument("--no-validate", action="store_true")
+    runp.add_argument("--dedup-index", default=None,
+                      help="cross-run dedup index dir (drop keys committed by previous runs)")
+    runp.add_argument("--address", default="local",
+                      help="Ray address ('local', or 'auto' inside a cluster / ray job submit)")
 
     genp = sub.add_parser("gen", help="generate a synthetic image+caption table")
     genp.add_argument("out_dir")
@@ -41,8 +45,12 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
-                 logging_level="ERROR")
+        addr = getattr(args, "address", "local")
+        if addr == "local":
+            ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                     logging_level="ERROR")
+        else:  # cluster mode (ray job submit / existing cluster): resources come from the cluster
+            ray.init(address=addr, logging_level="ERROR")
     try:
         if args.cmd == "gen":
             from .sources.fixtures import write_f1
@@ -59,6 +67,7 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size, wave_files=args.wave_files,
                 dedup=not args.no_dedup, validate_images=not args.no_validate,
                 stage_mode="actors" if args.concurrency else "tasks",
+                dedup_index_dir=args.dedup_index,
             )
             print(json.dumps(stats))
     finally:
