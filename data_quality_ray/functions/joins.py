@@ -33,6 +33,9 @@ def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
     if left_on == right_on:
         raise ValueError("left_on and right_on must differ (rename one side)")
     left_cols = list(left_ds.schema().names)
+    clash = ({right_on, *right_cols} - {by}) & set(left_cols)
+    if clash:
+        raise ValueError(f"right columns {sorted(clash)} clash with left schema — rename them")
     all_cols = left_cols + [right_on] + [c for c in right_cols if c not in left_cols]
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:

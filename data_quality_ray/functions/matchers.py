@@ -133,15 +133,26 @@ def qgrams_sim(a: str, b: str, q: int = 3) -> float:
 
 
 def lcs_sim(a: str, b: str) -> float:
+    """Longest common SUBSTRING (contiguous, over code points) / max
+    code-point length — LCSMatcher.getWeight + longestSubstr semantics
+    (attribute/LCSMatcher.java; NOT the subsequence LCS). Vectorized DP:
+    one numpy row per char of ``a``."""
     if not a or not b:
         return 1.0 if a == b else 0.0
-    prev = [0] * (len(b) + 1)
+    bb = np.array([ord(c) for c in b], dtype=np.int64)
+    prev = np.zeros(len(bb), dtype=np.int64)
+    shifted = np.zeros(len(bb), dtype=np.int64)
+    best = 0
     for ca in a:
-        cur = [0] * (len(b) + 1)
-        for j, cb in enumerate(b, 1):
-            cur[j] = prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1])
+        eq = bb == ord(ca)
+        shifted[0] = 0
+        shifted[1:] = prev[:-1]
+        cur = np.where(eq, shifted + 1, 0)
+        m = int(cur.max())
+        if m > best:
+            best = m
         prev = cur
-    return prev[-1] / max(len(a), len(b))
+    return best / max(len(a), len(b))
 
 
 def soundex(s: str) -> str:
@@ -171,7 +182,16 @@ def exact_ignore_case(a: str, b: str) -> float:
 
 
 def soundex_sim(a: str, b: str) -> float:
-    return 1.0 if soundex(a) == soundex(b) else 0.0
+    """difference(soundex(a), soundex(b)) / 4 — the reference's
+    SoundexMatcher.getWeight (commons Soundex.difference), NOT a plain
+    code-equality test. Letters outside A–Z make commons Soundex throw
+    and the matcher catch → 0.0; replicated here."""
+    from .phonetics import sc_difference
+
+    for s in (a, b):
+        if any(c.isalpha() and not ("A" <= c.upper() <= "Z") for c in s):
+            return 0.0
+    return sc_difference(soundex(a), soundex(b)) / 4.0
 
 
 def fingerprint_sim(a: str, b: str) -> float:
@@ -206,10 +226,13 @@ MATCHERS = {
 
 
 def match_score(a: str | None, b: str | None, matcher="LEVENSHTEIN", null_option="nullMatchNull") -> float:
-    """Null semantics per AbstractAttributeMatcher.getMatchingWeight:40-62."""
-    if a is None or b is None:
+    """Null semantics per AbstractAttributeMatcher.getMatchingWeight:60-80
+    — the frame treats EMPTY strings as null too (isNullOrEmpty:323)."""
+    a_null = a is None or a == ""
+    b_null = b is None or b == ""
+    if a_null or b_null:
         if null_option == "nullMatchNull":
-            return 1.0 if (a is None and b is None) else 0.0
+            return 1.0 if (a_null and b_null) else 0.0
         if null_option == "nullMatchAll":
             return 1.0
         return 0.0

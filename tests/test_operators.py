@@ -43,7 +43,8 @@ def test_matcher_family():
     assert M.exact("a", "a") == 1.0 and M.exact("a", "b") == 0.0
     assert M.exact_ignore_case("AbC", "abc") == 1.0
     assert M.hamming_sim("karolin", "kathrin") == pytest.approx(4 / 7)
-    assert M.lcs_sim("abcdef", "abdf") == pytest.approx(4 / 6)
+    # longest common SUBSTRING semantics (LCSMatcher.java): "ab" → 2/6
+    assert M.lcs_sim("abcdef", "abdf") == pytest.approx(2 / 6)
     assert 0 < M.qgrams_sim("night", "nacht") < 1
     assert M.soundex("Robert") == "R163" and M.soundex("Rupert") == "R163"
     assert M.soundex_sim("Robert", "Rupert") == 1.0
@@ -55,6 +56,9 @@ def test_null_options():
     assert M.match_score(None, "x", "EXACT", "nullMatchNull") == 0.0
     assert M.match_score(None, "x", "EXACT", "nullMatchAll") == 1.0
     assert M.match_score(None, None, "EXACT", "nullMatchNone") == 0.0
+    # blanks are nulls to the matcher frame (isNullOrEmpty:323)
+    assert M.match_score("", "", "EXACT", "nullMatchNull") == 1.0
+    assert M.match_score("", "x", "EXACT", "nullMatchNull") == 0.0
     # CUSTOM matcher = plain callable
     assert M.match_score("aa", "ab", lambda a, b: 0.5) == 0.5
 

@@ -441,3 +441,72 @@ def test_frequent_first_recognizer_matches_fixed_path():
     assert len(rec.cache) >= 1
     freqs = [f for _, f in rec.cache]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_reference_full_matcher_score_table():
+    """The COMPLETE AbstractAttributeMatcherTest score table
+    (attribute/AbstractAttributeMatcherTest.java:34-141) — every matcher
+    type, every row, at the reference's 0.01 delta."""
+    from data_quality_ray.functions.matchers import match_score
+
+    rows = [
+        ("EXACT", "E", "E", 1.0), ("EXACT", "E", "e", 0.0),
+        ("EXACT", "A", "Ä", 0.0), ("EXACT", "中文", "中国", 0.0),
+        ("EXACT", "中文", "中问", 0.0), ("EXACT", "中文", "中文", 1.0),
+        ("EXACT_IGNORE_CASE", "E", "e", 1.0), ("EXACT_IGNORE_CASE", "Î", "î", 1.0),
+        ("EXACT_IGNORE_CASE", "A", "Ä", 0.0), ("EXACT_IGNORE_CASE", "中文", "中国", 0.0),
+        ("EXACT_IGNORE_CASE", "中文", "中问", 0.0), ("EXACT_IGNORE_CASE", "中文", "中文", 1.0),
+        ("SOUNDEX", "kate", "Cade", 0.75),
+        ("SOUNDEX", "unmottreslong", "unautremotlong", 1.0),
+        ("SOUNDEX", "steff", "stephanie", 0.75),
+        ("SOUNDEX", "Sebastiao", "Sepastien", 1.0),
+        ("SOUNDEX", "Sizhao", "sejao", 1.0),
+        ("SOUNDEX", "A", "Ä", 0.0),
+        ("LEVENSHTEIN", "kate", "Cade", 0.5),
+        ("LEVENSHTEIN", "unmottreslong", "unautremotlong", 0.57),
+        ("LEVENSHTEIN", "steff", "stephanie", 0.33),
+        ("LEVENSHTEIN", "Sebastiao", "Sepastien", 0.67),
+        ("LEVENSHTEIN", "Sizhao", "sejao", 0.33),
+        ("LEVENSHTEIN", "A", "Ä", 0.0),
+        ("LEVENSHTEIN", "中文", "中国", 0.5), ("LEVENSHTEIN", "中文", "中问", 0.5),
+        ("LEVENSHTEIN", "中文", "中文", 1.0),
+        ("JARO", "kate", "Cade", 0.66),
+        ("JARO", "unmottreslong", "unautremotlong", 0.84),
+        ("JARO", "steff", "stephanie", 0.64),
+        ("JARO", "Sebastiao", "Sepastien", 0.78),
+        ("JARO", "Sizhao", "sejao", 0.57),
+        ("JARO", "A", "Ä", 0.0),
+        ("JARO", "中文", "中国", 0.6666666865348816),
+        ("JARO", "中文", "中问", 0.6666666865348816),
+        ("JARO", "中文", "中文", 1.0),
+        ("LCS", "kate", "Cade", 0.25),
+        ("LCS", "unmottreslong", "unautremotlong", 0.29),
+        ("LCS", "steff", "stephanie", 0.33),
+        ("LCS", "Sebastiao", "Sepastien", 0.44),
+        ("LCS", "Sizhao", "sejao", 0.33),
+        ("LCS", "A", "Ä", 0.0),
+        ("LCS", "中文", "中国", 0.50), ("LCS", "中文", "中问", 0.50),
+        ("LCS", "中文", "中文", 1.0),
+        ("LCS", "自由的全书百科", "自由的维基百科", 0.42857142857142855),
+        ("Q_GRAMS", "kate", "Cade", 0.16),
+        ("Q_GRAMS", "unmottreslong", "unautremotlong", 0.51),
+        ("Q_GRAMS", "steff", "stephanie", 0.33),
+        ("Q_GRAMS", "Sebastiao", "Sepastien", 0.36),
+        ("Q_GRAMS", "Sizhao", "sejao", 0.26),
+        ("Q_GRAMS", "A", "Ä", 0.0),
+        ("Q_GRAMS", "中文", "中国", 0.25), ("Q_GRAMS", "中文", "中问", 0.25),
+        ("Q_GRAMS", "中文", "中文", 1.0),
+        ("Q_GRAMS", "自由的全书百科", "自由的维基百科", 0.5555555820465088),
+        ("HAMMING", "kate", "Cade", 0.5),
+        ("HAMMING", "unmottreslong", "unautremotlong", 0.0),
+        ("HAMMING", "steff", "stephanie", 0.0),
+        ("HAMMING", "Sebastiao", "Sepastien", 0.67),
+        ("HAMMING", "Sizhao", "sejao", 0.0),
+        ("HAMMING", "A", "Ä", 0.0),
+        ("DOUBLE_METAPHONE", "", "stephanie", 0.0),
+        ("DOUBLE_METAPHONE", "stephanie", "", 0.0),
+        ("DOUBLE_METAPHONE", "", "", 1.0),
+    ]
+    for m, a, b, exp in rows:
+        got = match_score(a, b, matcher=m)
+        assert abs(got - exp) < 0.011, (m, a, b, exp, got)
