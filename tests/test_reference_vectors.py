@@ -510,3 +510,14 @@ def test_reference_full_matcher_score_table():
     for m, a, b, exp in rows:
         got = match_score(a, b, matcher=m)
         assert abs(got - exp) < 0.011, (m, a, b, exp, got)
+
+
+def test_reference_matcher_unit_test_vectors():
+    """Remaining per-matcher unit-test vectors: JaroMatcherTest John/Jon
+    and QGramsMatcherTest tokenizationAndPadding (ANYORDER + space
+    tokenizer)."""
+    from data_quality_ray.functions.matchers import jaro, tokenized_score
+
+    assert abs(jaro("John", "Jon") - 0.9166666865348816) < 1e-6
+    assert abs(tokenized_score("Jon Doe", "Doe John", mode="ANYORDER",
+                               matcher="Q_GRAMS") - 0.77272727) < 1e-6

@@ -149,3 +149,25 @@ def test_rule_registry_config_chain():
     assert res.verdict.tolist() == ["DROP", "DROP", "DROP", "CORRECTED"]
     assert res.first_rule.tolist() == ["empty", "len3_100", "all_caps", "scrub_email"]
     assert res.values[3] == "mail me <EMAIL> ok"
+
+
+def test_chain_astral_plane_and_exotic_captions():
+    """Robustness: astral-plane and exotic-unicode captions go through the
+    full chain without error and deterministically."""
+    import numpy as np
+
+    from data_quality_ray.pipelines.quality_filter import build_image_chain
+
+    captions = np.array([
+        "𠀀𠀁 astral start of a caption about a dog in the park today",
+        "a normal caption with an emoji 🐕 walking near the old bridge",
+        "ʇxǝʇ pǝddᴉlɟ a strange but letterful caption near the harbor",
+        "‮control‬ direction marks in a caption by the station",
+        "🏳️‍🌈🏳️‍🌈🏳️‍🌈",
+    ], dtype=object)
+    eng = build_image_chain()
+    r1 = eng.apply(captions.copy())
+    r2 = eng.apply(captions.copy())
+    assert list(r1.verdict) == list(r2.verdict)
+    assert list(r1.values) == list(r2.values)
+    assert all(v in ("KEEP", "DROP", "CORRECTED") for v in r1.verdict)
