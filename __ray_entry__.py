@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship + scrub (full SQL oracle)
         "quality_filter_docs": Q.quality_filter_docs,
         "scrub_pii_docs": Q.scrub_pii_docs,
+        "corpus_clean_docs": Q.corpus_clean_docs,
         # profiling / statistics
         "pricing_summary": Q.pricing_summary,
         "summary_orders": Q.summary_orders,
@@ -454,7 +455,8 @@ FROM documents d LEFT JOIN sig s USING (doc_id)
 # --- MinHash+LSH near-dup clustering, replayed end-to-end in SQL -----------
 
 def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
-                 shingle_size: int = 3, seed: int = 17) -> str:
+                 shingle_size: int = 3, seed: int = 17,
+                 source: str = "documents") -> str:
     from data_quality_ray.dedup.minhash import perm_coefficients
 
     a, b = perm_coefficients(n_perm, seed)
@@ -467,7 +469,7 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
     dt AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks
-      FROM documents),
+      FROM {source}),
     grams AS (
       SELECT doc_id, unnest(
         CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -593,9 +595,25 @@ def _range_bands_sql() -> str:
     GROUP BY 1"""
 
 
+def _corpus_clean_sql() -> str:
+    """filter+scrub (qf) → exact dedup on scrubbed text (ex) → drop
+    near-dup cluster members that aren't their cluster root (the minhash
+    replay runs over the ``ex`` intermediate as a correlated subquery —
+    outer CTEs are visible inside it)."""
+    return f"""
+    WITH qf AS (SELECT * FROM ({_QUALITY_FILTER_DOCS_SQL})),
+    kept AS (SELECT doc_id, scrubbed_text AS text FROM qf WHERE keep),
+    ex AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text)
+    SELECT e.doc_id, e.text FROM ex e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({_minhash_sql(source='ex')}) mh
+      WHERE mh.doc_id = e.doc_id AND mh.cluster <> e.doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
+        "corpus_clean_docs": _corpus_clean_sql(),
         "chronology_convert_orders": _chronology_sql(),
         "langid_heuristic_docs": _langid_sql(),
         "simhash_docs": _SIMHASH_SQL,

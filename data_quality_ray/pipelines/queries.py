@@ -85,6 +85,38 @@ def scrub_pii_docs(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(f, batch_format="pyarrow").to_pandas()
 
 
+def corpus_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """The full text-corpus cleaning composition in ONE pipeline — the
+    operators a 100 TB training-data run chains: rule-chain filter +
+    PII/toxicity scrub → exact dedup on scrubbed text (min doc_id wins)
+    → MinHash near-dup collapse (cluster root survives). Fully
+    SQL-oracled end-to-end (the near-dup stage reuses the md5-replay
+    oracle over the filtered+deduped intermediate).
+    → (doc_id, text) of the surviving corpus."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def apply_chain(batch: pa.Table) -> pa.Table:
+        from ..pipelines.quality_filter import cached_chain
+
+        res = cached_chain(build_docs_chain).apply(
+            batch["text"].to_numpy(zero_copy_only=False),
+            aux={"lang": batch["lang"].to_numpy(zero_copy_only=False)},
+        )
+        keep = res.verdict != "DROP"
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+            "text": pa.array(res.values[keep], type=pa.string()),
+        })
+
+    kept = ds.map_batches(apply_chain, batch_format="pyarrow")
+    exact = dedup_by_key(kept, key="text", order_col="doc_id").materialize()
+    clusters = minhash_dedup(exact, "doc_id", "text", threshold=0.5, hash_fn="md5")
+    losers = set(clusters.loc[clusters["doc_id"] != clusters["cluster"], "doc_id"])
+    out = exact.to_pandas()
+    out = out[~out["doc_id"].isin(losers)][["doc_id", "text"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # profiling operators
 # ---------------------------------------------------------------------------
