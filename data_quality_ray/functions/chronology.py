@@ -294,13 +294,26 @@ class ChronoDateConverter:
         iso = self._parse(s)
         return self._render(iso) if iso is not None else ""
 
+    _PROCESS_MEMO: dict = {}  # (config, value) results shared across batches
+
     def convert_values(self, values):
-        """Vectorized over a column (memoized per distinct value)."""
+        """Vectorized over a column, memoized per distinct value PER
+        WORKER PROCESS (a date column has few distinct values; per-batch
+        memoization alone re-converts them once per batch)."""
         import numpy as np
 
-        from .text import unique_apply
-
-        return unique_apply(np.asarray(values, dtype=object), self.convert)
+        cfg = (self.in_pattern, self.out_pattern, self.in_chronology,
+               self.out_chronology, self.in_locale, self.out_locale)
+        memo = ChronoDateConverter._PROCESS_MEMO.setdefault(cfg, {})
+        vals = np.asarray(values, dtype=object)
+        out = np.empty(len(vals), dtype=object)
+        get = memo.get
+        for i, v in enumerate(vals):
+            r = get(v, memo)
+            if r is memo:  # sentinel: not cached
+                r = memo[v] = self.convert(v)
+            out[i] = r
+        return out
 
 
 def convert_chronology(d: date, chronology: str) -> str:
