@@ -416,19 +416,22 @@ def matching_pairs_supplier(sf_dir: str) -> pd.DataFrame:
     across blocks are not compared."""
     ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 
+    import pandas.util as pdu
+
     def add_key(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["bk"] = b["s_name"].str[:14]
+        bk = b["s_name"].str[:14]
+        # hash-bucket the BLOCKS: one Python callback per bucket of many
+        # blocks, never per tiny block (the map_groups scaling trap)
+        b["bk"] = bk
+        b["__bucket"] = (pdu.hash_array(bk.to_numpy()) % 16).astype("int64")
         return b
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _block_pairs(names: np.ndarray) -> pd.DataFrame:
         from ..functions.matchers import levenshtein_pairs_fixed
 
-        g = g.sort_values("s_name")
-        names = g["s_name"].to_numpy(dtype=object)
         lens = np.array([len(n) for n in names])
-        iu = np.triu_indices(len(names), k=1)
-        ia, ib = iu
+        ia, ib = np.triu_indices(len(names), k=1)
         if len(ia) and (lens == lens[0]).all():
             # block guarantees a 14-char common prefix; equal lengths →
             # lev(full, full) == lev(suffix, suffix), vectorized DP
@@ -441,9 +444,20 @@ def matching_pairs_supplier(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"name_a": names[ia[keep]], "name_b": names[ib[keep]],
                              "dist": pd.array(d[keep], dtype="int64")})
 
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("s_name", kind="mergesort")
+        frames = [_block_pairs(sub["s_name"].to_numpy(dtype=object))
+                  for _, sub in g.groupby("bk", sort=True)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame({"name_a": pd.Series(dtype=object),
+                                 "name_b": pd.Series(dtype=object),
+                                 "dist": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
     out = (
         ds.map_batches(add_key, batch_format="pandas")
-        .groupby("bk").map_groups(pairs, batch_format="pandas").to_pandas()
+        .groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas").to_pandas()
     )
     return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
 
