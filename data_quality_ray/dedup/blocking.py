@@ -22,7 +22,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
-from ..functions.matchers import MATCHERS, match_score, soundex
+from ..functions.matchers import match_score, soundex
 from ..functions.phonetics import cologne_phonetic, double_metaphone, metaphone, soundex_fr
 from ..functions.text import fingerprint_key_one
 

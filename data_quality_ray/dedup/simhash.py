@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..profiling.sketches import HASH64, stable_hash64
+from ..profiling.sketches import HASH64
 
 _BIT_POS = np.arange(64, dtype=np.uint64)
 _BIT_VAL = np.uint64(1) << _BIT_POS

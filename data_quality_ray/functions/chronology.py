@@ -18,7 +18,7 @@ other where round-trips are defined.
 
 from __future__ import annotations
 
-from datetime import date, timedelta
+from datetime import date
 
 # (era name, start date) — newest first
 JAPANESE_ERAS = [

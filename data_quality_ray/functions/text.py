@@ -19,7 +19,6 @@ batch-level numpy / pyarrow.compute kernels:
 from __future__ import annotations
 
 import re
-import sys
 import unicodedata
 from functools import lru_cache
 

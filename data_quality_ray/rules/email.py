@@ -21,7 +21,7 @@ a network side effect — out of scope here by design.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

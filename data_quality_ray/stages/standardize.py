@@ -11,7 +11,6 @@ the MatchMode/fuzzy-query analog) memoized per distinct value.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from ..functions.matchers import jaro_winkler
