@@ -124,11 +124,22 @@ class QualityFilterStage:
 
 def filtered(ds, chain_builder=build_image_chain, column: str = "caption",
              aux_columns: tuple[str, ...] = (), concurrency: int | tuple = 4,
-             batch_size: int = 4096, keep_only: bool = False):
+             batch_size: int = 4096, keep_only: bool = False,
+             num_cpus: float | None = None, num_gpus: float | None = None):
     """Apply the quality-filter stage to a Dataset; optionally keep only
-    surviving rows (KEEP/CORRECTED)."""
+    surviving rows (KEEP/CORRECTED).
+
+    ``num_cpus``/``num_gpus`` pin each actor's resource slice (the north
+    rule's GPU/CPU-pinned model hosts): e.g. a real fastText/KenLM pair
+    on GPU would use ``num_gpus=0.25, concurrency=(4, n_gpus*4)`` so the
+    scheduler packs four scoring actors per device."""
     import pyarrow.compute as pc
 
+    res = {}
+    if num_cpus is not None:
+        res["num_cpus"] = num_cpus
+    if num_gpus is not None:
+        res["num_gpus"] = num_gpus
     out = ds.map_batches(
         QualityFilterStage,
         fn_constructor_kwargs={"chain_builder": chain_builder, "column": column,
@@ -136,6 +147,7 @@ def filtered(ds, chain_builder=build_image_chain, column: str = "caption",
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        **res,
     )
     if keep_only:
         out = out.map_batches(
