@@ -8,6 +8,7 @@ never a semantic.
 """
 
 import duckdb
+from datetime import date
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -112,3 +113,35 @@ def test_scrub_chain_idempotent(s):
 
     once = chain(s)
     assert chain(once) == once
+
+
+@given(st.dates(min_value=date(1900, 1, 1), max_value=date(2100, 12, 31)))
+@settings(max_examples=200, deadline=None)
+def test_chronology_round_trips(d):
+    """Every chronology is an exact bijection on its domain."""
+    from data_quality_ray.functions import chronology as CH
+
+    for name, (to_fn, from_fn) in CH.CHRONOLOGIES.items():
+        assert from_fn(*to_fn(d)) == d, name
+    if d >= date(1868, 10, 23):
+        era, y, m, dd = CH.to_japanese(d)
+        assert CH.from_japanese(era, y, m, dd) == d
+
+
+@given(st.dates(min_value=date(1912, 1, 1), max_value=date(2100, 12, 31)),
+       st.sampled_from(["ThaiBuddhist", "Minguo", "Hijrah", "Japanese"]))
+@settings(max_examples=150, deadline=None)
+def test_chrono_converter_round_trip_property(d, chrono):
+    """ISO → chronology string → ISO is the identity within each
+    chronology's positive-era domain (pre-era dates render proleptic
+    negative years the digit patterns can't re-parse — Java models those
+    with distinct BEFORE eras; out of scope here)."""
+    from data_quality_ray.functions.chronology import ChronoDateConverter
+
+    iso = d.isoformat()
+    out_pat = "yyyy-MM-dd G" if chrono == "Japanese" else "yyyy-MM-dd"
+    fwd = ChronoDateConverter("yyyy-MM-dd", out_pat, "Iso", chrono)
+    back = ChronoDateConverter(out_pat, "yyyy-MM-dd", chrono, "Iso")
+    rendered = fwd.convert(iso)
+    assert rendered not in ("", None)
+    assert back.convert(rendered) == iso, (iso, chrono, rendered)
