@@ -93,9 +93,26 @@ def gen_block_key_one(row: dict, defs: list[dict]) -> str:
 
 
 def add_block_key(ds, defs: list[dict], out_col: str = "block_key"):
+    from ..functions.text import unique_apply
+
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[out_col] = [gen_block_key_one(r, defs) for r in batch.to_dict("records")]
+        # per-definition column pass with per-distinct memoization (key
+        # columns repeat), then one string concat — no per-row dicts
+        parts = []
+        for d in defs:
+            pre = PRE_ALGOS[d.get("pre")]
+            key = KEY_ALGOS[d.get("algo", "EXACT")]
+            post = POST_ALGOS[d.get("post")]
+            ap, pp = d.get("algo_param"), d.get("post_param")
+            col = batch[d["column"]].to_numpy(dtype=object)
+            parts.append(unique_apply(
+                col, lambda v, pre=pre, key=key, post=post, ap=ap, pp=pp:
+                post(key(pre(str(v or "")), ap), pp)))
+        out = parts[0].astype(object)
+        for p in parts[1:]:
+            out = np.char.add(out.astype(str), p.astype(str)).astype(object)
+        batch[out_col] = out
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
