@@ -68,26 +68,17 @@ def junk_numeric_mask(values) -> np.ndarray:
     )
 
 
-# Python's \s code-point set (all are < U+3001), enumerated once so the
-# symbol/nonspace counts run as C-speed translate-table deletions with
-# EXACTLY the regex semantics (\S count == len after deleting \s chars)
-_WS_CHARS = "".join(c for c in map(chr, range(0x3001)) if _WS_RE.fullmatch(c))
-_DEL_WS = str.maketrans("", "", _WS_CHARS)
-_DEL_NON_SYMBOL = str.maketrans(
-    "", "", _WS_CHARS + "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
-
-
 def symbol_ratio_mask(values, max_ratio: float = 0.3) -> np.ndarray:
-    """Ratio of symbol chars ([^A-Za-z0-9\\s]) over non-whitespace chars
-    exceeds ``max_ratio``."""
+    """Ratio of ASCII symbol chars (not alnum, not whitespace) over
+    non-whitespace chars exceeds ``max_ratio``."""
     out = np.zeros(len(values), dtype=bool)
     for i, v in enumerate(_np(values)):
         if v is None:
             continue
-        nonspace = len(v.translate(_DEL_WS))
+        nonspace = len(_NONSPACE_RE.findall(v))
         if nonspace == 0:
             continue
-        syms = len(v.translate(_DEL_NON_SYMBOL))
+        syms = len(_SYMBOL_ASCII_RE.findall(v))
         out[i] = syms / nonspace > max_ratio
     return out
 
