@@ -29,14 +29,60 @@ from .scrub import DEFAULT_TLDS, EMAIL_PATTERN
 
 VALID, INVALID, CORRECTED, REJECTED = "VALID", "INVALID", "CORRECTED", "REJECTED"
 
-# Default syntax regex: unicode letters allowed in the local part
-# (reference vector: 'gégé@laposte.fr' is VALID —
-# RegularRegexCheckerImplTest). Identical to the RE2-safe ASCII
-# EMAIL_PATTERN (rules/scrub.py, shared with the SQL oracles) on ASCII
-# input; the scrub detector stays ASCII for byte-stable cross-engine
-# rewrites.
-EMAIL_UNICODE_PATTERN = r"[\w.%+-]+@[\w-]+(?:\.[\w-]+)*\.[A-Za-z]{2,}"
-_EMAIL_RE = re.compile(r"^" + EMAIL_UNICODE_PATTERN + r"$", re.UNICODE)
+# Default syntax check: a faithful port of the reference's three gates
+# (RegularRegexCheckerImpl.java:27-77):
+#   1. every char is ASCII, a letter, or a combining mark
+#      (LEGAL_ASCII_REGEX:27);
+#   2. EMAIL_REGEX:30 — dot-separated local atoms OR "quoted strings"
+#      (no leading/trailing/double dots by construction), domain labels
+#      [letter/digit](interior hyphens){0,61}[letter/digit], 2–6-letter
+#      TLD;
+#   3. no trailing dot (subsumed by the TLD tail here).
+# The RE2-safe ASCII EMAIL_PATTERN (rules/scrub.py) stays separate — it
+# is the PII *detector* shared with the SQL oracles.
+_EMAIL_ATOM = r"(?:[^\s\x00-\x1f\x7f()<>@,;:\\\".\[\]]+)"  # ' allowed (Java |')
+_EMAIL_QUOTED = r'"[^"]*"'
+_EMAIL_TOKEN = f"(?:{_EMAIL_ATOM}|{_EMAIL_QUOTED})"
+_LD = r"[^\W_]"  # unicode letter or digit
+_EMAIL_LABEL = rf"{_LD}(?:(?:{_LD}|-){{0,61}}{_LD})?"
+_EMAIL_STRUCT_RE = re.compile(
+    rf"^{_EMAIL_TOKEN}(?:\.{_EMAIL_TOKEN})*@(?:{_EMAIL_LABEL}\.)+[^\W\d_]{{2,6}}$",
+    re.UNICODE,
+)
+
+
+def _legal_chars(v: str) -> bool:
+    if v.isascii():
+        return True
+    import unicodedata
+
+    return all(ord(c) < 128 or unicodedata.category(c)[0] in "LM" for c in v)
+
+
+def regular_regex_default_check(v: str | None) -> bool:
+    """RegularRegexCheckerImpl.check with no user regex. Java's letter
+    classes are [\\p{L}\\p{M}]; Python's \\w excludes combining marks, so
+    the structure match runs on a mark-stripped copy (marks always attach
+    to a base letter, so label/TLD structure is preserved)."""
+    if not v or not _legal_chars(v):
+        return False
+    probe = v
+    if not v.isascii():
+        import unicodedata
+
+        probe = "".join(c for c in v if not unicodedata.category(c).startswith("M"))
+    return bool(_EMAIL_STRUCT_RE.match(probe)) and not v.endswith(".")
+
+
+class _DefaultEmailRe:
+    """Adapter so the default check drops into the user-regex slot."""
+
+    @staticmethod
+    def match(v):
+        return regular_regex_default_check(v)
+
+
+_EMAIL_RE = _DefaultEmailRe()
 _LOCAL_DEFAULT_RE = re.compile(r"^[\w.%+-]+$", re.UNICODE)
 
 

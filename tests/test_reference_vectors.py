@@ -521,3 +521,32 @@ def test_reference_matcher_unit_test_vectors():
     assert abs(jaro("John", "Jon") - 0.9166666865348816) < 1e-6
     assert abs(tokenized_score("Jon Doe", "Doe John", mode="ANYORDER",
                                matcher="Q_GRAMS") - 0.77272727) < 1e-6
+
+
+_EMAIL_LIST = ("/root/reference/dataquality-email/src/test/resources/"
+               "org/talend/dataquality/email/emailList.txt")
+
+
+@pytest.mark.skipif(not os.path.exists(_EMAIL_LIST), reason="reference checkout absent")
+def test_reference_email_list_vectors():
+    """EmailVerifyTest.testFrCase_7: all 48 emailList.txt rows through the
+    default regular-regex checker — quoted local parts, unicode local
+    parts/domains (incl. combining-mark scripts), and every invalid form
+    (double dots, trailing-hyphen labels, bare hosts, IP/IPv6 literals,
+    unquoted specials) classified exactly as the reference."""
+    from data_quality_ray.rules.email import EmailVerify
+
+    valid, invalid, cur = [], [], None
+    for line in open(_EMAIL_LIST, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if line.startswith("//##//"):
+            cur = line.replace("//##//", "")
+            continue
+        if not line.strip():
+            continue
+        (valid if cur == "valid" else invalid).append(line)
+    ev = EmailVerify(use_regex=True, check_tlds=False)
+    v, _ = ev.verify(np.array(valid, dtype=object))
+    i, _ = ev.verify(np.array(invalid, dtype=object))
+    assert all(x == "VALID" for x in v), [e for e, r in zip(valid, v) if r != "VALID"]
+    assert all(x != "VALID" for x in i), [e for e, r in zip(invalid, i) if r == "VALID"]
