@@ -545,6 +545,8 @@ def test_reference_email_list_vectors():
         if not line.strip():
             continue
         (valid if cur == "valid" else invalid).append(line)
+    import numpy as np
+
     ev = EmailVerify(use_regex=True, check_tlds=False)
     v, _ = ev.verify(np.array(valid, dtype=object))
     i, _ = ev.verify(np.array(invalid, dtype=object))
