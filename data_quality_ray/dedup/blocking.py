@@ -118,7 +118,13 @@ def add_block_key(ds, defs: list[dict], out_col: str = "block_key"):
     return ds.map_batches(f, batch_format="pandas")
 
 
-def cluster_strings(ds, col: str, block_size_threshold: int = 1000) -> pd.DataFrame:
+# keyed tables below this row count cluster on the driver (mirrors the
+# in-memory reference exactly); larger ones take the shuffle path
+CLUSTER_COLLECT_MAX_ROWS = 2_000_000
+
+
+def cluster_strings(ds, col: str, block_size_threshold: int = 1000,
+                    strategy: str = "auto", n_buckets: int = 32) -> pd.DataFrame:
     """End-to-end string clustering (StringsClusterAnalyzer.java:45-120):
     fingerprint blocking (diacritics/case/token-order-insensitive) then a
     survived value per cluster = the most frequent original (ties → first
@@ -126,30 +132,92 @@ def cluster_strings(ds, col: str, block_size_threshold: int = 1000) -> pd.DataFr
     value-truncated (blockSizeThreshold:57,85 early-reduction analog).
 
     → DataFrame(value, cluster_key, survived, n_values) with one row per
-    DISTINCT original value."""
-    import pandas.util as pdu  # noqa: F401  (parity import with siblings)
+    DISTINCT original value.
 
-    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+    - "collect": whole keyed table on the driver (the reference is
+      in-memory by design) — for small inputs.
+    - "shuffle": per-batch (cluster_key, value) partials (count + min
+      global row id from ``with_row_index``, which pins the first-seen
+      order) merged in a hash-bucketed pandas groupby — the
+      dedup/survivorship.py shape; the driver only sees the distinct-value
+      result. Same tie-break, parity-tested against "collect".
+    - "auto": collect under ``CLUSTER_COLLECT_MAX_ROWS`` input rows.
+    """
+    import pandas.util as pdu
+
+    if strategy == "auto":
+        ds = ds.materialize()
+        strategy = "collect" if ds.count() <= CLUSTER_COLLECT_MAX_ROWS else "shuffle"
+
+    if strategy == "collect":
+        def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+            vals = batch[col].to_numpy(dtype=object)
+            return pd.DataFrame({
+                "value": vals,
+                "cluster_key": [fingerprint_key_one(v) for v in vals],
+            })
+
+        keyed = ds.map_batches(add_key, batch_format="pandas").to_pandas()
+        keyed["__ord"] = range(len(keyed))
+
+        def resolve(g: pd.DataFrame) -> pd.Series:
+            counts = g.groupby("value", sort=False).agg(n=("value", "size"), first=("__ord", "min"))
+            counts = counts.sort_values(["n", "first"], ascending=[False, True])
+            return pd.Series({"survived": counts.index[0], "n_values": len(counts)})
+
+        g = keyed.groupby("cluster_key", sort=True)
+        meta = g.apply(resolve, include_groups=False)
+        out = keyed.drop_duplicates("value")[["value", "cluster_key"]]
+        out = out.merge(meta, left_on="cluster_key", right_index=True)
+        # block cap: keep at most threshold distinct values per cluster
+        out = out.groupby("cluster_key", sort=False).head(block_size_threshold)
+        return out.reset_index(drop=True)
+
+    from ..functions.indexing import with_row_index
+    from ..functions.text import unique_apply
+
+    indexed = with_row_index(ds, "__ord")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "__ord" not in batch.columns:  # empty-input block
+            return pd.DataFrame({"cluster_key": pd.Series(dtype=object),
+                                 "value": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64"),
+                                 "ord": pd.Series(dtype="int64"),
+                                 "__bucket": pd.Series(dtype="int64")})
         vals = batch[col].to_numpy(dtype=object)
-        return pd.DataFrame({
+        part = pd.DataFrame({
             "value": vals,
-            "cluster_key": [fingerprint_key_one(v) for v in vals],
+            "cluster_key": unique_apply(vals, fingerprint_key_one),
+            "__ord": batch["__ord"].to_numpy(),
         })
+        agg = part.groupby(["cluster_key", "value"], sort=False, as_index=False).agg(
+            n=("__ord", "size"), ord=("__ord", "min"))
+        agg["__bucket"] = (pdu.hash_array(agg["cluster_key"].to_numpy()) % n_buckets
+                           ).astype("int64")
+        return agg
 
-    keyed = ds.map_batches(add_key, batch_format="pandas").to_pandas()
-    keyed["__ord"] = range(len(keyed))
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["cluster_key", "value"], sort=False, as_index=False).agg(
+            n=("n", "sum"), ord=("ord", "min"))
+        m = m.sort_values(["cluster_key", "ord"], kind="mergesort")
+        # survived = first value under (n desc, ord asc) per cluster
+        pick = m.sort_values(["n", "ord"], ascending=[False, True], kind="mergesort"
+                             ).drop_duplicates("cluster_key")
+        meta = pick.set_index("cluster_key")["value"]
+        sizes = m.groupby("cluster_key", sort=False)["value"].transform("size")
+        m["survived"] = m["cluster_key"].map(meta)
+        m["n_values"] = sizes
+        # block cap in first-seen order (== the collect path's cap order)
+        m = m.groupby("cluster_key", sort=False).head(block_size_threshold)
+        return m[["value", "cluster_key", "survived", "n_values", "ord"]]
 
-    def resolve(g: pd.DataFrame) -> pd.Series:
-        counts = g.groupby("value", sort=False).agg(n=("value", "size"), first=("__ord", "min"))
-        counts = counts.sort_values(["n", "first"], ascending=[False, True])
-        return pd.Series({"survived": counts.index[0], "n_values": len(counts)})
-
-    g = keyed.groupby("cluster_key", sort=True)
-    meta = g.apply(resolve, include_groups=False)
-    out = keyed.drop_duplicates("value")[["value", "cluster_key"]]
-    out = out.merge(meta, left_on="cluster_key", right_index=True)
-    # block cap: keep at most threshold distinct values per cluster
-    out = out.groupby("cluster_key", sort=False).head(block_size_threshold)
+    out = (
+        indexed.map_batches(partial, batch_format="pandas")
+        .groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("ord", kind="mergesort").drop(columns="ord")
     return out.reset_index(drop=True)
 
 

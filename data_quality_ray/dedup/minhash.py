@@ -314,35 +314,169 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64) ->
 # verified-pair sets larger than this go through distributed_components
 UNION_FIND_MAX_PAIRS = 5_000_000
 
+# candidate-pair sets larger than this verify via the bucketed shuffle
+# join instead of a driver-side text dict
+VERIFY_COLLECT_MAX_PAIRS = 200_000
+
+
+def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
+                  hash_fn: str) -> np.ndarray:
+    """Exact shingle-set Jaccard ≥ threshold per pair, with the shingle
+    set memoized per DISTINCT text (boilerplate-heavy corpora repeat
+    texts across pairs). Shared by the collect and shuffle paths so their
+    verdicts are bit-identical."""
+    mh = _cached_hasher(64, shingle_size, 17, hash_fn)
+    memo: dict = {}
+
+    def sset(t):
+        if not isinstance(t, str):  # None / NaN from a missing-text join
+            t = ""
+        s = memo.get(t)
+        if s is None:
+            s = memo[t] = frozenset(mh.shingles(t).tolist())
+        return s
+
+    keep = np.empty(len(texts_a), dtype=bool)
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = sset(ta), sset(tb)
+        if not sa and not sb:
+            keep[i] = True
+        else:
+            keep[i] = len(sa & sb) / max(1, len(sa | sb)) >= threshold
+    return keep
+
+
+def verify_pairs(ds, pairs: pd.DataFrame, id_col: str, text_col: str,
+                 threshold: float, shingle_size: int = 3, hash_fn: str = "stable",
+                 strategy: str = "auto", n_buckets: int = 32) -> pd.DataFrame:
+    """Stage 4: exact shingle-set Jaccard over the candidate pairs →
+    the verified subset (id_a, id_b).
+
+    - "collect": candidate texts gathered into a driver dict — fine while
+      candidates ≪ corpus, the bottleneck on boilerplate-heavy corpora.
+    - "shuffle": no driver-side text state. Candidate ids are broadcast
+      once as a sorted array (the dedup/exact.py membership-filter shape)
+      so only candidate texts enter the shuffle; then two bucketed
+      tagged-union join rounds (the functions/joins.py asof shape) attach
+      text_a and text_b to each pair, and Jaccard runs per bucket in the
+      workers. Shuffle cost: candidate texts × 2 + pairs × 2.
+    - "auto": collect under ``VERIFY_COLLECT_MAX_PAIRS``, else shuffle.
+    """
+    if strategy == "auto":
+        strategy = "collect" if len(pairs) <= VERIFY_COLLECT_MAX_PAIRS else "shuffle"
+
+    if strategy == "collect":
+        cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+        texts = (
+            ds.map_batches(lambda b: b[b[id_col].isin(cand_ids)][[id_col, text_col]],
+                           batch_format="pandas")
+            .to_pandas().set_index(id_col)[text_col].to_dict()
+        )
+        keep = _jaccard_keep([texts.get(a) for a in pairs["id_a"]],
+                             [texts.get(b) for b in pairs["id_b"]],
+                             threshold, shingle_size, hash_fn)
+        return pairs[keep].reset_index(drop=True)
+
+    import ray
+    import ray.data as rd
+    import pandas.util as pdu
+
+    from ..functions.broadcast import cached_get
+
+    pairs = pairs.reset_index(drop=True)
+
+    # broadcast-once sorted candidate-id membership filter (ids only —
+    # ~16 B/row; the documented ≤1e9-key broadcast assumption shared with
+    # dedup/exact.py). Texts themselves never hit the driver.
+    cand_sorted = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                            pairs["id_b"].to_numpy()]))
+    cand_ref = ray.put(cand_sorted)
+
+    def filter_texts(b: pd.DataFrame) -> pd.DataFrame:
+        cand = cached_get(cand_ref)
+        v = b[id_col].to_numpy()
+        pos = np.searchsorted(cand, v)
+        ok = (pos < len(cand)) & (cand[np.clip(pos, 0, len(cand) - 1)] == v)
+        return b.loc[ok, [id_col, text_col]]
+
+    # one common schema for halves and texts — no NaN dtype churn through
+    # the union (the distributed_components tagged-row discipline):
+    # (key=id, pair_id, role 0/1, text, tag 0=half 1=text)
+    halves = pd.DataFrame({
+        "__key": np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]),
+        "pair_id": np.tile(np.arange(len(pairs), dtype=np.int64), 2),
+        "role": np.repeat(np.array([0, 1], dtype=np.int8), len(pairs)),
+        "__text": np.full(2 * len(pairs), "", dtype=object),
+        "__tag": np.zeros(2 * len(pairs), dtype=np.int8),
+    })
+    halves_ds = rd.from_pandas(halves)
+
+    def tag_texts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "__key": b[id_col].to_numpy(),
+            "pair_id": np.full(len(b), -1, dtype=np.int64),
+            "role": np.full(len(b), -1, dtype=np.int8),
+            "__text": b[text_col].to_numpy(dtype=object),
+            "__tag": np.ones(len(b), dtype=np.int8),
+        })
+
+    def add_bucket(col, n):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__bucket"] = (pdu.hash_array(b[col].to_numpy()) % n).astype("int64")
+            return b
+        return f
+
+    def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hv = g[g["__tag"] == 0][["__key", "pair_id", "role"]]
+        tx = g[g["__tag"] == 1][["__key", "__text"]].drop_duplicates("__key")
+        m = hv.merge(tx, on="__key", how="left")
+        return pd.DataFrame({"pair_id": m["pair_id"], "role": m["role"],
+                             "text": m["__text"].astype(object)})
+
+    attached = (
+        ds.map_batches(filter_texts, batch_format="pandas")
+        .map_batches(tag_texts, batch_format="pandas")
+        .union(halves_ds)
+        .map_batches(add_bucket("__key", n_buckets), batch_format="pandas")
+        .groupby("__bucket").map_groups(attach_bucket, batch_format="pandas")
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"pair_id": pd.Series([], dtype="int64")})
+        # exactly two half-rows per pair (roles 0 and 1, id_a < id_b):
+        # sort and stride instead of a pivot
+        g = g.sort_values(["pair_id", "role"], kind="mergesort")
+        pid = g["pair_id"].to_numpy()[::2]
+        texts = g["text"].to_numpy(dtype=object)
+        keep = _jaccard_keep(texts[::2], texts[1::2], threshold, shingle_size, hash_fn)
+        return pd.DataFrame({"pair_id": pid[keep]})
+
+    kept = (
+        attached.map_batches(add_bucket("pair_id", n_buckets), batch_format="pandas")
+        .groupby("__bucket").map_groups(verify_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    idx = np.sort(kept["pair_id"].to_numpy(dtype=np.int64))
+    return pairs.iloc[idx].reset_index(drop=True)
+
 
 def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
                   n_perm: int = 64, bands: int = 16, shingle_size: int = 3,
                   seed: int = 17, hash_fn: str = "stable",
-                  strategy: str = "auto") -> pd.DataFrame:
+                  strategy: str = "auto", verify_strategy: str = "auto") -> pd.DataFrame:
     """Full near-dup pass → DataFrame(id, cluster) for docs in near-dup
-    clusters (verified Jaccard ≥ threshold). Candidate verification needs
-    the texts: the text lookup is broadcast for the candidate subset only
-    (candidates ≪ corpus at scale)."""
+    clusters (verified Jaccard ≥ threshold). Every stage has a collect
+    path (small inputs) and a shuffle path (scale), gated by measured row
+    counts: banding/pairing via ``strategy``, Jaccard verification via
+    ``verify_strategy``, components via ``UNION_FIND_MAX_PAIRS``."""
     bands_ds = minhash_bands(ds, id_col, text_col, n_perm, bands, shingle_size, seed, hash_fn)
     pairs = candidate_pairs(bands_ds, id_col, strategy=strategy)
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster": []})
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    texts = (
-        ds.map_batches(lambda b: b[b[id_col].isin(cand_ids)][[id_col, text_col]], batch_format="pandas")
-        .to_pandas().set_index(id_col)[text_col].to_dict()
-    )
-    mh = _cached_hasher(64, shingle_size, 17, hash_fn)
-    shingle_sets = {i: set(mh.shingles(t or "").tolist()) for i, t in texts.items()}
-
-    def pair_ok(a, b) -> bool:
-        sa, sb = shingle_sets.get(a, set()), shingle_sets.get(b, set())
-        if not sa and not sb:
-            return True
-        return len(sa & sb) / max(1, len(sa | sb)) >= threshold
-
-    keep = [pair_ok(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])]
-    verified = pairs[np.array(keep, dtype=bool)]
+    verified = verify_pairs(ds, pairs, id_col, text_col, threshold,
+                            shingle_size, hash_fn, strategy=verify_strategy)
     if len(verified) <= UNION_FIND_MAX_PAIRS:
         comp = union_find_components(verified)
     else:

@@ -38,6 +38,58 @@ def test_candidate_pairs_collect_equals_shuffle(ray_session):
     assert len(a) > 0  # planted near-dups must produce candidates
 
 
+def test_verify_pairs_collect_equals_shuffle(ray_session):
+    """The driver-dict and bucketed-join Jaccard verification paths must
+    produce identical verified pair sets and identical final clusters."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import (
+        candidate_pairs, minhash_bands, minhash_dedup, verify_pairs,
+    )
+
+    df = _docs_df()
+    ds = rd.from_pandas(df).repartition(8)
+    bands = minhash_bands(ds, "doc_id", "text").materialize()
+    pairs = candidate_pairs(bands, "doc_id", strategy="collect")
+    assert len(pairs) > 0
+    a = verify_pairs(ds, pairs, "doc_id", "text", 0.7, strategy="collect")
+    b = verify_pairs(ds, pairs, "doc_id", "text", 0.7, strategy="shuffle")
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(a) == key(b)
+    assert 0 < len(a) < len(pairs)  # threshold must actually prune
+
+    d1 = minhash_dedup(ds, "doc_id", "text", threshold=0.7, verify_strategy="collect")
+    d2 = minhash_dedup(ds, "doc_id", "text", threshold=0.7, verify_strategy="shuffle")
+    assert sorted(map(tuple, d1.to_numpy())) == sorted(map(tuple, d2.to_numpy()))
+
+
+def test_cluster_strings_collect_equals_shuffle(ray_session):
+    """Distributed fingerprint clustering (with_row_index partials +
+    bucketed merge) must equal the in-memory reference path exactly —
+    including first-seen tie-breaks and the block-size cap."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.blocking import cluster_strings
+    from data_quality_ray.functions.indexing import with_row_index
+
+    idx = with_row_index(rd.from_pandas(
+        pd.DataFrame({"x": np.arange(100)})).repartition(7)).to_pandas()
+    assert idx["__row_id"].tolist() == idx["x"].tolist()
+
+    rng = np.random.RandomState(3)
+    base = ["élément", "element", "ELEMENT", "café", "cafe", "coffee",
+            "tea", "Tea", "TEA", "thé"]
+    vals = [rng.choice(base) + ("" if rng.rand() < 0.7 else " extra")
+            for _ in range(3000)]
+    df = pd.DataFrame({"v": vals})
+    for cap in (1000, 2):
+        a = cluster_strings(rd.from_pandas(df).repartition(6), "v",
+                            block_size_threshold=cap, strategy="collect")
+        b = cluster_strings(rd.from_pandas(df).repartition(6), "v",
+                            block_size_threshold=cap, strategy="shuffle")
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_union_find_equals_distributed_components(ray_session):
     rng = np.random.RandomState(3)
     # random graph: chains + stars + isolated pairs
