@@ -50,6 +50,18 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+# byte-popcount lookup table (numpy 1.x has no bitwise_count; the same
+# trick as the image-phash unpackbits kernel, one table probe per byte)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance for aligned uint64 signature arrays:
+    xor, view bytes, LUT popcount, row-sum — no Python per pair."""
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POPCNT8[x].sum(axis=1).astype(np.int64)
+
+
 def add_simhash(ds, text_col: str, out_col: str = "simhash", hash_fn: str = "stable"):
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -79,22 +91,44 @@ def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 
             "simhash": np.repeat(sh, n_blocks),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        hs = g["simhash"].tolist()
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(np.uint64(hs[i])), int(np.uint64(hs[j])))
-                if d <= hamming_threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # hash-bucket the (block_id, block_val) GROUPS — one callback per
+        # bucket of many groups, never per tiny group
+        b = b.copy()
+        h = pdu.hash_array(b["block_val"].to_numpy()) ^ pdu.hash_array(
+            b["block_id"].to_numpy())
+        b["__bucket"] = (h % 64).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["block_id", "block_val", id_col])
+        g = g.sort_values(["block_id", "block_val", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sigs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        sizes = g.groupby(["block_id", "block_val"], sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        ia_all, ib_all = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s > 1:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_all.append(ia + s); ib_all.append(ib + s)
+        if not ia_all:
+            return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype),
+                                 "id_b": pd.Series(dtype=ids.dtype),
+                                 "hamming": pd.Series(dtype="int64")})
+        ia = np.concatenate(ia_all); ib = np.concatenate(ib_all)
+        d = hamming64_pairs(sigs[ia], sigs[ib])
+        keep = d <= hamming_threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": d[keep]})
 
     out = (
         ds.map_batches(explode, batch_format="pandas")
-        .groupby(["block_id", "block_val"])
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
         .to_pandas()
     )
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

@@ -145,6 +145,18 @@ def test_md5_hash64_matches_duckdb():
         assert con.execute("select md5_number_lower(?)", [v]).fetchone()[0] == int(h)
 
 
+def test_hamming64_pairs_matches_scalar():
+    from data_quality_ray.dedup.simhash import hamming64, hamming64_pairs
+
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 2**63, size=1000, dtype=np.uint64)
+    b = rng.randint(0, 2**63, size=1000, dtype=np.uint64)
+    vec = hamming64_pairs(a, b)
+    assert (vec == [hamming64(int(x), int(y)) for x, y in zip(a, b)]).all()
+    assert hamming64_pairs(np.array([], dtype=np.uint64),
+                           np.array([], dtype=np.uint64)).shape == (0,)
+
+
 def test_simhash_batch_matches_scalar():
     from data_quality_ray.dedup.simhash import simhash64, simhash64_batch
 
