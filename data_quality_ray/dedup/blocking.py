@@ -224,26 +224,55 @@ def cluster_strings(ds, col: str, block_size_threshold: int = 1000,
 def blocked_pairs(ds, id_col: str, attr_cols: list[str], block_col: str,
                   matcher="LEVENSHTEIN", threshold: float = 0.8,
                   weights: list[float] | None = None,
-                  max_block: int = 10_000) -> pd.DataFrame:
+                  max_block: int = 10_000, n_buckets: int = 32) -> pd.DataFrame:
     """All pairs within each block whose weighted attribute score ≥
     threshold (SimpleVSRRecordMatcher semantics). Oversized blocks are
-    truncated to ``max_block`` deterministic members (skew guard)."""
+    truncated to ``max_block`` deterministic members (skew guard).
+
+    Blocks are hash-bucketed (one Python callback per bucket of many
+    blocks); within a bucket, pair indices come from group-offset triu
+    ranges and every attribute is scored by the vectorized pair kernels
+    (``functions/matchers_vec.batch_match_score``) — scalar-parity-tested
+    — so no per-pair Python survives for the common matchers."""
+    import pandas.util as pdu
+
+    from ..functions.matchers_vec import batch_match_score
+
     w = np.array(weights or [1.0] * len(attr_cols), dtype=np.float64)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_block)
-        recs = g[attr_cols].to_numpy(dtype=object)
-        ids = g[id_col].to_numpy()
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                scores = [match_score(recs[i][c], recs[j][c], matcher) for c in range(len(attr_cols))]
-                s = float((np.array(scores) * w).sum() / w.sum())
-                if s >= threshold:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_s.append(round(s, 6))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b[block_col].to_numpy()) % n_buckets
+                         ).astype("int64")
+        return b
 
-    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([block_col, id_col], kind="mergesort")
+        g = g.groupby(block_col, sort=False).head(max_block)
+        ids = g[id_col].to_numpy()
+        sizes = g.groupby(block_col, sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        ia_all, ib_all = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s > 1:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_all.append(ia + s); ib_all.append(ib + s)
+        if not ia_all:
+            return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype),
+                                 "id_b": pd.Series(dtype=ids.dtype),
+                                 "score": pd.Series(dtype="float64")})
+        ia = np.concatenate(ia_all); ib = np.concatenate(ib_all)
+        total = np.zeros(len(ia), dtype=np.float64)
+        for c, col in enumerate(attr_cols):
+            vals = g[col].to_numpy(dtype=object)
+            total += w[c] * batch_match_score(vals[ia], vals[ib], matcher)
+        s = total / w.sum()
+        keep = s >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "score": np.round(s[keep], 6)})
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas"))
 
 
 def record_group(ds, id_col: str, attr_cols: list[str] | None = None,

@@ -145,6 +145,50 @@ def test_md5_hash64_matches_duckdb():
         assert con.execute("select md5_number_lower(?)", [v]).fetchone()[0] == int(h)
 
 
+def test_batch_match_score_matches_scalar():
+    """Every vectorized matcher kernel (levenshtein/jaro/jaro-winkler/
+    exact) must equal the scalar reference-parity kernels pairwise,
+    including null/empty semantics and unicode."""
+    from data_quality_ray.functions.matchers_vec import batch_match_score_ref_parity
+
+    assert batch_match_score_ref_parity(400, seed=0)
+    assert batch_match_score_ref_parity(400, seed=1)
+
+
+def test_blocked_pairs_matches_bruteforce(ray_session):
+    """Bucketed + vectorized blocked_pairs == per-pair scalar brute force
+    within blocks (weighted multi-attribute, nulls included)."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.blocking import blocked_pairs
+    from data_quality_ray.functions.matchers import match_score
+
+    rng = np.random.RandomState(5)
+    names = ["smith", "smyth", "smithe", "jones", "jonas", "brown",
+             "braun", "taylor", "tailor", "green"]
+    df = pd.DataFrame({
+        "rid": np.arange(250),
+        "name": [rng.choice(names) + ("x" if rng.rand() < 0.2 else "") for _ in range(250)],
+        "city": rng.choice(["paris", "london", "", "berlin", None], size=250),
+    })
+    df["bk"] = df["name"].str[:2]
+    ds = rd.from_pandas(df).repartition(4)
+    for matcher in ("LEVENSHTEIN", "JARO_WINKLER", "SOUNDEX"):
+        out = blocked_pairs(ds, "rid", ["name", "city"], "bk",
+                            matcher=matcher, threshold=0.75).to_pandas()
+        exp = []
+        for _, g in df.groupby("bk"):
+            r = g.sort_values("rid").to_dict("records")
+            for i in range(len(r)):
+                for j in range(i + 1, len(r)):
+                    s = (match_score(r[i]["name"], r[j]["name"], matcher)
+                         + match_score(r[i]["city"], r[j]["city"], matcher)) / 2
+                    if s >= 0.75:
+                        exp.append((r[i]["rid"], r[j]["rid"], round(s, 6)))
+        got = sorted(map(tuple, out[["id_a", "id_b", "score"]].to_numpy()))
+        assert got == sorted(exp), matcher
+
+
 def test_hamming64_pairs_matches_scalar():
     from data_quality_ray.dedup.simhash import hamming64, hamming64_pairs
 
