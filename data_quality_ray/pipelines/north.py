@@ -189,7 +189,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          dedup: bool = True, validate_images: bool = True,
                          stage_mode: str = "tasks",
                          dedup_strategy: str = "broadcast",
-                         dedup_index_dir: str | None = None) -> dict:
+                         dedup_index_dir: str | None = None,
+                         final_output: str = "rewrite") -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics.
 
     ``dedup_strategy``: "broadcast" (default — winner map fits driver
@@ -201,6 +202,15 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     run are dropped BEFORE phase 1 (no decode/scoring spent on known
     dups), and this run's surviving phashes are committed as the next
     index generation after phase 2 — idempotent under crash/retry.
+
+    ``final_output``: "rewrite" (default) re-writes the deduped survivors
+    under ``out_dir/final``; "metadata" skips the second full payload
+    pass and instead commits the winner (phash, image_id) table to
+    ``out_dir/final_keep/winners.parquet`` — downstream readers consume
+    via ``read_final(out_dir)``, which applies the same filter at read
+    time. At 100 TB this halves the dominant byte movement (payloads are
+    scanned once, never copied); ``read_final`` output is row-identical
+    to the rewrite path (parity-tested).
     """
     import ray.data as rd
 
@@ -291,13 +301,53 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             if prev_files:
                 _merge_winners_from_disk(rd, prev_files, win_parts)
         wp, wi = _finalize_winners(win_parts)
-        totals["final_rows"] = _dedup_phase(rd, filtered_dir,
-                                            os.path.join(out_dir, "final"), wp, wi)
+        if final_output == "metadata":
+            keep_dir = os.path.join(out_dir, "final_keep")
+            os.makedirs(keep_dir, exist_ok=True)
+            tmp = os.path.join(keep_dir, f".tmp-{os.getpid()}-winners.parquet")
+            pq.write_table(pa.table({"phash": pa.array(wp, type=pa.int64()),
+                                     "image_id": pa.array(np.asarray(wi, dtype=object),
+                                                          type=pa.string())}), tmp)
+            os.replace(tmp, os.path.join(keep_dir, "winners.parquet"))
+            totals["final_rows"] = len(wp)
+            totals["final_mode"] = "metadata"
+        else:
+            totals["final_rows"] = _dedup_phase(rd, filtered_dir,
+                                                os.path.join(out_dir, "final"), wp, wi)
         if index is not None:
             from ..state.dedup_index import append as _index_append
 
             _index_append(index.index_dir, wp)
     return totals
+
+
+def read_final(out_dir: str):
+    """Dataset of the pipeline's deduped survivors, whichever final mode
+    produced them: the rewritten ``final/`` payloads, or ``filtered/``
+    filtered at read time against the committed ``final_keep`` winner
+    table (metadata mode — no second payload copy ever existed)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.broadcast import cached_get
+
+    final_dir = os.path.join(out_dir, "final")
+    if os.path.isdir(final_dir):
+        return rd.read_parquet(final_dir)
+    winners = pq.read_table(os.path.join(out_dir, "final_keep", "winners.parquet"))
+    wp = winners["phash"].to_numpy()
+    wi = winners["image_id"].to_numpy(zero_copy_only=False)
+    win_ref = ray.put((wp, np.asarray(wi)))
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wphash, wid = cached_get(win_ref)
+        return _filter_winners(batch, wphash, wid)
+
+    return (
+        rd.read_parquet(os.path.join(out_dir, "filtered"))
+        .map_batches(_surviving, batch_format="pyarrow")
+        .map_batches(keep_winners, batch_format="pyarrow")
+    )
 
 
 def _finalize_winners(parts: list[tuple[np.ndarray, np.ndarray]]):
@@ -362,6 +412,18 @@ def _merge_winners_from_disk(rd, frag_dirs: list[str],
                               b["image_id"].to_numpy(zero_copy_only=False)))
 
 
+def _filter_winners(batch: pa.Table, wphash: np.ndarray, wid: np.ndarray) -> pa.Table:
+    """Vectorized keep-winners membership filter over the sorted winner
+    arrays (searchsorted — never a Python set probe per row)."""
+    if len(wphash) == 0:
+        return batch.slice(0, 0)
+    ks = batch["phash"].to_numpy()
+    ids = batch["image_id"].to_numpy(zero_copy_only=False)
+    pos = np.clip(np.searchsorted(wphash, ks), 0, len(wphash) - 1)
+    mask = (wphash[pos] == ks) & (wid[pos] == ids)
+    return batch.filter(pa.array(mask))
+
+
 def _dedup_phase(rd, filtered_dir: str, final_dir: str,
                  wp: np.ndarray, wi: np.ndarray) -> int:
     """Keep-first-by-image_id per phash using the precomputed winner
@@ -378,13 +440,7 @@ def _dedup_phase(rd, filtered_dir: str, final_dir: str,
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         wphash, wid = cached_get(win_ref)
-        if len(wphash) == 0:
-            return batch.slice(0, 0)
-        ks = batch["phash"].to_numpy()
-        ids = batch["image_id"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(wphash, ks), 0, len(wphash) - 1)
-        mask = (wphash[pos] == ks) & (wid[pos] == ids)
-        return batch.filter(pa.array(mask))
+        return _filter_winners(batch, wphash, wid)
 
     shutil.rmtree(final_dir, ignore_errors=True)
     (

@@ -91,6 +91,30 @@ def test_partial_resume_reprocesses_only_missing(north_run, f1_dir):
     assert stats2["rule_hits"] == stats["rule_hits"]
 
 
+def test_metadata_final_mode_matches_rewrite(north_run, f1_dir, tmp_path):
+    """final_output='metadata' (winner table committed, no second payload
+    copy) read back through read_final() must be byte-identical to the
+    rewrite path's final/ on every column."""
+    import ray.data as rd
+
+    from data_quality_ray.pipelines.north import read_final, run_quality_pipeline
+
+    out_b, stats_b = north_run
+    out_m = str(tmp_path / "meta")
+    stats_m = run_quality_pipeline(f1_dir, out_m, concurrency=2, batch_size=256,
+                                   wave_files=2, final_output="metadata")
+    assert stats_m["final_mode"] == "metadata"
+    assert stats_m["final_rows"] == stats_b["final_rows"]
+    assert not os.path.isdir(out_m + "/final")  # no payload rewrite happened
+    a = rd.read_parquet(out_b + "/final").to_pandas().sort_values("image_id").reset_index(drop=True)
+    b = read_final(out_m).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+    # read_final on a rewrite-mode dir returns the rewritten payloads
+    assert read_final(out_b).count() == stats_b["final_rows"]
+
+
 def test_shuffle_dedup_strategy_matches_broadcast(north_run, f1_dir, tmp_path):
     """dedup_strategy='shuffle' (unbounded-key-space path) produces the
     identical final row set as the default broadcast-winner path."""
