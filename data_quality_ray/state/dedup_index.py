@@ -84,6 +84,39 @@ def append(index_dir: str, keys: np.ndarray, shard_rows: int = 4_000_000) -> str
     return gen_dir
 
 
+def compact(index_dir: str, shard_rows: int = 4_000_000) -> str | None:
+    """Merge every committed generation into ONE new generation, then
+    retire the sources — so a 365-run year holds one sorted key set, not
+    365 membership arrays. Crash-safe at every step because membership is
+    a union and unions are idempotent:
+
+    1. the merged generation is written and committed (tmp+rename marker)
+       while the sources still exist → a crash here leaves duplicates,
+       never losses, and a re-run re-compacts;
+    2. each source's ``_GEN`` marker is removed FIRST (making it
+       invisible to ``load_keys``) and its directory deleted after → a
+       crash mid-deletion leaves invisible junk whose generation number
+       ``_next_gen`` still refuses to reuse.
+
+    Single-writer assumption (documented): compaction must not race a
+    concurrent ``append`` — run it where the daily append runs.
+    Returns the merged generation directory (None for an empty index).
+    """
+    import shutil
+
+    gens = _committed_gens(index_dir)
+    if len(gens) <= 1:
+        return gens[0] if gens else None
+    keys = load_keys(index_dir)
+    gen_dir = append(index_dir, keys, shard_rows=shard_rows)
+    for g in gens:
+        marker = os.path.join(g, "_GEN")
+        if os.path.exists(marker):
+            os.remove(marker)
+        shutil.rmtree(g, ignore_errors=True)
+    return gen_dir
+
+
 class DedupIndex:
     """Incremental exact dedup against all previous runs.
 

@@ -110,3 +110,49 @@ def test_flagship_with_cross_run_index(ray_session, tmp_path):
     assert len(set(out2_ph) & set(keys_after_1)) == 0
     keys_after_2 = load_keys(idx_dir)
     assert len(keys_after_2) == len(keys_after_1) + t2["final_rows"]
+
+
+def test_compaction_preserves_membership(tmp_path):
+    """compact() merges all generations into one with identical membership,
+    is idempotent, and is crash-safe at both interruption points."""
+    import numpy as np
+
+    from data_quality_ray.state.dedup_index import (
+        _committed_gens, append, compact, load_keys,
+    )
+
+    d = str(tmp_path / "idx")
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        append(d, rng.randint(0, 10_000, size=500).astype(np.int64))
+    before = load_keys(d)
+    assert len(_committed_gens(d)) == 4
+
+    # crash point 1: merged gen committed, sources NOT yet deleted —
+    # simulate by appending the union as a 5th generation
+    append(d, before)
+    assert (load_keys(d) == before).all()
+
+    gen = compact(d)
+    assert gen is not None
+    assert len(_committed_gens(d)) == 1
+    assert (load_keys(d) == before).all()
+
+    # crash point 2: a source marker removed but dir not deleted — build
+    # two gens, strip one's marker, compact must still see the survivor
+    import os
+    append(d, np.array([10_000_001], dtype=np.int64))
+    gens = _committed_gens(d)
+    os.remove(os.path.join(gens[0], "_GEN"))  # gen now invisible junk
+    visible = load_keys(d)
+    assert 10_000_001 in visible and len(visible) == 1
+    compact(d)  # single visible gen → no-op
+    assert (load_keys(d) == visible).all()
+
+    # idempotent: compacting a compacted index changes nothing
+    assert compact(d) is not None or len(_committed_gens(d)) <= 1
+    assert (load_keys(d) == visible).all()
+
+    # gen numbers of deleted dirs are never reused while junk remains
+    g2 = append(d, np.array([5], dtype=np.int64))
+    assert os.path.basename(g2) not in {os.path.basename(g) for g in gens}
