@@ -162,6 +162,83 @@ class IVFAssignStage:
         return batch
 
 
+def build_ivf_store(ds, store_dir: str, vec_col: str = "embedding",
+                    n_lists: int = 16, sample_rows: int = 4096,
+                    seed: int = 11) -> np.ndarray:
+    """Persist the dataset partitioned BY IVF LIST (hive layout
+    ``ivf_list=<n>/``) plus the centroid matrix — the SCALE.md
+    "pre-partition by signature" note made real: a query then reads ONLY
+    its ``nprobe`` list directories, so pruning happens at the I/O level
+    (row groups never leave storage), not post-read. Returns centroids."""
+    import os
+
+    import ray
+
+    cent = train_ivf_centroids(ds, vec_col, n_lists, sample_rows, seed=seed)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(IVFAssignStage(cent_ref, vec_col), batch_format="pandas")
+    assigned.write_parquet(store_dir, partition_cols=["ivf_list"])
+    tmp = os.path.join(store_dir, "._centroids.tmp")
+    np.save(tmp + ".npy", cent)
+    os.replace(tmp + ".npy", os.path.join(store_dir, "_centroids.npy"))
+    return cent
+
+
+def ivf_topk_store(store_dir: str, id_col: str, vec_col: str, query: np.ndarray,
+                   k: int = 10, nprobe: int = 4) -> tuple[pd.DataFrame, dict]:
+    """Approximate top-k against a ``build_ivf_store`` layout: load the
+    committed centroids, pick the ``nprobe`` nearest list PARTITIONS, and
+    ``read_parquet`` only those directories — the scan never touches the
+    other lists' bytes. Returns (result, scan_stats) where scan_stats
+    reports the measured scan-row reduction."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.broadcast import cached_get
+
+    cent = np.load(os.path.join(store_dir, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_lists = np.argsort(-(cent @ qn))[:nprobe].tolist()
+    all_dirs = sorted(glob.glob(os.path.join(store_dir, "ivf_list=*")))
+    probe_dirs = [d for d in all_dirs
+                  if int(os.path.basename(d).split("=", 1)[1]) in set(probe_lists)]
+    if not probe_dirs:
+        return pd.DataFrame({"id": [], "sim": []}), {"rows_scanned": 0, "rows_total": 0}
+    probe_files = sorted(f for d in probe_dirs
+                         for f in glob.glob(os.path.join(d, "*.parquet")))
+    pruned = rd.read_parquet(probe_files, columns=[id_col, vec_col])
+    q_ref = ray.put(qn)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = cached_get(q_ref)
+        mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        sims = (mat @ qv) / norms
+        return _batch_topk(batch[id_col].to_numpy(), sims, k)
+
+    parts = pd.concat(
+        list(pruned.map_batches(score, batch_format="pandas").iter_batches(
+            batch_size=4 * k, batch_format="pandas")),
+        ignore_index=True,
+    )
+    out = parts.sort_values(["sim", "id"], ascending=[False, True], kind="mergesort").head(k)
+    # measured pruning: rows in probed partitions vs whole store, from
+    # parquet FOOTER metadata only
+    import pyarrow.parquet as pq
+
+    def _rows(dirs):
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    stats = {"rows_scanned": _rows(probe_dirs), "rows_total": _rows(all_dirs),
+             "lists_probed": len(probe_dirs), "lists_total": len(all_dirs)}
+    return out.reset_index(drop=True), stats
+
+
 def ivf_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,
              n_lists: int = 16, nprobe: int = 4, sample_rows: int = 4096,
              seed: int = 11) -> pd.DataFrame:

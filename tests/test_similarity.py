@@ -74,3 +74,39 @@ def test_ivf_topk_recall(ray_session):
     # deterministic across runs
     again = set(ivf_topk(ds, "vid", "embedding", q, k=10, n_lists=8, nprobe=3)["id"])
     assert again == approx
+
+
+def test_ivf_store_io_pruning(ray_session, tmp_path):
+    """build_ivf_store + ivf_topk_store: the query reads ONLY the probed
+    list partitions (measured scan-row reduction), returns the same ids
+    as the in-flight ivf_topk with the same quantizer, and degenerates to
+    exact at nprobe == n_lists."""
+    import ray.data as rd
+
+    from data_quality_ray.similarity.knn import (
+        build_ivf_store, cosine_topk, ivf_topk, ivf_topk_store,
+    )
+
+    rng = np.random.RandomState(4)
+    n, d = 2000, 16
+    base = rng.randn(8, d)
+    vecs = base[rng.randint(0, 8, size=n)] + 0.15 * rng.randn(n, d)
+    df = pd.DataFrame({"vid": np.arange(n), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    q = vecs[17]
+
+    store = str(tmp_path / "ivf_store")
+    build_ivf_store(ds, store, vec_col="embedding", n_lists=8)
+
+    got, stats = ivf_topk_store(store, "vid", "embedding", q, k=10, nprobe=3)
+    assert stats["rows_total"] == n
+    assert stats["rows_scanned"] < n  # pruning actually happened at I/O
+    assert stats["lists_probed"] == 3
+
+    inflight = ivf_topk(ds, "vid", "embedding", q, k=10, n_lists=8, nprobe=3)
+    assert got["id"].tolist() == inflight["id"].tolist()
+
+    full, fstats = ivf_topk_store(store, "vid", "embedding", q, k=10, nprobe=8)
+    exact = cosine_topk(ds, "vid", "embedding", q, k=10)
+    assert set(full["id"]) == set(exact["id"])
+    assert fstats["rows_scanned"] == n
