@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_char_collapse_docs": Q.dup_char_collapse_docs,
         "minhash_neardup_docs": Q.minhash_neardup_docs,
         "simhash_docs": Q.simhash_docs,
+        "simhash_pairs_docs": Q.simhash_pairs_docs,
+        "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
         "image_features": image_features,
@@ -452,6 +454,57 @@ FROM documents d LEFT JOIN sig s USING (doc_id)
 """
 
 
+# --- SimHash candidate pairs: block explode + self-join + xor popcount ----
+# (wraps _SIMHASH_SQL's signature replay; unsigned block values come from
+# the HUGEINT two's-complement lift, hamming from xor() + bit_count() on
+# the signed BIGINT — identical bit patterns either way)
+
+_SIMHASH_PAIRS_SQL = (
+    "WITH sigs AS (" + _SIMHASH_SQL + r"""),
+u AS (
+  SELECT doc_id, simhash,
+         (CASE WHEN simhash < 0
+               THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+               ELSE simhash::HUGEINT END) AS uns
+  FROM sigs),
+blocks AS (
+  -- DuckDB ^ is float pow; the 4 block divisors are spelled exactly
+  SELECT doc_id, simhash, t.b AS block_id,
+         ((uns // (CASE t.b WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT
+                   WHEN 2 THEN 4294967296::HUGEINT
+                   ELSE 281474976710656::HUGEINT END))
+          % 65536::HUGEINT)::BIGINT AS block_val
+  FROM u, range(0, 4) t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM blocks a JOIN blocks b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
+""")
+
+
+# --- fingerprint string clustering (OpenRefine key) over p_name ------------
+# shares fingerprint semantics with functions/text.fingerprint_key_one:
+# lower → strip accents → split [^a-z0-9]+ → distinct sorted tokens
+
+_STRING_CLUSTER_SQL = r"""
+WITH keyed AS (
+  SELECT p_name AS value,
+         coalesce(array_to_string(list_sort(list_distinct(list_filter(
+             regexp_split_to_array(strip_accents(lower(coalesce(p_name, ''))),
+                                   '[^a-z0-9]+'), x -> x <> ''))), ' '), '') AS cluster_key
+  FROM part),
+dv AS (SELECT DISTINCT value, cluster_key FROM keyed),
+sizes AS (SELECT cluster_key, count(*) AS n FROM dv GROUP BY 1)
+SELECT dv.value, dv.cluster_key, CAST(s.n AS BIGINT) AS n_values
+FROM dv JOIN sizes s USING (cluster_key)
+ORDER BY dv.value
+"""
+
+
 # --- MinHash+LSH near-dup clustering, replayed end-to-end in SQL -----------
 
 def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
@@ -617,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
         "chronology_convert_orders": _chronology_sql(),
         "langid_heuristic_docs": _langid_sql(),
         "simhash_docs": _SIMHASH_SQL,
+        "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
+        "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(
             "image_id, verdict, first_rule, scrubbed_caption AS caption, phash"),

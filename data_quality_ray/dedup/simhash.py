@@ -72,14 +72,15 @@ def add_simhash(ds, text_col: str, out_col: str = "simhash", hash_fn: str = "sta
 
 
 def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
-                       n_blocks: int = 4) -> pd.DataFrame:
+                       n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
     """Candidate near-dup pairs (verified Hamming ≤ threshold).
-    ``n_blocks`` must exceed ``hamming_threshold`` for full recall."""
+    ``n_blocks`` must exceed ``hamming_threshold`` for full recall.
+    ``hash_fn="md5"`` makes the whole pipeline SQL-replayable."""
     assert n_blocks > hamming_threshold
     width = 64 // n_blocks
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = simhash64_batch(batch[text_col].to_numpy(dtype=object))
+        sh = simhash64_batch(batch[text_col].to_numpy(dtype=object), hash_fn)
         shu = sh.view(np.uint64)
         shifts = (np.arange(n_blocks, dtype=np.uint64) * np.uint64(width))
         mask = np.uint64((1 << width) - 1)

@@ -952,3 +952,32 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
     can recompute every fingerprint bit-for-bit."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return add_simhash(ds, "text", hash_fn="md5").to_pandas()[["doc_id", "simhash"]]
+
+
+def simhash_pairs_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash candidate near-dup pairs (Hamming ≤ 3 over 4 blocks) —
+    exercises the vectorized bucketed pairing path end-to-end; the oracle
+    replays signatures, block exploding, the block self-join, and the
+    xor-popcount distance in SQL."""
+    from ..dedup.simhash import simhash_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_candidates(ds, "doc_id", "text", hamming_threshold=3,
+                             n_blocks=4, hash_fn="md5")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def string_cluster_part(sf_dir: str) -> pd.DataFrame:
+    """Fingerprint string clustering over p_name through the DISTRIBUTED
+    path (with_row_index partials + hash-bucketed merge) — (value,
+    cluster_key, n_values) per distinct value; the survived column is
+    excluded here because its first-seen tie-break has no deterministic
+    SQL equivalent (it is parity-tested against the in-memory path in
+    tests instead)."""
+    from ..dedup.blocking import cluster_strings
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    out = cluster_strings(ds, "p_name", strategy="shuffle")
+    out = out[["value", "cluster_key", "n_values"]].copy()
+    out["n_values"] = out["n_values"].astype("int64")
+    return out.sort_values(["value"]).reset_index(drop=True)
