@@ -156,14 +156,39 @@ def run_scaling() -> dict:
     # beyond 16 the hardware itself scales at ≤0.66 (pure-ALU probe in
     # BASELINE.md), so 4→16 is the honest N→4N cluster proxy
     n_lo, n_hi = (int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(","))
-    lo, hi = run(n_lo), run(n_hi)
-    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
+    n_samples = int(os.environ.get("GRAFT_SCALE_SAMPLES", "1"))
+
+    if n_samples <= 1:
+        lo, hi = run(n_lo), run(n_hi)
+        eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
+        return {
+            f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+            f"images_per_sec_{n_lo}": lo["images_per_sec"],
+            f"images_per_sec_{n_hi}": hi["images_per_sec"],
+            "scaling_efficiency": round(eff, 3), "images": lo["images"], "sf": SF_DIR,
+            "cpus": [n_lo, n_hi],
+        }
+
+    # multi-sample mode: one discarded warmup leg, then legs INTERLEAVED
+    # with alternating order per sample (lo,hi / hi,lo / …) so slow
+    # ambient drift hits both legs symmetrically instead of biasing one
+    run(n_hi)  # warmup (fixture cache, page cache, worker pool) — discarded
+    los, his, effs = [], [], []
+    for s in range(n_samples):
+        order = (n_lo, n_hi) if s % 2 == 0 else (n_hi, n_lo)
+        res = {n: run(n) for n in order}
+        lo, hi = res[n_lo], res[n_hi]
+        los.append(lo["value"]); his.append(hi["value"])
+        effs.append(round((lo["value"] / hi["value"]) / (n_hi / n_lo), 3))
+    pooled = (sum(los) / sum(his)) / (n_hi / n_lo)
+    mean = sum(effs) / len(effs)
     return {
-        f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
-        f"images_per_sec_{n_lo}": lo["images_per_sec"],
-        f"images_per_sec_{n_hi}": hi["images_per_sec"],
-        "scaling_efficiency": round(eff, 3), "images": lo["images"], "sf": SF_DIR,
-        "cpus": [n_lo, n_hi],
+        f"sec_{n_lo}": los, f"sec_{n_hi}": his,
+        "scaling_efficiency": round(pooled, 3),
+        "scaling_efficiency_samples": effs,
+        "scaling_efficiency_mean": round(mean, 3),
+        "images": int(scale_images), "sf": SF_DIR, "cpus": [n_lo, n_hi],
+        "n_samples": n_samples, "leg_order": "alternating",
     }
 
 
