@@ -77,6 +77,39 @@ def asof_join(left_ds, right_ds, by: str, left_on: str, right_on: str,
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def asof_join_broadcast(left_ds, right: pd.DataFrame, by: str, left_on: str,
+                        right_on: str, right_cols: list[str], how: str = "inner"):
+    """As-of join where the RIGHT side is small (an aggregate, a rate
+    table): broadcast it once via ``ray.put`` sorted by the join key and
+    run one vectorized ``pd.merge_asof`` per left batch — zero shuffle
+    (the ``range_join`` shape). Same semantics as ``asof_join``
+    (parity-tested); use the shuffle variant when both sides are big."""
+    import ray
+
+    from .broadcast import cached_get
+
+    if left_on == right_on:
+        raise ValueError("left_on and right_on must differ (rename one side)")
+    left_cols = list(left_ds.schema().names)
+    all_cols = left_cols + [right_on] + [c for c in right_cols if c not in left_cols]
+    r = (right[[by, right_on, *right_cols]].dropna(subset=[right_on])
+         .sort_values(right_on, kind="mergesort").reset_index(drop=True))
+    ref = ray.put(r)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        rt = cached_get(ref)
+        lb = b.sort_values(left_on, kind="mergesort")
+        if not rt.empty and rt[right_on].dtype != lb[left_on].dtype:
+            rt = rt.astype({right_on: lb[left_on].dtype})
+        m = pd.merge_asof(lb, rt, left_on=left_on, right_on=right_on,
+                          by=by, direction="backward")
+        if how == "inner":
+            m = m[m[right_on].notna()]
+        return m[all_cols]
+
+    return left_ds.map_batches(match, batch_format="pandas")
+
+
 def range_join(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str,
                attach_cols: list[str], how: str = "inner"):
     """Banded-dimension range join: attach interval attributes to every

@@ -677,7 +677,6 @@ def asof_last_order_events(sf_dir: str) -> pd.DataFrame:
     (custkey, date) so the as-of pick is deterministic — the same
     requirement DuckDB's native ASOF JOIN oracle has).
     → (user_id, ts, last_order_date, last_order_price)."""
-    from ..functions.joins import asof_join
     from ..profiling.groupagg import grouped_aggregate
 
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
@@ -690,11 +689,14 @@ def asof_last_order_events(sf_dir: str) -> pd.DataFrame:
             batch_format="pandas"),
         ["user_id", "last_order_date"], {"last_order_price": ("price", "max")},
     )
-    import ray.data as rd
+    # the aggregated right side is SMALL (one row per (user, date)) →
+    # broadcast variant: zero shuffle, one merge_asof per event batch
+    # (shuffle-variant parity pinned in tests/test_operators.py)
+    from ..functions.joins import asof_join_broadcast
 
-    out = asof_join(events, rd.from_pandas(right), by="user_id", left_on="ts",
-                    right_on="last_order_date",
-                    right_cols=["last_order_price"]).to_pandas()
+    out = asof_join_broadcast(events, right, by="user_id", left_on="ts",
+                              right_on="last_order_date",
+                              right_cols=["last_order_price"]).to_pandas()
     out["last_order_price"] = out["last_order_price"].round(2)
     return out
 

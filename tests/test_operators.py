@@ -524,6 +524,38 @@ def test_asof_join_semantics(ray_session):
     assert len(out_l) == 4 and out_l["v"].isna().sum() == 2
 
 
+def test_asof_join_broadcast_equals_shuffle(ray_session):
+    """The zero-shuffle broadcast as-of variant must equal the bucketed
+    shuffle asof_join row-for-row, both modes, on random data with ties
+    pre-aggregated away."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import asof_join, asof_join_broadcast
+
+    rng = np.random.RandomState(2)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 25, size=400),
+        "t": rng.randint(0, 10_000, size=400).astype("int64"),
+        "payload": np.arange(400),
+    })
+    right = (pd.DataFrame({
+        "k": rng.randint(0, 25, size=300),
+        "rt": rng.randint(0, 10_000, size=300).astype("int64"),
+        "v": np.round(rng.uniform(0, 100, size=300), 3),
+    }).groupby(["k", "rt"], as_index=False).agg(v=("v", "max")))
+    for how in ("inner", "left"):
+        a = asof_join(rd.from_pandas(left).repartition(3), rd.from_pandas(right),
+                      by="k", left_on="t", right_on="rt", right_cols=["v"],
+                      how=how, n_buckets=4).to_pandas()
+        b = asof_join_broadcast(rd.from_pandas(left).repartition(3), right,
+                                by="k", left_on="t", right_on="rt",
+                                right_cols=["v"], how=how).to_pandas()
+        key = ["k", "t", "payload"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_range_join(ray_session):
     import ray.data as rd
 
