@@ -90,9 +90,11 @@ class Phase1Stage:
                 good_px.append(px)
         if not good_idx:
             return
+        from ..dedup.simhash import hamming64_pairs
+
         recomputed = phash64_batch(good_px).view(np.uint64)
         stored = phs[np.array(good_idx)].astype(np.int64).view(np.uint64)
-        dist = np.array([bin(int(x)).count("1") for x in recomputed ^ stored])
+        dist = hamming64_pairs(recomputed, stored)
         lossy = np.isin(fmts[np.array(good_idx)], list(LOSSY_FORMATS))
         bad = np.where(lossy, dist > PHASH_HAMMING_MAX_LOSSY, dist != 0)
         for i in np.array(good_idx)[bad]:
