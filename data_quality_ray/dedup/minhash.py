@@ -141,7 +141,8 @@ def minhash_bands(ds, id_col: str, text_col: str, n_perm: int = 64, bands: int =
 COLLECT_MAX_BAND_ROWS = 2_000_000
 
 
-def candidate_pairs(band_ds, id_col: str, strategy: str = "auto") -> pd.DataFrame:
+def candidate_pairs(band_ds, id_col: str, strategy: str = "auto",
+                    as_dataset: bool = False):
     """Stage 3: docs sharing a (band_id, band_hash) bucket → unique pairs.
 
     - "auto" (default): materialize the band table (tiny rows), check its
@@ -151,10 +152,19 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "auto") -> pd.DataFram
       keys — no driver-side state; for corpora whose band table is too
       big for one node. Bucketing keeps the Python callback per hash
       bucket (vectorized pandas inside), not per tiny band group.
+
+    ``as_dataset=True`` (shuffle path only) keeps the pairs DISTRIBUTED:
+    returns the pair Dataset after a bucketed cross-band dedup round —
+    the same pair can surface from several bands whose buckets live in
+    different groups, so uniqueness needs one more keyed shuffle. Use for
+    corpora whose pair set itself exceeds driver memory.
     """
     if strategy == "auto":
         band_ds = band_ds.materialize()
         strategy = "collect" if band_ds.count() <= COLLECT_MAX_BAND_ROWS else "shuffle"
+
+    if as_dataset and strategy != "shuffle":
+        raise ValueError("as_dataset=True requires strategy='shuffle'")
 
     if strategy == "shuffle":
         def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -180,6 +190,21 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "auto") -> pd.DataFram
             band_ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
         )
+        if as_dataset:
+            import pandas.util as pdu
+
+            def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
+                    b["id_b"].to_numpy())
+                b["__pb"] = (h % 64).astype("int64")
+                return b
+
+            def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+                return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+            return (out.map_batches(pair_bucket, batch_format="pandas")
+                    .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas"))
         return out.to_pandas().drop_duplicates().reset_index(drop=True)
 
     pdf = band_ds.to_pandas()
@@ -221,7 +246,8 @@ def union_find_components(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id": members, "cluster": [find(m) for m in members]})
 
 
-def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64) -> pd.DataFrame:
+def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
+                           as_dataset: bool = False):
     """Connected components by iterated min-label propagation over Ray
     Dataset rounds — no driver-side union-find. Each round is one shuffle:
     edge messages (dst ← label[src]) union'd with current labels, then a
@@ -306,6 +332,11 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64) ->
             lambda b: pd.DataFrame({"id": b["id"], "lbl": b["new"]}), batch_format="pandas")
         if not changed:
             break
+    if as_dataset:
+        return labels.map_batches(
+            lambda b: pd.DataFrame({"id": b["id"],
+                                    "cluster": b["lbl"].astype(b["id"].dtype)}),
+            batch_format="pandas")
     out = labels.to_pandas()
     return pd.DataFrame({"id": out["id"], "cluster": out["lbl"].astype(out["id"].dtype)}
                         ).sort_values("id").reset_index(drop=True)
@@ -346,23 +377,33 @@ def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
     return keep
 
 
-def verify_pairs(ds, pairs: pd.DataFrame, id_col: str, text_col: str,
+def verify_pairs(ds, pairs, id_col: str, text_col: str,
                  threshold: float, shingle_size: int = 3, hash_fn: str = "stable",
-                 strategy: str = "auto", n_buckets: int = 32) -> pd.DataFrame:
+                 strategy: str = "auto", n_buckets: int = 32):
     """Stage 4: exact shingle-set Jaccard over the candidate pairs →
     the verified subset (id_a, id_b).
+
+    ``pairs`` is a pandas DataFrame (returns a DataFrame) or a Ray
+    Dataset (returns a Dataset — the fully-distributed route where the
+    pair set itself never lands on the driver).
 
     - "collect": candidate texts gathered into a driver dict — fine while
       candidates ≪ corpus, the bottleneck on boilerplate-heavy corpora.
     - "shuffle": no driver-side text state. Candidate ids are broadcast
       once as a sorted array (the dedup/exact.py membership-filter shape)
-      so only candidate texts enter the shuffle; then two bucketed
-      tagged-union join rounds (the functions/joins.py asof shape) attach
-      text_a and text_b to each pair, and Jaccard runs per bucket in the
-      workers. Shuffle cost: candidate texts × 2 + pairs × 2.
-    - "auto": collect under ``VERIFY_COLLECT_MAX_PAIRS``, else shuffle.
+      so only candidate texts enter the shuffle; pair halves keyed by id
+      meet their text in ONE bucketed tagged-union join, then re-bucket by
+      pair id brings both halves together for worker-side Jaccard.
+      Shuffle cost: candidate texts × 1 + pair halves × 2.
+    - "auto": collect under ``VERIFY_COLLECT_MAX_PAIRS``, else shuffle
+      (DataFrame input; Dataset input is always shuffle).
     """
-    if strategy == "auto":
+    import ray.data as rd
+
+    pairs_is_ds = not isinstance(pairs, pd.DataFrame)
+    if pairs_is_ds:
+        strategy = "shuffle"
+    elif strategy == "auto":
         strategy = "collect" if len(pairs) <= VERIFY_COLLECT_MAX_PAIRS else "shuffle"
 
     if strategy == "collect":
@@ -377,19 +418,42 @@ def verify_pairs(ds, pairs: pd.DataFrame, id_col: str, text_col: str,
                              threshold, shingle_size, hash_fn)
         return pairs[keep].reset_index(drop=True)
 
+    if pairs_is_ds:
+        from ..functions.indexing import with_row_index
+
+        pairs_idx = with_row_index(pairs, "__pair_id")
+        # ids-only driver pass for the broadcast prefilter (16 B/pair —
+        # the documented ≤1e9-key assumption; texts never hit the driver)
+        id_parts = [np.concatenate([b["id_a"].to_numpy(), b["id_b"].to_numpy()])
+                    for b in pairs_idx.select_columns(["id_a", "id_b"]).iter_batches(
+                        batch_size=65536, batch_format="pandas")]
+        cand_sorted = (np.unique(np.concatenate(id_parts)) if id_parts
+                       else np.empty(0, dtype=np.int64))
+    else:
+        pairs = pairs.reset_index(drop=True)
+        pairs_idx = rd.from_pandas(pairs.assign(__pair_id=np.arange(len(pairs),
+                                                                    dtype=np.int64)))
+        cand_sorted = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                                pairs["id_b"].to_numpy()]))
+
+    verified = _verify_shuffle(ds, pairs_idx, cand_sorted, id_col, text_col,
+                               threshold, shingle_size, hash_fn, n_buckets)
+    if pairs_is_ds:
+        return verified
+    out = verified.to_pandas()
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+def _verify_shuffle(ds, pairs_idx, cand_sorted: np.ndarray, id_col: str,
+                    text_col: str, threshold: float, shingle_size: int,
+                    hash_fn: str, n_buckets: int):
+    """Distributed Jaccard verification core → Dataset of verified
+    (id_a, id_b). ``pairs_idx`` carries (id_a, id_b, __pair_id)."""
     import ray
-    import ray.data as rd
     import pandas.util as pdu
 
     from ..functions.broadcast import cached_get
 
-    pairs = pairs.reset_index(drop=True)
-
-    # broadcast-once sorted candidate-id membership filter (ids only —
-    # ~16 B/row; the documented ≤1e9-key broadcast assumption shared with
-    # dedup/exact.py). Texts themselves never hit the driver.
-    cand_sorted = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
-                                            pairs["id_b"].to_numpy()]))
     cand_ref = ray.put(cand_sorted)
 
     def filter_texts(b: pd.DataFrame) -> pd.DataFrame:
@@ -401,21 +465,28 @@ def verify_pairs(ds, pairs: pd.DataFrame, id_col: str, text_col: str,
 
     # one common schema for halves and texts — no NaN dtype churn through
     # the union (the distributed_components tagged-row discipline):
-    # (key=id, pair_id, role 0/1, text, tag 0=half 1=text)
-    halves = pd.DataFrame({
-        "__key": np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]),
-        "pair_id": np.tile(np.arange(len(pairs), dtype=np.int64), 2),
-        "role": np.repeat(np.array([0, 1], dtype=np.int8), len(pairs)),
-        "__text": np.full(2 * len(pairs), "", dtype=object),
-        "__tag": np.zeros(2 * len(pairs), dtype=np.int8),
-    })
-    halves_ds = rd.from_pandas(halves)
+    # (key=id, pair_id, role 0/1, id_a, id_b, text, tag 0=half 1=text)
+    def to_halves(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ia, ib = b["id_a"].to_numpy(), b["id_b"].to_numpy()
+        return pd.DataFrame({
+            "__key": np.concatenate([ia, ib]),
+            "pair_id": np.tile(b["__pair_id"].to_numpy(dtype=np.int64), 2),
+            "role": np.repeat(np.array([0, 1], dtype=np.int8), n),
+            "id_a": np.tile(ia, 2),
+            "id_b": np.tile(ib, 2),
+            "__text": np.full(2 * n, "", dtype=object),
+            "__tag": np.zeros(2 * n, dtype=np.int8),
+        })
 
     def tag_texts(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
         return pd.DataFrame({
-            "__key": b[id_col].to_numpy(),
+            "__key": ids,
             "pair_id": np.full(len(b), -1, dtype=np.int64),
             "role": np.full(len(b), -1, dtype=np.int8),
+            "id_a": ids,  # filler of the id dtype — never read for tag 1
+            "id_b": ids,
             "__text": b[text_col].to_numpy(dtype=object),
             "__tag": np.ones(len(b), dtype=np.int8),
         })
@@ -428,50 +499,65 @@ def verify_pairs(ds, pairs: pd.DataFrame, id_col: str, text_col: str,
         return f
 
     def attach_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        hv = g[g["__tag"] == 0][["__key", "pair_id", "role"]]
+        hv = g[g["__tag"] == 0][["__key", "pair_id", "role", "id_a", "id_b"]]
         tx = g[g["__tag"] == 1][["__key", "__text"]].drop_duplicates("__key")
         m = hv.merge(tx, on="__key", how="left")
         return pd.DataFrame({"pair_id": m["pair_id"], "role": m["role"],
+                             "id_a": m["id_a"], "id_b": m["id_b"],
                              "text": m["__text"].astype(object)})
 
     attached = (
         ds.map_batches(filter_texts, batch_format="pandas")
         .map_batches(tag_texts, batch_format="pandas")
-        .union(halves_ds)
+        .union(pairs_idx.map_batches(to_halves, batch_format="pandas"))
         .map_batches(add_bucket("__key", n_buckets), batch_format="pandas")
         .groupby("__bucket").map_groups(attach_bucket, batch_format="pandas")
     )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
-            return pd.DataFrame({"pair_id": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object)})
         # exactly two half-rows per pair (roles 0 and 1, id_a < id_b):
         # sort and stride instead of a pivot
         g = g.sort_values(["pair_id", "role"], kind="mergesort")
-        pid = g["pair_id"].to_numpy()[::2]
         texts = g["text"].to_numpy(dtype=object)
         keep = _jaccard_keep(texts[::2], texts[1::2], threshold, shingle_size, hash_fn)
-        return pd.DataFrame({"pair_id": pid[keep]})
+        return pd.DataFrame({"id_a": g["id_a"].to_numpy()[::2][keep],
+                             "id_b": g["id_b"].to_numpy()[::2][keep]})
 
-    kept = (
+    return (
         attached.map_batches(add_bucket("pair_id", n_buckets), batch_format="pandas")
         .groupby("__bucket").map_groups(verify_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    idx = np.sort(kept["pair_id"].to_numpy(dtype=np.int64))
-    return pairs.iloc[idx].reset_index(drop=True)
 
 
 def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
                   n_perm: int = 64, bands: int = 16, shingle_size: int = 3,
                   seed: int = 17, hash_fn: str = "stable",
-                  strategy: str = "auto", verify_strategy: str = "auto") -> pd.DataFrame:
-    """Full near-dup pass → DataFrame(id, cluster) for docs in near-dup
-    clusters (verified Jaccard ≥ threshold). Every stage has a collect
-    path (small inputs) and a shuffle path (scale), gated by measured row
-    counts: banding/pairing via ``strategy``, Jaccard verification via
-    ``verify_strategy``, components via ``UNION_FIND_MAX_PAIRS``."""
+                  strategy: str = "auto", verify_strategy: str = "auto",
+                  output: str = "pandas"):
+    """Full near-dup pass → (id, cluster) for docs in near-dup clusters
+    (verified Jaccard ≥ threshold). Every stage has a collect path (small
+    inputs) and a shuffle path (scale), gated by measured row counts:
+    banding/pairing via ``strategy``, Jaccard verification via
+    ``verify_strategy``, components via ``UNION_FIND_MAX_PAIRS``.
+
+    ``output="dataset"`` runs the fully-distributed route end-to-end —
+    pairs, verification, and components all stay Ray Datasets; the driver
+    holds only the candidate-id prefilter array and per-round change
+    counts. Returns a Dataset of (id_col, cluster)."""
     bands_ds = minhash_bands(ds, id_col, text_col, n_perm, bands, shingle_size, seed, hash_fn)
+
+    if output == "dataset":
+        pairs_ds = candidate_pairs(bands_ds, id_col, strategy="shuffle",
+                                   as_dataset=True).materialize()
+        verified = verify_pairs(ds, pairs_ds, id_col, text_col, threshold,
+                                shingle_size, hash_fn, strategy="shuffle")
+        comp = distributed_components(verified, as_dataset=True)
+        return comp.map_batches(
+            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
+
     pairs = candidate_pairs(bands_ds, id_col, strategy=strategy)
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster": []})

@@ -63,6 +63,38 @@ def test_verify_pairs_collect_equals_shuffle(ray_session):
     assert sorted(map(tuple, d1.to_numpy())) == sorted(map(tuple, d2.to_numpy()))
 
 
+def test_minhash_dataset_route_equals_pandas(ray_session):
+    """output='dataset' (pairs, verification, and components all stay Ray
+    Datasets — the driver holds only the id prefilter and change counts)
+    must equal the pandas route end-to-end, and each intermediate stage
+    must agree with its collect twin."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import (
+        candidate_pairs, minhash_bands, minhash_dedup, verify_pairs,
+    )
+
+    df = _docs_df()
+    ds = rd.from_pandas(df).repartition(8)
+    bands = minhash_bands(ds, "doc_id", "text").materialize()
+    pc = candidate_pairs(bands, "doc_id", strategy="collect")
+    pdds = candidate_pairs(bands, "doc_id", strategy="shuffle", as_dataset=True)
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
+    assert key(pc) == key(pdds.to_pandas())
+
+    va = verify_pairs(ds, pc, "doc_id", "text", 0.7, strategy="collect")
+    vb = verify_pairs(ds, candidate_pairs(bands, "doc_id", strategy="shuffle",
+                                          as_dataset=True),
+                      "doc_id", "text", 0.7).to_pandas()
+    assert key(va) == key(vb)
+
+    d1 = minhash_dedup(ds, "doc_id", "text", threshold=0.7)
+    d2 = minhash_dedup(ds, "doc_id", "text", threshold=0.7,
+                       output="dataset").to_pandas()
+    assert sorted(map(tuple, d1.to_numpy())) == \
+        sorted(map(tuple, d2[["doc_id", "cluster"]].to_numpy()))
+
+
 def test_cluster_strings_collect_equals_shuffle(ray_session):
     """Distributed fingerprint clustering (with_row_index partials +
     bucketed merge) must equal the in-memory reference path exactly —
