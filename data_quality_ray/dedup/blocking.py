@@ -298,6 +298,8 @@ def record_group(ds, id_col: str, attr_cols: list[str] | None = None,
     wsum = sum(w for _, _, w in rule)
 
     def group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.matchers_vec import batch_match_score
+
         if order == "id":
             g = g.sort_values(id_col, kind="mergesort")
         g = g.head(max_block).reset_index(drop=True)
@@ -309,13 +311,21 @@ def record_group(ds, id_col: str, attr_cols: list[str] | None = None,
         ids = g[id_col].to_numpy()
         for i in range(len(g)):
             best_m, best_s = None, 0.0
-            for m in masters:
-                s = sum(w * match_score(cols[c][m], cols[c][i], alg)
-                        for c, alg, w in rule) / wsum
-                if s >= threshold and (attach == "first" or s > best_s):
-                    best_m, best_s = m, s
-                    if attach == "first":
-                        break
+            if masters:
+                # the scan is inherently sequential (each row may become a
+                # master), but row-vs-ALL-masters scores batch through the
+                # vectorized pair kernels — one call per attribute per
+                # row, not one Python match_score per (master, attribute)
+                midx = np.asarray(masters)
+                tot = np.zeros(len(midx), dtype=np.float64)
+                for c, alg, w in rule:
+                    tot += w * batch_match_score(
+                        cols[c][midx], np.repeat(cols[c][i], len(midx)), alg)
+                tot /= wsum
+                ok = np.flatnonzero(tot >= threshold)
+                if len(ok):
+                    j = ok[0] if attach == "first" else ok[np.argmax(tot[ok])]
+                    best_m, best_s = masters[j], float(tot[j])
             if best_m is None:
                 masters.append(i)
                 gid[i] = ids[i]
