@@ -145,3 +145,33 @@ def test_chrono_converter_round_trip_property(d, chrono):
     rendered = fwd.convert(iso)
     assert rendered not in ("", None)
     assert back.convert(rendered) == iso, (iso, chrono, rendered)
+
+
+@given(st.lists(st.tuples(st.text(max_size=24), st.text(max_size=24)),
+                min_size=1, max_size=60))
+@settings(max_examples=40, deadline=None)
+def test_batch_kernels_match_scalar_random_unicode(pairs):
+    """Property: the vectorized pair kernels equal the scalar kernels on
+    arbitrary unicode (astral planes included) for every vectorized
+    matcher, including empty-as-null semantics."""
+    from data_quality_ray.functions.matchers import match_score
+    from data_quality_ray.functions.matchers_vec import VEC_MATCHERS, batch_match_score
+
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    for m in sorted(VEC_MATCHERS):
+        got = batch_match_score(a, b, m)
+        exp = [match_score(x, y, m) for x, y in zip(a, b)]
+        assert np.allclose(got, exp, atol=1e-12), m
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=2, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_hamming_pairs_property(vals):
+    from data_quality_ray.dedup.simhash import hamming64, hamming64_pairs
+
+    arr = np.array(vals, dtype=np.uint64)
+    a, b = arr[:-1], arr[1:]
+    got = hamming64_pairs(a, b)
+    assert (got == [hamming64(int(x), int(y)) for x, y in zip(a, b)]).all()
