@@ -310,7 +310,11 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
 
         def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
             agg = g.groupby("id", as_index=False).agg(new=("lbl", "min"))
-            old = g[g["tag"] == 1][["id", "lbl"]].rename(columns={"lbl": "old"})
+            # initial labels are per-BLOCK uniques, so an id spanning
+            # input blocks arrives duplicated — dedup before the merge or
+            # the duplicate rows multiply and persist every round
+            old = (g[g["tag"] == 1][["id", "lbl"]]
+                   .groupby("id", as_index=False).agg(old=("lbl", "min")))
             return agg.merge(old, on="id")
 
         merged = (
@@ -324,6 +328,10 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
                 batch_format="pandas"))
             .map_batches(add_bucket("id"), batch_format="pandas")
             .groupby("__bucket").map_groups(min_bucket, batch_format="pandas")
+            # cap the label block count: union+map_groups otherwise
+            # compounds blocks round over round (24→56→120→248→504
+            # measured), turning O(diameter) rounds superlinear
+            .repartition(n_buckets)
         ).materialize()
         changed = merged.map_batches(
             lambda b: pd.DataFrame({"c": [int((b["new"] < b["old"]).sum())]}),

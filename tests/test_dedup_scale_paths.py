@@ -144,6 +144,17 @@ def test_union_find_equals_distributed_components(ray_session):
         uf.astype({"id": "int64", "cluster": "int64"}),
         dc.astype({"id": "int64", "cluster": "int64"}),
     )
+    # multi-block edge input: ids spanning blocks once produced DUPLICATE
+    # label rows (per-block initial labels multiplying through the
+    # min-merge) — regression-pinned here
+    import ray.data as rd
+
+    dc2 = distributed_components(rd.from_pandas(pairs).repartition(8),
+                                 n_buckets=8).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        uf.astype({"id": "int64", "cluster": "int64"}),
+        dc2.astype({"id": "int64", "cluster": "int64"}),
+    )
 
 
 def test_minhash_dedup_md5_equals_stable_clusters(ray_session):
