@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_docs": Q.minhash_neardup_docs,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
+        "simhash_dedup_docs": Q.simhash_dedup_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -486,6 +487,23 @@ FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b
 """)
 
 
+# --- SimHash near-dup collapse: pairs replay + recursive min-label ---------
+
+_SIMHASH_DEDUP_SQL = (
+    "WITH RECURSIVE verified AS (SELECT id_a, id_b FROM ("
+    + _SIMHASH_PAIRS_SQL + r""")),
+nodes AS (SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified),
+e2 AS (SELECT id_a AS u, id_b AS v FROM verified
+       UNION SELECT id_b, id_a FROM verified),
+cc(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN e2 e ON e.u = cc.id)
+SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+FROM cc GROUP BY 1 ORDER BY doc_id
+""")
+
+
 # --- fingerprint string clustering (OpenRefine key) over p_name ------------
 # shares fingerprint semantics with functions/text.fingerprint_key_one:
 # lower → strip accents → split [^a-z0-9]+ → distinct sorted tokens
@@ -671,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_heuristic_docs": _langid_sql(),
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
+        "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

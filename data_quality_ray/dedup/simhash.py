@@ -133,3 +133,22 @@ def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 
         .to_pandas()
     )
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_dedup(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
+                  n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
+    """Full SimHash near-dup pass → DataFrame(id, cluster=min id of the
+    connected component) for docs in near-dup clusters. The Hamming check
+    inside ``simhash_candidates`` IS the verification (unlike MinHash no
+    second exact pass is needed); components go through driver union-find
+    under the shared gate and distributed min-label propagation above it."""
+    from .minhash import UNION_FIND_MAX_PAIRS, distributed_components, union_find_components
+
+    pairs = simhash_candidates(ds, id_col, text_col, hamming_threshold,
+                               n_blocks, hash_fn)
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster": []})
+    edges = pairs[["id_a", "id_b"]]
+    comp = (union_find_components(edges) if len(edges) <= UNION_FIND_MAX_PAIRS
+            else distributed_components(edges))
+    return comp.rename(columns={"id": id_col})

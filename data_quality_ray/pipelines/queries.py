@@ -969,6 +969,19 @@ def simhash_pairs_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup clusters (Hamming ≤ 3, min-id label) — the full
+    collapse composition; the oracle chains the pairs replay into a
+    recursive min-label CTE (the minhash components pattern)."""
+    from ..dedup.simhash import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_dedup(ds, "doc_id", "text", hamming_threshold=3,
+                        n_blocks=4, hash_fn="md5")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,
