@@ -283,7 +283,8 @@ ANALYZER_FACTORIES = {
 }
 
 
-def profile(ds, spec: dict[str, list], batch_size: int = 8192) -> dict[str, dict[str, dict]]:
+def profile(ds, spec: dict[str, list], batch_size: int = 8192,
+            merge: str = "driver", tree_fanin: int = 64) -> dict[str, dict[str, dict]]:
     """One-pass composite profiling (Analyzers.with_ analog).
 
     ``spec``: column → list of analyzer names (from ANALYZER_FACTORIES) or
@@ -292,6 +293,11 @@ def profile(ds, spec: dict[str, list], batch_size: int = 8192) -> dict[str, dict
 
     Scale shape: map_batches folds each block into one pickled partial row;
     the partials stream (tiny — one row per block) merges on the driver.
+    ``merge="tree"`` inserts distributed combine rounds (``tree_fanin``
+    partials per task) until ≤ ``tree_fanin`` rows remain — for jobs whose
+    block count makes the driver loop itself the bottleneck (the SCALE.md
+    #blocks ≫ 10^6 case). Accumulator merge is associative by
+    construction, so both paths give identical results (parity-tested).
     """
     columns = list(spec)
 
@@ -315,9 +321,28 @@ def profile(ds, spec: dict[str, list], batch_size: int = 8192) -> dict[str, dict
                 acc.update(arr)
         return pa.table({"partial": pa.array([pickle.dumps(accs)], type=pa.binary())})
 
+    def combine(batch: pa.Table) -> pa.Table:
+        accs = None
+        for blob in batch["partial"]:
+            cur = pickle.loads(blob.as_py())
+            if accs is None:
+                accs = cur
+            else:
+                for col in accs:
+                    for name, acc in accs[col].items():
+                        acc.merge(cur[col][name])
+        if accs is None:
+            return batch
+        return pa.table({"partial": pa.array([pickle.dumps(accs)], type=pa.binary())})
+
     merged = None
     partials = ds.select_columns(columns).map_batches(partial, batch_format="pyarrow",
                                                       batch_size=batch_size)
+    if merge == "tree":
+        partials = partials.materialize()
+        while partials.count() > tree_fanin:
+            partials = partials.map_batches(
+                combine, batch_size=tree_fanin, batch_format="pyarrow").materialize()
     for b in partials.iter_batches(batch_size=64, batch_format="pyarrow"):
         for blob in b["partial"]:
             accs = pickle.loads(blob.as_py())

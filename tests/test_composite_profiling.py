@@ -65,3 +65,26 @@ def test_jp_text_stages(ray_session):
         rd.from_items([{"text": "東京タワーはtall building 123です"}])
     ).take(1)[0]
     assert "tall" in out["tokens"] and "123" in out["tokens"]
+
+
+def test_profile_tree_merge_equals_driver(ray_session):
+    """merge='tree' (distributed combine rounds) must produce identical
+    results to the driver merge — accumulator merges are associative."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.profiling.analyzers import profile
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "x": rng.randint(0, 50, size=4000).astype(float),
+        "s": rng.choice(["aa", "bb", "cc", None, ""], size=4000),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+    spec = {"x": ["summary", "cardinality", "quantile"],
+            "s": ["text_length", "frequency", "type"]}
+    a = profile(ds, spec, batch_size=256)
+    b = profile(rd.from_pandas(df).repartition(16), spec, batch_size=256,
+                merge="tree", tree_fanin=4)
+    assert a == b
