@@ -296,8 +296,10 @@ def profile(ds, spec: dict[str, list], batch_size: int = 8192,
     ``merge="tree"`` inserts distributed combine rounds (``tree_fanin``
     partials per task) until ≤ ``tree_fanin`` rows remain — for jobs whose
     block count makes the driver loop itself the bottleneck (the SCALE.md
-    #blocks ≫ 10^6 case). Accumulator merge is associative by
-    construction, so both paths give identical results (parity-tested).
+    #blocks ≫ 10^6 case). Exact accumulators give identical results under
+    any merge grouping (parity-tested); the approximate sketches (t-digest
+    quantiles) are merge-order-sensitive within their accuracy bound, as
+    any distributed t-digest is.
     """
     columns = list(spec)
 

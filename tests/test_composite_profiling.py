@@ -87,4 +87,12 @@ def test_profile_tree_merge_equals_driver(ray_session):
     a = profile(ds, spec, batch_size=256)
     b = profile(rd.from_pandas(df).repartition(16), spec, batch_size=256,
                 merge="tree", tree_fanin=4)
-    assert a == b
+    # exact accumulators: identical under any merge grouping
+    for col, names in (("x", ["summary", "cardinality"]),
+                       ("s", ["text_length", "frequency", "type"])):
+        for name in names:
+            assert a[col][name] == b[col][name], (col, name)
+    # t-digest quantiles are merge-ORDER-sensitive by design (approximate
+    # sketch): tree grouping shifts estimates within the accuracy bound
+    for q in ("q25", "median", "q75"):
+        assert abs(a["x"]["quantile"][q] - b["x"]["quantile"][q]) <= 0.5
