@@ -104,12 +104,24 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
 
 def dedup_by_content(ds, text_col: str, order_col: str, key_col: str = "__content_hash"):
     """Exact content dedup: add a content-hash column (cheap, vectorized)
-    then hash-partition on it — avoids shuffling long text as the key."""
+    then hash-partition on it — avoids shuffling long text as the key.
+
+    The key is 128 bits (two independent SipHash runs packed into 16
+    bytes): a single 64-bit key collides ~birthday(n²/2⁶⁵) ≈ tens of
+    thousands of silent false-drops at 10^12 rows; at 128 bits the
+    expected collision count at that scale is ~10⁻¹⁵."""
+    import numpy as np
     import pandas.util as pdu
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch[key_col] = pdu.hash_array(batch[text_col].to_numpy(dtype=object)).astype("int64")
+        arr = batch[text_col].to_numpy(dtype=object)
+        h1 = pdu.hash_array(arr)
+        h2 = pdu.hash_array(arr, hash_key="dq_content_2nd!!")  # 16-byte key
+        packed = np.empty((len(arr), 16), dtype=np.uint8)
+        packed[:, :8] = h1.view(np.uint8).reshape(-1, 8)
+        packed[:, 8:] = h2.view(np.uint8).reshape(-1, 8)
+        batch[key_col] = [bytes(row) for row in packed]
         return batch
 
     out = dedup_by_key(ds.map_batches(add_hash, batch_format="pandas"), key=key_col, order_col=order_col)

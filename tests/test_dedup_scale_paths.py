@@ -341,3 +341,18 @@ def test_new_code_edge_inputs(ray_session):
     assert out["p"].isna().all()
     assert ChronoDateConverter().convert(None) is None
     assert ChronoDateConverter(out_chronology="Hijrah").convert("  ") == "  "
+
+
+def test_dedup_by_content_128bit_key(ray_session):
+    """Content dedup through the 128-bit packed hash key: duplicates by
+    min order id, distinct texts preserved, key column dropped."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_content
+
+    df = pd.DataFrame({"rid": np.arange(600),
+                       "text": [f"doc {i % 200} body" for i in range(600)]})
+    out = dedup_by_content(rd.from_pandas(df).repartition(5), "text", "rid").to_pandas()
+    exp = df.groupby("text", as_index=False).agg(rid=("rid", "min"))
+    assert sorted(out["rid"]) == sorted(exp["rid"])
+    assert set(out.columns) == {"rid", "text"}
