@@ -192,7 +192,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          stage_mode: str = "tasks",
                          dedup_strategy: str = "broadcast",
                          dedup_index_dir: str | None = None,
-                         final_output: str = "rewrite") -> dict:
+                         final_output: str = "rewrite",
+                         manifest_shard_size: int = 0) -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics.
 
     ``dedup_strategy``: "broadcast" (default — winner map fits driver
@@ -222,7 +223,10 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
 
         index = DedupIndex(dedup_index_dir)
 
-    manifest = Manifest(out_dir)
+    # shard the manifest directory past ~10^5 fragments (flat listing is
+    # O(#fragments)); both layouts read interchangeably, so resume works
+    # across a setting change
+    manifest = Manifest(out_dir, shard_size=manifest_shard_size)
     files = _fragment_files(input_dir)
     done = manifest.completed_fragments()
     pending = [(i, f) for i, f in enumerate(files) if i not in done]

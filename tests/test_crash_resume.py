@@ -70,3 +70,32 @@ def test_sigkill_mid_run_then_resume(f1_dir, tmp_path):
     h_a = duckdb.sql(f"select count(*), sum(phash), sum(length(caption)) from '{out_a}/final/*.parquet'").fetchone()
     h_b = duckdb.sql(f"select count(*), sum(phash), sum(length(caption)) from '{out_b}/final/*.parquet'").fetchone()
     assert h_a == h_b
+
+
+def test_manifest_sharding_and_mixed_layout(tmp_path):
+    """Sharded manifests group records into shard dirs; reads accept flat
+    and sharded records interchangeably (resuming a flat run with
+    sharding on, or vice versa, loses nothing)."""
+    import os
+
+    from data_quality_ray.state.manifest import Manifest
+
+    out = str(tmp_path / "run")
+    rec = lambda i: {"fragment": i, "source_file": f"f{i}", "n_rows": 10,
+                     "kept": 7, "dropped": 2, "corrected": 1,
+                     "rule_hits": {"r": i}, "output_path": f"p{i}"}
+    flat = Manifest(out)
+    for i in range(3):
+        flat.commit(rec(i))
+    sharded = Manifest(out, shard_size=2)
+    for i in range(3, 7):
+        sharded.commit(rec(i))
+    assert os.path.isdir(os.path.join(out, "_manifest", "shard-000001"))
+    # both instances see all 7 records regardless of who wrote them
+    for m in (flat, sharded, Manifest(out, shard_size=3)):
+        assert m.completed_fragments() == set(range(7))
+        tot = m.totals()
+        assert tot["n_rows"] == 70 and tot["rule_hits"]["r"] == sum(range(7))
+    # idempotent re-commit across layouts
+    sharded.commit(rec(1))  # fragment 1 exists flat; upsert under shard
+    assert Manifest(out).totals()["n_rows"] == 70
