@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
+        "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -504,6 +505,50 @@ FROM cc GROUP BY 1 ORDER BY doc_id
 """)
 
 
+# --- exact n-gram Jaccard near-dup clusters (set-similarity join) ----------
+# Ground truth computed INDEPENDENTLY of the Python prefix filter: every
+# pair sharing >= 1 distinct shingle hash is Jaccard-tested (2c >= sa+sb-c
+# is the integer-exact form of c/(sa+sb-c) >= 0.5), then min-label
+# components — so a prefix-filter completeness bug fails the hash compare.
+# Shingle + md5 semantics shared with dedup/minhash.py (k=3 word grams,
+# whole-text gram when shorter, md5_number_lower == low half of md5).
+
+_NGRAM_JACCARD_DEDUP_SQL = r"""
+WITH RECURSIVE dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    END) AS gram
+  FROM dt),
+gh AS (SELECT DISTINCT doc_id, md5_number_lower(gram) AS h FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sizes sa ON sa.doc_id = cand.id_a
+  JOIN sizes sb ON sb.doc_id = cand.id_b
+  WHERE 2 * c >= sa.n + sb.n - c),
+nodes AS (SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified),
+e2 AS (SELECT id_a AS u, id_b AS v FROM verified
+       UNION SELECT id_b, id_a FROM verified),
+cc(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN e2 e ON e.u = cc.id)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+FROM cc GROUP BY 1 ORDER BY doc_id
+"""
+
+
 # --- fingerprint string clustering (OpenRefine key) over p_name ------------
 # shares fingerprint semantics with functions/text.fingerprint_key_one:
 # lower → strip accents → split [^a-z0-9]+ → distinct sorted tokens
@@ -690,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
+        "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

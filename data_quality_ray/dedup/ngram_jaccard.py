@@ -1,0 +1,246 @@
+"""Exact n-gram Jaccard near-duplicate detection via a prefix-filter
+set-similarity self-join (the SSJoin / AllPairs / PPJoin family —
+Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao et al. 2008).
+
+Unlike MinHash+LSH (probabilistic candidates) this finds EVERY pair with
+shingle-set Jaccard >= t:
+
+  1. shingle each doc (word n-grams, distinct 64-bit hashes) — the same
+     shingle/hash semantics as ``dedup/minhash.py`` so verification and
+     the SQL oracle line up;
+  2. order each doc's tokens by a GLOBAL total order and emit only the
+     first ``|X| - ceil(t*|X|) + 1`` tokens as postings (prefix filter:
+     two sets with J >= t must share a token within these prefixes);
+  3. ``groupby`` the postings by token — the only shuffle — and pair ids
+     within each posting list (plus the |A|>=t*|B| length filter);
+  4. exact shingle-set Jaccard over the deduped candidates via the
+     distributed ``verify_pairs`` (collect under the gate, bucketed
+     shuffle join above it);
+  5. connected components -> (id, cluster = min id), the shared
+     union-find / distributed min-label gate.
+
+Global token order: prefix filtering is COMPLETE under any shared total
+order; frequency order (rarest first) is purely a selectivity
+optimization that keeps posting lists short on boilerplate-heavy
+corpora. Rather than broadcasting a vocabulary-sized rank table, the
+order key is ``(count-min document-frequency estimate, token hash)`` —
+the sketch is fixed-size (depth x width), mergeable from per-batch
+partials, and broadcast once, so the frequency path has NO
+vocabulary-proportional state at any scale. ``ordering="hash"`` is the
+stateless fallback (skip the counting pass entirely).
+
+Reference precedent: blocking-key candidate generation + exact pair
+verification (genkey/BlockingKeyHandler.java, AbstractRecordGrouping.java
+match loop); the reference has no set-similarity join — this is one of
+the beyond-reference training-data-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ..profiling.sketches import CountMinSketch
+from .minhash import (
+    UNION_FIND_MAX_PAIRS,
+    _cached_hasher,
+    distributed_components,
+    union_find_components,
+    verify_pairs,
+)
+
+
+class U64CountMin(CountMinSketch):
+    """Count-min over already-hashed uint64 keys: row positions are
+    derived from the key itself (salted odd-multiplier family), skipping
+    the per-value string hashing of the generic sketch."""
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h = np.asarray(values, dtype=np.uint64)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            salt = np.uint64((d * 0x9E3779B97F4A7C15) % (1 << 64))
+            out[d] = ((h * np.uint64(2 * d + 1) + salt)
+                      % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    # parent coerces to object dtype before hashing; uint64 keys keep
+    # their dtype straight through _positions
+    def update_array(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        values = np.asarray(values, dtype=np.uint64)
+        if len(values) == 0:
+            return
+        c = (np.ones(len(values), dtype=np.int64) if counts is None
+             else np.asarray(counts))
+        pos = self._positions(values)
+        for d in range(self.depth):
+            np.add.at(self.table[d], pos[d], c)
+        self.n += int(c.sum())
+
+    def estimate(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values, dtype=np.uint64)
+        if len(values) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(values)
+        return np.stack([self.table[d][pos[d]]
+                         for d in range(self.depth)]).min(axis=0)
+
+
+def _doc_token_sets(batch_ids, batch_texts, mh):
+    """Distinct shingle-hash set per doc -> (ids, list of uint64 arrays)."""
+    ids, sets = [], []
+    for i, t in zip(batch_ids, batch_texts):
+        h = np.unique(mh.shingles(t if isinstance(t, str) else ""))
+        if len(h):
+            ids.append(i)
+            sets.append(h)
+    return ids, sets
+
+
+def token_df_sketch(ds, text_col: str, shingle_size: int = 3,
+                    hash_fn: str = "stable", width: int = 8192,
+                    depth: int = 4) -> U64CountMin:
+    """Document-frequency count-min over distinct shingle hashes: one
+    fixed-size partial per batch (pickled, one tiny row each), merged on
+    the driver — the mergeable-statistics-bean pattern
+    (CardinalityHLLStatistics.java:53-58)."""
+    import pickle
+
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mh = _cached_hasher(64, shingle_size, 17, hash_fn)
+        acc = U64CountMin(width=width, depth=depth)
+        texts = batch[text_col].to_numpy(zero_copy_only=False)
+        _, sets = _doc_token_sets(range(len(texts)), texts, mh)
+        if sets:
+            acc.update_array(np.concatenate(sets))
+        return pa.table({"p": pa.array([pickle.dumps(acc)], type=pa.binary())})
+
+    merged = U64CountMin(width=width, depth=depth)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=64, batch_format="pyarrow"):
+        for blob in b["p"]:
+            merged = merged.merge(pickle.loads(blob.as_py()))
+    return merged
+
+
+def prefix_postings(ds, id_col: str, text_col: str, threshold: float,
+                    shingle_size: int = 3, hash_fn: str = "stable",
+                    cms: U64CountMin | None = None):
+    """Stage 2: Dataset of (token, id, size) prefix postings. Prefix
+    length ``n - ceil(t*n) + 1`` uses a 1e-9 slack under the ceil so a
+    float threshold can only LENGTHEN the prefix (completeness is never
+    lost to rounding)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    cms_ref = ray.put(cms)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        mh = _cached_hasher(64, shingle_size, 17, hash_fn)
+        sk = cached_get(cms_ref)
+        ids, sets = _doc_token_sets(b[id_col].to_numpy(),
+                                    b[text_col].to_numpy(), mh)
+        if not ids:
+            return pd.DataFrame({"token": pd.Series(dtype=np.uint64),
+                                 id_col: b[id_col].iloc[:0],
+                                 "size": pd.Series(dtype=np.int64)})
+        all_tok = np.concatenate(sets)
+        est = sk.estimate(all_tok) if sk is not None else None
+        sel, plens = [], []
+        off = 0
+        for h in sets:
+            n = len(h)
+            e = None if est is None else est[off:off + n]
+            off += n
+            # np.unique already sorted h; frequency order = (est, hash)
+            order = np.arange(n) if e is None else np.lexsort((h, e))
+            p = n - math.ceil(threshold * n - 1e-9) + 1
+            sel.append(h[order[:p]])
+            plens.append(p)
+        plens = np.asarray(plens, dtype=np.int64)
+        return pd.DataFrame({
+            "token": np.concatenate(sel),
+            id_col: np.repeat(np.asarray(ids), plens),
+            "size": np.repeat(np.asarray([len(h) for h in sets],
+                                         dtype=np.int64), plens),
+        })
+
+    return ds.map_batches(emit, batch_format="pandas")
+
+
+def candidate_pairs_ssjoin(postings, id_col: str, threshold: float,
+                           n_buckets: int = 64) -> pd.DataFrame:
+    """Stage 3: hash-bucketed posting-list pairing (never a Python
+    callback per tiny posting group — the dedup/simhash.py bucket shape):
+    sort by (token, id) inside each bucket, triu-pair each posting run,
+    apply the Jaccard length filter min >= t*max (with float slack so the
+    filter can only keep more), dedupe pairs."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b["token"].to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["token", id_col])
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        szs = g["size"].to_numpy()
+        runs = g.groupby("token", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(runs)])
+        ia_all, ib_all = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s > 1:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_all.append(ia + s)
+                ib_all.append(ib + s)
+        if not ia_all:
+            return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype),
+                                 "id_b": pd.Series(dtype=ids.dtype)})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        sa, sb = szs[ia], szs[ib]
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # ids ascend within each posting run, so id_a < id_b already
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+
+    out = (
+        postings.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_dedup(ds, id_col: str, text_col: str, threshold: float = 0.5,
+                        shingle_size: int = 3, hash_fn: str = "stable",
+                        ordering: str = "cms", n_buckets: int = 64,
+                        cms_width: int = 8192, cms_depth: int = 4) -> pd.DataFrame:
+    """Full exact-Jaccard near-dup pass -> DataFrame(id, cluster = min id
+    of the connected component) for docs in clusters with J >= threshold.
+    ``ordering="cms"`` (default) runs the document-frequency sketch pass
+    first; ``"hash"`` skips it (stateless, longer posting lists)."""
+    if ordering not in ("cms", "hash"):
+        raise ValueError(f"unknown ordering {ordering!r}")
+    cms = (token_df_sketch(ds, text_col, shingle_size, hash_fn,
+                           cms_width, cms_depth)
+           if ordering == "cms" else None)
+    postings = prefix_postings(ds, id_col, text_col, threshold,
+                               shingle_size, hash_fn, cms)
+    pairs = candidate_pairs_ssjoin(postings, id_col, threshold, n_buckets)
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster": []})
+    verified = verify_pairs(ds, pairs, id_col, text_col, threshold,
+                            shingle_size, hash_fn)
+    if verified.empty:
+        return pd.DataFrame({id_col: [], "cluster": []})
+    edges = verified[["id_a", "id_b"]]
+    comp = (union_find_components(edges) if len(edges) <= UNION_FIND_MAX_PAIRS
+            else distributed_components(edges))
+    return comp.rename(columns={"id": id_col})

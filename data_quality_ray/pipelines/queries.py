@@ -982,6 +982,22 @@ def simhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def ngram_jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup clusters (J >= 0.5) via the
+    prefix-filter set-similarity join with count-min frequency ordering —
+    md5 hashing so the DuckDB oracle independently recomputes ground
+    truth (shared-token join + exact Jaccard + components), which checks
+    prefix-filter COMPLETENESS, not just the happy path."""
+    from ..dedup.ngram_jaccard import ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(ds, "doc_id", "text", threshold=0.5,
+                              hash_fn="md5")
+    out["cluster"] = out["cluster"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,
