@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
         "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
+        "winnow_fingerprints_docs": Q.winnow_fingerprints_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -549,6 +550,38 @@ FROM cc GROUP BY 1 ORDER BY doc_id
 """
 
 
+# --- winnowing (rolling-hash) document fingerprints ------------------------
+# Replays dedup/winnow.py selection in SQL: md5 char-5-gram hashes, a
+# grams x window-starts join, per-window min, rightmost tie-break
+# (max(pos) among rows at the min), distinct selected positions. Single
+# clipped window when a doc has fewer than w grams (greatest(n-3, 1)).
+
+_WINNOW_FP_SQL = r"""
+WITH dt AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+lens AS (SELECT doc_id, t, len(t) - 4 AS n FROM dt),
+poss AS (SELECT doc_id, t,
+                unnest(generate_series(1, CASE WHEN n < 1 THEN 0 ELSE n END)) AS pos
+         FROM lens),
+grams AS (SELECT doc_id, pos, md5_number_lower(substr(t, pos, 5)) AS h FROM poss),
+gc AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+wins AS (SELECT doc_id, unnest(generate_series(1, greatest(n - 3, 1))) AS s FROM gc),
+wj AS (SELECT w.doc_id, w.s, g.pos, g.h
+       FROM wins w JOIN grams g
+         ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3),
+wmin AS (SELECT doc_id, s, min(h) AS mh FROM wj GROUP BY 1, 2),
+sel AS (SELECT wj.doc_id, max(wj.pos) AS pos, wmin.mh AS h
+        FROM wj JOIN wmin
+          ON wj.doc_id = wmin.doc_id AND wj.s = wmin.s AND wj.h = wmin.mh
+        GROUP BY wj.doc_id, wj.s, wmin.mh),
+fp AS (SELECT DISTINCT doc_id, pos, h FROM sel)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CASE WHEN h::HUGEINT >= 9223372036854775808::HUGEINT
+            THEN (h::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE h::BIGINT END AS fp
+FROM fp ORDER BY doc_id, pos
+"""
+
+
 # --- fingerprint string clustering (OpenRefine key) over p_name ------------
 # shares fingerprint semantics with functions/text.fingerprint_key_one:
 # lower → strip accents → split [^a-z0-9]+ → distinct sorted tokens
@@ -736,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
         "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
+        "winnow_fingerprints_docs": _WINNOW_FP_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

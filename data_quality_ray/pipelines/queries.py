@@ -998,6 +998,21 @@ def ngram_jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def winnow_fingerprints_docs(sf_dir: str) -> pd.DataFrame:
+    """Winnowing (rolling-hash MOSS) fingerprints per doc, exploded to
+    (doc_id, pos, fp) — k=5 char grams, window w=4, rightmost-min
+    selection; md5 grams so the DuckDB oracle replays gram hashing,
+    window minima and the rightmost tie-break exactly."""
+    from ..dedup.winnow import add_winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_winnow_fingerprints(ds, "doc_id", "text", k=5, w=4,
+                                  hash_fn="md5").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out.sort_values(["doc_id", "pos"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,
