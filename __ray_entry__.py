@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": Q.simhash_dedup_docs,
         "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
         "winnow_fingerprints_docs": Q.winnow_fingerprints_docs,
+        "bpe_token_stats_docs": Q.bpe_token_stats_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -550,6 +551,33 @@ FROM cc GROUP BY 1 ORDER BY doc_id
 """
 
 
+# --- BPE-style pre-tokenizer token stats -----------------------------------
+# The pattern CONSTANTS are imported from the library (the shared-constant
+# rule): one string drives Python re and RE2; SQL-quote by doubling "'".
+
+def _bpe_token_sql() -> str:
+    from data_quality_ray.functions.text import (
+        BPE_NUM_PATTERN,
+        BPE_SPACE_PATTERN,
+        BPE_TOKEN_PATTERN,
+        BPE_WORD_PATTERN,
+    )
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+tok AS (SELECT doc_id, regexp_extract_all(s, '{q(BPE_TOKEN_PATTERN)}') AS toks FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^{q(BPE_WORD_PATTERN)}$'))) AS BIGINT) AS n_word,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^{q(BPE_NUM_PATTERN)}$'))) AS BIGINT) AS n_num,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '^{q(BPE_SPACE_PATTERN)}$'))) AS BIGINT) AS n_space
+FROM tok ORDER BY doc_id
+"""
+
+
 # --- winnowing (rolling-hash) document fingerprints ------------------------
 # Replays dedup/winnow.py selection in SQL: md5 char-5-gram hashes, a
 # grams x window-starts join, per-window min, rightmost tie-break
@@ -770,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
         "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
         "winnow_fingerprints_docs": _WINNOW_FP_SQL,
+        "bpe_token_stats_docs": _bpe_token_sql(),
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

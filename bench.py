@@ -115,6 +115,8 @@ def run_bench() -> dict:
         ("asof_last_order_events", Q.asof_last_order_events),
         ("range_join_orders_bands", Q.range_join_orders_bands),
         ("heavy_hitter_tokens_docs", Q.heavy_hitter_tokens_docs),
+        ("ngram_jaccard_dedup_docs", Q.ngram_jaccard_dedup_docs),
+        ("winnow_fingerprints_docs", Q.winnow_fingerprints_docs),
     ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -174,12 +174,17 @@ def prefix_postings(ds, id_col: str, text_col: str, threshold: float,
 
 
 def candidate_pairs_ssjoin(postings, id_col: str, threshold: float,
-                           n_buckets: int = 64) -> pd.DataFrame:
+                           n_buckets: int = 64, as_dataset: bool = False):
     """Stage 3: hash-bucketed posting-list pairing (never a Python
     callback per tiny posting group — the dedup/simhash.py bucket shape):
     sort by (token, id) inside each bucket, triu-pair each posting run,
     apply the Jaccard length filter min >= t*max (with float slack so the
-    filter can only keep more), dedupe pairs."""
+    filter can only keep more), dedupe pairs.
+
+    ``as_dataset=True`` keeps pairs DISTRIBUTED: the same pair can
+    surface from several tokens in different buckets, so uniqueness gets
+    one more keyed shuffle (the minhash ``candidate_pairs`` shape) and
+    the pair set never lands on the driver."""
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -213,19 +218,40 @@ def candidate_pairs_ssjoin(postings, id_col: str, threshold: float,
         postings.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
-    return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+    if as_dataset:
+        import pandas.util as pdu
+
+        def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
+                b["id_b"].to_numpy())
+            b["__pb"] = (h % 64).astype("int64")
+            return b
+
+        def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+        return (out.map_batches(pair_bucket, batch_format="pandas")
+                .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas"))
+    return (out.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+            .reset_index(drop=True))
 
 
 def ngram_jaccard_dedup(ds, id_col: str, text_col: str, threshold: float = 0.5,
                         shingle_size: int = 3, hash_fn: str = "stable",
                         ordering: str = "cms", n_buckets: int = 64,
-                        cms_width: int = 8192, cms_depth: int = 4) -> pd.DataFrame:
-    """Full exact-Jaccard near-dup pass -> DataFrame(id, cluster = min id
-    of the connected component) for docs in clusters with J >= threshold.
+                        cms_width: int = 8192, cms_depth: int = 4,
+                        output: str = "pandas"):
+    """Full exact-Jaccard near-dup pass -> (id, cluster = min id of the
+    connected component) for docs in clusters with J >= threshold.
     ``ordering="cms"`` (default) runs the document-frequency sketch pass
-    first; ``"hash"`` skips it (stateless, longer posting lists)."""
+    first; ``"hash"`` skips it (stateless, longer posting lists).
+
+    ``output="dataset"`` is the fully-distributed route: pairs,
+    verification, and components all stay Ray Datasets (the
+    minhash_dedup dataset-route shape); the driver holds only the
+    fixed-size frequency sketch and the candidate-id prefilter array."""
     if ordering not in ("cms", "hash"):
         raise ValueError(f"unknown ordering {ordering!r}")
     cms = (token_df_sketch(ds, text_col, shingle_size, hash_fn,
@@ -233,6 +259,16 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str, threshold: float = 0.5,
            if ordering == "cms" else None)
     postings = prefix_postings(ds, id_col, text_col, threshold,
                                shingle_size, hash_fn, cms)
+
+    if output == "dataset":
+        pairs_ds = candidate_pairs_ssjoin(postings, id_col, threshold,
+                                          n_buckets, as_dataset=True).materialize()
+        verified = verify_pairs(ds, pairs_ds, id_col, text_col, threshold,
+                                shingle_size, hash_fn, strategy="shuffle")
+        comp = distributed_components(verified, as_dataset=True)
+        return comp.map_batches(
+            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
+
     pairs = candidate_pairs_ssjoin(postings, id_col, threshold, n_buckets)
     if pairs.empty:
         return pd.DataFrame({id_col: [], "cluster": []})

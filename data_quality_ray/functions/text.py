@@ -162,6 +162,51 @@ def token_lists(arr) -> list[list[str]]:
     return [v.split() if v is not None else [] for v in vals]
 
 
+# BPE-style pre-tokenizer (the GPT-2 pattern family, made RE2-safe so the
+# IDENTICAL string runs in Python `re` and DuckDB `regexp_extract_all`):
+# contractions, optional-space letter runs, digit runs, symbol runs,
+# whitespace runs. Two deliberate deviations from the original, both
+# forced by RE2: no `(?!\S)` lookahead (trailing-space splitting), and
+# whitespace spelled as an explicit class — RE2's \s excludes \v while
+# Python's ASCII \s includes it, so \s would silently diverge between
+# the engines on vertical tabs.
+BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?[A-Za-z]+| ?[0-9]+"
+                     r"| ?[^A-Za-z0-9 \t\n\r\f']+"
+                     r"|[ \t\n\r\f]+")
+BPE_WORD_PATTERN = r" ?[A-Za-z]+"
+BPE_NUM_PATTERN = r" ?[0-9]+"
+BPE_SPACE_PATTERN = r"[ \t\n\r\f]+"
+
+_BPE_RE = re.compile(BPE_TOKEN_PATTERN)
+_BPE_WORD_RE = re.compile(BPE_WORD_PATTERN)
+_BPE_NUM_RE = re.compile(BPE_NUM_PATTERN)
+_BPE_SPACE_RE = re.compile(BPE_SPACE_PATTERN)
+
+
+def bpe_tokens_one(s: str | None) -> list[str]:
+    return _BPE_RE.findall(s) if s else []
+
+
+def bpe_token_stats(arr) -> dict[str, np.ndarray]:
+    """Per-value BPE-ish token tallies: total tokens and word / number /
+    whitespace run counts (symbol runs + contractions are the remainder).
+    One compiled-regex findall per value; classification via anchored
+    fullmatch — the same per-token predicates the SQL oracle applies with
+    list_filter(regexp_matches('^...$'))."""
+    vals = _as_np(arr)
+    n = len(vals)
+    out = {k: np.zeros(n, dtype=np.int64)
+           for k in ("n_tokens", "n_word", "n_num", "n_space")}
+    for i, v in enumerate(vals):
+        toks = bpe_tokens_one(v)
+        out["n_tokens"][i] = len(toks)
+        out["n_word"][i] = sum(1 for t in toks if _BPE_WORD_RE.fullmatch(t))
+        out["n_num"][i] = sum(1 for t in toks if _BPE_NUM_RE.fullmatch(t))
+        out["n_space"][i] = sum(1 for t in toks if _BPE_SPACE_RE.fullmatch(t))
+    return out
+
+
 def _as_np(arr) -> np.ndarray:
     if isinstance(arr, (pa.Array, pa.ChunkedArray)):
         return arr.to_numpy(zero_copy_only=False)

@@ -998,6 +998,24 @@ def ngram_jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def bpe_token_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """BPE-style pre-tokenizer tallies per doc (GPT-2 pattern family,
+    RE2-safe so the IDENTICAL pattern string drives Python re and the
+    DuckDB oracle's regexp_extract_all) — total tokens plus word/number/
+    whitespace run counts."""
+    from ..functions.text import bpe_token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        stats = bpe_token_stats(b["text"])
+        return pa.table({"doc_id": b["doc_id"],
+                         **{k: pa.array(v) for k, v in stats.items()}})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def winnow_fingerprints_docs(sf_dir: str) -> pd.DataFrame:
     """Winnowing (rolling-hash MOSS) fingerprints per doc, exploded to
     (doc_id, pos, fp) — k=5 char grams, window w=4, rightmost-min

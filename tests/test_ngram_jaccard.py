@@ -62,6 +62,22 @@ def test_ngram_jaccard_matches_brute_force_both_orderings(ray_session):
                                       truth.astype("int64"))
 
 
+def test_ngram_jaccard_dataset_route_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.ngram_jaccard import ngram_jaccard_dedup
+
+    df = _corpus(n=120, seed=5)
+    ds = rd.from_pandas(df).repartition(5)
+    pdf = (ngram_jaccard_dedup(ds, "doc_id", "text", threshold=0.5)
+           .sort_values("doc_id").reset_index(drop=True))
+    ds = rd.from_pandas(df).repartition(5)
+    dd = (ngram_jaccard_dedup(ds, "doc_id", "text", threshold=0.5,
+                              output="dataset")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(dd.astype("int64"), pdf.astype("int64"))
+
+
 def test_ngram_jaccard_higher_threshold_is_subset(ray_session):
     import ray.data as rd
 
