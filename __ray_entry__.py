@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
         "winnow_fingerprints_docs": Q.winnow_fingerprints_docs,
         "bpe_token_stats_docs": Q.bpe_token_stats_docs,
+        "gopher_repetition_docs": Q.gopher_repetition_docs,
+        "hash_split_docs": Q.hash_split_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -578,6 +580,65 @@ FROM tok ORDER BY doc_id
 """
 
 
+# --- deterministic hash splits ---------------------------------------------
+# Boundaries 8000/9000 == sampling/splits.split_boundaries for 0.8/0.1/0.1.
+
+_HASH_SPLIT_SQL = r"""
+WITH b AS (SELECT doc_id,
+                  md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS bk
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+# --- Gopher-style repetition quality metrics -------------------------------
+# Line-split via chr(10) == Python str.split("\n"); word tokens via the
+# minhash \s+ split; top-gram tie-break = lexicographically smallest gram
+# (UTF-8 byte order == code-point order on both engines). Ratios rounded
+# half-away (DuckDB's mode) on BOTH sides — see heuristics.round6_away.
+
+_GOPHER_REPETITION_SQL = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+lines AS (SELECT doc_id, unnest(string_split(s, chr(10))) AS line FROM t),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+lagg AS (SELECT doc_id,
+                sum(c) AS n_lines,
+                count(*) AS n_distinct,
+                sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS dup_chars,
+                sum(c * len(line)) AS tot_chars
+         FROM lc GROUP BY 1),
+toks AS (SELECT doc_id,
+                list_filter(string_split_regex(s, '\s+'), x -> x <> '') AS tk,
+                len(s) AS slen
+         FROM t),
+g2 AS (SELECT doc_id, unnest(
+         CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1]) END) AS gram
+       FROM toks),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+gmax AS (SELECT doc_id, max(c) AS cmax FROM gc GROUP BY 1),
+gtop AS (SELECT gc.doc_id, min(gc.gram) AS gram, gm.cmax
+         FROM gc JOIN gmax gm ON gc.doc_id = gm.doc_id AND gc.c = gm.cmax
+         GROUP BY 1, 3)
+SELECT t.doc_id,
+       round((lagg.n_lines - lagg.n_distinct) * 1.0 / lagg.n_lines, 6) AS dup_line_frac,
+       round(CASE WHEN lagg.tot_chars = 0 THEN 0.0
+                  ELSE lagg.dup_chars * 1.0 / lagg.tot_chars END, 6) AS dup_line_char_frac,
+       round(coalesce(gtop.cmax * len(gtop.gram) * 1.0 / nullif(tk2.slen, 0), 0.0), 6)
+         AS top_2gram_char_frac
+FROM t
+JOIN lagg ON lagg.doc_id = t.doc_id
+LEFT JOIN toks tk2 ON tk2.doc_id = t.doc_id
+LEFT JOIN gtop ON gtop.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # --- winnowing (rolling-hash) document fingerprints ------------------------
 # Replays dedup/winnow.py selection in SQL: md5 char-5-gram hashes, a
 # grams x window-starts join, per-window min, rightmost tie-break
@@ -799,6 +860,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
         "winnow_fingerprints_docs": _WINNOW_FP_SQL,
         "bpe_token_stats_docs": _bpe_token_sql(),
+        "gopher_repetition_docs": _GOPHER_REPETITION_SQL,
+        "hash_split_docs": _HASH_SPLIT_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

@@ -1016,6 +1016,35 @@ def bpe_token_stats_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def hash_split_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment per doc —
+    md5-bucketed so the oracle replays it with md5_number_lower % 10000;
+    stable under any partitioning (pure function of the key)."""
+    from ..sampling.splits import with_split_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = with_split_column(ds, "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def gopher_repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality metrics per doc (duplicate-line
+    fraction, duplicate-line char fraction, top word-2-gram char
+    fraction) — DuckDB-rounding-mode floats (round6_away) so exact
+    power-of-two rational ties don't diverge between engines."""
+    from ..rules.heuristics import gopher_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        stats = gopher_repetition_stats(b["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b["doc_id"],
+                         **{k: pa.array(v) for k, v in stats.items()}})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def winnow_fingerprints_docs(sf_dir: str) -> pd.DataFrame:
     """Winnowing (rolling-hash MOSS) fingerprints per doc, exploded to
     (doc_id, pos, fp) — k=5 char grams, window w=4, rightmost-min

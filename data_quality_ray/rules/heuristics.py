@@ -122,3 +122,56 @@ def stopword_density_mask(
         hits = sum(1 for t in toks if t in stopwords)
         out[i] = hits / len(toks) < min_ratio
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1 repetition filters — public knowledge)
+# ---------------------------------------------------------------------------
+
+
+def round6_away(x: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero at 6 dp (DuckDB's rounding mode) for
+    non-negative values. Python/numpy round are half-to-even, which
+    diverges from SQL on exact power-of-two rationals like 5/128 — and
+    these metrics have small-integer denominators, so ties really occur."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def gopher_repetition_stats(values) -> dict[str, np.ndarray]:
+    """Per-doc repetition metrics, each replicated exactly by the SQL
+    oracle (shared line-split / whitespace-token semantics with the
+    minhash shingle SQL; lexicographic-min tie-break for the top gram):
+
+    - ``dup_line_frac``: (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_frac``: chars in lines occurring >1 time (all
+      occurrences) / total line chars
+    - ``top_2gram_char_frac``: occurrences x char-length of the most
+      frequent word 2-gram / doc char length (ties -> lexicographically
+      smallest gram; overlapping occurrences count, so the ratio may
+      exceed 1 on degenerate docs — uncapped on both sides)
+    """
+    from collections import Counter
+
+    vals = _np(values)
+    n = len(vals)
+    dl = np.zeros(n, dtype=np.float64)
+    dlc = np.zeros(n, dtype=np.float64)
+    tg = np.zeros(n, dtype=np.float64)
+    for i, v in enumerate(vals):
+        s = v if isinstance(v, str) else ""
+        lines = s.split("\n")
+        cnt = Counter(lines)
+        dl[i] = (len(lines) - len(cnt)) / len(lines)
+        tot = sum(len(l) for l in lines)
+        if tot:
+            dlc[i] = sum(len(l) * c for l, c in cnt.items() if c > 1) / tot
+        toks = s.split()
+        if len(toks) >= 2 and len(s):
+            g = Counter(a + " " + b for a, b in zip(toks, toks[1:]))
+            cmax = max(g.values())
+            gram = min(k for k, c in g.items() if c == cmax)
+            tg[i] = cmax * len(gram) / len(s)
+    return {"dup_line_frac": round6_away(dl),
+            "dup_line_char_frac": round6_away(dlc),
+            "top_2gram_char_frac": round6_away(tg)}
