@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats_docs": Q.bpe_token_stats_docs,
         "gopher_repetition_docs": Q.gopher_repetition_docs,
         "hash_split_docs": Q.hash_split_docs,
+        "stratified_sample_docs": Q.stratified_sample_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -595,6 +596,19 @@ FROM b ORDER BY doc_id
 """
 
 
+# --- stratified training-mix sampling ---------------------------------------
+# Per-source fraction (md5(source) % 51 + 25)/100 computed independently by
+# both engines; threshold = fraction * 10000 == (h % 51 + 25) * 100 exactly
+# (integer math, no float rounding to diverge on).
+
+_STRATIFIED_SAMPLE_SQL = r"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
+      < (md5_number_lower(source) % 51 + 25) * 100
+ORDER BY doc_id
+"""
+
+
 # --- Gopher-style repetition quality metrics -------------------------------
 # Line-split via chr(10) == Python str.split("\n"); word tokens via the
 # minhash \s+ split; top-gram tie-break = lexicographically smallest gram
@@ -862,6 +876,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats_docs": _bpe_token_sql(),
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,
         "hash_split_docs": _HASH_SPLIT_SQL,
+        "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

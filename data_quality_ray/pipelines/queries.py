@@ -1027,6 +1027,25 @@ def hash_split_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Training-mix resampling: per-source keep fraction, deterministic
+    hash thresholds. The fraction table itself is derived from the source
+    name's md5 ((h % 51 + 25)/100 ⇒ 0.25..0.75) so BOTH engines compute it
+    independently — the oracle isn't handed the answer."""
+    from ..profiling.sketches import md5_hash64
+    from ..sampling.stratified import stratified_sample
+
+    def frac(src: str) -> float:
+        # int() first: np.uint64 % python-int promotes to float64 and
+        # loses low bits on >2^53 hashes
+        return (int(md5_hash64(np.array([src], dtype=object))[0]) % 51 + 25) / 100.0
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = stratified_sample(ds, key_col="doc_id", group_col="source",
+                            fractions=frac).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def gopher_repetition_docs(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition quality metrics per doc (duplicate-line
     fraction, duplicate-line char fraction, top word-2-gram char

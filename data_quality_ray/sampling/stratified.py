@@ -1,0 +1,70 @@
+"""Stratified deterministic sampling: per-group keep fractions.
+
+The training-mix resampling primitive: given a corpus with a domain /
+source column and a target fraction per group ("keep 60% of web, 100%
+of books, 5% of logs"), keep each row iff
+``hash(salt + str(key)) % 10000 < fraction[group] * 10000``.
+
+Pure function of (key, group, fractions, salt) — reproducible across
+runs, partitionings and cluster sizes; stable under incremental
+ingestion; composes with [[splits]] (same bucket discipline, different
+salt ⇒ independent decisions); and needs NO shuffle at any scale — one
+stateless ``map_batches`` with the (tiny) fraction table broadcast once.
+
+Reference precedent: the digest-keyed deterministic sampling trick of
+sampling/parallel/ReservoirSamplerWithBinaryHeap.java:27-69; per-stratum
+fractions themselves are a beyond-reference training-pipeline operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..profiling.sketches import HASH64
+from .splits import N_BUCKETS
+
+
+def _thresholds(groups: np.ndarray, fractions, default: float | None) -> np.ndarray:
+    """Integer bucket thresholds per row (exact to 1/N_BUCKETS)."""
+    out = np.empty(len(groups), dtype=np.int64)
+    cache: dict = {}
+    for i, g in enumerate(groups):
+        t = cache.get(g)
+        if t is None:
+            f = fractions(g) if callable(fractions) else fractions.get(g, default)
+            if f is None:
+                raise KeyError(f"no fraction for group {g!r} and no default")
+            if not 0.0 <= f <= 1.0:
+                raise ValueError(f"fraction for {g!r} out of [0,1]: {f}")
+            t = cache[g] = int(round(f * N_BUCKETS))
+        out[i] = t
+    return out
+
+
+def sample_mask(keys, groups, fractions, salt: str = "",
+                hash_fn: str = "md5", default: float | None = None) -> np.ndarray:
+    """Boolean keep-mask. ``hash_fn="md5"`` is bit-identical to DuckDB's
+    ``md5_number_lower(salt || CAST(key AS VARCHAR)) % 10000 < thresh``
+    (the driver-oracle path); ``"stable"`` is the faster SipHash path."""
+    kvals = np.asarray(keys, dtype=object)
+    svals = np.array([salt + str(k) for k in kvals], dtype=object)
+    buckets = (HASH64[hash_fn](svals) % np.uint64(N_BUCKETS)).astype(np.int64)
+    return buckets < _thresholds(np.asarray(groups, dtype=object), fractions, default)
+
+
+def stratified_sample(ds, key_col: str, group_col: str, fractions,
+                      salt: str = "", hash_fn: str = "md5",
+                      default: float | None = None):
+    """Dataset filtered to the per-group sample — stateless, shuffle-free.
+
+    ``fractions`` is a dict group→fraction or a callable; ``default``
+    covers unseen groups (None ⇒ raise on an unknown group, the safe
+    default for a pinned training mix)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        m = sample_mask(b[key_col].to_numpy(), b[group_col].to_numpy(),
+                        fractions, salt, hash_fn, default)
+        return b[m]
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,71 @@
+"""Stratified sampling: threshold math, determinism/stability, fraction
+accuracy per group, unknown-group handling, and md5 DuckDB parity."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_ray.sampling.stratified import sample_mask, stratified_sample
+
+
+def test_fraction_accuracy_per_group():
+    n = 20000
+    keys = np.arange(n)
+    groups = np.where(keys % 2 == 0, "a", "b")
+    m = sample_mask(keys, groups, {"a": 0.25, "b": 0.9}, hash_fn="stable")
+    fa = m[groups == "a"].mean()
+    fb = m[groups == "b"].mean()
+    assert abs(fa - 0.25) < 0.02 and abs(fb - 0.9) < 0.02
+    # edge fractions are exact
+    m0 = sample_mask(keys, groups, {"a": 0.0, "b": 1.0}, hash_fn="stable")
+    assert not m0[groups == "a"].any() and m0[groups == "b"].all()
+
+
+def test_deterministic_stable_and_salted():
+    keys = np.arange(3000)
+    groups = np.repeat(["x", "y", "z"], 1000)
+    fr = {"x": 0.5, "y": 0.5, "z": 0.5}
+    a = sample_mask(keys, groups, fr)
+    np.testing.assert_array_equal(a, sample_mask(keys, groups, fr))
+    # decision is per-key: appending rows never flips old rows
+    a2 = sample_mask(np.arange(6000), np.tile(groups, 2), fr)
+    np.testing.assert_array_equal(a2[:3000], a)
+    # salt gives an independent draw
+    b = sample_mask(keys, groups, fr, salt="run2")
+    assert (a != b).any()
+
+
+def test_unknown_group_default_and_raise():
+    keys = np.arange(10)
+    groups = np.array(["seen"] * 5 + ["new"] * 5, dtype=object)
+    with pytest.raises(KeyError):
+        sample_mask(keys, groups, {"seen": 0.5})
+    m = sample_mask(keys, groups, {"seen": 1.0}, default=0.0)
+    assert m[:5].all() and not m[5:].any()
+    with pytest.raises(ValueError):
+        sample_mask(keys, groups, {"seen": 1.5}, default=1.5)
+
+
+def test_md5_matches_duckdb():
+    df = pd.DataFrame({"k": [f"id{i}" for i in range(400)],
+                       "g": ["w" if i % 3 else "b" for i in range(400)]})
+    got = sample_mask(df["k"].to_numpy(), df["g"].to_numpy(),
+                      {"w": 0.37, "b": 0.8}, hash_fn="md5")
+    exp = duckdb.sql("""
+        SELECT md5_number_lower(k) % 10000 <
+               CASE g WHEN 'w' THEN 3700 ELSE 8000 END FROM df
+        """).df().iloc[:, 0].to_numpy()
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_stratified_sample_dataset(ray_session):
+    import ray.data as rd
+    df = pd.DataFrame({"doc_id": np.arange(1000),
+                       "src": np.where(np.arange(1000) < 500, "a", "b")})
+    out = stratified_sample(rd.from_pandas(df), "doc_id", "src",
+                            {"a": 0.3, "b": 1.0}, hash_fn="stable").to_pandas()
+    m = sample_mask(df["doc_id"].to_numpy(), df["src"].to_numpy(),
+                    {"a": 0.3, "b": 1.0}, hash_fn="stable")
+    np.testing.assert_array_equal(
+        np.sort(out["doc_id"].to_numpy()), df["doc_id"].to_numpy()[m])
