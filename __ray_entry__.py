@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition_docs": Q.gopher_repetition_docs,
         "hash_split_docs": Q.hash_split_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
+        "pack_chunks_docs": Q.pack_chunks_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -609,6 +610,31 @@ ORDER BY doc_id
 """
 
 
+# --- sequence packing --------------------------------------------------------
+# Token count = n_chars (pure integers); the window SUM replays the Ray
+# side's block-metadata prefix sum exactly, range(nc) explodes each doc to
+# its chunks. Integer // division throughout — no float paths to diverge.
+
+_PACK_CHUNKS_SQL = r"""
+WITH d AS (
+  SELECT doc_id, n_chars AS n_tok,
+         CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM documents),
+a AS (
+  SELECT doc_id, n_tok, st,
+         CASE WHEN n_tok > 0
+              THEN (st + n_tok - 1) // 512 - st // 512 + 1 ELSE 0 END AS nc
+  FROM d),
+e AS (SELECT doc_id, n_tok, st,
+             st // 512 + unnest(range(nc)) AS chunk_id FROM a)
+SELECT doc_id, chunk_id,
+       greatest(chunk_id * 512, st) - st AS tok_start,
+       least((chunk_id + 1) * 512, st + n_tok) - st AS tok_end
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
 # --- Gopher-style repetition quality metrics -------------------------------
 # Line-split via chr(10) == Python str.split("\n"); word tokens via the
 # minhash \s+ split; top-gram tie-break = lexicographically smallest gram
@@ -877,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,
         "hash_split_docs": _HASH_SPLIT_SQL,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
+        "pack_chunks_docs": _PACK_CHUNKS_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

@@ -1079,6 +1079,22 @@ def winnow_fingerprints_docs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def pack_chunks_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequence-packing layout over the doc_id-ordered document stream:
+    docs concatenate into one virtual token stream (token count =
+    ``n_chars`` — pure integers, so the DuckDB oracle replays the prefix
+    sum with a window SUM), cut into 512-token chunks; one row per
+    (doc, chunk) with the doc-relative slice. The Ray side computes the
+    prefix sum from per-block metadata sums (functions/packing) — no
+    shuffle, no driver data motion."""
+    from ..functions.packing import pack_assignments
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = pack_assignments(ds, "n_chars", 512, id_cols=["doc_id"]).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,
