@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_docs": Q.hash_split_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "pack_chunks_docs": Q.pack_chunks_docs,
+        "pack_sequences_docs": Q.pack_sequences_docs,
+        "decontaminate_docs": Q.decontaminate_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -635,6 +637,80 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+# Chunk assembly checksums: tokens never explode in SQL — the default
+# token stand-in doc_id*1000003 + pos makes every per-chunk aggregate a
+# closed-form arithmetic series over the assignment slices. Slice order
+# inside a chunk == order by global doc start (st), distinct per slice.
+
+_PACK_SEQUENCES_SQL = r"""
+WITH d AS (
+  SELECT doc_id, n_chars AS n_tok,
+         CAST(coalesce(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+  FROM documents),
+a AS (
+  SELECT doc_id, n_tok, st,
+         CASE WHEN n_tok > 0
+              THEN (st + n_tok - 1) // 512 - st // 512 + 1 ELSE 0 END AS nc
+  FROM d),
+e AS (SELECT doc_id, n_tok, st,
+             st // 512 + unnest(range(nc)) AS chunk_id FROM a),
+s AS (SELECT doc_id, st, chunk_id,
+             greatest(chunk_id * 512, st) - st AS ts,
+             least((chunk_id + 1) * 512, st + n_tok) - st AS te
+      FROM e)
+SELECT chunk_id,
+       CAST(sum(te - ts) AS BIGINT) AS n_tok,
+       CAST(sum((te - ts) * doc_id * 1000003
+                + ((ts + te - 1) * (te - ts)) // 2) AS BIGINT) AS tok_sum,
+       CAST(arg_min(doc_id * 1000003 + ts, st) AS BIGINT) AS first_tok,
+       CAST(arg_max(doc_id * 1000003 + te - 1, st) AS BIGINT) AS last_tok
+FROM s GROUP BY 1 ORDER BY chunk_id
+"""
+
+
+# --- train/test decontamination ----------------------------------------------
+# Benchmark = every 97th doc, derived independently by both engines; gram
+# semantics shared verbatim with the minhash shingle SQL (k=8). The SQL
+# joins gram STRINGS where Python probes md5 hashes — equal modulo 64-bit
+# collisions, which the small fixture cannot produce.
+
+_DECONTAMINATE_SQL = r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 7),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  || ' ' || toks[i+3] || ' ' || toks[i+4]
+                                  || ' ' || toks[i+5] || ' ' || toks[i+6]
+                                  || ' ' || toks[i+7])
+    END) AS gram
+  FROM dt),
+gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+bh AS (SELECT DISTINCT gram FROM gset WHERE doc_id % 97 = 0),
+agg AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(b.gram) AS n_hits
+  FROM gset g LEFT JOIN bh b ON g.gram = b.gram
+  GROUP BY 1),
+fr AS (
+  SELECT d.doc_id,
+         coalesce(a.n_grams, 0) AS n_grams,
+         coalesce(a.n_hits, 0) AS n_hits,
+         round(coalesce(a.n_hits, 0) * 1.0
+               / greatest(coalesce(a.n_grams, 0), 1), 6) AS contam_frac
+  FROM dt d LEFT JOIN agg a USING (doc_id))
+SELECT doc_id, n_grams, n_hits, contam_frac,
+       contam_frac >= 0.1 AS contaminated
+FROM fr ORDER BY doc_id
+"""
+
+
 # --- Gopher-style repetition quality metrics -------------------------------
 # Line-split via chr(10) == Python str.split("\n"); word tokens via the
 # minhash \s+ split; top-gram tie-break = lexicographically smallest gram
@@ -904,6 +980,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_docs": _HASH_SPLIT_SQL,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
         "pack_chunks_docs": _PACK_CHUNKS_SQL,
+        "pack_sequences_docs": _PACK_SEQUENCES_SQL,
+        "decontaminate_docs": _DECONTAMINATE_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

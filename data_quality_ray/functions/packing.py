@@ -114,3 +114,64 @@ def pack_assignments(ds, count_col: str, chunk_size: int,
         return pa.table(out)
 
     return with_off.map_batches(explode, batch_format="pyarrow")
+
+
+def default_token_fn(ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Deterministic per-(doc, position) token stand-in: doc_id·1000003 +
+    doc-relative position. Closed-form aggregable (arithmetic series), so
+    the SQL oracle checks chunk contents WITHOUT exploding tokens — a
+    wrong slice, order, or assignment shifts every checksum."""
+    return ids.astype(np.int64) * 1000003 + pos.astype(np.int64)
+
+
+def assemble_sequences(ds, count_col: str, chunk_size: int, id_col: str,
+                       token_fn=default_token_fn, n_buckets: int = 32,
+                       prefix: str = "pack_", return_tokens: bool = False):
+    """Physically assemble the packed sequences: explode docs to (doc,
+    chunk) slices, ONE hash shuffle keyed by ``chunk_id % n_buckets``,
+    then concatenate each chunk's slices in stream order inside the
+    bucket — vectorized across ALL chunks of a bucket (repeat/arange
+    token generation + reduceat checksums), never a Python callback per
+    chunk. → (chunk_id, n_tok, tok_sum, first_tok, last_tok [, tokens]).
+
+    ``token_fn(ids, pos) -> int64`` maps (doc id, doc-relative position)
+    to a token; swap in a real lookup (e.g. into pretokenized id arrays)
+    for production — the layout/shuffle logic is token-agnostic.
+    """
+    c_start = prefix + "start"
+    assign = pack_assignments(ds, count_col, chunk_size,
+                              id_cols=[id_col, c_start], prefix=prefix)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(b["chunk_id"].to_numpy(zero_copy_only=False)
+                               % n_buckets, type=pa.int64()))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["chunk_id", c_start], kind="mergesort")
+        ts = g["tok_start"].to_numpy(np.int64)
+        te = g["tok_end"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        cid = g["chunk_id"].to_numpy(np.int64)
+        ln = te - ts
+        off = np.concatenate(([0], np.cumsum(ln[:-1]))) if len(ln) else np.zeros(0, np.int64)
+        pos = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(off, ln) + np.repeat(ts, ln)
+        toks = token_fn(np.repeat(ids, ln), pos)
+        # slice-row → chunk boundaries (cid is sorted)
+        first_slice = np.concatenate(([True], cid[1:] != cid[:-1])) if len(cid) else np.zeros(0, bool)
+        starts = off[first_slice]
+        out = {
+            "chunk_id": cid[first_slice],
+            "n_tok": np.diff(np.concatenate((starts, [len(toks)]))),
+            "tok_sum": np.add.reduceat(toks, starts) if len(toks) else np.zeros(0, np.int64),
+            "first_tok": toks[starts] if len(toks) else np.zeros(0, np.int64),
+            "last_tok": toks[np.concatenate((starts[1:], [len(toks)])) - 1]
+                        if len(toks) else np.zeros(0, np.int64),
+        }
+        df = pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+        if return_tokens:
+            df["tokens"] = np.split(toks, starts[1:])
+        return df
+
+    return (assign.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(assemble, batch_format="pandas"))

@@ -1095,6 +1095,43 @@ def pack_chunks_docs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def pack_sequences_docs(sf_dir: str) -> pd.DataFrame:
+    """Physical chunk assembly on top of the packing layout: one hash
+    shuffle keyed by chunk bucket, slices concatenated in stream order,
+    per-chunk integer checksums (count / sum / first / last token with
+    the closed-form token stand-in) that the oracle reproduces from the
+    assignment table by pure arithmetic — any mis-assignment, mis-order
+    or dropped slice shifts them."""
+    from ..functions.packing import assemble_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = assemble_sequences(ds, "n_chars", 512, id_col="doc_id",
+                             n_buckets=16).to_pandas()
+    return out.sort_values("chunk_id").reset_index(drop=True)
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Train/test decontamination with a stand-in benchmark = every 97th
+    doc (both engines derive it independently): per-doc distinct 8-gram
+    count, benchmark-hit count, contamination fraction and verdict.
+    Benchmark gram hashes broadcast once; the corpus streams through one
+    map_batches probe — no shuffle."""
+    from ..dedup.decontaminate import benchmark_gram_hashes, decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    bench = benchmark_gram_hashes(
+        ds.map_batches(pick_bench, batch_format="pyarrow"),
+        "text", k=8, hash_fn="md5")
+    out = decontaminate(ds, "text", "doc_id", bench, k=8, hash_fn="md5",
+                        threshold=0.1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,

@@ -6,7 +6,8 @@ import pandas as pd
 import pytest
 
 from data_quality_ray.functions.packing import (
-    offset_columns, pack_assignments, pack_offsets)
+    assemble_sequences, default_token_fn, offset_columns, pack_assignments,
+    pack_offsets)
 
 
 def test_offset_columns_math():
@@ -57,3 +58,30 @@ def test_pack_assignments_invariants(ray_session):
     # chunk ids are dense 0..last
     np.testing.assert_array_equal(sizes.index.to_numpy(),
                                   np.arange(len(sizes)))
+
+
+def test_assemble_sequences_physical(ray_session):
+    """Assembled chunks == slicing the naive concatenated token stream."""
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    n = rng.integers(0, 30, size=300).astype(np.int64)
+    C = 128
+    ds = rd.from_pandas(pd.DataFrame({"i": np.arange(300), "n_tok": n})).repartition(9)
+    out = (assemble_sequences(ds, "n_tok", C, id_col="i", n_buckets=5,
+                              return_tokens=True)
+           .to_pandas().sort_values("chunk_id").reset_index(drop=True))
+    stream = np.concatenate([default_token_fn(np.full(k, i, np.int64),
+                                              np.arange(k, dtype=np.int64))
+                             for i, k in enumerate(n) if k] or
+                            [np.zeros(0, np.int64)])
+    n_chunks = -(-len(stream) // C)
+    assert len(out) == n_chunks
+    np.testing.assert_array_equal(out["chunk_id"], np.arange(n_chunks))
+    for c in range(n_chunks):
+        exp = stream[c * C:(c + 1) * C]
+        got = np.asarray(out.loc[c, "tokens"])
+        np.testing.assert_array_equal(got, exp, err_msg=f"chunk {c}")
+        assert out.loc[c, "n_tok"] == len(exp)
+        assert out.loc[c, "tok_sum"] == exp.sum()
+        assert out.loc[c, "first_tok"] == exp[0]
+        assert out.loc[c, "last_tok"] == exp[-1]
