@@ -100,6 +100,24 @@ def phash_dedup_images(sf_dir: str):
     return dedup_by_key(ds, key="phash", order_col="image_id")
 
 
+def phash_neardup_images(sf_dir: str):
+    """Image NEAR-dup pairs by phash Hamming distance ≤ 2 through the
+    generic block-permutation candidate machinery (pigeonhole full
+    recall with n_blocks=4 > threshold) — the oracle is an independent
+    brute-force all-pairs xor+bit_count, so the hash compare checks the
+    blocking scheme's completeness, not a replay."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import hamming_candidates
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    out = hamming_candidates(ds, "image_id", "phash",
+                             hamming_threshold=2, n_blocks=4)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship + scrub (full SQL oracle)
@@ -164,9 +182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks_docs": Q.pack_chunks_docs,
         "pack_sequences_docs": Q.pack_sequences_docs,
         "decontaminate_docs": Q.decontaminate_docs,
+        "c4_clean_docs": Q.c4_clean_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
+        "phash_neardup_images": phash_neardup_images,
         "image_features": image_features,
     }
 
@@ -711,6 +731,38 @@ FROM fr ORDER BY doc_id
 """
 
 
+# --- C4-style line cleaning --------------------------------------------------
+# Zip-unnest gives (index, line) pairs; trim set / word split / terminal
+# set / blocklist mirror rules/heuristics.c4_line_clean verbatim; QUALIFY
+# row_number keeps the first occurrence of a repeated kept line.
+
+_C4_CLEAN_SQL = r"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+ls AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM t),
+ln AS (SELECT doc_id,
+              unnest(generate_series(1, len(lines))) AS i,
+              trim(unnest(lines), ' ' || chr(9) || chr(13)) AS line
+       FROM ls),
+kept AS (
+  SELECT doc_id, i, line FROM ln
+  WHERE len(list_filter(string_split_regex(line, '\s+'), x -> x <> '')) >= 3
+    AND substr(line, length(line), 1) IN ('.', '!', '?', '"')
+    AND position('{' IN line) = 0
+    AND NOT contains(lower(line), 'lorem ipsum')
+    AND NOT contains(lower(line), 'javascript')
+  QUALIFY row_number() OVER (PARTITION BY doc_id, line ORDER BY i) = 1),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY i) AS cleaned_text
+        FROM kept GROUP BY 1)
+SELECT t.doc_id,
+       CAST(len(string_split(t.s, chr(10))) AS BIGINT) AS n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.cleaned_text, '') AS cleaned_text,
+       coalesce(a.n_kept, 0) >= 1 AS keep_doc
+FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 # --- Gopher-style repetition quality metrics -------------------------------
 # Line-split via chr(10) == Python str.split("\n"); word tokens via the
 # minhash \s+ split; top-gram tie-break = lexicographically smallest gram
@@ -982,12 +1034,21 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks_docs": _PACK_CHUNKS_SQL,
         "pack_sequences_docs": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "c4_clean_docs": _C4_CLEAN_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(
             "image_id, verdict, first_rule, scrubbed_caption AS caption, phash"),
         "phash_dedup_images": "SELECT phash, min(image_id) AS image_id FROM (" +
             _f1_labels_sql("image_id, phash") + ") GROUP BY phash",
+        # brute-force all-pairs ground truth: pigeonhole says the blocked
+        # candidate pass must find EVERY pair within threshold
+        "phash_neardup_images": "WITH L AS (" + _f1_labels_sql("image_id, phash") + ") "
+            "SELECT a.image_id AS id_a, b.image_id AS id_b, "
+            "CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming "
+            "FROM L a JOIN L b ON a.image_id < b.image_id "
+            "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
+            "ORDER BY id_a, id_b",
         "image_features": _f1_labels_sql(
             "image_id, lum_mean, lum_std, phash_recomputed"),
         "phonetic_keys_part": _phonetic_part_sql(),

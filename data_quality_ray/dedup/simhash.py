@@ -71,16 +71,20 @@ def add_simhash(ds, text_col: str, out_col: str = "simhash", hash_fn: str = "sta
     return ds.map_batches(f, batch_format="pandas")
 
 
-def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
-                       n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
-    """Candidate near-dup pairs (verified Hamming ≤ threshold).
-    ``n_blocks`` must exceed ``hamming_threshold`` for full recall.
-    ``hash_fn="md5"`` makes the whole pipeline SQL-replayable."""
+def hamming_candidates(ds, id_col: str, sig_col: str,
+                       hamming_threshold: int = 3,
+                       n_blocks: int = 4) -> pd.DataFrame:
+    """Verified Hamming-≤-threshold pairs over an EXISTING 64-bit
+    signature column — simhash, image phash, any 64-bit sketch. Block
+    permutation (pigeonhole: ``n_blocks > threshold`` ⇒ FULL recall: any
+    pair within threshold shares at least one exact block), groups
+    hash-bucketed so pairing is one vectorized xor+popcount per bucket,
+    never a Python callback per tiny group."""
     assert n_blocks > hamming_threshold
     width = 64 // n_blocks
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = simhash64_batch(batch[text_col].to_numpy(dtype=object), hash_fn)
+        sh = batch[sig_col].to_numpy().astype(np.int64)
         shu = sh.view(np.uint64)
         shifts = (np.arange(n_blocks, dtype=np.uint64) * np.uint64(width))
         mask = np.uint64((1 << width) - 1)
@@ -133,6 +137,16 @@ def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 
         .to_pandas()
     )
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
+                       n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
+    """Candidate near-dup pairs (verified Hamming ≤ threshold) over text:
+    sign (fused into the same task wave by Ray's operator fusion) then
+    the generic block-permutation pairing. ``hash_fn="md5"`` makes the
+    whole pipeline SQL-replayable."""
+    return hamming_candidates(add_simhash(ds, text_col, "__sig", hash_fn),
+                              id_col, "__sig", hamming_threshold, n_blocks)
 
 
 def simhash_dedup(ds, id_col: str, text_col: str, hamming_threshold: int = 3,

@@ -1132,6 +1132,24 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style line-level cleaning (Raffel et al. §2.2): per-line
+    min-words / terminal-punctuation / brace / blocklist filters plus
+    within-doc duplicate-line removal keep-first, constants shared with
+    the SQL oracle."""
+    from ..rules.heuristics import c4_line_clean
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        stats = c4_line_clean(b["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": b["doc_id"],
+                         **{k: pa.array(v) for k, v in stats.items()}})
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,

@@ -175,3 +175,46 @@ def gopher_repetition_stats(values) -> dict[str, np.ndarray]:
     return {"dup_line_frac": round6_away(dl),
             "dup_line_char_frac": round6_away(dlc),
             "top_2gram_char_frac": round6_away(tg)}
+
+
+# --- C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics) ------
+# Constants shared verbatim with the SQL oracle in __ray_entry__.py.
+
+C4_MIN_WORDS = 3
+C4_TERMINAL = ('.', '!', '?', '"')
+C4_STRIP = " \t\r"
+C4_BLOCKLIST = ("lorem ipsum", "javascript")
+
+
+def c4_line_clean(values) -> dict[str, np.ndarray]:
+    """Per-doc C4 line filter: keep lines with >= C4_MIN_WORDS words that
+    end in terminal punctuation, contain no '{', none of C4_BLOCKLIST
+    (case-insensitive); then drop repeated lines keep-first within the
+    doc. → n_lines (raw), n_kept (post-dedup), cleaned_text (kept lines
+    re-joined), keep_doc (any line survived). Every step is replayed by
+    the SQL oracle (zip-unnest + QUALIFY row_number)."""
+    vals = _np(values)
+    n = len(vals)
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_kept = np.zeros(n, dtype=np.int64)
+    cleaned = np.empty(n, dtype=object)
+    for i, v in enumerate(vals):
+        s = v if isinstance(v, str) else ""
+        lines = s.split("\n")
+        n_lines[i] = len(lines)
+        seen: set[str] = set()
+        kept: list[str] = []
+        for raw in lines:
+            t = raw.strip(C4_STRIP)
+            if (len(t.split()) < C4_MIN_WORDS or t[-1:] not in C4_TERMINAL
+                    or "{" in t):
+                continue
+            lo = t.lower()
+            if any(b in lo for b in C4_BLOCKLIST) or t in seen:
+                continue
+            seen.add(t)
+            kept.append(t)
+        n_kept[i] = len(kept)
+        cleaned[i] = "\n".join(kept)
+    return {"n_lines": n_lines, "n_kept": n_kept, "cleaned_text": cleaned,
+            "keep_doc": n_kept >= 1}

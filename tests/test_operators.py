@@ -246,6 +246,28 @@ def test_simhash(ray_session):
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(1, 2)}
 
 
+def test_hamming_candidates_complete(ray_session):
+    """Generic signature-column pairing == brute-force all-pairs (the
+    pigeonhole full-recall guarantee), on clustered random signatures."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import hamming64_pairs, hamming_candidates
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 1 << 63, size=60, dtype=np.int64)
+    sigs = base[rng.integers(0, 60, size=400)]
+    flips = np.int64(1) << rng.integers(0, 64, size=400, dtype=np.int64)
+    sigs = np.where(rng.random(400) < 0.5, sigs ^ flips, sigs)  # 1-bit variants
+    df = pd.DataFrame({"id": np.arange(400), "sig": sigs})
+    got = hamming_candidates(rd.from_pandas(df).repartition(6), "id", "sig",
+                             hamming_threshold=3, n_blocks=4)
+    ia, ib = np.triu_indices(400, k=1)
+    d = hamming64_pairs(sigs[ia].view(np.uint64), sigs[ib].view(np.uint64))
+    want = {(int(ia[i]), int(ib[i])) for i in np.flatnonzero(d <= 3)}
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == want
+
+
 def test_embedding_neardup(ray_session):
     import ray.data as rd
 
