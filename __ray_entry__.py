@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": Q.pack_sequences_docs,
         "decontaminate_docs": Q.decontaminate_docs,
         "c4_clean_docs": Q.c4_clean_docs,
+        "quality_classifier_docs": Q.quality_classifier_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -220,12 +221,14 @@ def _ensure_oracle_artifacts() -> None:
     from data_quality_ray.sources.fixtures import write_f1
 
     os.makedirs(_ORACLE_DIR, exist_ok=True)
-    marker = os.path.join(_ORACLE_DIR, "_DONE_v1")
+    marker = os.path.join(_ORACLE_DIR, "_DONE_v2")
     if not os.path.exists(marker):
-        from data_quality_ray.stages.corpus import training_sentences
+        from data_quality_ray.stages.corpus import junk_sentences, training_sentences
 
         pq.write_table(pa.table({"s": pa.array(training_sentences(), type=pa.string())}),
                        os.path.join(_ORACLE_DIR, "ppl_corpus.parquet"))
+        pq.write_table(pa.table({"s": pa.array(junk_sentences(), type=pa.string())}),
+                       os.path.join(_ORACLE_DIR, "junk_corpus.parquet"))
         open(marker, "w").close()
     for n in _F1_SIZES:  # sf0.001/sf0.01 → 1000; sf0.1 → 10000
         write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
@@ -434,6 +437,60 @@ SELECT d.doc_id,
        CASE WHEN s.n IS NULL THEN 'infinity'::DOUBLE ELSE round(exp(-s.lp / s.n), 4) END AS ppl
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+# --- hashed linear quality classifier ---------------------------------------
+# Re-trains the IDENTICAL model in SQL: unigram+bigram features from the
+# two corpus side tables, md5 % 4096 buckets, add-one Naive-Bayes
+# log-odds over a DENSE range(4096) weight vector (unseen buckets get the
+# smoothed default), mean feature weight per doc, round half-away 6 dp.
+
+_CLF_SQL = f"""
+WITH ptoks AS (
+  SELECT list_filter(string_split_regex(lower(s), '\\s+'), x -> x <> '') AS l
+  FROM read_parquet('{_ORACLE_DIR}/ppl_corpus.parquet')),
+ntoks AS (
+  SELECT list_filter(string_split_regex(lower(s), '\\s+'), x -> x <> '') AS l
+  FROM read_parquet('{_ORACLE_DIR}/junk_corpus.parquet')),
+pfeat AS (
+  SELECT unnest(l || list_transform(generate_series(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i+1])) AS f
+  FROM ptoks),
+nfeat AS (
+  SELECT unnest(l || list_transform(generate_series(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i+1])) AS f
+  FROM ntoks),
+pb AS (SELECT md5_number_lower(f) % 4096 AS b, count(*) AS c FROM pfeat GROUP BY 1),
+nb AS (SELECT md5_number_lower(f) % 4096 AS b, count(*) AS c FROM nfeat GROUP BY 1),
+pt AS (SELECT count(*) AS t FROM pfeat),
+nt AS (SELECT count(*) AS t FROM nfeat),
+w AS (
+  SELECT r.range AS b,
+         ln((coalesce(pb.c, 0) + 1.0) / ((SELECT t FROM pt) + 4096))
+         - ln((coalesce(nb.c, 0) + 1.0) / ((SELECT t FROM nt) + 4096)) AS w
+  FROM range(4096) r
+  LEFT JOIN pb ON pb.b = r.range
+  LEFT JOIN nb ON nb.b = r.range),
+dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+dfeat AS (
+  SELECT doc_id,
+         unnest(l || list_transform(generate_series(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i+1])) AS f
+  FROM dt),
+scored AS (
+  SELECT d.doc_id, count(*) AS n_features, sum(w.w) AS sw
+  FROM dfeat d JOIN w ON w.b = md5_number_lower(d.f) % 4096
+  GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(s.n_features, 0) AS n_features,
+       coalesce(round(s.sw / s.n_features, 6), 0.0) AS quality_score,
+       coalesce(round(s.sw / s.n_features, 6), 0.0) > 0 AS quality_label
+FROM dt t LEFT JOIN scored s USING (doc_id) ORDER BY t.doc_id
+"""
+
 
 # --- DuplicateCharEraser (whitespace default) as char-wise list ops --------
 # CRLF-unit runs are collapsed first (no backreference needed), then runs of
@@ -1035,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_docs": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "c4_clean_docs": _C4_CLEAN_SQL,
+        "quality_classifier_docs": _CLF_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

@@ -1150,6 +1150,31 @@ def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """fastText-style hashed linear quality classifier (unigram+bigram
+    features → md5 % 4096 buckets → Naive-Bayes log-odds weights trained
+    on caption vs junk corpora) — model trained ONCE per actor in
+    __init__, scoring vectorized per batch. The oracle re-trains the
+    identical model in SQL from the corpus side tables."""
+    from ..stages.models import HashedLinearQuality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Stage:
+        def __init__(self):
+            self.model = HashedLinearQuality()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            out = self.model.score(b["text"].to_numpy(zero_copy_only=False))
+            return pa.table({"doc_id": b["doc_id"],
+                             "n_features": pa.array(out["n_features"]),
+                             "quality_score": pa.array(out["quality_score"]),
+                             "quality_label": pa.array(out["quality_label"])})
+
+    out = ds.map_batches(Stage, batch_format="pyarrow", concurrency=2).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     """Fingerprint string clustering over p_name through the DISTRIBUTED
     path (with_row_index partials + hash-bucketed merge) — (value,

@@ -51,3 +51,32 @@ def training_sentences(n: int = 3000, seed: int = 1234) -> list[str]:
     """Deterministic in-domain sentences for the perplexity LM."""
     rng = random.Random(seed)
     return [make_caption(rng) for _ in range(n)]
+
+
+# low-quality token pools for the hashed linear quality classifier's
+# negative class (spam / symbol noise / repetition)
+JUNK_TOKENS = ["$$$", "!!!", "%%%", "0000", "9999", "@@@", "###", "...",
+               "___", "+++", "|||", "~~~"]
+SPAM_WORDS = ["buy", "now", "click", "here", "free", "win", "cash", "prize",
+              "offer", "deal", "subscribe", "discount", "limited", "act"]
+
+
+def junk_sentences(n: int = 2000, seed: int = 4321) -> list[str]:
+    """Deterministic low-quality sentences (the classifier's negative
+    training class): symbol spam, single-word repetition, spam words with
+    digit suffixes. Written to a parquet side table by the oracle so the
+    SQL re-trains the identical model."""
+    rng = random.Random(seed)
+    out: list[str] = []
+    for _ in range(n):
+        style = rng.randrange(3)
+        if style == 0:
+            out.append(" ".join(rng.choice(JUNK_TOKENS)
+                                for _ in range(rng.randrange(4, 12))))
+        elif style == 1:
+            w = rng.choice(SPAM_WORDS)
+            out.append(" ".join([w] * rng.randrange(5, 15)))
+        else:
+            out.append(" ".join(rng.choice(SPAM_WORDS) + str(rng.randrange(100))
+                                for _ in range(rng.randrange(4, 10))))
+    return out

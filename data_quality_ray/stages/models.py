@@ -135,3 +135,70 @@ class NgramPerplexity:
 
     def perplexity(self, values) -> np.ndarray:
         return unique_apply(np.asarray(values, dtype=object), self.perplexity_one).astype(np.float64)
+
+
+class HashedLinearQuality:
+    """fastText-style hashed linear quality classifier.
+
+    Features = word unigrams + bigrams (shared lowercase/whitespace-split
+    tokenizer), hashed to ``n_buckets`` via md5 (the SQL-replayable hash).
+    Weights = per-bucket add-one-smoothed Naive-Bayes log-odds trained on
+    the in-domain caption corpus (positive) vs the deterministic junk
+    corpus (negative) — a DENSE weight vector, trained once per process
+    (build the instance in an actor's / stage's ``__init__``). Score =
+    mean feature weight, round-half-away at 6 dp; label = score > 0.
+    The DuckDB oracle re-trains the identical model from the corpus side
+    tables and re-scores every document independently.
+    """
+
+    def __init__(self, n_buckets: int = 4096,
+                 pos: list[str] | None = None,
+                 neg: list[str] | None = None):
+        from ..profiling.sketches import md5_hash64
+        from .corpus import junk_sentences
+
+        self._hash = md5_hash64
+        self.B = n_buckets
+        pos = pos if pos is not None else training_sentences()
+        neg = neg if neg is not None else junk_sentences()
+        pc, ptot = self._bucket_counts(pos)
+        nc, ntot = self._bucket_counts(neg)
+        self.w = (np.log((pc + 1.0) / (ptot + self.B))
+                  - np.log((nc + 1.0) / (ntot + self.B)))
+
+    @staticmethod
+    def _features(text: str | None) -> list[str]:
+        toks = (text or "").lower().split()
+        return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+    def _buckets(self, flat: list[str]) -> np.ndarray:
+        """md5 % B over the DISTINCT feature strings (features repeat
+        heavily), mapped back to occurrence order. uint64 mod uint64 —
+        a python-int modulus would silently promote to float64."""
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        return (self._hash(uniq) % np.uint64(self.B)).astype(np.int64)[inv]
+
+    def _bucket_counts(self, sents) -> tuple[np.ndarray, int]:
+        flat = [f for s in sents for f in self._features(s)]
+        if not flat:
+            return np.zeros(self.B, dtype=np.int64), 0
+        return (np.bincount(self._buckets(flat), minlength=self.B),
+                len(flat))
+
+    def score(self, values) -> dict[str, np.ndarray]:
+        """→ n_features / quality_score / quality_label arrays for a
+        batch; one hash pass over the batch's distinct features, segment
+        sums via prefix-sum (robust to zero-feature docs anywhere)."""
+        vals = np.asarray(values, dtype=object)
+        feats = [self._features(v if isinstance(v, str) else "") for v in vals]
+        counts = np.array([len(f) for f in feats], dtype=np.int64)
+        flat = [f for fl in feats for f in fl]
+        w = self.w[self._buckets(flat)] if flat else np.zeros(0, np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(w)))
+        ends = np.cumsum(counts)
+        sums = csum[ends] - csum[ends - counts]
+        raw = sums / np.maximum(counts, 1)
+        score = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+        return {"n_features": counts,
+                "quality_score": score,
+                "quality_label": score > 0}
