@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": Q.decontaminate_docs,
         "c4_clean_docs": Q.c4_clean_docs,
         "quality_classifier_docs": Q.quality_classifier_docs,
+        "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -233,6 +234,42 @@ def _ensure_oracle_artifacts() -> None:
     for n in _F1_SIZES:  # sf0.001/sf0.01 → 1000; sf0.1 → 10000
         write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
     _write_phonetic_goldens()
+    _write_sem_centroids()
+
+
+# keyed by the orders-table row count — the only per-tier-distinct
+# cardinality among the registered views (documents/embeddings row counts
+# collide across sf0.001 and sf0.01, whose contents differ)
+_SEM_TIERS = ((1500, "sf0.001"), (15000, "sf0.01"), (150000, "sf0.1"))
+
+
+def _write_sem_centroids() -> None:
+    """Per-tier k-means centroid side tables for the SemDeDup oracle,
+    trained by the SAME library code the Ray query uses
+    (similarity/knn.train_ivf_centroids, n_lists=16, seed=11) so the SQL
+    replays cluster assignment from identical values. All tier files must
+    exist for DuckDB to bind the dispatch UNION."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for key, sf in _SEM_TIERS:
+        out = os.path.join(_ORACLE_DIR, f"sem_centroids_{key}.parquet")
+        if os.path.exists(out):
+            continue
+        import ray.data as rd
+
+        from data_quality_ray.similarity.knn import train_ivf_centroids
+
+        ds = rd.read_parquet(f"/root/testdata/{sf}/embeddings.parquet",
+                             columns=["embedding"])
+        cent = train_ivf_centroids(ds, "embedding", n_lists=16)
+        pq.write_table(
+            pa.table({"cid": pa.array(range(len(cent)), type=pa.int64()),
+                      "c": pa.array([row.tolist() for row in cent],
+                                    type=pa.list_(pa.float64()))}),
+            out)
 
 
 def _write_phonetic_goldens() -> None:
@@ -437,6 +474,43 @@ SELECT d.doc_id,
        CASE WHEN s.n IS NULL THEN 'infinity'::DOUBLE ELSE round(exp(-s.lp / s.n), 4) END AS ppl
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+# --- SemDeDup ----------------------------------------------------------------
+# Assignment replayed from the side-table centroids (cosine argmax,
+# cid-ASC tie-break == numpy first-max), pairs re-derived within clusters,
+# components via the recursive min-label CTE, representatives = min id.
+
+
+def _sem_dedup_sql(threshold: float = 0.2) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT cid, c FROM read_parquet('{_ORACLE_DIR}/sem_centroids_{k}.parquet') "
+        f"WHERE (SELECT count(*) FROM orders) = {k}" for k, _ in _SEM_TIERS)
+    return f"""
+WITH RECURSIVE cent AS ({branches}),
+av AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asn AS (
+  SELECT vec_id, v, cid AS ivf_list FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.v, c.c) DESC, c.cid ASC) AS rn
+    FROM av a CROSS JOIN cent c) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asn a JOIN asn b ON a.ivf_list = b.ivf_list AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, lbl) AS (SELECT id, id FROM nodes
+                UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id),
+comp AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY 1)
+SELECT e.vec_id,
+       coalesce(c.lbl, e.vec_id) AS sem_cluster,
+       coalesce(c.lbl, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+ORDER BY e.vec_id
+"""
+
 
 # --- hashed linear quality classifier ---------------------------------------
 # Re-trains the IDENTICAL model in SQL: unigram+bigram features from the
@@ -1093,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "c4_clean_docs": _C4_CLEAN_SQL,
         "quality_classifier_docs": _CLF_SQL,
+        "semantic_dedup_embeddings": _sem_dedup_sql(),
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         "quality_filter_images": _f1_labels_sql(

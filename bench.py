@@ -117,6 +117,10 @@ def run_bench() -> dict:
         ("heavy_hitter_tokens_docs", Q.heavy_hitter_tokens_docs),
         ("ngram_jaccard_dedup_docs", Q.ngram_jaccard_dedup_docs),
         ("winnow_fingerprints_docs", Q.winnow_fingerprints_docs),
+        ("c4_clean_docs", Q.c4_clean_docs),
+        ("quality_classifier_docs", Q.quality_classifier_docs),
+        ("decontaminate_docs", Q.decontaminate_docs),
+        ("pack_sequences_docs", Q.pack_sequences_docs),
     ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -1150,6 +1150,18 @@ def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup over the embeddings table: k-means coarse clusters →
+    within-cluster cosine ≥ 0.2 pairs → component collapse keep-min-id.
+    The oracle replays assignment from the side-table centroids (trained
+    by the same library code) and re-derives pairs + components in SQL."""
+    from ..dedup.semantic import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, "vec_id", "embedding", threshold=0.2,
+                          n_lists=16)
+
+
 def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
     """fastText-style hashed linear quality classifier (unigram+bigram
     features → md5 % 4096 buckets → Naive-Bayes log-odds weights trained
