@@ -168,6 +168,12 @@ def prefix_postings(ds, id_col: str, text_col: str, threshold: float,
             id_col: np.repeat(np.asarray(ids), plens),
             "size": np.repeat(np.asarray([len(h) for h in sets],
                                          dtype=np.int64), plens),
+            # position of the token in the doc's full frequency-sorted
+            # order (prefix = first p, so prefix index == global index);
+            # feeds the positional filter in candidate_pairs_ssjoin
+            "pos": np.concatenate([np.arange(p, dtype=np.int64)
+                                   for p in plens]) if len(plens)
+                   else np.zeros(0, dtype=np.int64),
         })
 
     return ds.map_batches(emit, batch_format="pandas")
@@ -211,6 +217,17 @@ def candidate_pairs_ssjoin(postings, id_col: str, threshold: float,
         ib = np.concatenate(ib_all)
         sa, sb = szs[ia], szs[ib]
         keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        # positional filter (PPJoin family, per-occurrence-safe variant):
+        # common tokens before this one in the shared frequency order
+        # ≤ min(pa, pb); after it ≤ min(sa-pa-1, sb-pb-1); so overlap
+        # ≤ min(pa,pb) + 1 + min(sa-pa-1, sb-pb-1) — valid for EVERY
+        # occurrence (not just the pair's first), and a pair survives if
+        # ANY of its occurrences passes, so completeness is preserved.
+        # Required overlap: J ≥ t ⟺ c ≥ t(sa+sb)/(1+t).
+        pos = g["pos"].to_numpy()
+        pa, pb = pos[ia], pos[ib]
+        ub = np.minimum(pa, pb) + 1 + np.minimum(sa - pa - 1, sb - pb - 1)
+        keep &= ub >= threshold * (sa + sb) / (1.0 + threshold) - 1e-9
         # ids ascend within each posting run, so id_a < id_b already
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
 
