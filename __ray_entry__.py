@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": Q.events_sliding_window,
         "asof_last_order_events": Q.asof_last_order_events,
         "range_join_orders_bands": Q.range_join_orders_bands,
+        "revenue_by_nation": Q.revenue_by_nation,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1354,6 +1355,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
         "range_join_orders_bands": _range_bands_sql(),
+        "revenue_by_nation": """
+            SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1""",
         "asof_last_order_events": """
             WITH r AS (
               SELECT o_custkey AS user_id, o_orderdate AS last_order_date,

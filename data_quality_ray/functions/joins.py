@@ -110,6 +110,138 @@ def asof_join_broadcast(left_ds, right: pd.DataFrame, by: str, left_on: str,
     return left_ds.map_batches(match, batch_format="pandas")
 
 
+def _schema_dtypes(schema) -> dict:
+    """Declared pandas dtype per column of a Dataset schema (pyarrow or
+    pandas-block flavored)."""
+    base = getattr(schema, "base_schema", None)
+    if hasattr(base, "empty_table"):  # pyarrow.Schema
+        return base.empty_table().to_pandas().dtypes.to_dict()
+    if hasattr(base, "types"):  # PandasBlockSchema (from_pandas inputs)
+        return dict(zip(base.names, base.types))
+    return {}
+
+
+def _restore_dtypes(frame: pd.DataFrame, dtypes: dict, cols) -> pd.DataFrame:
+    """Cast columns nulled-then-upcast by a tagged union back to their
+    declared dtype wherever the column holds no nulls."""
+    for c in cols:
+        dt = dtypes.get(c)
+        if (dt is not None and c in frame.columns and frame[c].dtype != dt
+                and not frame[c].isna().any()):
+            frame = frame.astype({c: dt})
+    return frame
+
+
+def _key_hash(frame: pd.DataFrame, keys: list[str]) -> np.ndarray:
+    """Row-wise uint64 over one or more key columns (order-sensitive
+    column mixing, so (a,b) and (b,a) land in different buckets)."""
+    import pandas.util as pdu
+
+    return pdu.hash_pandas_object(frame[keys], index=False).to_numpy()
+
+
+def hash_join(left_ds, right_ds, on, right_cols: list[str],
+              how: str = "inner", n_buckets: int = 64):
+    """General distributed equi-join (Ray Data ships no join operator):
+    SELECT left.*, right_cols FROM left JOIN right USING (on).
+
+    Shape: both sides reindexed to one common schema, tagged, hash-
+    bucketed on the key columns — ONE all-to-all shuffle — then each
+    bucket runs a single vectorized ``pd.merge``. Duplicate keys produce
+    the full SQL cross product within the key; rows with a null key
+    never match (SQL semantics — pandas would happily match NaN to NaN,
+    so nulls are dropped from the probe side explicitly).
+
+    ``how``: "inner" or "left". Skew note: one hot key's entire cross
+    product lands in one bucket — pre-aggregate or salt upstream when a
+    key dominates (same assumption as ``asof_join``).
+
+    Reference precedent: the reference joins only inside a single JVM
+    (ResultSet/stream zips); a distributed equi-join is part of the
+    beyond-reference engine surface.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    schema = left_ds.schema()
+    left_cols = list(schema.names)
+    # the tagged union nulls left columns on right-tagged rows, which
+    # upcasts int->float across the shuffle; restore the declared dtypes
+    # on the left sub-frame inside each bucket (left rows themselves are
+    # never nulled by the union)
+    left_dtypes = _schema_dtypes(schema)
+    right_dtypes = _schema_dtypes(right_ds.schema())
+    clash = (set(right_cols) - set(keys)) & set(left_cols)
+    if clash:
+        raise ValueError(f"right columns {sorted(clash)} clash with left schema — rename them")
+    extra = [c for c in right_cols if c not in left_cols]
+    all_cols = left_cols + extra
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.reindex(columns=all_cols)
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[*keys, *[c for c in right_cols if c not in keys]]]
+        out = out.reindex(columns=all_cols)
+        out["__side"] = np.int8(1)
+        return out
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (_key_hash(b, keys) % n_buckets).astype("int64")
+        return b
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = _restore_dtypes(g[g["__side"] == 0][left_cols],
+                               left_dtypes, left_cols)
+        right = _restore_dtypes(
+            g[g["__side"] == 1][[*keys, *extra]].dropna(subset=keys),
+            right_dtypes, extra)
+        if left.empty:
+            return pd.DataFrame(columns=all_cols)
+        for k in keys:
+            # a bucket with no right rows arrives all-null → restore key dtype
+            if right[k].dtype != left[k].dtype:
+                right = right.astype({k: left[k].dtype})
+        # right side has no null keys (dropped above), so left null keys
+        # match nothing: kept with null extras under "left", dropped
+        # under "inner" — exactly SQL
+        merged = left.merge(right, on=keys, how=how, sort=False)
+        return merged.reindex(columns=all_cols)
+
+    tagged = (
+        left_ds.map_batches(tag_left, batch_format="pandas")
+        .union(right_ds.map_batches(tag_right, batch_format="pandas"))
+        .map_batches(add_bucket, batch_format="pandas")
+    )
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def broadcast_join(left_ds, right: pd.DataFrame, on, right_cols: list[str],
+                   how: str = "inner"):
+    """Equi-join where the RIGHT side is small (dimension tables):
+    ``ray.put`` once, one vectorized ``pd.merge`` per left batch — zero
+    shuffle. Same semantics as ``hash_join`` (parity-tested). The
+    broadcast-small-side pattern every dimension lookup should use
+    instead of a shuffle join."""
+    import ray
+
+    from .broadcast import cached_get
+
+    keys = [on] if isinstance(on, str) else list(on)
+    extra = [c for c in right_cols if c not in keys]
+    r = right[[*keys, *extra]].dropna(subset=keys).reset_index(drop=True)
+    ref = ray.put(r)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        rt = cached_get(ref)
+        return b.merge(rt, on=keys, how=how, sort=False)
+
+    return left_ds.map_batches(match, batch_format="pandas")
+
+
 def range_join(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str,
                attach_cols: list[str], how: str = "inner"):
     """Banded-dimension range join: attach interval attributes to every

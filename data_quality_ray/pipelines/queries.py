@@ -1201,3 +1201,32 @@ def string_cluster_part(sf_dir: str) -> pd.DataFrame:
     out = out[["value", "cluster_key", "n_values"]].copy()
     out["n_values"] = out["n_values"].astype("int64")
     return out.sort_values(["value"]).reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """General equi-join chain (orders ⋈ customer ⋈ nation) + aggregate:
+    the big-big side goes through the bucketed shuffle ``hash_join`` (one
+    all-to-all on the key), the tiny dimension through ``broadcast_join``
+    (zero shuffle) — the two join strategies an engine needs, exercised
+    in one pipeline. → (nation, revenue, n_orders)."""
+    from ..functions.joins import broadcast_join, hash_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]) \
+        .rename(columns={"n_nationkey": "c_nationkey", "n_name": "nation"})
+
+    joined = hash_join(orders, customer, on="o_custkey",
+                       right_cols=["o_custkey", "c_nationkey"], n_buckets=32)
+    joined = broadcast_join(joined, nation, on="c_nationkey",
+                            right_cols=["c_nationkey", "nation"])
+    out = grouped_aggregate(joined, ["nation"],
+                            {"revenue": ("o_totalprice", "sum"),
+                             "n_orders": ("", "count")})
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("nation").reset_index(drop=True)

@@ -597,3 +597,55 @@ def test_range_join(ray_session):
         range_join(rd.from_pandas(rows),
                    pd.DataFrame({"lo": [0, 5], "hi": [10, 20], "name": ["a", "b"]}),
                    "x", "lo", "hi", ["name"])
+
+
+def test_hash_join_semantics_and_broadcast_parity(ray_session):
+    """hash_join vs a pandas reference (SQL null-key semantics, duplicate
+    keys cross-product) for inner and left; broadcast_join must match the
+    shuffle path row-for-row; multi-key join covered."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import broadcast_join, hash_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 30, size=500).astype("float64"),
+        "payload": np.arange(500),
+    })
+    left.loc[rng.choice(500, 20, replace=False), "k"] = np.nan
+    right = pd.DataFrame({
+        "k": rng.randint(0, 40, size=200).astype("float64"),
+        "v": np.round(rng.uniform(0, 10, size=200), 3),
+    })
+    right.loc[rng.choice(200, 10, replace=False), "k"] = np.nan
+
+    def ref(how):
+        r = right.dropna(subset=["k"])
+        m = left.merge(r, on="k", how=how, sort=False)
+        if how == "inner":
+            m = m[m["k"].notna()]
+        return m.sort_values(["payload", "v"]).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        got = hash_join(rd.from_pandas(left).repartition(3),
+                        rd.from_pandas(right).repartition(2), on="k",
+                        right_cols=["k", "v"], how=how, n_buckets=8) \
+            .to_pandas().sort_values(["payload", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref(how), check_like=True)
+        bc = broadcast_join(rd.from_pandas(left).repartition(3), right, on="k",
+                            right_cols=["k", "v"], how=how) \
+            .to_pandas().sort_values(["payload", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, got, check_like=True)
+
+    # multi-key: (k1, k2) composite join
+    l2 = pd.DataFrame({"k1": rng.randint(0, 5, 120), "k2": rng.randint(0, 5, 120),
+                       "x": np.arange(120)})
+    r2 = pd.DataFrame({"k1": rng.randint(0, 5, 60), "k2": rng.randint(0, 5, 60),
+                       "y": rng.randint(0, 100, 60)})
+    got2 = hash_join(rd.from_pandas(l2).repartition(2), rd.from_pandas(r2),
+                     on=["k1", "k2"], right_cols=["k1", "k2", "y"],
+                     n_buckets=4).to_pandas() \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+    ref2 = l2.merge(r2, on=["k1", "k2"], how="inner", sort=False) \
+        .sort_values(["x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, ref2, check_like=True)
