@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_order_events": Q.asof_last_order_events,
         "range_join_orders_bands": Q.range_join_orders_bands,
         "revenue_by_nation": Q.revenue_by_nation,
+        "bm25_search_docs": Q.bm25_search_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1148,6 +1149,49 @@ def _corpus_clean_sql() -> str:
       WHERE mh.doc_id = e.doc_id AND mh.cluster <> e.doc_id)"""
 
 
+def _bm25_sql() -> str:
+    """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
+    Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
+    on both sides so the (score desc, doc_id) order is engine-stable."""
+    from data_quality_ray.pipelines.queries import BM25_QUERIES
+    from data_quality_ray.similarity.bm25 import B, K1, bm25_tokens
+
+    rows = []
+    for qid in sorted(BM25_QUERIES):
+        for t in sorted(set(bm25_tokens(BM25_QUERIES[qid]))):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM toks)::DOUBLE
+                        / (SELECT count(*) FROM documents) AS avgdl),
+        q(query_id, t) AS (VALUES {values}),
+        df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks
+               WHERE t IN (SELECT t FROM q) GROUP BY 1),
+        tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks
+               WHERE t IN (SELECT t FROM q) GROUP BY 1, 2),
+        sc AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({K1} + 1)
+                       / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / st.avgdl))) AS score
+          FROM q JOIN df USING (t) JOIN tf USING (t)
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+          GROUP BY 1, 2),
+        rk AS (SELECT query_id, doc_id, round(score, 6) AS score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(score, 6) DESC, doc_id) AS "rank"
+               FROM sc)
+        SELECT query_id, doc_id, score, "rank" FROM rk WHERE "rank" <= 10"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
@@ -1355,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
         "range_join_orders_bands": _range_bands_sql(),
+        "bm25_search_docs": _bm25_sql(),
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

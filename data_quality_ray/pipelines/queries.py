@@ -1230,3 +1230,22 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("nation").reset_index(drop=True)
+
+
+# query strings are part of the oracle contract (the SQL expands the
+# same distinct terms); keep in sync with _bm25_sql in __ray_entry__
+BM25_QUERIES = {
+    "q_join": "hash join merge batch",
+    "q_scan": "fast table scan",
+    "q_stream": "customer query stream",
+}
+
+
+def bm25_search_docs(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 docs per query over the documents corpus — the
+    zero-shuffle two-pass search (query-vocab df fold + broadcast-stats
+    scoring with per-batch local top-k). → (query_id, doc_id, score, rank)."""
+    from ..similarity.bm25 import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text", BM25_QUERIES, k=10)

@@ -110,3 +110,56 @@ def test_ivf_store_io_pruning(ray_session, tmp_path):
     exact = cosine_topk(ds, "vid", "embedding", q, k=10)
     assert set(full["id"]) == set(exact["id"])
     assert fstats["rows_scanned"] == n
+
+
+def test_bm25_topk_matches_brute_force(ray_session):
+    """Distributed two-pass BM25 vs a single-process brute-force scorer
+    on a random corpus; edge cases: empty text, query with an unseen
+    term, k larger than the hit count."""
+    import math
+
+    import ray.data as rd
+
+    from data_quality_ray.similarity.bm25 import B, K1, bm25_tokens, bm25_topk
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+             for _ in range(200)]
+    texts[5] = ""           # empty doc: counts toward N, never matches
+    df_in = pd.DataFrame({"doc_id": np.arange(200), "text": texts})
+    queries = {"q1": "alpha gamma", "q2": "zeta unseen-term", "q3": "nothing-here"}
+
+    got = bm25_topk(rd.from_pandas(df_in).repartition(4), "doc_id", "text",
+                    queries, k=7)
+
+    # brute force
+    toks = [bm25_tokens(t) for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    rows = []
+    for qid, q in queries.items():
+        terms = sorted(set(bm25_tokens(q)))
+        for d in range(n):
+            s = 0.0
+            for t in terms:
+                tf = toks[d].count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for x in toks if t in x)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks[d]) / avgdl))
+            if s > 0:
+                rows.append((qid, d, round(s, 6)))
+    ref = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"])
+    ref = ref.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    ref["rank"] = ref.groupby("query_id").cumcount() + 1
+    ref = ref[ref["rank"] <= 7].reset_index(drop=True)
+
+    got_c = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_c.astype({"doc_id": "int64", "rank": "int64"}),
+        ref.astype({"doc_id": "int64", "rank": "int64"}), check_like=True)
+    assert not (got["query_id"] == "q3").any()          # no-hit query absent
+    assert 5 not in got["doc_id"].to_numpy()            # empty doc never ranked
