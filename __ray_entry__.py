@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders_bands": Q.range_join_orders_bands,
         "revenue_by_nation": Q.revenue_by_nation,
         "bm25_search_docs": Q.bm25_search_docs,
+        "paragraph_dedup_docs": Q.paragraph_dedup_docs,
+        "boilerplate_removal_docs": Q.boilerplate_removal_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1149,6 +1151,58 @@ def _corpus_clean_sql() -> str:
       WHERE mh.doc_id = e.doc_id AND mh.cluster <> e.doc_id)"""
 
 
+# chunk-reconstruction CTE shared by the two cross-doc line oracles:
+# words of lower? no — exact words, split on \s+, grouped into
+# CHUNK_WORDS-word lines in order (zip-unnest + integer division)
+def _chunk_cte() -> str:
+    from data_quality_ray.pipelines.queries import CHUNK_WORDS
+
+    return f"""
+        w AS (
+          SELECT doc_id, unnest(l) AS w,
+                 unnest(generate_series(1, len(l))) AS i
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents)),
+        chunk AS (
+          SELECT doc_id, (i - 1) // {CHUNK_WORDS} AS ci,
+                 string_agg(w, ' ' ORDER BY i) AS line
+          FROM w GROUP BY 1, 2)"""
+
+
+def _paragraph_dedup_sql() -> str:
+    return f"""
+        WITH {_chunk_cte()},
+        surv AS (
+          SELECT doc_id, ci, line FROM chunk
+          QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, ci) = 1)
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, chr(10) ORDER BY ci) AS text
+        FROM surv GROUP BY 1"""
+
+
+def _boilerplate_sql() -> str:
+    from data_quality_ray.pipelines.queries import BOILER_MIN_DOCS
+
+    return f"""
+        WITH {_chunk_cte()},
+        freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+                 FROM chunk GROUP BY 1),
+        boiler AS (SELECT line FROM freq WHERE n_docs >= {BOILER_MIN_DOCS}),
+        kept AS (SELECT doc_id, ci, line FROM chunk
+                 WHERE line NOT IN (SELECT line FROM boiler)),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY ci) AS text
+                FROM kept GROUP BY 1),
+        nl AS (SELECT doc_id, count(*) AS n_lines FROM chunk GROUP BY 1)
+        SELECT d.doc_id, coalesce(nl.n_lines, 1) AS n_lines,
+               coalesce(nl.n_lines, 1) - coalesce(a.n_kept, 0) AS n_removed,
+               coalesce(a.text, '') AS text
+        FROM documents d
+        LEFT JOIN nl USING (doc_id) LEFT JOIN agg a USING (doc_id)"""
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -1400,6 +1454,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "range_join_orders_bands": _range_bands_sql(),
         "bm25_search_docs": _bm25_sql(),
+        "paragraph_dedup_docs": _paragraph_dedup_sql(),
+        "boilerplate_removal_docs": _boilerplate_sql(),
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

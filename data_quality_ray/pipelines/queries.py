@@ -1249,3 +1249,51 @@ def bm25_search_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return bm25_topk(ds, "doc_id", "text", BM25_QUERIES, k=10)
+
+
+# words-per-synthesized-line for the cross-doc line operators (the docs
+# fixture is single-line; chunking the word stream into CHUNK_WORDS-word
+# lines gives the corpus real cross-document line repetition) — shared
+# with the SQL oracles in __ray_entry__
+CHUNK_WORDS = 3
+BOILER_MIN_DOCS = 5
+
+
+def _chunked_docs(sf_dir: str):
+    """documents with text re-lined into CHUNK_WORDS-word lines."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.empty(len(b), dtype=object)
+        for i, t in enumerate(b["text"].to_numpy()):
+            w = [x for x in re.split(r"\s+", t if isinstance(t, str) else "") if x]
+            out[i] = "\n".join(" ".join(w[j:j + CHUNK_WORDS])
+                               for j in range(0, len(w), CHUNK_WORDS))
+        return pd.DataFrame({"doc_id": b["doc_id"], "text": out})
+
+    return ds.map_batches(chunk, batch_format="pandas")
+
+
+def paragraph_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide keep-first paragraph dedup over the chunked documents
+    (exploded lines → content-key Min shuffle → bucketed reassembly).
+    → (doc_id, n_kept, text) for docs with >= 1 surviving line."""
+    from ..dedup.lines import paragraph_dedup
+
+    out = paragraph_dedup(_chunked_docs(sf_dir), "doc_id", "text").to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def boilerplate_removal_docs(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style boilerplate stripping: lines in >= BOILER_MIN_DOCS
+    distinct docs removed everywhere. → (doc_id, n_lines, n_removed,
+    text) for ALL docs."""
+    from ..dedup.lines import remove_boilerplate
+
+    out = remove_boilerplate(_chunked_docs(sf_dir), "doc_id", "text",
+                             BOILER_MIN_DOCS).to_pandas()
+    out[["n_lines", "n_removed"]] = out[["n_lines", "n_removed"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
