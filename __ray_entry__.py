@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_docs": Q.bm25_search_docs,
         "paragraph_dedup_docs": Q.paragraph_dedup_docs,
         "boilerplate_removal_docs": Q.boilerplate_removal_docs,
+        "temperature_mix_docs": Q.temperature_mix_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1203,6 +1204,25 @@ def _boilerplate_sql() -> str:
         LEFT JOIN nl USING (doc_id) LEFT JOIN agg a USING (doc_id)"""
 
 
+def _temperature_mix_sql() -> str:
+    """Replays the temperature-fraction math (pow → normalize → cap →
+    round 4 dp) and the md5 bucket filter; the sum over source weights is
+    tiny so engine sum-order differences die at the 4-dp rounding."""
+    from data_quality_ray.pipelines.queries import MIX_TARGET_FRACTION, MIX_TEMPERATURE
+
+    return f"""
+        WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        w AS (SELECT source, n_s, pow(n_s, 1.0 / {MIX_TEMPERATURE}) AS w FROM n),
+        tot AS (SELECT sum(w) AS tw,
+                       {MIX_TARGET_FRACTION} * sum(n_s) AS target FROM w),
+        f AS (SELECT source,
+                     CAST(round(round(least(1.0, tot.target * (w.w / tot.tw) / w.n_s), 4)
+                                * 10000) AS BIGINT) AS thresh
+              FROM w, tot)
+        SELECT d.doc_id, d.source FROM documents d JOIN f USING (source)
+        WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR)) % 10000 < f.thresh"""
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -1456,6 +1476,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_docs": _bm25_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "boilerplate_removal_docs": _boilerplate_sql(),
+        "temperature_mix_docs": _temperature_mix_sql(),
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

@@ -1297,3 +1297,20 @@ def boilerplate_removal_docs(sf_dir: str) -> pd.DataFrame:
                              BOILER_MIN_DOCS).to_pandas()
     out[["n_lines", "n_removed"]] = out[["n_lines", "n_removed"]].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+MIX_TEMPERATURE = 2.0
+MIX_TARGET_FRACTION = 0.6
+
+
+def temperature_mix_docs(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based source mixing (T=2 flattens the source mix,
+    target 60% of the corpus): per-source counts fold → n^(1/T) keep
+    fractions → deterministic md5 hash filter. → kept (doc_id, source)."""
+    from ..sampling.stratified import temperature_mix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = temperature_mix(ds, key_col="doc_id", group_col="source",
+                          temperature=MIX_TEMPERATURE,
+                          target_fraction=MIX_TARGET_FRACTION).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

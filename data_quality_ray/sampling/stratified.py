@@ -68,3 +68,44 @@ def stratified_sample(ds, key_col: str, group_col: str, fractions,
         return b[m]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def group_counts(ds, group_col: str) -> dict:
+    """Per-group row counts via one partial-agg fold (low-cardinality
+    groups: sources / domains / languages — driver merge is kilobytes)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    out = grouped_aggregate(ds, [group_col], {"n": ("", "count")})
+    return dict(zip(out[group_col], out["n"].astype(int)))
+
+
+def temperature_fractions(counts: dict, temperature: float,
+                          target_total: float) -> dict:
+    """Per-group keep fractions for temperature-based mixture resampling
+    (mT5/XLM-R style): sampling mass p_g ∝ n_g^(1/T) — T>1 flattens the
+    source distribution toward uniform, T=1 keeps natural proportions —
+    then keep-rate r_g = min(1, target_total·p_g/n_g). Single-pass (no
+    water-filling): when a small source caps at 1.0 the realized total
+    lands under ``target_total`` — deterministic and SQL-replayable,
+    which an iterative redistribution would not cheaply be. Fractions are
+    rounded to 4 dp so the integer bucket threshold is engine-stable."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    keys = sorted(counts)
+    w = {g: counts[g] ** (1.0 / temperature) for g in keys}
+    tw = sum(w[g] for g in keys)
+    return {g: round(min(1.0, target_total * (w[g] / tw) / counts[g]), 4)
+            for g in keys}
+
+
+def temperature_mix(ds, key_col: str, group_col: str, temperature: float,
+                    target_fraction: float, salt: str = "mix:",
+                    hash_fn: str = "md5"):
+    """Temperature mixture resample → filtered Dataset. One counting fold
+    + one stateless hash-filter pass; ``target_fraction`` is of the total
+    corpus (target_total = target_fraction·Σn_g)."""
+    counts = group_counts(ds, group_col)
+    fr = temperature_fractions(counts, temperature,
+                               target_fraction * sum(counts.values()))
+    return stratified_sample(ds, key_col=key_col, group_col=group_col,
+                             fractions=fr, salt=salt, hash_fn=hash_fn)

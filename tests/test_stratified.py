@@ -69,3 +69,51 @@ def test_stratified_sample_dataset(ray_session):
                     {"a": 0.3, "b": 1.0}, hash_fn="stable")
     np.testing.assert_array_equal(
         np.sort(out["doc_id"].to_numpy()), df["doc_id"].to_numpy()[m])
+
+
+def test_temperature_fractions_math():
+    """T→∞ approaches uniform mass per source; T=1 keeps natural
+    proportions; capping at 1.0; deterministic rounding."""
+    from data_quality_ray.sampling.stratified import temperature_fractions
+
+    counts = {"big": 8000, "mid": 1500, "tiny": 500}
+    # T=1: keep-rate identical across sources (natural proportions)
+    f1 = temperature_fractions(counts, 1.0, 5000)
+    assert len({f1[g] for g in counts}) == 1 and abs(f1["big"] - 0.5) < 1e-9
+    # high T: tiny source oversampled, caps at 1.0; big undersampled
+    f8 = temperature_fractions(counts, 8.0, 5000)
+    assert f8["tiny"] == 1.0 and f8["big"] < f1["big"]
+    # monotone: raising T never raises the biggest source's rate
+    f2, f4 = (temperature_fractions(counts, t, 5000) for t in (2.0, 4.0))
+    assert f1["big"] >= f2["big"] >= f4["big"] >= f8["big"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_fractions(counts, 0.0, 10)
+
+
+def test_temperature_mix_dataset_route(ray_session):
+    """temperature_mix == stratified_sample with the derived fractions;
+    per-source keep counts track the computed rates."""
+    import ray.data as rd
+
+    from data_quality_ray.sampling.stratified import (
+        group_counts, sample_mask, temperature_fractions, temperature_mix)
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k": np.arange(3000),
+        "src": rng.choice(["a", "b", "c"], size=3000, p=[0.7, 0.2, 0.1]),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    got = temperature_mix(ds, "k", "src", temperature=2.0,
+                          target_fraction=0.5).to_pandas()
+    counts = group_counts(rd.from_pandas(df), "src")
+    fr = temperature_fractions(counts, 2.0, 0.5 * len(df))
+    mask = sample_mask(df["k"], df["src"], fr, salt="mix:")
+    ref = df[mask]
+    assert sorted(got["k"]) == sorted(ref["k"])
+    # realized per-source rate within 5% absolute of the target rate
+    for g, n in counts.items():
+        kept = (got["src"] == g).sum()
+        assert abs(kept / n - fr[g]) < 0.05
