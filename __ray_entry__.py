@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": Q.paragraph_dedup_docs,
         "boilerplate_removal_docs": Q.boilerplate_removal_docs,
         "temperature_mix_docs": Q.temperature_mix_docs,
+        "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1223,6 +1224,26 @@ def _temperature_mix_sql() -> str:
         WHERE md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR)) % 10000 < f.thresh"""
 
 
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.t AS term,
+              round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS score
+       FROM tf JOIN df USING (t) CROSS JOIN n),
+rk AS (SELECT doc_id, term, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS "rank"
+       FROM sc)
+SELECT doc_id, term, score, "rank" FROM rk WHERE "rank" <= 5
+"""
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -1477,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "boilerplate_removal_docs": _boilerplate_sql(),
         "temperature_mix_docs": _temperature_mix_sql(),
+        "tfidf_keywords_docs": _TFIDF_SQL,
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

@@ -1314,3 +1314,15 @@ def temperature_mix_docs(sf_dir: str) -> pd.DataFrame:
                           temperature=MIX_TEMPERATURE,
                           target_fraction=MIX_TARGET_FRACTION).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def tfidf_keywords_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-5 TF-IDF keywords per document (tf·ln(N/df), global df joined
+    back through the collect path at this vocabulary size; shuffle-path
+    parity pinned in tests). → (doc_id, term, score, rank)."""
+    from ..similarity.tfidf import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_topk(ds, "doc_id", "text", k=5).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)

@@ -163,3 +163,33 @@ def test_bm25_topk_matches_brute_force(ray_session):
         ref.astype({"doc_id": "int64", "rank": "int64"}), check_like=True)
     assert not (got["query_id"] == "q3").any()          # no-hit query absent
     assert 5 not in got["doc_id"].to_numpy()            # empty doc never ranked
+
+
+def test_tfidf_collect_equals_shuffle(ray_session):
+    """The broadcast-vocabulary path and the unbounded hash-join path
+    must produce identical top-k keyword tables (the repo's gated
+    scale-path parity convention)."""
+    import ray.data as rd
+
+    from data_quality_ray.similarity.tfidf import tfidf_topk
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(40)]
+    df_in = pd.DataFrame({
+        "doc_id": np.arange(150),
+        "text": [" ".join(rng.choice(vocab, size=rng.randint(0, 25)))
+                 for _ in range(150)],
+    })
+
+    def run(strategy):
+        out = tfidf_topk(rd.from_pandas(df_in).repartition(4), "doc_id",
+                         "text", k=4, strategy=strategy).to_pandas()
+        return out.sort_values(["doc_id", "rank"]).reset_index(drop=True) \
+            .astype({"doc_id": "int64", "rank": "int64"})
+
+    a, b = run("collect"), run("shuffle")
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    # rank is dense 1..k per doc and scores non-increasing within a doc
+    for _, g in a.groupby("doc_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["score"].to_numpy()) <= 1e-12).all()
