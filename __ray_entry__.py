@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removal_docs": Q.boilerplate_removal_docs,
         "temperature_mix_docs": Q.temperature_mix_docs,
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
+        "kmeans_embeddings": Q.kmeans_embeddings,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1244,6 +1245,50 @@ SELECT doc_id, term, score, "rank" FROM rk WHERE "rank" <= 5
 """
 
 
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd replay: init = k smallest vec_ids, per-round
+    argmin by (euclidean distance, cid), element-wise mean via
+    zip-unnest, centroids re-quantized to ROUND_TO decimals each round
+    (the quantized-state trick that makes float iteration engine-stable),
+    empty clusters keep the previous centroid via the LEFT JOIN."""
+    from data_quality_ray.pipelines.queries import KMEANS_ITERS, KMEANS_K
+    from data_quality_ray.similarity.kmeans import ROUND_TO
+
+    sql = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 list_transform(e, x -> round(x, {ROUND_TO})) AS e
+          FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {KMEANS_K}))"""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+        a{i} AS (
+          SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY list_distance(v.e, c.e), c.cid) AS rk
+            FROM v CROSS JOIN {prev} c) WHERE rk = 1),
+        m{i} AS (
+          SELECT cid, dim, round(avg(val), {ROUND_TO}) AS m
+          FROM (SELECT cid, unnest(e) AS val,
+                       unnest(generate_series(1, len(e))) AS dim FROM a{i})
+          GROUP BY 1, 2),
+        c{i} AS (
+          SELECT p.cid, coalesce(n.e, p.e) AS e
+          FROM {prev} p LEFT JOIN
+               (SELECT cid, list(m ORDER BY dim) AS e FROM m{i} GROUP BY 1) n
+               USING (cid))"""
+        prev = f"c{i}"
+    sql += f"""
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                                    ORDER BY list_distance(v.e, c.e), c.cid) AS rk
+          FROM v CROSS JOIN {prev} c) WHERE rk = 1"""
+    return sql
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -1499,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_removal_docs": _boilerplate_sql(),
         "temperature_mix_docs": _temperature_mix_sql(),
         "tfidf_keywords_docs": _TFIDF_SQL,
+        "kmeans_embeddings": _kmeans_sql(),
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

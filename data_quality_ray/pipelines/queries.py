@@ -1326,3 +1326,20 @@ def tfidf_keywords_docs(sf_dir: str) -> pd.DataFrame:
     out = tfidf_topk(ds, "doc_id", "text", k=5).to_pandas()
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus distributed Lloyd's k-means (broadcast centroids +
+    fixed-size per-batch partial sums, quantized-state rounds) — the SQL
+    oracle replays every iteration with unrolled CTEs. → (vec_id, cid)."""
+    from ..similarity.kmeans import kmeans
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assign, _ = kmeans(ds, "vec_id", "embedding", k=KMEANS_K,
+                       iters=KMEANS_ITERS)
+    out = assign.to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -193,3 +193,44 @@ def test_tfidf_collect_equals_shuffle(ray_session):
     for _, g in a.groupby("doc_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (np.diff(g["score"].to_numpy()) <= 1e-12).all()
+
+
+def test_kmeans_matches_local_reference(ray_session):
+    """Distributed quantized Lloyd vs a single-process numpy reference
+    (same init, same rounding); partitioning-independent; duplicate init
+    vectors -> an empty cluster that keeps its centroid."""
+    import ray.data as rd
+
+    from data_quality_ray.similarity.kmeans import ROUND_TO, _assign, kmeans
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(3, 8) * 4
+    x = np.concatenate([centers[i] + rng.randn(120, 8) for i in range(3)])
+    x[1] = x[0]  # vec_ids 0 and 1 identical -> duplicate init centroids
+    df = pd.DataFrame({"vec_id": np.arange(len(x)),
+                       "embedding": [r.astype(np.float32) for r in x]})
+
+    def local_ref(k, iters):
+        xs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        cent = np.round(xs[:k].copy(), ROUND_TO)
+        for _ in range(iters):
+            a = _assign(xs, cent)
+            for c in range(k):
+                mem = xs[a == c]
+                if len(mem):
+                    cent[c] = np.round(mem.mean(axis=0), ROUND_TO)
+        return _assign(xs, cent), cent
+
+    for nparts in (2, 5):
+        assign_ds, cent = kmeans(rd.from_pandas(df).repartition(nparts),
+                                 "vec_id", "embedding", k=4, iters=3)
+        got = assign_ds.to_pandas().sort_values("vec_id")
+        ref_a, ref_c = local_ref(4, 3)
+        assert np.array_equal(got["cid"].to_numpy(), ref_a)
+        assert np.array_equal(cent, ref_c)
+    # empty-cluster retention: with a duplicated init vector, ties go to
+    # the lower cid, so after ONE round the duplicate centroid has no
+    # members and must keep its (rounded) init position verbatim
+    _, cent1 = kmeans(rd.from_pandas(df), "vec_id", "embedding",
+                      k=4, iters=1)
+    assert np.array_equal(cent1[1], np.round(x[1], ROUND_TO))
