@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix_docs": Q.temperature_mix_docs,
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
+        "substring_dedup_docs": Q.substring_dedup_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1245,6 +1246,39 @@ SELECT doc_id, term, score, "rank" FROM rk WHERE "rank" <= 5
 """
 
 
+def _substring_dedup_sql() -> str:
+    from data_quality_ray.pipelines.queries import SUBSTR_NGRAM
+
+    n1 = SUBSTR_NGRAM - 1
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                      x -> x <> '') AS l
+                   FROM documents),
+        wp AS (SELECT doc_id, l,
+                      unnest(generate_series(1, greatest(len(l) - {n1}, 0))) AS s
+               FROM d),
+        win AS (SELECT doc_id, s, array_to_string(l[s : s + {n1}], ' ') AS wtxt
+                FROM wp),
+        dup AS (SELECT wtxt FROM win GROUP BY wtxt HAVING count(*) >= 2),
+        hit AS (SELECT w.doc_id, w.s FROM win w JOIN dup USING (wtxt)),
+        cov AS (SELECT DISTINCT doc_id, s + off AS j
+                FROM (SELECT doc_id, s,
+                             unnest(generate_series(0, {n1})) AS off FROM hit)),
+        toks AS (SELECT doc_id, unnest(l) AS w,
+                        unnest(generate_series(1, len(l))) AS j FROM d),
+        kept AS (SELECT t.doc_id, t.w, t.j FROM toks t
+                 LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+                 WHERE c.j IS NULL),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(w, ' ' ORDER BY j) AS text
+                FROM kept GROUP BY 1)
+        SELECT d.doc_id, CAST(len(d.l) AS BIGINT) AS n_tokens,
+               CAST(len(d.l) AS BIGINT) - coalesce(a.n_kept, 0) AS n_removed,
+               coalesce(a.text, '') AS text
+        FROM d LEFT JOIN agg a USING (doc_id)"""
+
+
 def _kmeans_sql() -> str:
     """Unrolled Lloyd replay: init = k smallest vec_ids, per-round
     argmin by (euclidean distance, cid), element-wise mean via
@@ -1545,6 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_docs": _temperature_mix_sql(),
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
+        "substring_dedup_docs": _substring_dedup_sql(),
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

@@ -1343,3 +1343,20 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
                        iters=KMEANS_ITERS)
     out = assign.to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+SUBSTR_NGRAM = 8
+
+
+def substring_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style substring dedup: every 8-token window occurring
+    more than once corpus-wide has its span cut from every occurrence.
+    The oracle counts window STRINGS directly (hash-free ground truth),
+    so the md5-keyed distributed route is checked for collisions too.
+    → (doc_id, n_tokens, n_removed, text) over all docs."""
+    from ..dedup.substring import substring_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = substring_dedup(ds, "doc_id", "text", n=SUBSTR_NGRAM).to_pandas()
+    out[["n_tokens", "n_removed"]] = out[["n_tokens", "n_removed"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
