@@ -121,6 +121,13 @@ def run_bench() -> dict:
         ("quality_classifier_docs", Q.quality_classifier_docs),
         ("decontaminate_docs", Q.decontaminate_docs),
         ("pack_sequences_docs", Q.pack_sequences_docs),
+        ("revenue_by_nation", Q.revenue_by_nation),
+        ("bm25_search_docs", Q.bm25_search_docs),
+        ("tfidf_keywords_docs", Q.tfidf_keywords_docs),
+        ("paragraph_dedup_docs", Q.paragraph_dedup_docs),
+        ("substring_dedup_docs", Q.substring_dedup_docs),
+        ("kmeans_embeddings", Q.kmeans_embeddings),
+        ("temperature_mix_docs", Q.temperature_mix_docs),
     ]
     for name, fn in query_list:
         t = time.perf_counter()
