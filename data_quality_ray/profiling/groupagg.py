@@ -30,8 +30,14 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
       stream to the driver and merge with one pandas groupby — right for
       low-cardinality keys, where Ray's sort-based shuffle costs seconds
       of fixed latency to move kilobytes. Returns a pandas DataFrame.
-    - "shuffle": ``groupby(keys).aggregate(...)`` over the partials — for
-      key spaces too large to merge on one node. Returns a Dataset.
+    - "shuffle": hash-bucketed distributed merge — for key spaces too
+      large to merge on one node. The partials get a ``__bucket`` column
+      (hash of the key columns), ONE Ray groupby moves them to ~64
+      buckets, and each bucket runs a single vectorized pandas groupby.
+      Returns a Dataset. (A bare ``groupby(keys).aggregate(...)`` pays
+      per-distinct-key Python accumulate inside Ray's aggregate — 43 s
+      vs 1 s at 235k keys, measured — so high-cardinality finals go
+      through the bucket shape like every other distributed merge here.)
     """
     for fn_name in (fn for _, fn in aggs.values()):
         if fn_name not in _FINAL:
@@ -50,13 +56,26 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     partials = ds.map_batches(partial, batch_format="pandas")
 
     if final == "shuffle":
-        from ray.data.aggregate import Max, Min, Sum
+        import numpy as np
+        import pandas.util as pdu
 
-        final_aggs = []
-        for out_col, (_, fn) in aggs.items():
-            cls = {"sum": Sum, "min": Min, "max": Max}[_FINAL[fn]]
-            final_aggs.append(cls(out_col, alias_name=out_col))
-        return partials.groupby(keys).aggregate(*final_aggs)
+        n_buckets = 64
+
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__bucket"] = (pdu.hash_pandas_object(b[keys], index=False)
+                             .to_numpy() % np.uint64(n_buckets)).astype("int64")
+            return b
+
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            gb = g.groupby(keys, sort=False)
+            out = pd.DataFrame({out_col: getattr(gb[out_col], _FINAL[fn])()
+                                for out_col, (_, fn) in aggs.items()})
+            return out.reset_index()
+
+        return (partials.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(merge_bucket, batch_format="pandas"))
 
     frames = list(partials.iter_batches(batch_size=65536, batch_format="pandas"))
     if not frames:
