@@ -356,6 +356,9 @@ UNION_FIND_MAX_PAIRS = 5_000_000
 # candidate-pair sets larger than this verify via the bucketed shuffle
 # join instead of a driver-side text dict
 VERIFY_COLLECT_MAX_PAIRS = 200_000
+# broadcast-verify: candidate docs whose shingle arrays are shipped once
+# via ray.put (~150 shingles × 8 B each ⇒ ≤ ~250 MB at the gate)
+VERIFY_BROADCAST_MAX_DOCS = 200_000
 
 
 def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
@@ -397,22 +400,35 @@ def verify_pairs(ds, pairs, id_col: str, text_col: str,
 
     - "collect": candidate texts gathered into a driver dict — fine while
       candidates ≪ corpus, the bottleneck on boilerplate-heavy corpora.
-    - "shuffle": no driver-side text state. Candidate ids are broadcast
-      once as a sorted array (the dedup/exact.py membership-filter shape)
-      so only candidate texts enter the shuffle; pair halves keyed by id
-      meet their text in ONE bucketed tagged-union join, then re-bucket by
-      pair id brings both halves together for worker-side Jaccard.
-      Shuffle cost: candidate texts × 1 + pair halves × 2.
-    - "auto": collect under ``VERIFY_COLLECT_MAX_PAIRS``, else shuffle
-      (DataFrame input; Dataset input is always shuffle).
+    - "broadcast": the candidate docs' shingle arrays (NOT texts) are
+      built distributed, collected once (id → sorted uint64 array) and
+      broadcast via ``ray.put``; the pairs then stream through one
+      stateless ``map_batches`` doing sorted-array intersection — the
+      per-pair compute is distributed and nothing text-sized enters a
+      shuffle. Right when candidates ≫ collect gate but candidate DOCS
+      fit one broadcast (``VERIFY_BROADCAST_MAX_DOCS``) — the common
+      boilerplate-heavy case (many pairs over few docs). Measured at
+      sf0.1 (407k pairs / 5k docs): 9.5 s shuffle → 2.9 s broadcast.
+    - "shuffle": no driver-side state beyond candidate ids. Candidate
+      texts enter ONE bucketed tagged-union join keyed by id, then a
+      re-bucket by pair id brings both halves together for worker-side
+      Jaccard. Shuffle cost: candidate texts × 1 + pair halves × 2.
+    - "auto": collect under ``VERIFY_COLLECT_MAX_PAIRS``; else broadcast
+      under ``VERIFY_BROADCAST_MAX_DOCS`` candidate docs; else shuffle
+      (DataFrame input; Dataset-input pairs use broadcast under the doc
+      gate — the pair set itself still never lands on the driver — and
+      shuffle above it).
     """
     import ray.data as rd
 
     pairs_is_ds = not isinstance(pairs, pd.DataFrame)
-    if pairs_is_ds:
-        strategy = "shuffle"
-    elif strategy == "auto":
-        strategy = "collect" if len(pairs) <= VERIFY_COLLECT_MAX_PAIRS else "shuffle"
+    if strategy == "auto":
+        if not pairs_is_ds and len(pairs) <= VERIFY_COLLECT_MAX_PAIRS:
+            strategy = "collect"
+        else:
+            strategy = "_gate"  # broadcast vs shuffle once cand count known
+    elif pairs_is_ds and strategy == "collect":
+        strategy = "_gate"
 
     if strategy == "collect":
         cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
@@ -444,12 +460,74 @@ def verify_pairs(ds, pairs, id_col: str, text_col: str,
         cand_sorted = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
                                                 pairs["id_b"].to_numpy()]))
 
-    verified = _verify_shuffle(ds, pairs_idx, cand_sorted, id_col, text_col,
-                               threshold, shingle_size, hash_fn, n_buckets)
+    if strategy == "_gate":
+        strategy = ("broadcast" if len(cand_sorted) <= VERIFY_BROADCAST_MAX_DOCS
+                    else "shuffle")
+    if strategy == "broadcast":
+        verified = _verify_broadcast(ds, pairs_idx, cand_sorted, id_col,
+                                     text_col, threshold, shingle_size, hash_fn)
+    else:
+        verified = _verify_shuffle(ds, pairs_idx, cand_sorted, id_col, text_col,
+                                   threshold, shingle_size, hash_fn, n_buckets)
     if pairs_is_ds:
         return verified
     out = verified.to_pandas()
     return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+def _verify_broadcast(ds, pairs_ds, cand_sorted: np.ndarray, id_col: str,
+                      text_col: str, threshold: float, shingle_size: int,
+                      hash_fn: str):
+    """Broadcast-verify core → Dataset of verified (id_a, id_b): the
+    candidate docs' distinct shingle arrays are built distributed (one
+    filtered map pass), collected once as id → sorted uint64 array
+    (bounded by ``VERIFY_BROADCAST_MAX_DOCS``), broadcast via ray.put,
+    and the pairs stream through a stateless intersection pass — bit-
+    identical verdicts to ``_jaccard_keep`` (set-of-hashes Jaccard)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    cand_ref = ray.put(cand_sorted)
+
+    def sets_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cand = cached_get(cand_ref)
+        v = b[id_col].to_numpy()
+        pos = np.searchsorted(cand, v)
+        ok = (pos < len(cand)) & (cand[np.clip(pos, 0, len(cand) - 1)] == v)
+        sub = b.loc[ok]
+        mh = _cached_hasher(64, shingle_size, 17, hash_fn)
+        return pd.DataFrame({
+            id_col: sub[id_col].to_numpy(),
+            "h": [np.unique(mh.shingles(t if isinstance(t, str) else ""))
+                  .tobytes() for t in sub[text_col].to_numpy()]})
+
+    store: dict = {}
+    for b in ds.map_batches(sets_partial, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for i, hb in zip(b[id_col], b["h"]):
+            store[i] = np.frombuffer(hb, dtype=np.uint64)
+    sref = ray.put(store)
+    empty = np.empty(0, dtype=np.uint64)
+
+    def verify_batch(b: pd.DataFrame) -> pd.DataFrame:
+        st = cached_get(sref)
+        ia, ib = b["id_a"].to_numpy(), b["id_b"].to_numpy()
+        keep = np.empty(len(b), dtype=bool)
+        for i in range(len(b)):
+            a = st.get(ia[i], empty)
+            c = st.get(ib[i], empty)
+            if not len(a) and not len(c):
+                keep[i] = True
+            else:
+                inter = np.intersect1d(a, c, assume_unique=True).size
+                keep[i] = inter / max(1, len(a) + len(c) - inter) >= threshold
+        return b.loc[keep, ["id_a", "id_b"]]
+
+    # driver-built pair frames arrive as ONE block — spread the per-pair
+    # compute across tasks (map_batches parallelism is per block)
+    return pairs_ds.repartition(64).map_batches(verify_batch,
+                                                batch_format="pandas")
 
 
 def _verify_shuffle(ds, pairs_idx, cand_sorted: np.ndarray, id_col: str,

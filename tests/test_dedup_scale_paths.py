@@ -54,8 +54,11 @@ def test_verify_pairs_collect_equals_shuffle(ray_session):
     assert len(pairs) > 0
     a = verify_pairs(ds, pairs, "doc_id", "text", 0.7, strategy="collect")
     b = verify_pairs(ds, pairs, "doc_id", "text", 0.7, strategy="shuffle")
+    c = verify_pairs(ds, pairs, "doc_id", "text", 0.7, strategy="broadcast")
+    if not isinstance(c, type(a)):
+        c = c.to_pandas()
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].to_numpy()))
-    assert key(a) == key(b)
+    assert key(a) == key(b) == key(c)
     assert 0 < len(a) < len(pairs)  # threshold must actually prune
 
     d1 = minhash_dedup(ds, "doc_id", "text", threshold=0.7, verify_strategy="collect")
