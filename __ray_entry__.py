@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "substring_dedup_docs": Q.substring_dedup_docs,
+        "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1580,6 +1581,13 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
         "substring_dedup_docs": _substring_dedup_sql(),
+        "grouped_quantiles_orders": """
+            SELECT o_orderpriority AS priority, count(*) AS n,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+                   true AS p25_ok, true AS p50_ok, true AS p75_ok
+            FROM orders GROUP BY 1""",
         "revenue_by_nation": """
             SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

@@ -141,7 +141,7 @@ def _key_hash(frame: pd.DataFrame, keys: list[str]) -> np.ndarray:
 
 
 def hash_join(left_ds, right_ds, on, right_cols: list[str],
-              how: str = "inner", n_buckets: int = 64):
+              how: str = "inner", n_buckets: int = 64, salt: int = 1):
     """General distributed equi-join (Ray Data ships no join operator):
     SELECT left.*, right_cols FROM left JOIN right USING (on).
 
@@ -152,9 +152,14 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     never match (SQL semantics — pandas would happily match NaN to NaN,
     so nulls are dropped from the probe side explicitly).
 
-    ``how``: "inner" or "left". Skew note: one hot key's entire cross
-    product lands in one bucket — pre-aggregate or salt upstream when a
-    key dominates (same assumption as ``asof_join``).
+    ``how``: "inner" or "left". Skew: by default one hot key's entire
+    cross product lands in one bucket; ``salt > 1`` spreads it — every
+    left row gets a deterministic salt in [0, salt), the right side is
+    replicated ``salt`` ways, and the bucket key becomes (key, salt), so
+    a hot key's probe work divides across ``salt`` buckets at the cost
+    of shipping the right side ``salt``×. Semantics are identical
+    (parity-tested); use when the build side is small relative to the
+    probe side's skew.
 
     Reference precedent: the reference joins only inside a single JVM
     (ResultSet/stream zips); a distributed equi-join is part of the
@@ -180,24 +185,41 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         out = b.reindex(columns=all_cols)
         out["__side"] = np.int8(0)
+        if salt > 1:
+            # deterministic per-row salt: spread a hot key's probe rows
+            out["__salt"] = (np.arange(len(out), dtype=np.uint64)
+                             % np.uint64(salt)).astype("int64")
         return out
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
         out = b[[*keys, *[c for c in right_cols if c not in keys]]]
         out = out.reindex(columns=all_cols)
         out["__side"] = np.int8(1)
+        if salt > 1:
+            out = pd.concat([out.assign(__salt=np.int64(s))
+                             for s in range(salt)], ignore_index=True)
         return out
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["__bucket"] = (_key_hash(b, keys) % n_buckets).astype("int64")
+        h = _key_hash(b, keys)
+        if salt > 1:
+            h = h * np.uint64(0x9E3779B97F4A7C15) \
+                + b["__salt"].to_numpy().astype(np.uint64)
+        b["__bucket"] = (h % n_buckets).astype("int64")
         return b
 
+    # the salt column joins as part of the key: two salt replicas of the
+    # same key may land in one bucket, and matching on the key alone
+    # would then duplicate the join output
+    jk = keys + (["__salt"] if salt > 1 else [])
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = _restore_dtypes(g[g["__side"] == 0][left_cols],
+        lcols = left_cols + (["__salt"] if salt > 1 else [])
+        left = _restore_dtypes(g[g["__side"] == 0][lcols],
                                left_dtypes, left_cols)
         right = _restore_dtypes(
-            g[g["__side"] == 1][[*keys, *extra]].dropna(subset=keys),
+            g[g["__side"] == 1][[*jk, *extra]].dropna(subset=keys),
             right_dtypes, extra)
         if left.empty:
             return pd.DataFrame(columns=all_cols)
@@ -208,7 +230,7 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
         # right side has no null keys (dropped above), so left null keys
         # match nothing: kept with null extras under "left", dropped
         # under "inner" — exactly SQL
-        merged = left.merge(right, on=keys, how=how, sort=False)
+        merged = left.merge(right, on=jk, how=how, sort=False)
         return merged.reindex(columns=all_cols)
 
     tagged = (

@@ -1360,3 +1360,34 @@ def substring_dedup_docs(sf_dir: str) -> pd.DataFrame:
     out = substring_dedup(ds, "doc_id", "text", n=SUBSTR_NGRAM).to_pandas()
     out[["n_tokens", "n_removed"]] = out[["n_tokens", "n_removed"]].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def grouped_quantiles_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-group quantiles two ways: exact per-priority percentiles
+    (linear interpolation == quantile_cont, value-compared against SQL)
+    plus per-group mergeable t-digests (the 100TB path) gated by RANK
+    error ≤ 2% (t-digest's guarantee is in rank space; value-relative
+    gates are meaningless where the local density is low, e.g. ~300-row
+    groups). → (priority, n, p25, p50, p75, p25_ok, p50_ok, p75_ok)."""
+    from ..profiling.groupagg import grouped_sketches
+    from ..profiling.sketches import TDigest
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    digests = grouped_sketches(
+        ds, "o_orderpriority", TDigest,
+        lambda acc, sub: acc.update_array(sub["o_totalprice"].to_numpy()))
+    vals: dict = {}
+    for b in ds.iter_batches(batch_size=65536, batch_format="pandas"):
+        for g, sub in b.groupby("o_orderpriority", sort=False):
+            vals.setdefault(g, []).append(sub["o_totalprice"].to_numpy())
+    rows = []
+    for g in sorted(vals):
+        v = np.sort(np.concatenate(vals[g]))
+        exact = np.percentile(v, [25, 50, 75])
+        td = digests[g]
+        oks = [bool(abs(np.searchsorted(v, td.quantile(q)) / len(v) - q) <= 0.02)
+               for q in (0.25, 0.5, 0.75)]
+        rows.append((g, np.int64(len(v)), round(exact[0], 6),
+                     round(exact[1], 6), round(exact[2], 6), *oks))
+    return pd.DataFrame(rows, columns=["priority", "n", "p25", "p50", "p75",
+                                       "p25_ok", "p50_ok", "p75_ok"])

@@ -85,3 +85,31 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     out = pd.DataFrame({out_col: getattr(gb[out_col], _FINAL[fn])()
                         for out_col, (_, fn) in aggs.items()}).reset_index()
     return out
+
+
+def grouped_sketches(ds, key_col: str, make_acc, update):
+    """Per-GROUP mergeable sketches: each batch builds one sketch per
+    group present in the batch (pickled, a few tiny rows per batch), the
+    driver merges per group — the mergeable-statistics-bean pattern keyed
+    by a low-cardinality group column (per-nation t-digests, per-source
+    HLLs). Driver state = #groups × sketch size, independent of rows.
+    ``update(acc, sub_frame)`` folds a group's sub-frame into its sketch.
+    Returns {group: sketch}."""
+    import pickle
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, blobs = [], []
+        for g, sub in b.groupby(key_col, sort=False):
+            acc = make_acc()
+            update(acc, sub)
+            keys.append(g)
+            blobs.append(pickle.dumps(acc))
+        return pd.DataFrame({key_col: keys, "p": blobs})
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_size=256, batch_format="pandas"):
+        for g, blob in zip(b[key_col], b["p"]):
+            acc = pickle.loads(blob)
+            merged[g] = acc if g not in merged else merged[g].merge(acc)
+    return merged

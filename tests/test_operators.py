@@ -649,3 +649,28 @@ def test_hash_join_semantics_and_broadcast_parity(ray_session):
     ref2 = l2.merge(r2, on=["k1", "k2"], how="inner", sort=False) \
         .sort_values(["x", "y"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, ref2, check_like=True)
+
+
+def test_hash_join_salted_parity(ray_session):
+    """salt=4 spreads hot keys across buckets but must reproduce the
+    unsalted join exactly — heavily skewed key (80% one value), dup keys
+    on both sides, inner and left."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import hash_join
+
+    rng = np.random.RandomState(13)
+    k = np.where(rng.rand(2000) < 0.8, 7, rng.randint(0, 50, 2000))
+    left = pd.DataFrame({"k": k.astype("int64"), "payload": np.arange(2000)})
+    right = pd.DataFrame({"k": np.repeat(np.arange(0, 50, 5), 3).astype("int64"),
+                          "v": np.arange(30)})
+    for how in ("inner", "left"):
+        plain = hash_join(rd.from_pandas(left).repartition(3),
+                          rd.from_pandas(right), on="k", right_cols=["k", "v"],
+                          how=how, n_buckets=8) \
+            .to_pandas().sort_values(["payload", "v"]).reset_index(drop=True)
+        salted = hash_join(rd.from_pandas(left).repartition(3),
+                           rd.from_pandas(right), on="k", right_cols=["k", "v"],
+                           how=how, n_buckets=8, salt=4) \
+            .to_pandas().sort_values(["payload", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(salted, plain, check_like=True)

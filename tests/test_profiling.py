@@ -1,6 +1,7 @@
 """Profiling layer: sketches, accumulators, and the one-pass Ray profile."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from data_quality_ray.profiling.analyzers import (
@@ -177,3 +178,34 @@ def test_count_min_sketch_merge_and_bounds():
     for k, e in zip(heavy, est):
         assert e >= exact[k]
         assert e - exact[k] <= eps_n
+
+
+def test_grouped_sketches_merge_matches_single_pass(ray_session):
+    """grouped_sketches partial-merge digests agree with a single-shot
+    per-group digest in rank space; per-group HLL counts distinct values
+    within its rsd."""
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_sketches
+    from data_quality_ray.profiling.sketches import HyperLogLog, TDigest
+
+    rng = np.random.RandomState(31)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=6000),
+        "x": rng.lognormal(3, 1, size=6000),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    digests = grouped_sketches(ds, "g", TDigest,
+                               lambda a, s: a.update_array(s["x"].to_numpy()))
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["x"].to_numpy())
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(v, digests[g].quantile(q)) / len(v)
+            assert abs(rank - q) <= 0.02, (g, q, rank)
+
+    df["s"] = [f"v{i % 500}" for i in range(len(df))]
+    hlls = grouped_sketches(rd.from_pandas(df).repartition(4), "g", HyperLogLog,
+                            lambda a, s: a.update_array(s["s"].to_numpy()))
+    for g, sub in df.groupby("g"):
+        exact = sub["s"].nunique()
+        assert abs(hlls[g].estimate() - exact) <= 3 * 0.026 * exact + 2
