@@ -213,3 +213,63 @@ class CountMinSketch:
         self.table += other.table
         self.n += other.n
         return self
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over string/bytes keys: k salted positions
+    derived from one 64-bit hash per value (Kirsch-Mitzenmacher double
+    hashing — h1 + i·h2 — so membership costs ONE string hash however
+    many probe positions). Merge = bitwise OR of equal-shaped filters;
+    per-batch partials union exactly like the other mergeable sketches
+    (CardinalityHLLStatistics.java:53-58 contract).
+
+    Sized by (expected_items, fpr): m = -n·ln(p)/ln(2)², k = m/n·ln(2).
+    No false negatives ever; false-positive rate ≈ ``fpr`` at the design
+    load. The fixed-size broadcastable alternative to the sorted-key
+    membership arrays in state/dedup_index.py when the key set outgrows
+    exact broadcast."""
+
+    def __init__(self, expected_items: int = 1_000_000, fpr: float = 0.01,
+                 hash_fn: str = "stable"):
+        if not 0 < fpr < 1:
+            raise ValueError("fpr must be in (0,1)")
+        ln2 = np.log(2.0)
+        m = int(np.ceil(-expected_items * np.log(fpr) / (ln2 * ln2)))
+        self.m = max(64, (m + 63) // 64 * 64)
+        self.k = max(1, int(round(self.m / expected_items * ln2)))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+        self.hash_name = hash_fn
+        self.hash = HASH64[hash_fn]
+        self.n = 0
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        h = self.hash(np.asarray(values, dtype=object))
+        h1 = h
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def update_array(self, values) -> None:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        self.n += len(values)
+
+    def contains_array(self, values) -> np.ndarray:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.k, self.hash_name) != (other.m, other.k, other.hash_name):
+            raise ValueError("incompatible Bloom filters")
+        self.bits |= other.bits
+        self.n += other.n
+        return self

@@ -69,3 +69,19 @@ def write_partitioned(ds, out_dir: str, partition_cols: list[str] | None = None,
     if partition_cols:
         args["partition_cols"] = partition_cols
     ds.write_parquet(out_dir, **args)
+
+
+def write_any(ds, path: str, fmt: str | None = None, **kwargs):
+    """Generic sink dispatch mirroring ``read_any``: parquet / csv /
+    json(l). Parquet accepts the ``payload`` keyword via
+    ``write_partitioned``; row formats map to the matching ray.data
+    writer (one file per block — the resumable-output layout)."""
+    fmt = (fmt or os.path.splitext(path)[1].lstrip(".").lower()
+           or "parquet")
+    if fmt == "parquet":
+        return write_partitioned(ds, path, **kwargs)
+    if fmt == "csv":
+        return ds.write_csv(path, **kwargs)
+    if fmt in ("json", "jsonl"):
+        return ds.write_json(path, **kwargs)
+    raise ValueError(f"unknown sink format: {fmt}")

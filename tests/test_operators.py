@@ -674,3 +674,18 @@ def test_hash_join_salted_parity(ray_session):
                            how=how, n_buckets=8, salt=4) \
             .to_pandas().sort_values(["payload", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(salted, plain, check_like=True)
+
+
+def test_write_any_roundtrip(ray_session, tmp_path):
+    """read_any/write_any roundtrip through csv and jsonl keeps rows and
+    values; parquet path goes through write_partitioned."""
+    import ray.data as rd
+
+    from data_quality_ray.sources.io import read_any, write_any
+
+    df = pd.DataFrame({"a": np.arange(50), "b": [f"s{i}" for i in range(50)]})
+    for fmt in ("csv", "jsonl", "parquet"):
+        out = str(tmp_path / f"rt_{fmt}")
+        write_any(rd.from_pandas(df).repartition(3), out, fmt=fmt)
+        back = read_any(out, fmt=fmt).to_pandas().sort_values("a").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back.astype({"a": "int64"}), df, check_like=True)

@@ -209,3 +209,29 @@ def test_grouped_sketches_merge_matches_single_pass(ray_session):
     for g, sub in df.groupby("g"):
         exact = sub["s"].nunique()
         assert abs(hlls[g].estimate() - exact) <= 3 * 0.026 * exact + 2
+
+
+def test_bloom_filter_membership_and_merge():
+    """No false negatives; FPR near design; merge == union; partials
+    built per chunk equal one-shot."""
+    from data_quality_ray.profiling.sketches import BloomFilter
+
+    rng = np.random.RandomState(37)
+    present = np.array([f"key-{i}" for i in range(20_000)], dtype=object)
+    absent = np.array([f"other-{i}" for i in range(20_000)], dtype=object)
+    bf = BloomFilter(expected_items=20_000, fpr=0.01)
+    bf.update_array(present)
+    assert bf.contains_array(present).all()               # zero false negatives
+    fpr = bf.contains_array(absent).mean()
+    assert fpr < 0.03, fpr                                # ~design FPR
+
+    merged = BloomFilter(expected_items=20_000, fpr=0.01)
+    for chunk in np.array_split(present, 7):
+        part = BloomFilter(expected_items=20_000, fpr=0.01)
+        part.update_array(chunk)
+        merged.merge(part)
+    assert np.array_equal(merged.bits, bf.bits)
+    import pytest
+
+    with pytest.raises(ValueError):
+        bf.merge(BloomFilter(expected_items=5_000, fpr=0.01))
