@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": Q.kmeans_embeddings,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
+        "window_analytics_orders": Q.window_analytics_orders,
+        "semi_anti_join_customers": Q.semi_anti_join_customers,
+        "top_orders_per_customer": Q.top_orders_per_customer,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -1595,6 +1598,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY 1""",
+        "window_analytics_orders": """
+            SELECT o_orderkey, o_custkey,
+                   row_number() OVER w AS seq,
+                   round(lag(o_totalprice) OVER w, 2) AS prev_total,
+                   round(sum(o_totalprice) OVER w, 2) AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_orderkey""",
+        "semi_anti_join_customers": """
+            SELECT c_nationkey,
+                   count(*) FILTER (WHERE EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                     AS with_orders,
+                   count(*) FILTER (WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+                     AS without_orders
+            FROM customer c GROUP BY 1 ORDER BY 1""",
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                     AS "rank"
+            FROM orders
+            QUALIFY "rank" <= 3
+            ORDER BY o_custkey, "rank" """,
         "asof_last_order_events": """
             WITH r AS (
               SELECT o_custkey AS user_id, o_orderdate AS last_order_date,

@@ -152,7 +152,12 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     never match (SQL semantics — pandas would happily match NaN to NaN,
     so nulls are dropped from the probe side explicitly).
 
-    ``how``: "inner" or "left". Skew: by default one hot key's entire
+    ``how``: "inner", "left", "semi" (left rows with ≥1 match — SQL
+    EXISTS — never duplicated, no right columns attached) or "anti"
+    (left rows with NO match — SQL NOT EXISTS; null-key left rows are
+    kept, matching SQL). For semi/anti only the key columns of the
+    right side are shuffled (deduplicated per batch), so the exchange
+    is keys-only. Skew: by default one hot key's entire
     cross product lands in one bucket; ``salt > 1`` spreads it — every
     left row gets a deterministic salt in [0, salt), the right side is
     replicated ``salt`` ways, and the bucket key becomes (key, salt), so
@@ -165,8 +170,9 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     (ResultSet/stream zips); a distributed equi-join is part of the
     beyond-reference engine surface.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: expected 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how={how!r}: expected 'inner'/'left'/'semi'/'anti'")
+    filter_only = how in ("semi", "anti")
     keys = [on] if isinstance(on, str) else list(on)
     schema = left_ds.schema()
     left_cols = list(schema.names)
@@ -176,6 +182,8 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     # never nulled by the union)
     left_dtypes = _schema_dtypes(schema)
     right_dtypes = _schema_dtypes(right_ds.schema())
+    if filter_only:
+        right_cols = list(keys)  # existence probe: keys are all that ships
     clash = (set(right_cols) - set(keys)) & set(left_cols)
     if clash:
         raise ValueError(f"right columns {sorted(clash)} clash with left schema — rename them")
@@ -193,6 +201,8 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
         out = b[[*keys, *[c for c in right_cols if c not in keys]]]
+        if filter_only:
+            out = out.drop_duplicates()  # batch-level pre-dedup of probe keys
         out = out.reindex(columns=all_cols)
         out["__side"] = np.int8(1)
         if salt > 1:
@@ -230,6 +240,11 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
         # right side has no null keys (dropped above), so left null keys
         # match nothing: kept with null extras under "left", dropped
         # under "inner" — exactly SQL
+        if filter_only:
+            probe = right[jk].drop_duplicates()
+            m = left.merge(probe, on=jk, how="left", indicator="__m")
+            keep = (m["__m"] == "both") if how == "semi" else (m["__m"] == "left_only")
+            return m.loc[keep.to_numpy(), all_cols]
         merged = left.merge(right, on=jk, how=how, sort=False)
         return merged.reindex(columns=all_cols)
 
@@ -245,7 +260,9 @@ def broadcast_join(left_ds, right: pd.DataFrame, on, right_cols: list[str],
                    how: str = "inner"):
     """Equi-join where the RIGHT side is small (dimension tables):
     ``ray.put`` once, one vectorized ``pd.merge`` per left batch — zero
-    shuffle. Same semantics as ``hash_join`` (parity-tested). The
+    shuffle. Same semantics as ``hash_join`` (parity-tested), including
+    ``how="semi"``/``"anti"`` existence filters (right keys broadcast as
+    a deduplicated probe set; left rows pass through unchanged). The
     broadcast-small-side pattern every dimension lookup should use
     instead of a shuffle join."""
     import ray
@@ -253,12 +270,21 @@ def broadcast_join(left_ds, right: pd.DataFrame, on, right_cols: list[str],
     from .broadcast import cached_get
 
     keys = [on] if isinstance(on, str) else list(on)
+    if how in ("semi", "anti"):
+        right_cols = list(keys)
     extra = [c for c in right_cols if c not in keys]
-    r = right[[*keys, *extra]].dropna(subset=keys).reset_index(drop=True)
+    r = right[[*keys, *extra]].dropna(subset=keys)
+    if how in ("semi", "anti"):
+        r = r.drop_duplicates()
+    r = r.reset_index(drop=True)
     ref = ray.put(r)
 
     def match(b: pd.DataFrame) -> pd.DataFrame:
         rt = cached_get(ref)
+        if how in ("semi", "anti"):
+            m = b.merge(rt, on=keys, how="left", indicator="__m")
+            keep = (m["__m"] == "both") if how == "semi" else (m["__m"] == "left_only")
+            return b.loc[keep.to_numpy()]
         return b.merge(rt, on=keys, how=how, sort=False)
 
     return left_ds.map_batches(match, batch_format="pandas")

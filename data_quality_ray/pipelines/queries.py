@@ -1391,3 +1391,68 @@ def grouped_quantiles_orders(sf_dir: str) -> pd.DataFrame:
                      round(exact[1], 6), round(exact[2], 6), *oks))
     return pd.DataFrame(rows, columns=["priority", "n", "p25", "p50", "p75",
                                        "p25_ok", "p50_ok", "p75_ok"])
+
+
+def window_analytics_orders(sf_dir: str) -> pd.DataFrame:
+    """Partitioned window functions over orders: per customer in
+    (date, orderkey) order — sequence number, previous order total
+    (lag), and running spend (inclusive cumsum). ONE hash shuffle,
+    vectorized pandas kernels per bucket (functions/window.py).
+    → (o_orderkey, o_custkey, seq, prev_total, running_spend)."""
+    from ..functions.window import window_ops
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    out = window_ops(ds, by="o_custkey",
+                     order_by=["o_orderdate", "o_orderkey"],
+                     ops={"seq": ("row_number",),
+                          "prev_total": ("lag", "o_totalprice"),
+                          "running_spend": ("cumsum", "o_totalprice")}).to_pandas()
+    out["prev_total"] = out["prev_total"].round(2)
+    out["running_spend"] = out["running_spend"].round(2)
+    return (out[["o_orderkey", "o_custkey", "seq", "prev_total", "running_spend"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def semi_anti_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Existence joins: customers WITH ≥1 order (semi / EXISTS) and
+    customers with NO orders (anti / NOT EXISTS) counted per nation —
+    the keys-only shuffle variant of hash_join (only deduplicated
+    o_custkey values move). → (c_nationkey, with_orders, without_orders)."""
+    from ..functions.joins import hash_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    semi = grouped_aggregate(
+        hash_join(customer, orders, on="c_custkey", right_cols=["c_custkey"],
+                  how="semi", n_buckets=32),
+        ["c_nationkey"], {"with_orders": ("", "count")})
+    anti = grouped_aggregate(
+        hash_join(customer, orders, on="c_custkey", right_cols=["c_custkey"],
+                  how="anti", n_buckets=32),
+        ["c_nationkey"], {"without_orders": ("", "count")})
+    out = semi.merge(anti, on="c_nationkey", how="outer")
+    for c in ("with_orders", "without_orders"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Generic per-group top-k: each customer's 3 most expensive orders
+    (orderkey tie-break), mergeable batch partials + bucketed final —
+    the shuffle moves ≤ k rows per (batch, key), never the table.
+    → (o_custkey, o_orderkey, o_totalprice, rank)."""
+    from ..profiling.groupagg import grouped_topk
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(ds, keys="o_custkey",
+                       order_by=["o_totalprice", "o_orderkey"],
+                       ascending=[False, True], k=3).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return (out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+            .sort_values(["o_custkey", "rank"]).reset_index(drop=True))

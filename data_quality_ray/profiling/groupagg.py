@@ -87,6 +87,51 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
     return out
 
 
+def grouped_topk(ds, keys, order_by, k: int, ascending=False,
+                 rank_col: str = "rank", n_buckets: int = 64):
+    """Per-group top-k rows — SQL's ``QUALIFY row_number() OVER
+    (PARTITION BY keys ORDER BY order_by) <= k``.
+
+    Top-k is a mergeable partial: each batch keeps at most k rows per
+    key it sees (vectorized sort + ``groupby.head`` — no per-group
+    Python), so the hash-bucketed merge shuffles ≤ k × #keys-per-batch
+    × #batches rows instead of the table. The final per-bucket pass
+    re-selects top-k per key and attaches a 1-based ``rank_col``.
+
+    Determinism: include a tie-break column in ``order_by`` (the same
+    requirement the SQL oracle's ``row_number`` has). ``ascending`` may
+    be a bool or a per-column list. Returns a Dataset.
+    """
+    import numpy as np
+    import pandas.util as pdu
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    asc = [ascending] * len(order) if isinstance(ascending, bool) else list(ascending)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values(order, ascending=asc, kind="mergesort")
+        return s.groupby(keys, sort=False).head(k)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_pandas_object(b[keys], index=False)
+                         .to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.drop(columns="__bucket")
+             .sort_values(order, ascending=asc, kind="mergesort"))
+        top = s.groupby(keys, sort=False).head(k).copy()
+        top[rank_col] = (top.groupby(keys, sort=False).cumcount() + 1).astype("int64")
+        return top
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pandas"))
+
+
 def grouped_sketches(ds, key_col: str, make_acc, update):
     """Per-GROUP mergeable sketches: each batch builds one sketch per
     group present in the batch (pickled, a few tiny rows per batch), the

@@ -689,3 +689,106 @@ def test_write_any_roundtrip(ray_session, tmp_path):
         write_any(rd.from_pandas(df).repartition(3), out, fmt=fmt)
         back = read_any(out, fmt=fmt).to_pandas().sort_values("a").reset_index(drop=True)
         pd.testing.assert_frame_equal(back.astype({"a": "int64"}), df, check_like=True)
+
+
+def test_semi_anti_join(ray_session):
+    """semi/anti hash_join vs a pandas EXISTS/NOT-EXISTS reference: no
+    duplication from duplicate right keys, null left keys kept by anti /
+    dropped by semi, broadcast and salted variants match the shuffle
+    path exactly."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import broadcast_join, hash_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 25, size=400).astype("float64"),
+        "payload": np.arange(400),
+    })
+    left.loc[rng.choice(400, 15, replace=False), "k"] = np.nan
+    right = pd.DataFrame({"k": rng.randint(0, 40, size=300).astype("float64"),
+                          "junk": np.arange(300)})
+    right.loc[rng.choice(300, 10, replace=False), "k"] = np.nan
+
+    present = set(right["k"].dropna())
+    exists = left["k"].isin(present)
+    refs = {"semi": left[exists], "anti": left[~exists]}
+
+    for how, expect in refs.items():
+        expect = expect.sort_values("payload").reset_index(drop=True)
+        got = hash_join(rd.from_pandas(left).repartition(3),
+                        rd.from_pandas(right).repartition(2), on="k",
+                        right_cols=["k"], how=how, n_buckets=8) \
+            .to_pandas().sort_values("payload").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, expect, check_like=True)
+        bc = broadcast_join(rd.from_pandas(left).repartition(3), right,
+                            on="k", right_cols=["k"], how=how) \
+            .to_pandas().sort_values("payload").reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, expect, check_like=True)
+        salted = hash_join(rd.from_pandas(left).repartition(3),
+                           rd.from_pandas(right), on="k", right_cols=["k"],
+                           how=how, n_buckets=8, salt=4) \
+            .to_pandas().sort_values("payload").reset_index(drop=True)
+        pd.testing.assert_frame_equal(salted, expect, check_like=True)
+
+
+def test_window_ops(ray_session):
+    """window_ops vs a single-frame pandas reference: row_number, lag,
+    lead with n=2, cumsum, cummax over a skewed partition key, across
+    multiple blocks and buckets."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.window import window_ops
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "key": np.concatenate([np.zeros(200, int), rng.randint(1, 20, 300)]),
+        "t": rng.permutation(500),
+        "x": np.round(rng.uniform(0, 100, 500), 3),
+    })
+    got = window_ops(rd.from_pandas(df).repartition(5), by="key", order_by="t",
+                     ops={"rn": ("row_number",),
+                          "prev_x": ("lag", "x"),
+                          "next2_x": ("lead", "x", 2),
+                          "run_x": ("cumsum", "x"),
+                          "max_x": ("cummax", "x")},
+                     n_buckets=7).to_pandas() \
+        .sort_values(["key", "t"]).reset_index(drop=True)
+
+    ref = df.sort_values(["key", "t"]).reset_index(drop=True)
+    gb = ref.groupby("key", sort=False)
+    ref["rn"] = (gb.cumcount() + 1).astype("int64")
+    ref["prev_x"] = gb["x"].shift(1)
+    ref["next2_x"] = gb["x"].shift(-2)
+    ref["run_x"] = gb["x"].cumsum()
+    ref["max_x"] = gb["x"].cummax()
+    pd.testing.assert_frame_equal(got, ref, check_like=True)
+
+
+def test_grouped_topk(ray_session):
+    """grouped_topk vs a pandas nlargest reference: deterministic ties
+    via the tie-break column, k larger than some group sizes, rank
+    column correctness, multi-block input."""
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_topk
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 15, 400),
+        "v": rng.randint(0, 20, 400).astype("float64"),  # heavy ties
+        "id": np.arange(400),
+    })
+    got = grouped_topk(rd.from_pandas(df).repartition(4), keys="g",
+                       order_by=["v", "id"], ascending=[False, True], k=5,
+                       n_buckets=6).to_pandas() \
+        .sort_values(["g", "rank"]).reset_index(drop=True)
+
+    ref = df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+    ref = ref.groupby("g", sort=False).head(5).copy()
+    ref["rank"] = (ref.groupby("g", sort=False).cumcount() + 1).astype("int64")
+    ref = ref.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_like=True)
+    # every group capped at k and ranks are 1..n contiguous
+    sizes = got.groupby("g")["rank"].agg(["max", "count"])
+    assert (sizes["max"] == sizes["count"]).all() and (sizes["count"] <= 5).all()
