@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_analytics_orders": Q.window_analytics_orders,
         "semi_anti_join_customers": Q.semi_anti_join_customers,
         "top_orders_per_customer": Q.top_orders_per_customer,
+        "dsir_select_docs": Q.dsir_select_docs,
         "session_windows_events": Q.session_windows_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -521,6 +522,53 @@ SELECT e.vec_id,
        coalesce(c.lbl, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 ORDER BY e.vec_id
+"""
+
+
+# --- DSIR importance resampling ----------------------------------------------
+# Re-derives the full DSIR math in SQL: hashed unigram+bigram bucket
+# counts for the deterministic target subset (doc_id % MOD == 0) and the
+# raw corpus, add-one-smoothed log probability ratio per bucket, per-doc
+# weight = sum of feature log-ratios (round 6 BEFORE ranking — the
+# bm25 round-before-rank convention), deterministic top-N by
+# (weight desc, doc_id). Docs with zero features carry no evidence and
+# are excluded on both sides.
+
+def _dsir_sql() -> str:
+    from data_quality_ray.pipelines.queries import (
+        DSIR_BUCKETS as B, DSIR_SELECT_N as N, DSIR_TARGET_MOD as MOD)
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         unnest(l || list_transform(generate_series(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i+1])) AS f
+  FROM dt),
+tb AS (SELECT md5_number_lower(f) % {B} AS b, count(*) AS c
+       FROM feat WHERE doc_id % {MOD} = 0 GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM feat WHERE doc_id % {MOD} = 0),
+rb AS (SELECT md5_number_lower(f) % {B} AS b, count(*) AS c FROM feat GROUP BY 1),
+rt AS (SELECT count(*) AS t FROM feat),
+w AS (
+  SELECT r.range AS b,
+         ln((coalesce(tb.c, 0) + 1.0) / ((SELECT t FROM tt) + {B}))
+         - ln((coalesce(rb.c, 0) + 1.0) / ((SELECT t FROM rt) + {B})) AS w
+  FROM range({B}) r
+  LEFT JOIN tb ON tb.b = r.range
+  LEFT JOIN rb ON rb.b = r.range),
+scored AS (
+  SELECT d.doc_id, round(sum(w.w), 6) AS dsir_weight
+  FROM feat d JOIN w ON w.b = md5_number_lower(d.f) % {B}
+  GROUP BY 1)
+SELECT doc_id, dsir_weight,
+       row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS "rank"
+FROM scored
+QUALIFY "rank" <= {N}
+ORDER BY "rank"
 """
 
 
@@ -1390,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": _DECONTAMINATE_SQL,
         "c4_clean_docs": _C4_CLEAN_SQL,
         "quality_classifier_docs": _CLF_SQL,
+        "dsir_select_docs": _dsir_sql(),
         "semantic_dedup_embeddings": _sem_dedup_sql(),
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),

@@ -1441,6 +1441,31 @@ def semi_anti_join_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+# DSIR contract shared with the SQL oracle: deterministic in-domain
+# target subset, bucket count, selection size
+DSIR_TARGET_MOD = 13
+DSIR_BUCKETS = 1024
+DSIR_SELECT_N = 100
+
+
+def dsir_select_docs(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): pick the 100 docs
+    whose hashed unigram+bigram distribution best matches the
+    deterministic target subset (doc_id % 13 == 0). Two fixed-size
+    fold passes + one broadcast-scored map — zero shuffle. The oracle
+    re-derives the bucket probabilities and every weight in SQL.
+    → (doc_id, dsir_weight, rank)."""
+    from ..sampling.dsir import dsir_select
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = docs.map_batches(
+        lambda b: b[b["doc_id"] % DSIR_TARGET_MOD == 0], batch_format="pandas")
+    out = dsir_select(docs, target, "doc_id", "text",
+                      n_select=DSIR_SELECT_N, n_buckets=DSIR_BUCKETS)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     """Generic per-group top-k: each customer's 3 most expensive orders
     (orderkey tie-break), mergeable batch partials + bucketed final —
