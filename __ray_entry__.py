@@ -90,6 +90,23 @@ def image_features(sf_dir: str):
     )
 
 
+def image_quality_extended(sf_dir: str):
+    """Extended image-quality signals: decoded-pixel sharpness
+    (Laplacian variance) + luminance entropy from the feature stage, and
+    metadata-only geometry flags (too_small / bad_aspect) that run
+    without any decode. Oracle = golden label columns + SQL-side flag
+    derivation from the label table's w/h."""
+    import ray.data as rd
+
+    from data_quality_ray.stages.image_ops import extract_image_features, geometry_flags
+
+    ds = rd.read_parquet(_image_fixture(sf_dir))
+    feats = extract_image_features(ds, concurrency=4)
+    return geometry_flags(feats).select_columns(
+        ["image_id", "sharpness", "entropy", "too_small", "bad_aspect"]
+    )
+
+
 def phash_dedup_images(sf_dir: str):
     """phash-keyed exact near-dup collapse on the image table."""
     import ray.data as rd
@@ -203,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dedup_images": phash_dedup_images,
         "phash_neardup_images": phash_neardup_images,
         "image_features": image_features,
+        "image_quality_extended": image_quality_extended,
     }
 
 
@@ -1456,6 +1474,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY id_a, id_b",
         "image_features": _f1_labels_sql(
             "image_id, lum_mean, lum_std, phash_recomputed"),
+        "image_quality_extended": (
+            "SELECT image_id, sharpness, entropy,"
+            "       least(w, h) < 40 AS too_small,"
+            "       (w * 1.0 / h) < 0.5 OR (w * 1.0 / h) > 2.0 AS bad_aspect"
+            " FROM (" + _f1_labels_sql("image_id, sharpness, entropy, w, h") + ")"),
         "phonetic_keys_part": _phonetic_part_sql(),
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,

@@ -209,25 +209,32 @@ def label_table(tbl: pa.Table, feature_labels: bool = False) -> pa.Table:
     }
     if feature_labels:
         from ..stages.image import decode, phash64
+        from ..stages.image_ops import LUM_W, sharpness_entropy
 
-        lum_w = np.array([0.299, 0.587, 0.114])
-        lum_mean, lum_std, ph = [], [], []
+        lum_mean, lum_std, ph, sharp, ent = [], [], [], [], []
         for b, f in zip(tbl["bytes"].to_numpy(zero_copy_only=False),
                         tbl["fmt"].to_numpy(zero_copy_only=False)):
             px = decode(b, f).astype(np.float64)
-            lum = px @ lum_w
+            lum = px @ LUM_W
             lum_mean.append(round(float(lum.mean()), 4))
             lum_std.append(round(float(lum.std()), 4))
             ph.append(phash64(px.astype(np.uint8)))
+            s, e = sharpness_entropy(px)
+            sharp.append(s)
+            ent.append(e)
         cols["lum_mean"] = pa.array(lum_mean, type=pa.float64())
         cols["lum_std"] = pa.array(lum_std, type=pa.float64())
         cols["phash_recomputed"] = pa.array(ph, type=pa.int64())
+        cols["sharpness"] = pa.array(sharp, type=pa.float64())
+        cols["entropy"] = pa.array(ent, type=pa.float64())
+        cols["w"] = tbl["w"]
+        cols["h"] = tbl["h"]
     return pa.table(cols)
 
 
 def _write_labels(out_dir: str, n_rows: int, seed: int, feature_labels: bool) -> None:
     mode = "full" if feature_labels else "basic"
-    marker = os.path.join(out_dir, f"_LABELS_{n_rows}_{seed}_{mode}_v2")
+    marker = os.path.join(out_dir, f"_LABELS_{n_rows}_{seed}_{mode}_v3")
     if os.path.exists(marker):
         return
     import glob as _glob

@@ -24,6 +24,31 @@ import pyarrow as pa
 from .image import decode, encode, phash64
 
 
+LUM_W = np.array([0.299, 0.587, 0.114])
+
+
+def sharpness_entropy(px: np.ndarray) -> tuple[float, float]:
+    """Two decoded-pixel quality signals, shared verbatim with the
+    fixture's golden-label writer (sources/fixtures.label_table):
+
+    - sharpness: variance of the 4-neighbour Laplacian of luminance —
+      the classic blur detector (low variance = soft/defocused image);
+    - entropy: Shannon entropy (bits) of the 32-bin luminance histogram —
+      near 0 for flat/synthetic fills, high for textured photos.
+    """
+    lum = px.astype(np.float64) @ LUM_W
+    if lum.shape[0] >= 3 and lum.shape[1] >= 3:
+        lap = (4.0 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+               - lum[1:-1, :-2] - lum[1:-1, 2:])
+        sharp = float(lap.var())
+    else:
+        sharp = 0.0
+    hist, _ = np.histogram(lum, bins=32, range=(0, 256))
+    p = hist[hist > 0] / max(1, lum.size)
+    ent = float(-(p * np.log2(p)).sum())
+    return round(sharp, 4), round(ent, 6)
+
+
 def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Area-mean resize (box filter) via bincount over target-cell ids —
     deterministic, pure numpy."""
@@ -70,26 +95,34 @@ class ImageFeatureStage:
         blobs = batch["bytes"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_numpy(zero_copy_only=False)
         mean_rgb, lum_mean, lum_std, lum_hist, ph = [], [], [], [], []
+        sharp, ent = [], []
         for b, f in zip(blobs, fmts):
             try:
                 px = decode(b, f).astype(np.float64)
-                lum = px @ np.array([0.299, 0.587, 0.114])
+                lum = px @ LUM_W
                 mean_rgb.append([round(float(x), 4) for x in px.mean(axis=(0, 1))])
                 lum_mean.append(round(float(lum.mean()), 4))
                 lum_std.append(round(float(lum.std()), 4))
                 hist, _ = np.histogram(lum, bins=8, range=(0, 256))
                 lum_hist.append((hist / max(1, lum.size)).round(6).tolist())
                 ph.append(phash64(px.astype(np.uint8)))
+                s, e = sharpness_entropy(px)
+                sharp.append(s)
+                ent.append(e)
             except Exception:
                 mean_rgb.append(None)
                 lum_mean.append(None)
                 lum_std.append(None)
                 lum_hist.append(None)
                 ph.append(None)
+                sharp.append(None)
+                ent.append(None)
         batch = batch.append_column("mean_rgb", pa.array(mean_rgb, type=pa.list_(pa.float64())))
         batch = batch.append_column("lum_mean", pa.array(lum_mean, type=pa.float64()))
         batch = batch.append_column("lum_std", pa.array(lum_std, type=pa.float64()))
         batch = batch.append_column("lum_hist", pa.array(lum_hist, type=pa.list_(pa.float64())))
+        batch = batch.append_column("sharpness", pa.array(sharp, type=pa.float64()))
+        batch = batch.append_column("entropy", pa.array(ent, type=pa.float64()))
         return batch.append_column("phash_recomputed", pa.array(ph, type=pa.int64()))
 
 
@@ -141,6 +174,26 @@ class FrameSampleStage:
                 idx_out.append(None)
         batch = batch.append_column("frames", pa.array(frames_out, type=pa.list_(pa.binary())))
         return batch.append_column("frame_indices", pa.array(idx_out, type=pa.list_(pa.int32())))
+
+
+def geometry_flags(ds, min_dim: int = 40, min_aspect: float = 0.5,
+                   max_aspect: float = 2.0):
+    """Metadata-only image geometry rules — no decode, pure vectorized
+    numpy over the ``w``/``h`` columns (the cheapest filters run FIRST
+    at scale, before any pixel work): ``too_small`` (min dimension below
+    ``min_dim``) and ``bad_aspect`` (w/h outside [min_aspect, max_aspect])."""
+    import pandas as pd
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy().astype(np.float64)
+        h = b["h"].to_numpy().astype(np.float64)
+        b = b.copy()
+        b["too_small"] = np.minimum(w, h) < min_dim
+        ar = w / np.maximum(h, 1.0)
+        b["bad_aspect"] = (ar < min_aspect) | (ar > max_aspect)
+        return b
+
+    return ds.map_batches(flags, batch_format="pandas")
 
 
 def extract_image_features(ds, concurrency: int | tuple = 4, batch_size: int = 512):

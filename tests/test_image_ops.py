@@ -86,3 +86,47 @@ def test_phash64_batch_bit_identical():
     batch = phash64_batch(imgs)
     for px, v in zip(imgs, batch):
         assert phash64(px) == int(v)
+
+
+def test_sharpness_entropy_kernel():
+    from data_quality_ray.stages.image_ops import sharpness_entropy
+
+    # flat image: zero Laplacian variance, zero entropy (one bin)
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)
+    s, e = sharpness_entropy(flat)
+    assert s == 0.0 and e == 0.0
+
+    # checkerboard 0/255: maximal local contrast, exactly 1 bit of entropy
+    idx = np.indices((16, 16)).sum(axis=0) % 2
+    board = np.repeat((idx * 255).astype(np.uint8)[..., None], 3, axis=2)
+    s2, e2 = sharpness_entropy(board)
+    assert s2 > 1e5  # |Laplacian| = 4*255 everywhere interior
+    assert e2 == pytest.approx(1.0, abs=1e-6)
+
+    # blurring the checkerboard (box resize down+up) must reduce sharpness
+    soft = resize_pixels(resize_pixels(board, 4, 4), 16, 16)
+    s3, _ = sharpness_entropy(soft)
+    assert s3 < s2
+
+    # degenerate 1-pixel image: defined, zero sharpness
+    s4, e4 = sharpness_entropy(np.zeros((1, 1, 3), dtype=np.uint8))
+    assert s4 == 0.0 and e4 == 0.0
+
+
+def test_geometry_flags(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.stages.image_ops import geometry_flags
+
+    df = pd.DataFrame({
+        "image_id": ["a", "b", "c", "d"],
+        "w": np.array([32, 48, 100, 30], dtype=np.int32),
+        "h": np.array([32, 48, 20, 90], dtype=np.int32),
+    })
+    out = geometry_flags(rd.from_pandas(df)).to_pandas().set_index("image_id")
+    assert out.loc["a", "too_small"] and not out.loc["b", "too_small"]
+    assert not out.loc["a", "bad_aspect"] and not out.loc["b", "bad_aspect"]
+    assert out.loc["c", "bad_aspect"]   # 5.0 aspect
+    assert out.loc["d", "bad_aspect"]   # 0.33 aspect
+    assert out.loc["c", "too_small"] and out.loc["d", "too_small"]
