@@ -221,6 +221,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_neardup_images": phash_neardup_images,
         "image_features": image_features,
         "image_quality_extended": image_quality_extended,
+        "dup_caption_images": dup_caption_images,
+        # table-level DQ rules (profiling/datarules.py)
+        "correlation_lineitem": Q.correlation_lineitem,
+        "entropy_profile": Q.entropy_profile,
+        "benford_price_lineitem": Q.benford_price_lineitem,
+        "outlier_iqr_lineitem": Q.outlier_iqr_lineitem,
+        "uniqueness_profile_customer": Q.uniqueness_profile_customer,
+        "fd_check_part": Q.fd_check_part,
+        "referential_integrity": Q.referential_integrity,
     }
 
 
@@ -348,6 +357,27 @@ def _phonetic_part_sql() -> str:
     return " UNION ALL ".join(branches)
 
 
+def dup_caption_images(sf_dir: str):
+    """Cross-modal duplicate screen: captions shared by >1 distinct image
+    (the LAION-style "same caption, different pixels" drop rule). Caption
+    cardinality ≈ corpus size, so the grouped count goes through the
+    hash-bucketed shuffle final — nothing collects until the >1 filter
+    has shrunk the result."""
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "caption"])
+    merged = grouped_aggregate(
+        ds, ["caption"],
+        {"n_images": ("", "count"), "keeper_id": ("image_id", "min")},
+        final="shuffle")
+    out = merged.map_batches(lambda b: b[b["n_images"] > 1],
+                             batch_format="pandas").to_pandas()
+    out["n_images"] = out["n_images"].astype("int64")
+    return out.sort_values("caption").reset_index(drop=True)
+
+
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
 _F1_SIZES = (1000, 10000)
 
@@ -361,6 +391,53 @@ def _f1_labels_sql(select: str) -> str:
         for n in _F1_SIZES
     )
     return branches
+
+
+def _f1_raw_sql(select: str) -> str:
+    """Same per-tier dispatch as ``_f1_labels_sql`` but over the raw F1
+    data files (the ``part-*.parquet`` shards, not the label table)."""
+    return " UNION ALL ".join(
+        f"SELECT * FROM (SELECT {select} FROM read_parquet('/tmp/dq_ray_f1_{n}/part-*.parquet'))"
+        f" WHERE (SELECT greatest(500, 2 * count(*)) FROM documents) = {n}"
+        for n in _F1_SIZES
+    )
+
+
+def _fd_sql(lhs: str, rhs: str) -> str:
+    """g3-style FD check: pair counts → per-lhs rollup (mirrors
+    profiling/datarules.fd_violations)."""
+    return f"""
+        SELECT '{lhs}->{rhs}' AS fd, count(*) AS n_groups,
+               count(*) FILTER (WHERE n_rhs > 1) AS n_violating_groups,
+               CAST(coalesce(sum(n_rows - max_n) FILTER (WHERE n_rhs > 1), 0)
+                    AS BIGINT) AS g3_rows
+        FROM (SELECT lhs, count(*) AS n_rhs, max(n) AS max_n, sum(n) AS n_rows
+              FROM (SELECT {lhs} AS lhs, {rhs} AS rhs, count(*) AS n
+                    FROM part GROUP BY 1, 2)
+              GROUP BY lhs)"""
+
+
+def _uniq_col_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS col, count(*) AS n,
+               count(*) - count({col}) AS n_null,
+               count(distinct {col}) AS n_distinct,
+               round(count(distinct {col}) * 1.0 / count(*), 6) AS uniqueness,
+               (count(*) = count({col}) AND count(distinct {col}) = count(*))
+                   AS is_key
+        FROM customer"""
+
+
+def _ri_rule_sql(rule: str, child: str, child_key: str,
+                 parent: str, parent_key: str) -> str:
+    return f"""
+        SELECT '{rule}' AS rule,
+               (SELECT count(*) FROM {child}) AS n_child,
+               (SELECT count(*) FROM {child} c
+                WHERE c.{child_key} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{parent_key} = c.{child_key}))
+                   AS n_orphans"""
 
 
 _STOPS = ", ".join(f"'{w}'" for w in sorted(EN_STOPWORDS))
@@ -1479,6 +1556,70 @@ def oracle_sql() -> dict[str, str]:
             "       least(w, h) < 40 AS too_small,"
             "       (w * 1.0 / h) < 0.5 OR (w * 1.0 / h) > 2.0 AS bad_aspect"
             " FROM (" + _f1_labels_sql("image_id, sharpness, entropy, w, h") + ")"),
+        "dup_caption_images": (
+            "SELECT caption, count(*) AS n_images, min(image_id) AS keeper_id"
+            " FROM (" + _f1_raw_sql("image_id, caption") + ")"
+            " WHERE caption IS NOT NULL GROUP BY caption"
+            " HAVING count(*) > 1 ORDER BY caption"),
+        "correlation_lineitem": """
+            SELECT count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qty_price
+            FROM lineitem""",
+        "entropy_profile": """
+            SELECT * FROM (
+              SELECT 'customer' AS tbl, 'c_mktsegment' AS col,
+                     round(entropy(c_mktsegment), 6) AS entropy FROM customer
+              UNION ALL
+              SELECT 'events', 'event_type',
+                     round(entropy(event_type), 6) FROM events
+              UNION ALL
+              SELECT 'orders', 'o_orderpriority',
+                     round(entropy(o_orderpriority), 6) FROM orders
+            ) ORDER BY tbl""",
+        "benford_price_lineitem": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1)
+            SELECT digit, count(*) AS n,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM d), 6) AS freq,
+                   round(log10(1 + 1.0 / digit), 6) AS expected
+            FROM d GROUP BY digit ORDER BY digit""",
+        "outlier_iqr_lineitem": """
+            WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                              quantile_cont(l_extendedprice, 0.75) AS q3
+                       FROM lineitem),
+                 f AS (SELECT round(q1 - 1.5 * (q3 - q1), 6) AS fence_lo,
+                              round(q3 + 1.5 * (q3 - q1), 6) AS fence_hi FROM q)
+            SELECT fence_lo, fence_hi,
+                   (SELECT count(*) FROM lineitem, f
+                    WHERE l_extendedprice < fence_lo) AS n_low,
+                   (SELECT count(*) FROM lineitem, f
+                    WHERE l_extendedprice > fence_hi) AS n_high,
+                   (SELECT count(*) FROM lineitem) AS n
+            FROM f""",
+        "uniqueness_profile_customer": (
+            "SELECT * FROM (" + " UNION ALL ".join(
+                _uniq_col_sql(c) for c in
+                ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+            + ") ORDER BY col"),
+        "fd_check_part": (
+            "SELECT * FROM (" + _fd_sql("p_name", "p_brand")
+            + " UNION ALL " + _fd_sql("p_brand", "p_size")
+            + ") ORDER BY fd"),
+        "referential_integrity": (
+            "SELECT * FROM ("
+            + _ri_rule_sql("events.user_id->customer.c_custkey",
+                           "events", "user_id", "customer", "c_custkey")
+            + " UNION ALL "
+            + _ri_rule_sql("orders.o_custkey->customer.c_custkey",
+                           "orders", "o_custkey", "customer", "c_custkey")
+            + " UNION ALL "
+            + _ri_rule_sql("customer.c_custkey->events.user_id",
+                           "customer", "c_custkey", "events", "user_id")
+            + ") ORDER BY rule"),
         "phonetic_keys_part": _phonetic_part_sql(),
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,

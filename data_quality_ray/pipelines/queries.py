@@ -1481,3 +1481,111 @@ def top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     out["rank"] = out["rank"].astype("int64")
     return (out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
             .sort_values(["o_custkey", "rank"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------- table-level DQ rules
+
+
+def correlation_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation + population covariance between quantity and
+    price — one Chan-merged co-moment pass (profiling/datarules.py).
+    → (n, corr_qty_price, covar_qty_price)."""
+    from ..profiling.datarules import correlation
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    c = correlation(ds, "l_quantity", "l_extendedprice")
+    return pd.DataFrame({"n": [c["n"]],
+                         "corr_qty_price": [round(c["corr"], 6)],
+                         "covar_qty_price": [round(c["covar_pop"], 6)]})
+
+
+def entropy_profile(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of three categorical columns — grouped
+    counts via batch partials, log2 fold on the tiny value table.
+    → (tbl, col, entropy)."""
+    from ..profiling.datarules import grouped_entropy
+
+    rows = []
+    for tbl, col in [("customer", "c_mktsegment"),
+                     ("events", "event_type"),
+                     ("orders", "o_orderpriority")]:
+        e = grouped_entropy(_read(sf_dir, tbl, columns=[col]), col)
+        rows.append({"tbl": tbl, "col": col, "entropy": round(e, 6)})
+    return pd.DataFrame(rows)
+
+
+def benford_price_lineitem(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit distribution of l_extendedprice vs the
+    Benford expectation. → (digit, n, freq, expected)."""
+    from ..profiling.datarules import benford_first_digit
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = benford_first_digit(ds, "l_extendedprice")
+    out["digit"] = out["digit"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier counts on l_extendedprice (fences rounded to
+    6 before counting on BOTH sides). → one row."""
+    from ..profiling.datarules import iqr_outlier_fences
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    r = iqr_outlier_fences(ds, "l_extendedprice")
+    return pd.DataFrame({k: [r[k]] for k in
+                         ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
+
+
+def uniqueness_profile_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-column exact-distinct / null / candidate-key discovery over
+    customer (distinct via the hash-bucketed shuffle — never a driver
+    set). → (col, n, n_null, n_distinct, uniqueness, is_key)."""
+    from ..profiling.datarules import uniqueness_profile
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    ds = _read(sf_dir, "customer", columns=cols)
+    out = uniqueness_profile(ds, cols).rename(columns={"column": "col"})
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def fd_check_part(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery on part: pair-count shuffle +
+    per-lhs rollup, g3 = min deletions to satisfy the FD.
+    → (fd, n_groups, n_violating_groups, g3_rows)."""
+    from ..profiling.datarules import fd_violations
+
+    ds = _read(sf_dir, "part", columns=["p_name", "p_brand", "p_size"])
+    rows = [fd_violations(ds, "p_name", "p_brand"),
+            fd_violations(ds, "p_brand", "p_size")]
+    out = pd.DataFrame(rows)
+    for c in ("n_groups", "n_violating_groups", "g3_rows"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("fd").reset_index(drop=True)
+
+
+def referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """Orphan counts for three FK rules via broadcast sorted-key
+    membership (zero child-side shuffle). → (rule, n_child, n_orphans)."""
+    from ..profiling.datarules import orphan_stats
+
+    specs = [
+        ("events.user_id->customer.c_custkey",
+         ("events", "user_id"), ("customer", "c_custkey")),
+        ("orders.o_custkey->customer.c_custkey",
+         ("orders", "o_custkey"), ("customer", "c_custkey")),
+        ("customer.c_custkey->events.user_id",
+         ("customer", "c_custkey"), ("events", "user_id")),
+    ]
+    rows = []
+    for rule, (ct, ck), (pt, pk) in specs:
+        s = orphan_stats(_read(sf_dir, ct, columns=[ck]), ck,
+                         _read(sf_dir, pt, columns=[pk]), pk)
+        rows.append({"rule": rule, "n_child": s["n"],
+                     "n_orphans": s["n_orphans"]})
+    out = pd.DataFrame(rows)
+    for c in ("n_child", "n_orphans"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("rule").reset_index(drop=True)

@@ -1,0 +1,282 @@
+"""Table-level data-quality rules and statistical analyzers.
+
+The reference's analyzer family (SURVEY.md §2.2) profiles one column at a
+time; a production DQ framework also ships TABLE-level checks. This module
+adds the classic set as single-pass mergeable folds or grouped_aggregate
+compositions — nothing materializes raw rows on the driver except
+documented small results:
+
+- ``comoments`` / ``correlation``: Pearson correlation + covariance via
+  Chan's parallel co-moment merge (numerically stable partials, exact
+  merge — the same partial/final contract as the reference's mergeable
+  stats beans).
+- ``grouped_entropy``: Shannon entropy (log2) of a categorical column
+  from grouped counts.
+- ``benford_first_digit``: first-significant-digit distribution vs the
+  Benford expectation (fraud/plausibility screening).
+- ``iqr_outlier_fences``: Tukey fences from exact quartiles + a second
+  distributed counting pass.
+- ``uniqueness_profile``: per-column n / nulls / exact distinct
+  (hash-bucketed shuffle count — never a driver set) → candidate-key
+  discovery.
+- ``fd_violations``: functional-dependency check lhs→rhs with the g3
+  error (min rows to delete to satisfy the FD).
+- ``orphan_stats``: referential-integrity orphan counting with a
+  broadcast sorted-key membership filter (same ≤1e9-key broadcast bound
+  as dedup/exact.py documents).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .groupagg import grouped_aggregate
+
+
+# ---------------------------------------------------------------- moments
+
+def comoments(ds, x_col: str, y_col: str) -> dict:
+    """Single pass over (x, y): per-batch centered co-moment partials,
+    Chan-merged on the driver (one tiny row per batch moves). Returns
+    ``{n, mean_x, mean_y, m2x, m2y, cxy}``; rows with a null in either
+    column are excluded (SQL corr/covar semantics)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        n = x.size
+        if n == 0:
+            return pd.DataFrame({"n": [0], "mx": [0.0], "my": [0.0],
+                                 "m2x": [0.0], "m2y": [0.0], "cxy": [0.0]})
+        mx, my = x.mean(), y.mean()
+        dx, dy = x - mx, y - my
+        return pd.DataFrame({
+            "n": [n], "mx": [mx], "my": [my],
+            "m2x": [float(dx @ dx)], "m2y": [float(dy @ dy)],
+            "cxy": [float(dx @ dy)],
+        })
+
+    acc = None
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for row in b.itertuples(index=False):  # ≤ a few rows per batch
+            if row.n == 0:
+                continue
+            if acc is None:
+                acc = [row.n, row.mx, row.my, row.m2x, row.m2y, row.cxy]
+                continue
+            na, mxa, mya, m2xa, m2ya, cxya = acc
+            nb = row.n
+            n = na + nb
+            dx, dy = row.mx - mxa, row.my - mya
+            acc = [
+                n,
+                mxa + dx * nb / n,
+                mya + dy * nb / n,
+                m2xa + row.m2x + dx * dx * na * nb / n,
+                m2ya + row.m2y + dy * dy * na * nb / n,
+                cxya + row.cxy + dx * dy * na * nb / n,
+            ]
+    if acc is None:
+        acc = [0, float("nan")] * 3
+    n, mx, my, m2x, m2y, cxy = acc
+    return {"n": int(n), "mean_x": mx, "mean_y": my,
+            "m2x": m2x, "m2y": m2y, "cxy": cxy}
+
+
+def correlation(ds, x_col: str, y_col: str) -> dict:
+    """Pearson r + population/sample covariance from one ``comoments``
+    pass. ``r`` is scale-free so the sample/population n-1 cancels."""
+    m = comoments(ds, x_col, y_col)
+    n, m2x, m2y, cxy = m["n"], m["m2x"], m["m2y"], m["cxy"]
+    r = cxy / math.sqrt(m2x * m2y) if m2x > 0 and m2y > 0 else float("nan")
+    return {
+        "n": n, "corr": r,
+        "covar_pop": cxy / n if n else float("nan"),
+        "covar_samp": cxy / (n - 1) if n > 1 else float("nan"),
+    }
+
+
+# ---------------------------------------------------------------- entropy
+
+def grouped_entropy(ds, col: str) -> float:
+    """Shannon entropy in bits of the value distribution of ``col``
+    (nulls excluded) — grouped counts via batch partials, entropy on the
+    tiny per-value table. Matches DuckDB ``entropy(col)``."""
+    counts = grouped_aggregate(ds, [col], {"n": ("", "count")})
+    n = counts["n"].to_numpy(dtype=np.float64)
+    tot = n.sum()
+    if tot == 0:
+        return 0.0
+    p = n / tot
+    return float(-(p * np.log2(p)).sum())
+
+
+# ---------------------------------------------------------------- Benford
+
+BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_first_digit(ds, col: str) -> pd.DataFrame:
+    """First-significant-digit distribution of ``floor(col)`` for rows
+    with ``col >= 1`` (floor of an IEEE double is bit-identical across
+    engines, so the digit is unambiguous — no round-half ambiguity).
+    Returns digit / n / freq / benford expectation."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        v = v[v >= 1.0]
+        first = np.floor(v).astype(np.int64).astype("U1")  # leading char
+        digit, n = np.unique(first, return_counts=True)
+        return pd.DataFrame({"digit": digit.astype(np.int64), "n": n})
+
+    out = ds.map_batches(partial, batch_format="pandas")
+    merged = grouped_aggregate(out, ["digit"], {"n": ("n", "sum")})
+    tot = merged["n"].sum()
+    merged["freq"] = (merged["n"] / tot).round(6)
+    merged["expected"] = merged["digit"].map(
+        lambda d: round(BENFORD_EXPECTED[int(d)], 6))
+    return merged.sort_values("digit").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- IQR fences
+
+def iqr_outlier_fences(ds, col: str, k: float = 1.5) -> dict:
+    """Tukey-fence outlier rule: exact q1/q3 (single pruned column
+    collected — documented small-side exact, same contract as
+    pipelines/queries.quantiles_price; the t-digest analyzer is the
+    100 TB path) then a distributed counting pass against the fences.
+    Fences are rounded to 6 decimals BEFORE counting so the comparison
+    boundary is reproducible across engines."""
+    parts = [b[col].to_numpy() for b in ds.iter_batches(
+        batch_size=65536, batch_format="pandas")]
+    vals = np.concatenate(parts) if parts else np.array([])
+    q1, q3 = np.percentile(vals, [25, 75])  # linear interp == quantile_cont
+    iqr = q3 - q1
+    lo = round(float(q1 - k * iqr), 6)
+    hi = round(float(q3 + k * iqr), 6)
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"n_low": [int((v < lo).sum())],
+                             "n_high": [int((v > hi).sum())],
+                             "n": [int(v.size)]})
+
+    partials = ds.map_batches(count_out, batch_format="pandas")
+    sums = {"n_low": 0, "n_high": 0, "n": 0}
+    for b in partials.iter_batches(batch_size=4096, batch_format="pandas"):
+        for c in sums:
+            sums[c] += int(b[c].sum())
+    return {"fence_lo": lo, "fence_hi": hi, **sums}
+
+
+# ----------------------------------------------------------- uniqueness
+
+def distinct_count(ds, col: str) -> int:
+    """Exact distinct (nulls excluded) that never builds a driver-side
+    set: per-batch unique partial → hash-bucketed shuffle merge → block
+    row-count sum. Scale cost = one shuffle of the partial-unique rows."""
+    merged = grouped_aggregate(ds, [col], {"n": ("", "count")}, final="shuffle")
+    return merged.count()
+
+
+def uniqueness_profile(ds, cols: list[str]) -> pd.DataFrame:
+    """Per-column n / n_null / exact n_distinct / uniqueness ratio /
+    candidate-key flag. One counting pass for n+nulls (all columns at
+    once), then one distinct shuffle per column."""
+
+    def null_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"n": [len(b)]}
+        for c in cols:
+            row[f"null_{c}"] = [int(b[c].isna().sum())]
+        return pd.DataFrame(row)
+
+    totals: dict[str, int] = {}
+    for b in ds.map_batches(null_partial, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for c in b.columns:
+            totals[c] = totals.get(c, 0) + int(b[c].sum())
+
+    n = totals["n"]
+    rows = []
+    for c in cols:
+        nd = distinct_count(ds, c)
+        n_null = totals[f"null_{c}"]
+        rows.append({
+            "column": c, "n": n, "n_null": n_null, "n_distinct": nd,
+            "uniqueness": round(nd / n, 6) if n else 0.0,
+            "is_key": bool(n_null == 0 and nd == n),
+        })
+    return pd.DataFrame(rows)
+
+
+# -------------------------------------------------- functional dependency
+
+def fd_violations(ds, lhs: str, rhs: str) -> dict:
+    """Does lhs → rhs hold? Stage 1: distinct (lhs, rhs) pair counts via
+    the hash-bucketed shuffle (pair cardinality can exceed one node).
+    Stage 2: per-lhs rollup (#rhs values, max pair count, rows) —
+    partial-combined like every grouped agg here. g3 = minimum rows to
+    delete so the FD holds = Σ over violating lhs of (rows − max count)."""
+    pairs = grouped_aggregate(ds, [lhs, rhs], {"n": ("n__", "count")},
+                              final="shuffle")
+    per_lhs = grouped_aggregate(
+        pairs, [lhs],
+        {"n_rhs": ("", "count"), "max_n": ("n", "max"), "rows": ("n", "sum")},
+    )
+    viol = per_lhs[per_lhs["n_rhs"] > 1]
+    return {
+        "fd": f"{lhs}->{rhs}",
+        "n_groups": int(len(per_lhs)),
+        "n_violating_groups": int(len(viol)),
+        "g3_rows": int((viol["rows"] - viol["max_n"]).sum()),
+    }
+
+
+# ------------------------------------------------- referential integrity
+
+def orphan_stats(child_ds, child_key: str, parent_ds, parent_key: str) -> dict:
+    """Referential-integrity check: count child rows whose key has no
+    parent. Parent keys are distinct-reduced through the bucketed
+    shuffle, collected as ONE sorted numpy array (key-column-only —
+    the documented ≤1e9-key broadcast bound from dedup/exact.py), put
+    in the object store once, and each child batch membership-tests via
+    searchsorted. Zero child-side shuffle."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    parents = grouped_aggregate(parent_ds, [parent_key], {"n": ("", "count")},
+                                final="shuffle")
+    key_blocks = [b[parent_key].to_numpy() for b in parents.iter_batches(
+        batch_size=65536, batch_format="pandas")]
+    keys = np.sort(np.concatenate(key_blocks)) if key_blocks else np.array([])
+    ref = ray.put(keys)
+
+    def count_orphans(b: pd.DataFrame) -> pd.DataFrame:
+        k = cached_get(ref)
+        v = b[child_key].to_numpy()
+        nn = pd.notna(v)
+        vv = v[nn]
+        if k.size:
+            idx = np.searchsorted(k, vv)
+            idx[idx == k.size] = 0
+            member = k[idx] == vv
+        else:
+            member = np.zeros(vv.size, dtype=bool)
+        return pd.DataFrame({"n": [int(len(b))],
+                             "n_null": [int((~nn).sum())],
+                             "n_orphans": [int((~member).sum())]})
+
+    sums = {"n": 0, "n_null": 0, "n_orphans": 0}
+    for b in child_ds.map_batches(count_orphans, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for c in sums:
+            sums[c] += int(b[c].sum())
+    return sums

@@ -1,0 +1,110 @@
+"""Table-level DQ rules (profiling/datarules.py): merge exactness vs
+single-node numpy/pandas ground truth, null semantics, and edge cases."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_ray.profiling import datarules as dr
+
+
+def _ds(df, blocks=5):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(blocks)
+
+
+def test_comoments_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    x = rng.normal(100, 15, 4001)
+    y = 3.5 * x + rng.normal(0, 40, 4001)
+    df = pd.DataFrame({"x": x, "y": y})
+    out = dr.correlation(_ds(df, blocks=7), "x", "y")
+    assert out["n"] == 4001
+    assert out["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1], abs=1e-12)
+    assert out["covar_pop"] == pytest.approx(np.cov(x, y, bias=True)[0, 1],
+                                             rel=1e-12)
+    assert out["covar_samp"] == pytest.approx(np.cov(x, y)[0, 1], rel=1e-12)
+
+
+def test_comoments_null_rows_excluded(ray_session):
+    df = pd.DataFrame({"x": [1.0, 2.0, np.nan, 4.0, 5.0],
+                       "y": [2.0, np.nan, 3.0, 8.0, 10.0]})
+    out = dr.correlation(_ds(df, blocks=2), "x", "y")
+    ok = df.dropna()
+    assert out["n"] == 3
+    assert out["corr"] == pytest.approx(
+        np.corrcoef(ok["x"], ok["y"])[0, 1], abs=1e-12)
+
+
+def test_grouped_entropy(ray_session):
+    df = pd.DataFrame({"c": ["a"] * 50 + ["b"] * 25 + ["c"] * 25})
+    e = dr.grouped_entropy(_ds(df), "c")
+    assert e == pytest.approx(1.5, abs=1e-12)  # 0.5,0.25,0.25 → 1.5 bits
+
+
+def test_benford_first_digit(ray_session):
+    vals = [1.2, 19.0, 123.4, 2.9, 250.0, 9.99, 0.5, np.nan]  # <1 and nan drop
+    df = pd.DataFrame({"v": vals})
+    out = dr.benford_first_digit(_ds(df, blocks=3), "v")
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 3, 2: 2, 9: 1}
+    assert out["freq"].sum() == pytest.approx(1.0, abs=1e-5)
+    assert float(out.loc[out["digit"] == 1, "expected"].iloc[0]) == \
+        pytest.approx(np.log10(2), abs=1e-6)
+
+
+def test_iqr_outlier_fences(ray_session):
+    v = np.concatenate([np.arange(1, 101, dtype=float), [1e6, -1e6]])
+    df = pd.DataFrame({"v": v})
+    r = dr.iqr_outlier_fences(_ds(df, blocks=4), "v")
+    q1, q3 = np.percentile(v, [25, 75])
+    assert r["fence_lo"] == round(float(q1 - 1.5 * (q3 - q1)), 6)
+    assert r["fence_hi"] == round(float(q3 + 1.5 * (q3 - q1)), 6)
+    assert r["n_low"] == 1 and r["n_high"] == 1 and r["n"] == 102
+
+
+def test_uniqueness_profile(ray_session):
+    df = pd.DataFrame({
+        "id": np.arange(100),
+        "cat": ["x", "y"] * 50,
+        "with_null": [None if i % 10 == 0 else f"v{i}" for i in range(100)],
+    })
+    out = dr.uniqueness_profile(_ds(df, blocks=4), ["id", "cat", "with_null"])
+    r = out.set_index("column")
+    assert r.loc["id", "n_distinct"] == 100 and bool(r.loc["id", "is_key"])
+    assert r.loc["cat", "n_distinct"] == 2 and not bool(r.loc["cat", "is_key"])
+    assert r.loc["with_null", "n_null"] == 10
+    assert r.loc["with_null", "n_distinct"] == 90  # nulls excluded
+    assert not bool(r.loc["with_null", "is_key"])
+
+
+def test_fd_violations(ray_session):
+    # a -> b holds; b -> c broken in both b-groups, one minority row each
+    df = pd.DataFrame({
+        "a": [1, 1, 2, 2, 3, 3, 3],
+        "b": [1, 1, 1, 1, 2, 2, 2],
+        "c": ["x", "x", "x", "y", "y", "z", "z"],
+    })
+    ok = dr.fd_violations(_ds(df, blocks=3), "a", "b")
+    assert ok["n_violating_groups"] == 0 and ok["g3_rows"] == 0
+    bad = dr.fd_violations(_ds(df, blocks=3), "b", "c")
+    assert bad["n_groups"] == 2
+    assert bad["n_violating_groups"] == 2
+    assert bad["g3_rows"] == 2
+
+
+def test_orphan_stats(ray_session):
+    child = pd.DataFrame({"k": [1, 2, 3, 99, None, 2]})
+    parent = pd.DataFrame({"pk": [1.0, 2.0, 3.0, 4.0]})
+    s = dr.orphan_stats(_ds(child, blocks=2), "k", _ds(parent, blocks=2), "pk")
+    assert s["n"] == 6
+    assert s["n_null"] == 1
+    assert s["n_orphans"] == 1  # only 99; null not an orphan
+
+
+def test_orphan_stats_empty_parent(ray_session):
+    child = pd.DataFrame({"k": [1, 2, 3]})
+    parent = pd.DataFrame({"pk": pd.array([], dtype="int64")})
+    s = dr.orphan_stats(_ds(child, blocks=2), "k", _ds(parent, blocks=1), "pk")
+    assert s["n_orphans"] == 3
