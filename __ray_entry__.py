@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": image_features,
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
+        "image_embed_neardup": image_embed_neardup,
         # table-level DQ rules (profiling/datarules.py)
         "correlation_lineitem": Q.correlation_lineitem,
         "entropy_profile": Q.entropy_profile,
@@ -355,6 +356,34 @@ def _phonetic_part_sql() -> str:
         branches.append(f"SELECT * FROM read_parquet('{f}')"
                         f" WHERE (SELECT count(*) FROM part) = {n}")
     return " UNION ALL ".join(branches)
+
+
+def image_embed_neardup(sf_dir: str):
+    """Multimodal composition: decode → 4-dim pixel-feature vector
+    (lum_mean, lum_std, sharpness, entropy) → cosine near-dup pairs,
+    bucketed by phash pigeonhole blocks (dedup/embedding.py
+    neardup_pairs_blocked). The oracle recomputes every pair from the
+    GOLDEN label features + bit-arithmetic block joins — so it checks
+    the real decode, the feature kernels, and the pair logic
+    independently, not a replay."""
+    import numpy as np
+    import ray.data as rd
+
+    from data_quality_ray.dedup.embedding import neardup_pairs_blocked
+    from data_quality_ray.stages.image_ops import extract_image_features
+
+    ds = rd.read_parquet(_image_fixture(sf_dir))
+    feats = extract_image_features(ds, concurrency=4)
+
+    def pack_vec(b):
+        b = b.copy()
+        b["vec"] = list(np.stack([b["lum_mean"], b["lum_std"],
+                                  b["sharpness"], b["entropy"]], axis=1))
+        return b[["image_id", "vec", "phash"]]
+
+    vecs = feats.map_batches(pack_vec, batch_format="pandas")
+    return neardup_pairs_blocked(vecs, "image_id", "vec", "phash",
+                                 threshold=0.9999, n_blocks=4)
 
 
 def dup_caption_images(sf_dir: str):
@@ -1556,6 +1585,26 @@ def oracle_sql() -> dict[str, str]:
             "       least(w, h) < 40 AS too_small,"
             "       (w * 1.0 / h) < 0.5 OR (w * 1.0 / h) > 2.0 AS bad_aspect"
             " FROM (" + _f1_labels_sql("image_id, sharpness, entropy, w, h") + ")"),
+        "image_embed_neardup": (
+            "WITH L AS (" + _f1_labels_sql(
+                "image_id, phash, lum_mean, lum_std, sharpness, entropy") + """)
+            SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+              round((a.lum_mean*b.lum_mean + a.lum_std*b.lum_std
+                     + a.sharpness*b.sharpness + a.entropy*b.entropy)
+                / (sqrt(a.lum_mean^2 + a.lum_std^2 + a.sharpness^2 + a.entropy^2)
+                 * sqrt(b.lum_mean^2 + b.lum_std^2 + b.sharpness^2 + b.entropy^2)),
+                6) AS cos
+            FROM L a JOIN L b ON a.image_id < b.image_id
+             AND ((a.phash & 65535) = (b.phash & 65535)
+               OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+               OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+               OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535))
+            WHERE round((a.lum_mean*b.lum_mean + a.lum_std*b.lum_std
+                     + a.sharpness*b.sharpness + a.entropy*b.entropy)
+                / (sqrt(a.lum_mean^2 + a.lum_std^2 + a.sharpness^2 + a.entropy^2)
+                 * sqrt(b.lum_mean^2 + b.lum_std^2 + b.sharpness^2 + b.entropy^2)),
+                6) >= 0.9999
+            ORDER BY id_a, id_b"""),
         "dup_caption_images": (
             "SELECT caption, count(*) AS n_images, min(image_id) AS keeper_id"
             " FROM (" + _f1_raw_sql("image_id, caption") + ")"

@@ -15,6 +15,52 @@ import json
 import sys
 
 
+def _profile_table(args) -> dict:
+    """One-stop table profile: numeric summary / type inference /
+    text-length per column (single composite pass), plus uniqueness +
+    entropy + IQR-fence table rules from profiling/datarules."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .profiling.analyzers import profile
+    from .profiling.datarules import (grouped_entropy, iqr_outlier_fences,
+                                      uniqueness_profile)
+
+    ds = rd.read_parquet(args.input_path)
+    schema = ds.schema()
+    cols = (args.cols.split(",") if args.cols else list(schema.names))
+    types = dict(zip(schema.names, schema.types))
+
+    numeric = [c for c in cols if pa.types.is_integer(types[c])
+               or pa.types.is_floating(types[c])]
+    strings = [c for c in cols if pa.types.is_string(types[c])
+               or pa.types.is_large_string(types[c])]
+
+    spec: dict[str, list] = {}
+    for c in numeric:
+        spec[c] = ["summary"]
+    for c in strings:
+        spec[c] = ["text_length", "type"]
+    stats = profile(ds, spec) if spec else {}
+
+    out: dict = {"path": args.input_path, "columns": {c: str(types[c]) for c in cols},
+                 "stats": stats}
+    if not args.no_distinct:
+        uniq = uniqueness_profile(
+            ds, [c for c in cols if not pa.types.is_list(types[c])
+                 and not pa.types.is_large_list(types[c])
+                 and not pa.types.is_binary(types[c])])
+        out["uniqueness"] = uniq.to_dict("records")
+        # entropy only where the distinct count says "categorical"
+        low_card = [r["column"] for r in out["uniqueness"]
+                    if r["column"] in strings and r["n_distinct"] <= 1000]
+        out["entropy"] = {c: round(grouped_entropy(ds, c), 6) for c in low_card}
+    out["iqr_outliers"] = {
+        c: iqr_outlier_fences(ds, c)
+        for c in numeric if len(numeric) <= 8 or c in numeric[:8]}
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="data_quality_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -32,6 +78,16 @@ def main(argv=None) -> int:
                       help="cross-run dedup index dir (drop keys committed by previous runs)")
     runp.add_argument("--address", default="local",
                       help="Ray address ('local', or 'auto' inside a cluster / ray job submit)")
+
+    prof = sub.add_parser(
+        "profile", help="profile a parquet table: per-column stats + "
+                        "table-level DQ rules (uniqueness, entropy, outliers)")
+    prof.add_argument("input_path", help="parquet file or directory")
+    prof.add_argument("--cols", default=None,
+                      help="comma-separated column subset (default: all)")
+    prof.add_argument("--cpus", type=int, default=32)
+    prof.add_argument("--no-distinct", action="store_true",
+                      help="skip the exact-distinct shuffles (fast mode)")
 
     genp = sub.add_parser("gen", help="generate a synthetic image+caption table")
     genp.add_argument("out_dir")
@@ -58,6 +114,8 @@ def main(argv=None) -> int:
             write_f1(args.out_dir, n_rows=args.n_rows, seed=args.seed,
                      with_labels=args.labels)
             print(json.dumps({"written": args.out_dir, "rows": args.n_rows}))
+        elif args.cmd == "profile":
+            print(json.dumps(_profile_table(args), default=str, indent=1))
         else:
             from .pipelines.north import run_quality_pipeline
 

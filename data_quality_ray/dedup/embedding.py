@@ -45,3 +45,34 @@ def neardup_pairs_within(ds, id_col: str, vec_col: str, bucket_col: str,
                              "id_b": pd.Series(dtype="int64"),
                              "cos": pd.Series(dtype="float64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def neardup_pairs_blocked(ds, id_col: str, vec_col: str, key_col: str,
+                          threshold: float = 0.99, n_blocks: int = 4,
+                          bits: int = 64) -> pd.DataFrame:
+    """Cosine near-dup pairs bucketed by the PIGEONHOLE blocks of an
+    integer fingerprint column (e.g. phash): one ``neardup_pairs_within``
+    pass per ``bits/n_blocks``-bit block, unioned and de-duplicated. Any
+    two rows whose fingerprints differ in < n_blocks bit positions share
+    at least one block, so recall is complete for fingerprint-close pairs
+    — the documented partitioning assumption is that cosine-near rows are
+    also fingerprint-near (true for decoded-pixel features keyed by a
+    perceptual hash). The cross-block de-dup happens on the collected
+    pair list (pairs ≪ corpus; at larger pair counts route the union
+    through dedup.exact.dedup_by_key instead)."""
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    frames = []
+    for blk in range(n_blocks):
+        def add_block(b: pd.DataFrame, blk=blk) -> pd.DataFrame:
+            b = b[[id_col, vec_col, key_col]].copy()
+            k = b[key_col].to_numpy().astype(np.uint64)
+            b["__block"] = (
+                (k >> np.uint64(width * blk)) & np.uint64(mask)
+            ).astype("int64")
+            return b
+        sub = ds.map_batches(add_block, batch_format="pandas")
+        frames.append(neardup_pairs_within(sub, id_col, vec_col, "__block",
+                                           threshold=threshold))
+    out = pd.concat(frames).drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -108,3 +108,35 @@ def test_orphan_stats_empty_parent(ray_session):
     parent = pd.DataFrame({"pk": pd.array([], dtype="int64")})
     s = dr.orphan_stats(_ds(child, blocks=2), "k", _ds(parent, blocks=1), "pk")
     assert s["n_orphans"] == 3
+
+
+def test_neardup_pairs_blocked_complete_vs_brute(ray_session):
+    """Pigeonhole block bucketing must find every cosine-near pair whose
+    fingerprints differ in < n_blocks bits."""
+    from data_quality_ray.dedup.embedding import neardup_pairs_blocked
+
+    rng = np.random.default_rng(3)
+    n = 120
+    base = rng.integers(0, 2**63 - 1, 30, dtype=np.int64)
+    keys = base[rng.integers(0, 30, n)]
+    flip = rng.integers(0, 64, n)
+    keys = keys ^ (np.int64(1) << flip.astype(np.int64)) * (rng.random(n) < 0.5)
+    vecs = rng.normal(0, 1, (30, 4))
+    mat = vecs[rng.integers(0, 30, n)] + rng.normal(0, 1e-9, (n, 4))
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "vec": list(mat), "key": keys})
+    got = neardup_pairs_blocked(_ds(df, blocks=4), "id", "vec", "key",
+                                threshold=0.9999, n_blocks=4)
+    # brute force restricted to the same block-sharing condition
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(norm @ norm.T, 6)
+    exp = set()
+    uk = keys.astype(np.uint64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            share = any(((uk[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                        == ((uk[j] >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                        for b in range(4))
+            if share and sims[i, j] >= 0.9999:
+                exp.add((i, j))
+    assert set(zip(got["id_a"], got["id_b"])) == exp
