@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
         "image_embed_neardup": image_embed_neardup,
+        # relational completeness
+        "pivot_orders": Q.pivot_orders,
+        "rollup_revenue": Q.rollup_revenue,
+        "global_top_orders": Q.global_top_orders,
+        "outer_join_customer_events": Q.outer_join_customer_events,
         # table-level DQ rules (profiling/datarules.py)
         "correlation_lineitem": Q.correlation_lineitem,
         "entropy_profile": Q.entropy_profile,
@@ -1610,6 +1615,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM (" + _f1_raw_sql("image_id, caption") + ")"
             " WHERE caption IS NOT NULL GROUP BY caption"
             " HAVING count(*) > 1 ORDER BY caption"),
+        "pivot_orders": """
+            SELECT o_orderpriority AS priority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+            FROM orders GROUP BY 1 ORDER BY 1""",
+        "rollup_revenue": """
+            WITH base AS (
+              SELECT n.n_name AS nation,
+                     CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                     o.o_totalprice AS price
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey)
+            SELECT coalesce(nation, 'ALL') AS nation,
+                   CAST(coalesce(yr, -1) AS BIGINT) AS yr,
+                   round(sum(price), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM base GROUP BY ROLLUP(nation, yr) ORDER BY 1, 2""",
+        "global_top_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS BIGINT) AS rank
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "outer_join_customer_events": """
+            WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+                       WHERE c_custkey % 3 <> 0),
+                 e AS (SELECT user_id AS c_custkey, count(*) AS n_events
+                       FROM events GROUP BY 1)
+            SELECT coalesce(c.c_custkey, e.c_custkey) AS c_custkey,
+                   coalesce(c.c_mktsegment, 'NONE') AS c_mktsegment,
+                   CAST(coalesce(e.n_events, -1) AS BIGINT) AS n_events
+            FROM c FULL JOIN e ON c.c_custkey = e.c_custkey
+            ORDER BY 1""",
         "correlation_lineitem": """
             SELECT count(*) AS n,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -152,7 +152,10 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     never match (SQL semantics — pandas would happily match NaN to NaN,
     so nulls are dropped from the probe side explicitly).
 
-    ``how``: "inner", "left", "semi" (left rows with ≥1 match — SQL
+    ``how``: "inner", "left", "outer" (SQL FULL JOIN — unmatched rows of
+    BOTH sides survive with nulls; null-key rows are kept unmatched on
+    both sides, and salt>1 is rejected since right replicas would
+    re-emit unmatched rows), "semi" (left rows with ≥1 match — SQL
     EXISTS — never duplicated, no right columns attached) or "anti"
     (left rows with NO match — SQL NOT EXISTS; null-key left rows are
     kept, matching SQL). For semi/anti only the key columns of the
@@ -170,8 +173,13 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     (ResultSet/stream zips); a distributed equi-join is part of the
     beyond-reference engine surface.
     """
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how={how!r}: expected 'inner'/'left'/'semi'/'anti'")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(
+            f"how={how!r}: expected 'inner'/'left'/'outer'/'semi'/'anti'")
+    if how == "outer" and salt > 1:
+        # the right side is replicated salt× — unmatched right rows would
+        # surface once per replica
+        raise ValueError("how='outer' does not compose with salt > 1")
     filter_only = how in ("semi", "anti")
     keys = [on] if isinstance(on, str) else list(on)
     schema = left_ds.schema()
@@ -228,10 +236,15 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
         lcols = left_cols + (["__salt"] if salt > 1 else [])
         left = _restore_dtypes(g[g["__side"] == 0][lcols],
                                left_dtypes, left_cols)
-        right = _restore_dtypes(
-            g[g["__side"] == 1][[*jk, *extra]].dropna(subset=keys),
-            right_dtypes, extra)
+        right_all = g[g["__side"] == 1][[*jk, *extra]]
+        right = _restore_dtypes(right_all.dropna(subset=keys),
+                                right_dtypes, extra)
+        if how == "outer":
+            # SQL FULL JOIN keeps null-key right rows (unmatched) too
+            right_nullkey = right_all[right_all[keys].isna().any(axis=1)]
         if left.empty:
+            if how == "outer" and len(right_all):
+                return right_all.reindex(columns=all_cols)
             return pd.DataFrame(columns=all_cols)
         for k in keys:
             # a bucket with no right rows arrives all-null → restore key dtype
@@ -246,6 +259,8 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
             keep = (m["__m"] == "both") if how == "semi" else (m["__m"] == "left_only")
             return m.loc[keep.to_numpy(), all_cols]
         merged = left.merge(right, on=jk, how=how, sort=False)
+        if how == "outer" and len(right_nullkey):
+            merged = pd.concat([merged, right_nullkey], ignore_index=True)
         return merged.reindex(columns=all_cols)
 
     tagged = (

@@ -1589,3 +1589,115 @@ def referential_integrity(sf_dir: str) -> pd.DataFrame:
     for c in ("n_child", "n_orphans"):
         out[c] = out[c].astype("int64")
     return out.sort_values("rule").reset_index(drop=True)
+
+
+# ------------------------------------------------- relational completeness
+
+
+def pivot_orders(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional aggregation): order counts by priority ×
+    status. One grouped partial pass; the driver pivots the tiny grid.
+    → (priority, n_F, n_O, n_P)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    out = grouped_aggregate(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"]),
+        ["o_orderpriority", "o_orderstatus"], {"n": ("", "count")})
+    grid = out.pivot_table(index="o_orderpriority", columns="o_orderstatus",
+                           values="n", fill_value=0, aggfunc="sum")
+    res = pd.DataFrame({"priority": grid.index})
+    for s in ("F", "O", "P"):
+        res[f"n_{s}"] = (grid[s].to_numpy() if s in grid.columns
+                         else 0)
+        res[f"n_{s}"] = res[f"n_{s}"].astype("int64")
+    return res.sort_values("priority").reset_index(drop=True)
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(nation, yr): detail, per-nation subtotals and a
+    grand total from ONE finest-grain distributed aggregate (the rollup
+    levels re-aggregate the tiny (nation, yr) grid on the driver —
+    algebraic, so grouping twice is exact). Sentinels 'ALL'/-1 keep the
+    schema null-free. → (nation, yr, revenue, n_orders)."""
+    from ..functions.joins import broadcast_join, hash_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def add_year(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["yr"] = pd.to_datetime(b["o_orderdate"]).dt.year.astype("int64")
+        return b[["o_custkey", "o_totalprice", "yr"]]
+
+    orders = orders.map_batches(add_year, batch_format="pandas")
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"]) \
+        .rename(columns={"n_nationkey": "c_nationkey", "n_name": "nation"})
+    joined = hash_join(orders, customer, on="o_custkey",
+                       right_cols=["o_custkey", "c_nationkey"], n_buckets=32)
+    joined = broadcast_join(joined, nation, on="c_nationkey",
+                            right_cols=["c_nationkey", "nation"])
+    detail = grouped_aggregate(joined, ["nation", "yr"],
+                               {"revenue": ("o_totalprice", "sum"),
+                                "n_orders": ("", "count")})
+    per_nation = (detail.groupby("nation", as_index=False)
+                  [["revenue", "n_orders"]].sum().assign(yr=-1))
+    grand = pd.DataFrame({"nation": ["ALL"], "yr": [-1],
+                          "revenue": [detail["revenue"].sum()],
+                          "n_orders": [detail["n_orders"].sum()]})
+    out = pd.concat([detail, per_nation, grand], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["yr"] = out["yr"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["nation", "yr", "revenue", "n_orders"]]
+            .sort_values(["nation", "yr"]).reset_index(drop=True))
+
+
+def global_top_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Global top-k WITHOUT a global sort: per-batch top-k partial →
+    one driver merge (mergeable and partition-count invariant — the
+    same contract as the reservoir). → (o_orderkey, o_totalprice, rank)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort").head(k)
+
+    frames = list(ds.map_batches(part, batch_format="pandas")
+                  .iter_batches(batch_size=4 * k, batch_format="pandas"))
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["o_orderkey", "o_totalprice"])
+    out = allp.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True], kind="mergesort").head(k)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def outer_join_customer_events(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER equi-join (hash_join how="outer"): an odd-key customer
+    extract vs per-user event tallies — unmatched rows of BOTH sides
+    survive (sentinel-filled to keep the schema null-free and dtypes
+    oracle-stable). → (c_custkey, c_mktsegment, n_events)."""
+    from ..functions.joins import hash_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b[b["c_custkey"] % 3 != 0],
+                     batch_format="pandas")
+    ev = grouped_aggregate(
+        _read(sf_dir, "events", columns=["user_id"]),
+        ["user_id"], {"n_events": ("", "count")}, final="shuffle")
+    ev = ev.map_batches(lambda b: b.rename(columns={"user_id": "c_custkey"}),
+                        batch_format="pandas")
+    out = hash_join(cust, ev, on="c_custkey",
+                    right_cols=["c_custkey", "n_events"],
+                    how="outer").to_pandas()
+    out["c_mktsegment"] = out["c_mktsegment"].fillna("NONE")
+    out["n_events"] = out["n_events"].fillna(-1).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)

@@ -792,3 +792,50 @@ def test_grouped_topk(ray_session):
     # every group capped at k and ranks are 1..n contiguous
     sizes = got.groupby("g")["rank"].agg(["max", "count"])
     assert (sizes["max"] == sizes["count"]).all() and (sizes["count"] <= 5).all()
+
+
+def test_hash_join_outer_vs_duckdb(ray_session):
+    """how='outer' vs DuckDB FULL JOIN: unmatched rows of BOTH sides and
+    null-key rows on EITHER side survive unmatched; salt>1 rejected."""
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import hash_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 25, size=300).astype("float64"),
+        "payload": np.arange(300),
+    })
+    left.loc[rng.choice(300, 12, replace=False), "k"] = np.nan
+    right = pd.DataFrame({
+        "k": rng.randint(10, 40, size=150).astype("float64"),
+        "v": np.round(rng.uniform(0, 10, size=150), 3),
+    })
+    right.loc[rng.choice(150, 6, replace=False), "k"] = np.nan
+
+    got = hash_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2), on="k",
+                    right_cols=["k", "v"], how="outer", n_buckets=8) \
+        .to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql("""
+        SELECT coalesce(l.k, r.k) AS k, l.payload, r.v
+        FROM l FULL JOIN r ON l.k = r.k""").df()
+
+    def canon(df):
+        return (df.assign(payload=df["payload"].astype("float64"),
+                          v=df["v"].astype("float64"))
+                [["k", "payload", "v"]]
+                .sort_values(["k", "payload", "v"], na_position="last")
+                .reset_index(drop=True))
+
+    # hash_join keeps the left key column; for right-only rows it carries
+    # the right key (merge coalesces on=k)
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  right_cols=["k", "v"], how="outer", salt=4)
