@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
+        "drift_psi_orders": Q.drift_psi_orders,
+        "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
 
 
@@ -1697,6 +1699,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _fd_sql("p_name", "p_brand")
             + " UNION ALL " + _fd_sql("p_brand", "p_size")
             + ") ORDER BY fd"),
+        "drift_psi_orders": f"""
+            WITH base AS (
+              SELECT least(greatest(CAST(floor(o_totalprice / {Q.PSI_BIN_WIDTH})
+                                         AS BIGINT), 0), {Q.PSI_N_BINS - 1}) AS bin,
+                     CASE WHEN year(o_orderdate) < {Q.PSI_SPLIT_YEAR}
+                          THEN 'ref' ELSE 'cur' END AS period
+              FROM orders),
+            counts AS (
+              SELECT bin,
+                     count(*) FILTER (WHERE period = 'ref') AS n_ref,
+                     count(*) FILTER (WHERE period = 'cur') AS n_cur
+              FROM base GROUP BY bin),
+            tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+            per AS (SELECT bin, n_ref, n_cur,
+                           greatest(n_ref * 1.0 / tr, {Q.PSI_EPS}) AS p,
+                           greatest(n_cur * 1.0 / tc, {Q.PSI_EPS}) AS q
+                    FROM counts, tot)
+            SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref,
+                   round(q, 6) AS p_cur,
+                   round((p - q) * ln(p / q), 6) AS psi_contrib
+            FROM per
+            UNION ALL
+            SELECT -1, CAST(tr AS BIGINT), CAST(tc AS BIGINT), 1.0, 1.0,
+                   (SELECT round(sum((p - q) * ln(p / q)), 6) FROM per)
+            FROM tot
+            ORDER BY bin""",
+        "grouped_cardinality_events": """
+            SELECT event_type, count(distinct user_id) AS exact_users,
+                   true AS hll_ok
+            FROM events GROUP BY 1 ORDER BY 1""",
         "referential_integrity": (
             "SELECT * FROM ("
             + _ri_rule_sql("events.user_id->customer.c_custkey",

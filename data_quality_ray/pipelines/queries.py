@@ -1701,3 +1701,78 @@ def outer_join_customer_events(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].fillna(-1).astype("int64")
     out["c_custkey"] = out["c_custkey"].astype("int64")
     return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+PSI_BIN_WIDTH = 50_000.0   # shared with the SQL oracle
+PSI_SPLIT_YEAR = 1998
+PSI_EPS = 1e-6
+PSI_N_BINS = 10
+
+
+def drift_psi_orders(sf_dir: str) -> pd.DataFrame:
+    """Population-drift monitor (PSI): o_totalprice histogram of the
+    reference period (yr < 1998) vs current (yr ≥ 1998), fixed-width
+    bins, per-bin contribution (p−q)·ln(p/q) with 1e-6 floor, plus a
+    bin=-1 total row. One partial-combined counting pass — zero extra
+    shuffle. → (bin, n_ref, n_cur, p_ref, p_cur, psi_contrib)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.to_datetime(b["o_orderdate"]).dt.year.to_numpy()
+        bins = np.clip(np.floor(b["o_totalprice"].to_numpy()
+                                / PSI_BIN_WIDTH), 0, PSI_N_BINS - 1).astype(np.int64)
+        period = np.where(yr < PSI_SPLIT_YEAR, "ref", "cur")
+        return pd.DataFrame({"bin": bins, "period": period})
+
+    counts = grouped_aggregate(ds.map_batches(part, batch_format="pandas"),
+                               ["bin", "period"], {"n": ("", "count")})
+    grid = counts.pivot_table(index="bin", columns="period", values="n",
+                              fill_value=0, aggfunc="sum")
+    n_ref = grid["ref"].to_numpy(dtype=np.int64) if "ref" in grid else \
+        np.zeros(len(grid), dtype=np.int64)
+    n_cur = grid["cur"].to_numpy(dtype=np.int64) if "cur" in grid else \
+        np.zeros(len(grid), dtype=np.int64)
+    tr, tc = n_ref.sum(), n_cur.sum()
+    p = np.maximum(n_ref / tr, PSI_EPS)
+    q = np.maximum(n_cur / tc, PSI_EPS)
+    contrib = (p - q) * np.log(p / q)
+    out = pd.DataFrame({
+        "bin": grid.index.to_numpy(dtype=np.int64),
+        "n_ref": n_ref, "n_cur": n_cur,
+        "p_ref": np.round(p, 6), "p_cur": np.round(q, 6),
+        "psi_contrib": np.round(contrib, 6),
+    })
+    total = pd.DataFrame({"bin": [np.int64(-1)], "n_ref": [tr], "n_cur": [tc],
+                          "p_ref": [1.0], "p_cur": [1.0],
+                          "psi_contrib": [round(float(contrib.sum()), 6)]})
+    return (pd.concat([out, total], ignore_index=True)
+            .sort_values("bin").reset_index(drop=True))
+
+
+def grouped_cardinality_events(sf_dir: str) -> pd.DataFrame:
+    """Per-group cardinality two ways: exact distinct users per
+    event_type (pair shuffle + rollup) and a per-group mergeable HLL
+    (the unbounded-group-size path), gated at 3·rsd like
+    cardinality_hll_customer. → (event_type, exact_users, hll_ok)."""
+    from ..profiling.groupagg import grouped_aggregate, grouped_sketches
+    from ..profiling.sketches import HyperLogLog
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    hlls = grouped_sketches(
+        ds, "event_type", HyperLogLog,
+        lambda acc, sub: acc.update_array(sub["user_id"].to_numpy()))
+    pairs = grouped_aggregate(ds, ["event_type", "user_id"],
+                              {"n": ("", "count")}, final="shuffle")
+    exact = grouped_aggregate(pairs, ["event_type"],
+                              {"exact_users": ("", "count")})
+    rows = []
+    for _, r in exact.iterrows():
+        hll = hlls[r["event_type"]]
+        rsd = 1.04 / np.sqrt(hll.m)
+        ok = bool(abs(hll.estimate() - r["exact_users"])
+                  <= max(3 * rsd * r["exact_users"], 2.0))
+        rows.append((r["event_type"], np.int64(r["exact_users"]), ok))
+    return (pd.DataFrame(rows, columns=["event_type", "exact_users", "hll_ok"])
+            .sort_values("event_type").reset_index(drop=True))
