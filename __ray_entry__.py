@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
+        "weighted_sample_orders": Q.weighted_sample_orders,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1699,6 +1700,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _fd_sql("p_name", "p_brand")
             + " UNION ALL " + _fd_sql("p_brand", "p_size")
             + ") ORDER BY fd"),
+        "weighted_sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     ln((md5_number_lower('42-' || CAST(o_orderkey AS VARCHAR))
+                         + 0.5) / 18446744073709551616.0) / o_totalprice AS score
+              FROM orders WHERE o_totalprice > 0
+              ORDER BY score DESC, o_orderkey LIMIT 200
+            ) ORDER BY o_orderkey""",
         "drift_psi_orders": f"""
             WITH base AS (
               SELECT least(greatest(CAST(floor(o_totalprice / {Q.PSI_BIN_WIDTH})

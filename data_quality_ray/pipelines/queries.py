@@ -1776,3 +1776,15 @@ def grouped_cardinality_events(sf_dir: str) -> pd.DataFrame:
         rows.append((r["event_type"], np.int64(r["exact_users"]), ok))
     return (pd.DataFrame(rows, columns=["event_type", "exact_users", "hll_ok"])
             .sort_values("event_type").reset_index(drop=True))
+
+
+def weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample (A-ES, inclusion ∝ o_totalprice): deterministic
+    md5-low-64 scores so the SQL oracle replays the exact selection.
+    → (o_orderkey, o_totalprice) of the 200 winners."""
+    from ..sampling.reservoir import weighted_reservoir_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = weighted_reservoir_sample(ds, ["o_orderkey"], "o_totalprice",
+                                    k=200, seed=42)
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -48,3 +48,43 @@ def reservoir_sample(ds, key_cols: list[str], k: int, seed: int = 42) -> pd.Data
     allp = pd.concat(frames) if frames else pd.DataFrame(columns=key_cols + ["__rk"])
     out = allp.sort_values("__rk", kind="mergesort").head(k).drop(columns="__rk")
     return out.reset_index(drop=True)
+
+
+def weighted_reservoir_sample(ds, key_cols: list[str], weight_col: str,
+                              k: int, seed: int = 42) -> pd.DataFrame:
+    """Weighted k-of-N sample without replacement (Efraimidis–Spirakis
+    A-ES): score = ln(u)/w with u uniform in (0,1), keep the k LARGEST
+    scores — inclusion probability ∝ weight, partials merge by global
+    top-k exactly like the uniform reservoir. u is deterministic:
+    (md5_number_lower("{seed}-{key}") + 0.5) / 2^64 — the same md5-low-64
+    primitive every other oracled sampler here uses, so DuckDB replays
+    the scores bit-for-bit. Rows with weight <= 0 are excluded (both
+    sides)."""
+    import numpy as np
+
+    from ..profiling.sketches import md5_hash64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch[weight_col] > 0].copy()
+        if not len(b):
+            return b.assign(__score=np.array([], dtype=np.float64))
+        key = b[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "-" + b[c].astype(str)
+        h = md5_hash64(np.array([f"{seed}-{s}" for s in key], dtype=object))
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        b["__score"] = np.log(u) / b[weight_col].to_numpy(dtype=np.float64)
+        return b.sort_values(["__score", *key_cols],
+                             ascending=[False] + [True] * len(key_cols),
+                             kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    frames = list(partials.iter_batches(batch_size=4 * k,
+                                        batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame(columns=[*key_cols, weight_col])
+    allp = pd.concat(frames, ignore_index=True)
+    out = allp.sort_values(["__score", *key_cols],
+                           ascending=[False] + [True] * len(key_cols),
+                           kind="mergesort").head(k).drop(columns="__score")
+    return out.reset_index(drop=True)

@@ -839,3 +839,26 @@ def test_hash_join_outer_vs_duckdb(ray_session):
     with pytest.raises(ValueError):
         hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
                   right_cols=["k", "v"], how="outer", salt=4)
+
+
+def test_weighted_reservoir(ray_session):
+    """A-ES weighted sample: partition-count invariant, excludes
+    non-positive weights, and over-represents heavy rows (the top-decile
+    weights should far exceed their uniform share of the sample)."""
+    import ray.data as rd
+
+    from data_quality_ray.sampling.reservoir import weighted_reservoir_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"id": np.arange(5000),
+                       "w": rng.pareto(1.5, 5000) + 0.01})
+    df.loc[:49, "w"] = 0.0  # excluded
+    a = weighted_reservoir_sample(rd.from_pandas(df), ["id"], "w", k=400, seed=7)
+    b = weighted_reservoir_sample(rd.from_pandas(df).repartition(11),
+                                  ["id"], "w", k=400, seed=7)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 400
+    assert not set(a["id"]) & set(range(50))  # zero-weight rows never drawn
+    heavy = set(df.nlargest(500, "w")["id"])  # top decile by weight
+    frac = len(set(a["id"]) & heavy) / 400
+    assert frac > 0.35  # uniform would give ~0.10
