@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
         "weighted_sample_orders": Q.weighted_sample_orders,
+        "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1700,6 +1701,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (" + _fd_sql("p_name", "p_brand")
             + " UNION ALL " + _fd_sql("p_brand", "p_size")
             + ") ORDER BY fd"),
+        "temporal_consistency_lineitem": """
+            SELECT 'l_shipdate >= o_orderdate' AS rule,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+                       AS n_violations,
+                   round(count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
+                         * 1.0 / count(*), 6) AS violation_rate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
         "weighted_sample_orders": """
             SELECT o_orderkey, o_totalprice FROM (
               SELECT o_orderkey, o_totalprice,

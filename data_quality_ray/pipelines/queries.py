@@ -1788,3 +1788,35 @@ def weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
     out = weighted_reservoir_sample(ds, ["o_orderkey"], "o_totalprice",
                                     k=200, seed=42)
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def temporal_consistency_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Cross-table temporal rule: a lineitem must not ship before its
+    order was placed. The fact table joins the parent through the
+    bucketed hash_join (no broadcast assumption on orders), violations
+    are counted in streaming partials. → one row
+    (rule, n, n_violations, violation_rate)."""
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+                     batch_format="pandas")
+    j = hash_join(li, orders, on="l_orderkey",
+                  right_cols=["l_orderkey", "o_orderdate"], n_buckets=32)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        viol = (pd.to_datetime(b["l_shipdate"])
+                < pd.to_datetime(b["o_orderdate"]))
+        return pd.DataFrame({"n": [len(b)], "n_viol": [int(viol.sum())]})
+
+    n = n_viol = 0
+    for b in j.map_batches(part, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        n += int(b["n"].sum())
+        n_viol += int(b["n_viol"].sum())
+    return pd.DataFrame({
+        "rule": ["l_shipdate >= o_orderdate"],
+        "n": [np.int64(n)], "n_violations": [np.int64(n_viol)],
+        "violation_rate": [round(n_viol / n, 6) if n else 0.0],
+    })
