@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity": Q.referential_integrity,
         "weighted_sample_orders": Q.weighted_sample_orders,
         "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
+        "langid_confusion_docs": Q.langid_confusion_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -547,7 +548,7 @@ _DBL_RE_SQL = (r"[-+]?(([0-9]+|[0-9]{1,3}(,[0-9]{3})+)(\.[0-9]*)?"
 
 # --- langid heuristic, replicated in SQL (shares the marker sets) ----------
 
-def _langid_sql() -> str:
+def _langid_sql(final_select: str = "SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1") -> str:
     from data_quality_ray.stages.models import _LANG_MARKERS, _LANG_ORDER
 
     marker_lists = {
@@ -560,17 +561,17 @@ def _langid_sql() -> str:
     # strictly-greater argmax in _LANG_ORDER (ties → earlier language), 0 → unknown
     return f"""
     WITH t AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, lang,
              length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
              length(replace(text, ' ', '')) AS nonsp,
              regexp_extract_all(lower(text), '\\p{{L}}+') AS toks
       FROM documents),
     s AS (
-      SELECT doc_id, text, cjk, nonsp, len(toks) AS ntok,
+      SELECT doc_id, text, lang, cjk, nonsp, len(toks) AS ntok,
         {score_cols}
       FROM t),
     pred AS (
-      SELECT CASE
+      SELECT lang, CASE
         WHEN text IS NULL OR text = '' THEN 'unknown'
         WHEN cjk > 0 AND cjk * 1.0 / greatest(nonsp, 1) > 0.2 THEN 'zh'
         WHEN ntok = 0 THEN 'unknown'
@@ -580,7 +581,7 @@ def _langid_sql() -> str:
         WHEN s_de > 0 THEN 'de'
         ELSE 'unknown' END AS lang_pred
       FROM s)
-    SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1"""
+    {final_select}"""
 
 
 # --- bigram-perplexity LM, re-trained and re-scored entirely in SQL --------
@@ -1557,6 +1558,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean_docs": _corpus_clean_sql(),
         "chronology_convert_orders": _chronology_sql(),
         "langid_heuristic_docs": _langid_sql(),
+        "langid_confusion_docs": _langid_sql(
+            "SELECT lang AS lang_true, lang_pred, count(*) AS n"
+            " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

@@ -1820,3 +1820,30 @@ def temporal_consistency_lineitem(sf_dir: str) -> pd.DataFrame:
         "n": [np.int64(n)], "n_violations": [np.int64(n_viol)],
         "violation_rate": [round(n_viol / n, 6) if n else 0.0],
     })
+
+
+def langid_confusion_docs(sf_dir: str) -> pd.DataFrame:
+    """Model evaluation: confusion matrix of the heuristic language-ID
+    prediction vs the table's declared lang — the DQ loop that tells
+    you whether a model stage can be trusted as a filter. The oracle
+    replays the full heuristic in SQL (shared marker lists), so every
+    cell is exact. → (lang_true, lang_pred, n)."""
+    from ..profiling.groupagg import grouped_aggregate
+    from ..stages.models import HeuristicLangID
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    class Stage:
+        def __init__(self):
+            self.model = HeuristicLangID()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = self.model.predict(batch["text"].to_numpy(zero_copy_only=False))
+            return pa.table({"lang_true": batch["lang"],
+                             "lang_pred": pa.array(pred, type=pa.string())})
+
+    out = grouped_aggregate(
+        ds.map_batches(Stage, batch_format="pyarrow", concurrency=2),
+        ["lang_true", "lang_pred"], {"n": ("", "count")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
