@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": Q.weighted_sample_orders,
         "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
         "langid_confusion_docs": Q.langid_confusion_docs,
+        "classifier_eval_docs": Q.classifier_eval_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1561,6 +1562,33 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_docs": _langid_sql(
             "SELECT lang AS lang_true, lang_pred, count(*) AS n"
             " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+        "classifier_eval_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 filt AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 j AS (SELECT c.quality_label AS pred, f.keep AS truth
+                       FROM clf c JOIN filt f ON c.doc_id = f.doc_id),
+                 cm AS (SELECT
+                     count(*) FILTER (WHERE pred AND truth) AS tp,
+                     count(*) FILTER (WHERE pred AND NOT truth) AS fp,
+                     count(*) FILTER (WHERE NOT pred AND truth) AS fn,
+                     count(*) FILTER (WHERE NOT pred AND NOT truth) AS tn
+                   FROM j)
+            SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+                   round(CASE WHEN tp + fp > 0
+                              THEN tp * 1.0 / (tp + fp) ELSE 0 END, 6)
+                       AS precision,
+                   round(CASE WHEN tp + fn > 0
+                              THEN tp * 1.0 / (tp + fn) ELSE 0 END, 6)
+                       AS recall,
+                   round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                                   AND tp * 1.0 / (tp + fp)
+                                       + tp * 1.0 / (tp + fn) > 0
+                              THEN 2 * (tp * 1.0 / (tp + fp))
+                                     * (tp * 1.0 / (tp + fn))
+                                   / (tp * 1.0 / (tp + fp)
+                                      + tp * 1.0 / (tp + fn))
+                              ELSE 0 END, 6) AS f1
+            FROM cm""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

@@ -47,9 +47,9 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------------------
 
 
-def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
-    """Docs-table rule chain (every rule SQL-expressible; langid reads the
-    ``lang`` column). → (doc_id, keep, first_rule, scrubbed_text)."""
+def _quality_filter_docs_ds(sf_dir: str):
+    """Docs-table rule chain as a Dataset — shared by the driver query
+    and the classifier evaluation join."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def apply_chain(batch: pa.Table) -> pa.Table:
@@ -69,7 +69,13 @@ def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    return ds.map_batches(apply_chain, batch_format="pyarrow").to_pandas()
+    return ds.map_batches(apply_chain, batch_format="pyarrow")
+
+
+def quality_filter_docs(sf_dir: str) -> pd.DataFrame:
+    """Docs-table rule chain (every rule SQL-expressible; langid reads the
+    ``lang`` column). → (doc_id, keep, first_rule, scrubbed_text)."""
+    return _quality_filter_docs_ds(sf_dir).to_pandas()
 
 
 def scrub_pii_docs(sf_dir: str) -> pd.DataFrame:
@@ -1162,12 +1168,9 @@ def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
                           n_lists=16)
 
 
-def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
-    """fastText-style hashed linear quality classifier (unigram+bigram
-    features → md5 % 4096 buckets → Naive-Bayes log-odds weights trained
-    on caption vs junk corpora) — model trained ONCE per actor in
-    __init__, scoring vectorized per batch. The oracle re-trains the
-    identical model in SQL from the corpus side tables."""
+def _quality_classifier_ds(sf_dir: str):
+    """Classifier scores as a Dataset — shared by the distribution query
+    and the evaluation join."""
     from ..stages.models import HashedLinearQuality
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1183,8 +1186,58 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
                              "quality_score": pa.array(out["quality_score"]),
                              "quality_label": pa.array(out["quality_label"])})
 
-    out = ds.map_batches(Stage, batch_format="pyarrow", concurrency=2).to_pandas()
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+
+
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """fastText-style hashed linear quality classifier (unigram+bigram
+    features → md5 % 4096 buckets → Naive-Bayes log-odds weights trained
+    on caption vs junk corpora) — model trained ONCE per actor in
+    __init__, scoring vectorized per batch. The oracle re-trains the
+    identical model in SQL from the corpus side tables."""
+    out = _quality_classifier_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def classifier_eval_docs(sf_dir: str) -> pd.DataFrame:
+    """Model-evaluation composition: the learned classifier's verdicts
+    joined (bucketed hash_join — no driver-side frame join) against the
+    rule chain's keep/drop as ground truth; confusion counts + precision
+    / recall / F1. Both sides have full SQL replicas, so the oracle
+    recomputes the entire evaluation from scratch.
+    → one row (n, tp, fp, fn, tn, precision, recall, f1)."""
+    from ..functions.joins import hash_join
+
+    clf = _quality_classifier_ds(sf_dir)
+    truth = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: b[["doc_id", "keep"]], batch_format="pandas")
+    j = hash_join(clf, truth, on="doc_id",
+                  right_cols=["doc_id", "keep"], n_buckets=16)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        pred = b["quality_label"].to_numpy(dtype=bool)
+        t = b["keep"].to_numpy(dtype=bool)
+        return pd.DataFrame({
+            "tp": [int((pred & t).sum())], "fp": [int((pred & ~t).sum())],
+            "fn": [int((~pred & t).sum())], "tn": [int((~pred & ~t).sum())],
+        })
+
+    sums = {"tp": 0, "fp": 0, "fn": 0, "tn": 0}
+    for b in j.map_batches(part, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for c in sums:
+            sums[c] += int(b[c].sum())
+    tp, fp, fn, tn = sums["tp"], sums["fp"], sums["fn"], sums["tn"]
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return pd.DataFrame({
+        "n": [np.int64(tp + fp + fn + tn)],
+        "tp": [np.int64(tp)], "fp": [np.int64(fp)],
+        "fn": [np.int64(fn)], "tn": [np.int64(tn)],
+        "precision": [round(prec, 6)], "recall": [round(rec, 6)],
+        "f1": [round(f1, 6)],
+    })
 
 
 def string_cluster_part(sf_dir: str) -> pd.DataFrame:
