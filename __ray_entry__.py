@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
         "langid_confusion_docs": Q.langid_confusion_docs,
         "classifier_eval_docs": Q.classifier_eval_docs,
+        "rule_report_docs": Q.rule_report_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1562,6 +1563,15 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_docs": _langid_sql(
             "SELECT lang AS lang_true, lang_pred, count(*) AS n"
             " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+        "rule_report_docs": f"""
+            WITH filt AS ({_QUALITY_FILTER_DOCS_SQL})
+            SELECT CASE WHEN f.first_rule IS NULL OR f.first_rule = ''
+                        THEN 'PASS' ELSE f.first_rule END AS first_rule,
+                   count(*) AS n,
+                   count(*) FILTER (WHERE f.scrubbed_text <> d.text)
+                       AS n_scrubbed
+            FROM filt f JOIN documents d ON f.doc_id = d.doc_id
+            GROUP BY 1 ORDER BY 1""",
         "classifier_eval_docs": f"""
             WITH clf AS ({_CLF_SQL}),
                  filt AS ({_QUALITY_FILTER_DOCS_SQL}),

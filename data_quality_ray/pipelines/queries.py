@@ -1900,3 +1900,38 @@ def langid_confusion_docs(sf_dir: str) -> pd.DataFrame:
         ["lang_true", "lang_pred"], {"n": ("", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+def rule_report_docs(sf_dir: str) -> pd.DataFrame:
+    """Quality report: per-first-rule hit counts from the docs rule
+    chain plus how many surviving docs the scrubber actually altered —
+    the summary a DQ operator reads after a run (the reference's
+    per-analyzer tallies, composed over the chain). → (first_rule, n,
+    n_scrubbed)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda b: b.rename(columns={"text": "orig_text"}),
+                     batch_format="pandas")
+    res = _quality_filter_docs_ds(sf_dir)
+
+    # zip by doc_id via the bucketed join (no driver frames)
+    from ..functions.joins import hash_join
+
+    j = hash_join(res, docs, on="doc_id",
+                  right_cols=["doc_id", "orig_text"], n_buckets=16)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rule"] = np.where(b["first_rule"].isna() | (b["first_rule"] == ""),
+                             "PASS", b["first_rule"])
+        b["scrubbed"] = (b["scrubbed_text"] != b["orig_text"]).astype("int64")
+        return b[["rule", "scrubbed"]]
+
+    out = grouped_aggregate(j.map_batches(tag, batch_format="pandas"),
+                            ["rule"], {"n": ("", "count"),
+                                       "n_scrubbed": ("scrubbed", "sum")})
+    out = out.rename(columns={"rule": "first_rule"})
+    for c in ("n", "n_scrubbed"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("first_rule").reset_index(drop=True)
