@@ -140,3 +140,30 @@ def test_neardup_pairs_blocked_complete_vs_brute(ray_session):
             if share and sims[i, j] >= 0.9999:
                 exp.add((i, j))
     assert set(zip(got["id_a"], got["id_b"])) == exp
+
+
+def test_profile_cli_table(ray_session, tmp_path):
+    """__main__._profile_table end-to-end over a small parquet: summary
+    stats for numerics, uniqueness rows, entropy for discovered
+    categoricals, IQR fences."""
+    import argparse
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.__main__ import _profile_table
+
+    t = pa.table({
+        "id": pa.array(range(200), type=pa.int64()),
+        "price": pa.array([float(i % 50) + 0.5 for i in range(200)]),
+        "cat": pa.array(["a", "b", "c", "d"] * 50),
+    })
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p)
+    out = _profile_table(argparse.Namespace(
+        input_path=str(p), cols=None, no_distinct=False, cpus=4))
+    assert out["stats"]["price"]["summary"]["count"] == 200
+    uniq = {r["column"]: r for r in out["uniqueness"]}
+    assert uniq["id"]["is_key"] and uniq["cat"]["n_distinct"] == 4
+    assert out["entropy"]["cat"] == 2.0  # 4 equal classes → 2 bits
+    assert "price" in out["iqr_outliers"]
