@@ -1773,8 +1773,8 @@ def oracle_sql() -> dict[str, str]:
               FROM base GROUP BY bin),
             tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
             per AS (SELECT bin, n_ref, n_cur,
-                           greatest(n_ref * 1.0 / tr, {Q.PSI_EPS}) AS p,
-                           greatest(n_cur * 1.0 / tc, {Q.PSI_EPS}) AS q
+                           greatest(n_ref * 1.0 / greatest(tr, 1), {Q.PSI_EPS}) AS p,
+                           greatest(n_cur * 1.0 / greatest(tc, 1), {Q.PSI_EPS}) AS q
                     FROM counts, tot)
             SELECT bin, n_ref, n_cur, round(p, 6) AS p_ref,
                    round(q, 6) AS p_cur,

@@ -1788,8 +1788,10 @@ def drift_psi_orders(sf_dir: str) -> pd.DataFrame:
     n_cur = grid["cur"].to_numpy(dtype=np.int64) if "cur" in grid else \
         np.zeros(len(grid), dtype=np.int64)
     tr, tc = n_ref.sum(), n_cur.sum()
-    p = np.maximum(n_ref / tr, PSI_EPS)
-    q = np.maximum(n_cur / tc, PSI_EPS)
+    # max(tot, 1): an empty period degrades to all-eps probabilities
+    # instead of 0/0 (same guard in the SQL)
+    p = np.maximum(n_ref / max(tr, 1), PSI_EPS)
+    q = np.maximum(n_cur / max(tc, 1), PSI_EPS)
     contrib = (p - q) * np.log(p / q)
     out = pd.DataFrame({
         "bin": grid.index.to_numpy(dtype=np.int64),
