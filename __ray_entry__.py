@@ -1696,7 +1696,8 @@ def oracle_sql() -> dict[str, str]:
             FROM c FULL JOIN e ON c.c_custkey = e.c_custkey
             ORDER BY 1""",
         "correlation_lineitem": """
-            SELECT count(*) AS n,
+            -- n = pairwise-non-null rows (corr/covar semantics), not count(*)
+            SELECT count(l_quantity + l_extendedprice) AS n,
                    round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                    round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_qty_price
             FROM lineitem""",

@@ -46,18 +46,27 @@ def _profile_table(args) -> dict:
     out: dict = {"path": args.input_path, "columns": {c: str(types[c]) for c in cols},
                  "stats": stats}
     if not args.no_distinct:
-        uniq = uniqueness_profile(
-            ds, [c for c in cols if not pa.types.is_list(types[c])
-                 and not pa.types.is_large_list(types[c])
-                 and not pa.types.is_binary(types[c])])
+        # whitelist hashable scalar types: struct/map/list values are
+        # unhashable in the distinct partial, and (large_)binary payloads
+        # should never ship through a distinct exchange
+        def _scalar(t):
+            return (pa.types.is_integer(t) or pa.types.is_floating(t)
+                    or pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_boolean(t) or pa.types.is_date(t)
+                    or pa.types.is_timestamp(t) or pa.types.is_decimal(t))
+
+        uniq_cols = [c for c in cols if _scalar(types[c])]
+        out["uniqueness_skipped"] = [c for c in cols if c not in uniq_cols]
+        uniq = uniqueness_profile(ds, uniq_cols)
         out["uniqueness"] = uniq.to_dict("records")
         # entropy only where the distinct count says "categorical"
         low_card = [r["column"] for r in out["uniqueness"]
                     if r["column"] in strings and r["n_distinct"] <= 1000]
         out["entropy"] = {c: round(grouped_entropy(ds, c), 6) for c in low_card}
-    out["iqr_outliers"] = {
-        c: iqr_outlier_fences(ds, c)
-        for c in numeric if len(numeric) <= 8 or c in numeric[:8]}
+    # IQR fences collect one full column each — cap at the first 8
+    # numerics and SAY SO in the output instead of silently dropping
+    out["iqr_outliers"] = {c: iqr_outlier_fences(ds, c) for c in numeric[:8]}
+    out["iqr_outliers_skipped"] = numeric[8:]
     return out
 
 

@@ -154,8 +154,10 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
 
     ``how``: "inner", "left", "outer" (SQL FULL JOIN — unmatched rows of
     BOTH sides survive with nulls; null-key rows are kept unmatched on
-    both sides, and salt>1 is rejected since right replicas would
-    re-emit unmatched rows), "semi" (left rows with ≥1 match — SQL
+    both sides; output dtypes are canonically nullable-upcast (int →
+    float64, bool → object) so every bucket emits one schema; salt>1 is
+    rejected since right replicas would re-emit unmatched rows), "semi"
+    (left rows with ≥1 match — SQL
     EXISTS — never duplicated, no right columns attached) or "anti"
     (left rows with NO match — SQL NOT EXISTS; null-key left rows are
     kept, matching SQL). For semi/anti only the key columns of the
@@ -236,6 +238,19 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
         lcols = left_cols + (["__salt"] if salt > 1 else [])
         left = _restore_dtypes(g[g["__side"] == 0][lcols],
                                left_dtypes, left_cols)
+        def outer_canon(df: pd.DataFrame) -> pd.DataFrame:
+            # FULL JOIN columns are nullable by nature: canonicalize every
+            # bucket's block to the same nullable-upcast dtypes (int →
+            # float64, bool → object) so buckets that happened to have no
+            # unmatched rows don't emit a different schema
+            conv = {}
+            for c in df.columns:
+                if pd.api.types.is_integer_dtype(df[c].dtype):
+                    conv[c] = "float64"
+                elif pd.api.types.is_bool_dtype(df[c].dtype):
+                    conv[c] = "object"
+            return df.astype(conv) if conv else df
+
         right_all = g[g["__side"] == 1][[*jk, *extra]]
         right = _restore_dtypes(right_all.dropna(subset=keys),
                                 right_dtypes, extra)
@@ -244,7 +259,7 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
             right_nullkey = right_all[right_all[keys].isna().any(axis=1)]
         if left.empty:
             if how == "outer" and len(right_all):
-                return right_all.reindex(columns=all_cols)
+                return outer_canon(right_all.reindex(columns=all_cols))
             return pd.DataFrame(columns=all_cols)
         for k in keys:
             # a bucket with no right rows arrives all-null → restore key dtype
@@ -259,8 +274,11 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
             keep = (m["__m"] == "both") if how == "semi" else (m["__m"] == "left_only")
             return m.loc[keep.to_numpy(), all_cols]
         merged = left.merge(right, on=jk, how=how, sort=False)
-        if how == "outer" and len(right_nullkey):
-            merged = pd.concat([merged, right_nullkey], ignore_index=True)
+        if how == "outer":
+            if len(right_nullkey):
+                merged = pd.concat([merged, right_nullkey],
+                                   ignore_index=True)
+            return outer_canon(merged.reindex(columns=all_cols))
         return merged.reindex(columns=all_cols)
 
     tagged = (

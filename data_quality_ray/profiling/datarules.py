@@ -83,7 +83,7 @@ def comoments(ds, x_col: str, y_col: str) -> dict:
                 cxya + row.cxy + dx * dy * na * nb / n,
             ]
     if acc is None:
-        acc = [0, float("nan")] * 3
+        acc = [0] + [float("nan")] * 5
     n, mx, my, m2x, m2y, cxy = acc
     return {"n": int(n), "mean_x": mx, "mean_y": my,
             "m2x": m2x, "m2y": m2y, "cxy": cxy}
@@ -154,9 +154,14 @@ def iqr_outlier_fences(ds, col: str, k: float = 1.5) -> dict:
     100 TB path) then a distributed counting pass against the fences.
     Fences are rounded to 6 decimals BEFORE counting so the comparison
     boundary is reproducible across engines."""
-    parts = [b[col].to_numpy() for b in ds.iter_batches(
+    parts = [b[col].to_numpy(dtype=np.float64) for b in ds.iter_batches(
         batch_size=65536, batch_format="pandas")]
     vals = np.concatenate(parts) if parts else np.array([])
+    vals = vals[~np.isnan(vals)]  # quantile_cont ignores NULLs — so do we
+    if vals.size == 0:
+        return {"fence_lo": float("nan"), "fence_hi": float("nan"),
+                "n_low": 0, "n_high": 0,
+                "n": int(sum(len(p) for p in parts))}
     q1, q3 = np.percentile(vals, [25, 75])  # linear interp == quantile_cont
     iqr = q3 - q1
     lo = round(float(q1 - k * iqr), 6)
@@ -194,10 +199,16 @@ def distinct_counts_combined(ds, cols: list[str]) -> dict[str, int]:
     a streaming per-col row count. N columns cost one exchange instead
     of N (measured 6.3 s → 3.7 s warm for 4 customer columns at sf0.1)."""
 
+    if not cols:
+        return {}
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for c in cols:
             u = b[c].dropna().unique()
+            if len(u) and isinstance(u, np.ndarray) \
+                    and np.issubdtype(u.dtype, np.floating):
+                u = u + 0.0  # normalize -0.0 → 0.0 (SQL equality: one value)
             frames.append(pd.DataFrame(
                 {"col": c, "val": pd.Series(u).astype(str)}))
         return pd.concat(frames, ignore_index=True)
@@ -216,6 +227,9 @@ def uniqueness_profile(ds, cols: list[str]) -> pd.DataFrame:
     """Per-column n / n_null / exact n_distinct / uniqueness ratio /
     candidate-key flag. One counting pass for n+nulls (all columns at
     once) + ONE combined distinct shuffle for all columns."""
+    if not cols:
+        return pd.DataFrame(columns=["column", "n", "n_null", "n_distinct",
+                                     "uniqueness", "is_key"])
 
     def null_partial(b: pd.DataFrame) -> pd.DataFrame:
         row = {"n": [len(b)]}
@@ -252,21 +266,30 @@ def uniqueness_profile(ds, cols: list[str]) -> pd.DataFrame:
 def fd_violations(ds, lhs: str, rhs: str) -> dict:
     """Does lhs → rhs hold? Stage 1: distinct (lhs, rhs) pair counts via
     the hash-bucketed shuffle (pair cardinality can exceed one node).
-    Stage 2: per-lhs rollup (#rhs values, max pair count, rows) —
-    partial-combined like every grouped agg here. g3 = minimum rows to
-    delete so the FD holds = Σ over violating lhs of (rows − max count)."""
-    pairs = grouped_aggregate(ds, [lhs, rhs], {"n": ("n__", "count")},
+    Stage 2: per-lhs rollup (#rhs values, max pair count, rows) — ALSO
+    through the shuffle (lhs cardinality can approach pair cardinality,
+    e.g. a near-key lhs), then only scalar tallies stream to the driver.
+    g3 = minimum rows to delete so the FD holds = Σ over violating lhs
+    of (rows − max count)."""
+    pairs = grouped_aggregate(ds, [lhs, rhs], {"n": ("", "count")},
                               final="shuffle")
     per_lhs = grouped_aggregate(
         pairs, [lhs],
-        {"n_rhs": ("", "count"), "max_n": ("n", "max"), "rows": ("n", "sum")},
+        {"n_rhs": ("", "count"), "max_n": ("n", "max"),
+         "n_rows": ("n", "sum")},
+        final="shuffle",
     )
-    viol = per_lhs[per_lhs["n_rhs"] > 1]
+    n_groups = n_viol = g3 = 0
+    for b in per_lhs.iter_batches(batch_size=65536, batch_format="pandas"):
+        n_groups += len(b)
+        v = b[b["n_rhs"] > 1]
+        n_viol += len(v)
+        g3 += int((v["n_rows"] - v["max_n"]).sum())
     return {
         "fd": f"{lhs}->{rhs}",
-        "n_groups": int(len(per_lhs)),
-        "n_violating_groups": int(len(viol)),
-        "g3_rows": int((viol["rows"] - viol["max_n"]).sum()),
+        "n_groups": int(n_groups),
+        "n_violating_groups": int(n_viol),
+        "g3_rows": int(g3),
     }
 
 

@@ -82,7 +82,8 @@ def weighted_reservoir_sample(ds, key_cols: list[str], weight_col: str,
     frames = list(partials.iter_batches(batch_size=4 * k,
                                         batch_format="pandas"))
     if not frames:
-        return pd.DataFrame(columns=[*key_cols, weight_col])
+        # same column set as the non-empty path (all dataset columns)
+        return pd.DataFrame(columns=list(ds.schema().names))
     allp = pd.concat(frames, ignore_index=True)
     out = allp.sort_values(["__score", *key_cols],
                            ascending=[False] + [True] * len(key_cols),
