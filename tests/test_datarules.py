@@ -167,3 +167,55 @@ def test_profile_cli_table(ray_session, tmp_path):
     assert uniq["id"]["is_key"] and uniq["cat"]["n_distinct"] == 4
     assert out["entropy"]["cat"] == 2.0  # 4 equal classes → 2 bits
     assert "price" in out["iqr_outliers"]
+
+
+def test_grouped_aggregate_random_parity(ray_session):
+    """driver final == shuffle final == plain pandas groupby for random
+    frames with null keys, NaN values, and unicode keys — the primitive
+    every table rule here rides."""
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        keys = rng.choice(["a", "β", "c", None, "d-e"], size=n)
+        df = pd.DataFrame({
+            "k": keys,
+            "v": np.where(rng.random(n) < 0.1, np.nan, rng.normal(0, 10, n)),
+        })
+        aggs = {"n": ("", "count"), "s": ("v", "sum"),
+                "mn": ("v", "min"), "mx": ("v", "max")}
+        ds = _ds(df, blocks=int(rng.integers(1, 6)))
+        drv = grouped_aggregate(ds, ["k"], aggs).sort_values("k") \
+            .reset_index(drop=True)
+        shf = grouped_aggregate(ds, ["k"], aggs, final="shuffle") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        gb = df.groupby("k", sort=True)
+        exp = pd.DataFrame({"n": gb.size(), "s": gb["v"].sum(),
+                            "mn": gb["v"].min(), "mx": gb["v"].max()}) \
+            .reset_index()
+        for got in (drv, shf):
+            assert list(got["k"]) == list(exp["k"]), seed
+            np.testing.assert_allclose(got["s"], exp["s"], rtol=1e-12)
+            np.testing.assert_allclose(got["mn"], exp["mn"])
+            np.testing.assert_allclose(got["mx"], exp["mx"])
+            assert list(got["n"].astype(int)) == list(exp["n"].astype(int))
+
+
+def test_distinct_counts_combined_random_parity(ray_session):
+    """Combined one-exchange distinct == pandas nunique (nulls excluded)
+    across mixed dtypes."""
+    from data_quality_ray.profiling.datarules import distinct_counts_combined
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "i": rng.integers(0, 40, n),
+        "f": np.where(rng.random(n) < 0.1, np.nan,
+                      np.round(rng.normal(0, 3, n), 2)),
+        "s": rng.choice(["x", "y", None, "ü", "long-tail"], size=n),
+    })
+    got = distinct_counts_combined(_ds(df, blocks=5), ["i", "f", "s"])
+    assert got["i"] == df["i"].nunique()
+    assert got["f"] == df["f"].nunique()
+    assert got["s"] == df["s"].nunique()
