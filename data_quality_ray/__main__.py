@@ -85,6 +85,8 @@ def main(argv=None) -> int:
     runp.add_argument("--no-validate", action="store_true")
     runp.add_argument("--dedup-index", default=None,
                       help="cross-run dedup index dir (drop keys committed by previous runs)")
+    runp.add_argument("--validate-inputs", action="store_true",
+                      help="footer-check fragments first; skip+record torn files instead of failing")
     runp.add_argument("--address", default="local",
                       help="Ray address ('local', or 'auto' inside a cluster / ray job submit)")
 
@@ -135,6 +137,7 @@ def main(argv=None) -> int:
                 dedup=not args.no_dedup, validate_images=not args.no_validate,
                 stage_mode="actors" if args.concurrency else "tasks",
                 dedup_index_dir=args.dedup_index,
+                validate_inputs=args.validate_inputs,
             )
             print(json.dumps(stats))
     finally:

@@ -186,6 +186,38 @@ def _phase1_task(batch: pa.Table, filtered_dir: str, validate_images: bool) -> p
     return stage(batch)
 
 
+def _validate_fragment_files(files: list[str]) -> tuple[set[int], list[dict]]:
+    """Footer-check every fragment in parallel Ray tasks (metadata-only
+    read — bytes, not payload). Returns (skip index set, skip records).
+    A torn/truncated parquet raises in the check instead of killing the
+    run mid-wave."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def check(batch: list[tuple[int, str]]) -> list[tuple[int, str]]:
+        import pyarrow.parquet as pq
+
+        bad = []
+        for i, f in batch:
+            try:
+                pq.read_metadata(f)
+            except Exception as e:  # noqa: BLE001 — any unreadable footer
+                bad.append((i, f"{type(e).__name__}: {e}"))
+        return bad
+
+    items = list(enumerate(files))
+    chunk = max(64, len(items) // 256)  # ≤ ~256 tasks regardless of count
+    refs = [check.remote(items[i:i + chunk])
+            for i in range(0, len(items), chunk)]
+    skip_idx: set[int] = set()
+    records: list[dict] = []
+    for bad in ray.get(refs):
+        for i, err in bad:
+            skip_idx.add(i)
+            records.append({"fragment": i, "file": files[i], "error": err})
+    return skip_idx, records
+
+
 def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple = 4,
                          batch_size: int = 2048, wave_files: int = 64,
                          dedup: bool = True, validate_images: bool = True,
@@ -193,7 +225,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          dedup_strategy: str = "broadcast",
                          dedup_index_dir: str | None = None,
                          final_output: str = "rewrite",
-                         manifest_shard_size: int = 0) -> dict:
+                         manifest_shard_size: int = 0,
+                         validate_inputs: bool = False) -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics.
 
     ``dedup_strategy``: "broadcast" (default — winner map fits driver
@@ -205,6 +238,13 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     run are dropped BEFORE phase 1 (no decode/scoring spent on known
     dups), and this run's surviving phashes are committed as the next
     index generation after phase 2 — idempotent under crash/retry.
+
+    ``validate_inputs``: footer-check every input fragment in parallel
+    Ray tasks before the run and SKIP unreadable (torn/truncated) files
+    instead of failing the whole job — each skip is recorded in the
+    run's ``skipped_inputs.jsonl`` lineage file and surfaced in the
+    returned metrics. At 100 TB a single corrupt object must not kill a
+    multi-hour run; the record keeps the skip auditable and re-runnable.
 
     ``final_output``: "rewrite" (default) re-writes the deduped survivors
     under ``out_dir/final``; "metadata" skips the second full payload
@@ -228,8 +268,23 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     # across a setting change
     manifest = Manifest(out_dir, shard_size=manifest_shard_size)
     files = _fragment_files(input_dir)
+    skipped_inputs: list[dict] = []
+    skip_idx: set[int] = set()
+    if validate_inputs and files:
+        # fragment ids are POSITIONS in the sorted file list — skipping
+        # must never renumber, or a later resume would misattribute
+        # completed fragments; a fixed file keeps its original id
+        skip_idx, skipped_inputs = _validate_fragment_files(files)
+        if skipped_inputs:
+            import json as _json
+
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "skipped_inputs.jsonl"), "a") as f:
+                for rec in skipped_inputs:
+                    f.write(_json.dumps(rec) + "\n")
     done = manifest.completed_fragments()
-    pending = [(i, f) for i, f in enumerate(files) if i not in done]
+    pending = [(i, f) for i, f in enumerate(files)
+               if i not in done and i not in skip_idx]
     filtered_dir = os.path.join(out_dir, "filtered")
     os.makedirs(filtered_dir, exist_ok=True)
 
@@ -285,6 +340,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             })
 
     totals = manifest.totals()
+    if skipped_inputs:
+        totals["skipped_inputs"] = len(skipped_inputs)
     if dedup and dedup_strategy == "shuffle":
         from ..dedup.exact import dedup_by_key
 

@@ -131,3 +131,41 @@ def test_shuffle_dedup_strategy_matches_broadcast(north_run, f1_dir, tmp_path):
     b = rd.read_parquet(out_s + "/final").to_pandas().sort_values("image_id")
     assert (a["image_id"].to_numpy() == b["image_id"].to_numpy()).all()
     assert (a["caption"].to_numpy() == b["caption"].to_numpy()).all()
+
+
+def test_validate_inputs_skips_corrupt_fragment(ray_session, f1_dir, tmp_path):
+    """validate_inputs=True: a torn parquet is skipped with a lineage
+    record instead of failing the run; fragment ids stay positional so
+    a later resume (with the file fixed) processes ONLY that fragment."""
+    import glob
+    import json
+    import shutil
+
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    files = sorted(glob.glob(f"{f1_dir}/part-*.parquet"))
+    for f in files:
+        shutil.copy(f, src / os.path.basename(f))
+    victim = sorted(glob.glob(str(src / "part-*.parquet")))[1]
+    good = open(victim, "rb").read()
+    open(victim, "wb").write(good[: len(good) // 2])  # torn write
+
+    out = str(tmp_path / "out")
+    stats = run_quality_pipeline(str(src), out, concurrency=2, batch_size=256,
+                                 wave_files=2, validate_inputs=True)
+    assert stats["skipped_inputs"] == 1
+    recs = [json.loads(l) for l in open(os.path.join(out, "skipped_inputs.jsonl"))]
+    assert recs[0]["fragment"] == 1 and recs[0]["file"].endswith(
+        os.path.basename(victim))
+
+    # "fix" the file and resume: only fragment 1 is reprocessed
+    open(victim, "wb").write(good)
+    stats2 = run_quality_pipeline(str(src), out, concurrency=2, batch_size=256,
+                                  wave_files=2, validate_inputs=True)
+    assert "skipped_inputs" not in stats2
+    full = run_quality_pipeline(str(src), str(tmp_path / "ref"), concurrency=2,
+                                batch_size=256, wave_files=2)
+    assert stats2["n_rows"] == full["n_rows"]
+    assert stats2["kept"] == full["kept"]
