@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion_docs": Q.langid_confusion_docs,
         "classifier_eval_docs": Q.classifier_eval_docs,
         "rule_report_docs": Q.rule_report_docs,
+        "zipf_fit_docs": Q.zipf_fit_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1563,6 +1564,22 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_docs": _langid_sql(
             "SELECT lang AS lang_true, lang_pred, count(*) AS n"
             " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+        "zipf_fit_docs": f"""
+            WITH t AS (
+              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+            top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)
+                           AS r
+                    FROM cnt ORDER BY c DESC, token LIMIT {Q.ZIPF_TOP_K}),
+            xy AS (SELECT ln(r) AS x, ln(c) AS y FROM top)
+            SELECT count(*) AS n_top,
+                   round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+                   round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
+                       AS intercept,
+                   round(corr(x, y) ^ 2, 6) AS r2
+            FROM xy""",
         "rule_report_docs": f"""
             WITH filt AS ({_QUALITY_FILTER_DOCS_SQL})
             SELECT CASE WHEN f.first_rule IS NULL OR f.first_rule = ''

@@ -1937,3 +1937,40 @@ def rule_report_docs(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_scrubbed"):
         out[c] = out[c].astype("int64")
     return out.sort_values("first_rule").reset_index(drop=True)
+
+
+ZIPF_TOP_K = 100
+
+
+def zipf_fit_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-statistics profile: least-squares fit of ln(count) vs
+    ln(rank) over the exact top-100 tokens — the Zipf slope a healthy
+    natural-language corpus puts near −1 (synthetic/templated corpora
+    flatten it; a drift monitor for generated-text contamination).
+    Token counts come from batch-partial grouped counts (CMS is the
+    unbounded-vocabulary path, heavy_hitter_tokens_docs); the regression
+    runs on the tiny top-k table. → (n_top, slope, intercept, r2)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = [t for v in batch["text"].to_numpy(zero_copy_only=False)
+                for t in (v or "").split()]
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    counts = grouped_aggregate(ds.map_batches(tokens, batch_format="pyarrow"),
+                               ["token"], {"n": ("", "count")})
+    top = counts.sort_values(["n", "token"], ascending=[False, True],
+                             kind="mergesort").head(ZIPF_TOP_K)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    vx = np.cov(x, x, bias=True)[0, 1]
+    cxy = np.cov(x, y, bias=True)[0, 1]
+    slope = cxy / vx
+    intercept = y.mean() - slope * x.mean()
+    r = np.corrcoef(x, y)[0, 1]
+    return pd.DataFrame({"n_top": [np.int64(len(top))],
+                         "slope": [round(float(slope), 6)],
+                         "intercept": [round(float(intercept), 6)],
+                         "r2": [round(float(r * r), 6)]})
