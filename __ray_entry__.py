@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_eval_docs": Q.classifier_eval_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
+        "catalog_overview": Q.catalog_overview,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1564,6 +1565,14 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_docs": _langid_sql(
             "SELECT lang AS lang_true, lang_pred, count(*) AS n"
             " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+        "catalog_overview": (
+            "SELECT * FROM (" + " UNION ALL ".join(
+                f"SELECT '{t}' AS tbl, count(*) AS n_rows, "
+                f"(SELECT count(*) FROM (DESCRIBE {t})) AS n_cols FROM {t}"
+                for t in ("region", "nation", "customer", "supplier", "part",
+                          "orders", "lineitem", "events", "documents",
+                          "embeddings"))
+            + ") ORDER BY tbl"),
         "zipf_fit_docs": f"""
             WITH t AS (
               SELECT unnest(list_filter(string_split_regex(text, '\\s+'),

@@ -1974,3 +1974,18 @@ def zipf_fit_docs(sf_dir: str) -> pd.DataFrame:
                          "slope": [round(float(slope), 6)],
                          "intercept": [round(float(intercept), 6)],
                          "r2": [round(float(r * r), 6)]})
+
+
+def catalog_overview(sf_dir: str) -> pd.DataFrame:
+    """Catalog summary across every table in the directory: row count
+    (parquet metadata only — no data scan) and column count. The first
+    thing a DQ operator asks of an unknown dataset. → (tbl, n_rows,
+    n_cols)."""
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    rows = []
+    for t in tables:
+        md = pq.read_metadata(f"{sf_dir}/{t}.parquet")
+        rows.append({"tbl": t, "n_rows": np.int64(md.num_rows),
+                     "n_cols": np.int64(md.num_columns)})
+    return pd.DataFrame(rows).sort_values("tbl").reset_index(drop=True)
