@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
+        "source_quality_docs": Q.source_quality_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
     }
@@ -1565,6 +1566,19 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion_docs": _langid_sql(
             "SELECT lang AS lang_true, lang_pred, count(*) AS n"
             " FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+        "source_quality_docs": f"""
+            WITH filt AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 tok AS (SELECT doc_id, source,
+                           len(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')) AS n_tok
+                         FROM documents)
+            SELECT t.source, count(*) AS n,
+                   count(*) FILTER (WHERE f.keep) AS n_keep,
+                   round(count(*) FILTER (WHERE f.keep) * 1.0 / count(*), 6)
+                       AS keep_rate,
+                   round(avg(n_tok), 6) AS avg_tokens
+            FROM filt f JOIN tok t ON f.doc_id = t.doc_id
+            GROUP BY 1 ORDER BY 1""",
         "catalog_overview": (
             "SELECT * FROM (" + " UNION ALL ".join(
                 f"SELECT '{t}' AS tbl, count(*) AS n_rows, "
