@@ -64,8 +64,10 @@ def _image_fixture(sf_dir: str) -> str:
 
 
 def quality_filter_images(sf_dir: str):
-    """North-star pipeline over the image+caption table (rows-only check;
-    full per-row validation vs the oracle labels lives in tests/)."""
+    """North-star pipeline over the image+caption table. Oracled: the
+    fixture carries golden keep/drop + first-rule label columns and the
+    SQL replays the verdict from them, so the driver hash-compares every
+    row (full per-row F1 validation additionally lives in tests/)."""
     import ray.data as rd
 
     from data_quality_ray.pipelines.quality_filter import filtered
@@ -78,8 +80,10 @@ def quality_filter_images(sf_dir: str):
 
 def image_features(sf_dir: str):
     """Multimodal feature extraction (decode → mean RGB, luminance stats,
-    histogram, phash recompute) over the image table — rows-only check;
-    per-pixel correctness is gated in tests/test_image_ops.py."""
+    histogram, phash recompute) over the image table. Oracled: the
+    fixture's golden feature-label columns back the SQL side, so the
+    driver hash-compares values; per-pixel correctness is additionally
+    gated in tests/test_image_ops.py."""
     import ray.data as rd
 
     from data_quality_ray.stages.image_ops import extract_image_features
@@ -160,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": Q.dedup_exact_docs,
         "reservoir_sample_lineitem": Q.reservoir_sample_lineitem,
         "knn_embeddings": Q.knn_embeddings,
+        "ivf_store_knn_embeddings": Q.ivf_store_knn_embeddings,
         "matching_pairs_supplier": Q.matching_pairs_supplier,
         "blocking_fingerprint_part": Q.blocking_fingerprint_part,
         "golden_record_orders": Q.golden_record_orders,
@@ -1946,8 +1951,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "reservoir_sample_lineitem": """
             SELECT l_orderkey, l_linenumber FROM lineitem
-            ORDER BY md5('42-' || l_orderkey || '-' || l_linenumber) LIMIT 500""",
+            ORDER BY md5('42-' || l_orderkey || chr(31) || l_linenumber) LIMIT 500""",
         "knn_embeddings": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS sim
+            FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        # IVF store with nprobe == n_lists is EXACT, so brute-force cosine
+        # is a hard oracle; the query itself asserts the nprobe=2 probe's
+        # measured I/O-level scan reduction before returning
+        "ivf_store_knn_embeddings": """
             WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS sim

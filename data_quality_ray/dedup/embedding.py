@@ -13,12 +13,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# pair sets below this row count collect to the driver for the final
+# cross-block dedup; larger ones (or output="dataset") ride the bucketed
+# distributed pair-dedup shuffle (dedup.minhash.dedup_pairs_dataset)
+NEARDUP_COLLECT_MAX_PAIRS = 2_000_000
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64"),
+                         "cos": pd.Series(dtype="float64")})
+
 
 def neardup_pairs_within(ds, id_col: str, vec_col: str, bucket_col: str,
-                         threshold: float = 0.99) -> pd.DataFrame:
+                         threshold: float = 0.99, output: str = "pandas"):
     """All pairs (id_a < id_b, cos) with cosine ≥ threshold inside each
     bucket. Returns DataFrame(id_a, id_b, cos) — cos rounded to 6 dp so
-    float64 results compare stably across engines."""
+    float64 results compare stably across engines. Each row lives in
+    exactly ONE bucket, so the pair set is already unique;
+    ``output="dataset"`` returns it as a Dataset without any driver
+    collect (the SemDeDup / blocked-fingerprint routes build on this)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
@@ -39,17 +53,18 @@ def neardup_pairs_within(ds, id_col: str, vec_col: str, bucket_col: str,
             "cos": np.round(sims[iu][mask], 6),
         })
 
-    out = ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas").to_pandas()
+    pair_ds = ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+    if output == "dataset":
+        return pair_ds
+    out = pair_ds.to_pandas()
     if out.empty:  # Ray drops the schema of an all-empty map_groups result
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "cos": pd.Series(dtype="float64")})
+        return _empty_pairs()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def neardup_pairs_blocked(ds, id_col: str, vec_col: str, key_col: str,
                           threshold: float = 0.99, n_blocks: int = 4,
-                          bits: int = 64) -> pd.DataFrame:
+                          bits: int = 64, output: str = "pandas"):
     """Cosine near-dup pairs bucketed by the PIGEONHOLE blocks of an
     integer fingerprint column (e.g. phash): one ``neardup_pairs_within``
     pass per ``bits/n_blocks``-bit block, unioned and de-duplicated. Any
@@ -57,9 +72,14 @@ def neardup_pairs_blocked(ds, id_col: str, vec_col: str, key_col: str,
     at least one block, so recall is complete for fingerprint-close pairs
     — the documented partitioning assumption is that cosine-near rows are
     also fingerprint-near (true for decoded-pixel features keyed by a
-    perceptual hash). The cross-block de-dup happens on the collected
-    pair list (pairs ≪ corpus; at larger pair counts route the union
-    through dedup.exact.dedup_by_key instead)."""
+    perceptual hash).
+
+    Cross-block de-dup is GATED on the measured pair count: below
+    ``NEARDUP_COLLECT_MAX_PAIRS`` the pair list collects and de-dups on
+    the driver; above it (or with ``output="dataset"``) the union rides
+    one more (id_a, id_b)-keyed bucketed shuffle
+    (``dedup.minhash.dedup_pairs_dataset``) and never lands on the
+    driver."""
     width = bits // n_blocks
     mask = (1 << width) - 1
 
@@ -79,7 +99,21 @@ def neardup_pairs_blocked(ds, id_col: str, vec_col: str, key_col: str,
         return pd.concat(frames, ignore_index=True)
 
     tagged = ds.map_batches(explode, batch_format="pandas")
-    out = neardup_pairs_within(tagged, id_col, vec_col, "__block",
-                               threshold=threshold)
-    out = out.drop_duplicates(["id_a", "id_b"])
+    pair_ds = neardup_pairs_within(tagged, id_col, vec_col, "__block",
+                                   threshold=threshold, output="dataset")
+    from .minhash import dedup_pairs_dataset
+
+    if output == "dataset":
+        return dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b", "cos"))
+    pair_ds = pair_ds.materialize()
+    if pair_ds.count() > NEARDUP_COLLECT_MAX_PAIRS:
+        out = dedup_pairs_dataset(pair_ds,
+                                  keep_cols=("id_a", "id_b", "cos")).to_pandas()
+    else:
+        out = pair_ds.to_pandas()
+        if out.empty:
+            return _empty_pairs()
+        out = out.drop_duplicates(["id_a", "id_b"])
+    if out.empty:
+        return _empty_pairs()
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -191,20 +191,7 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "auto",
             .groupby("__bucket").map_groups(pairs_in_bucket, batch_format="pandas")
         )
         if as_dataset:
-            import pandas.util as pdu
-
-            def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
-                b = b.copy()
-                h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
-                    b["id_b"].to_numpy())
-                b["__pb"] = (h % 64).astype("int64")
-                return b
-
-            def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-                return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-            return (out.map_batches(pair_bucket, batch_format="pandas")
-                    .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas"))
+            return dedup_pairs_dataset(out)
         return out.to_pandas().drop_duplicates().reset_index(drop=True)
 
     pdf = band_ds.to_pandas()
@@ -216,6 +203,31 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "auto",
     out = m[[f"{id_col}_a", f"{id_col}_b"]].rename(
         columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
     return out.drop_duplicates().reset_index(drop=True)
+
+
+def dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b"), n_buckets: int = 64):
+    """Distributed uniqueness over a (id_a, id_b, ...) pair Dataset: one
+    (id_a, id_b)-keyed bucketed shuffle + per-bucket ``drop_duplicates`` —
+    the same pair can surface from several LSH bands / signature blocks /
+    fingerprint blocks whose buckets live in different groups, so
+    uniqueness needs exactly one more keyed exchange, never a driver
+    collect. Shared by minhash / simhash / embedding dataset routes."""
+    import pandas.util as pdu
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
+            b["id_b"].to_numpy())
+        b["__pb"] = (h % n_buckets).astype("int64")
+        return b
+
+    cols = list(keep_cols)
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[cols]
+
+    return (pair_ds.map_batches(pair_bucket, batch_format="pandas")
+            .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas"))
 
 
 def jaccard(text_a: str, text_b: str, shingle_size: int = 3, hash_fn: str = "stable") -> float:

@@ -16,6 +16,11 @@ import pandas as pd
 
 from ..profiling.sketches import HASH64
 
+# pandas-output pair sets below this MEASURED row count collect to the
+# driver for the cross-block dedup; larger ones ride the bucketed
+# distributed pair-dedup shuffle first (dedup.minhash.dedup_pairs_dataset)
+HAMMING_COLLECT_MAX_PAIRS = 2_000_000
+
 _BIT_POS = np.arange(64, dtype=np.uint64)
 _BIT_VAL = np.uint64(1) << _BIT_POS
 
@@ -73,13 +78,23 @@ def add_simhash(ds, text_col: str, out_col: str = "simhash", hash_fn: str = "sta
 
 def hamming_candidates(ds, id_col: str, sig_col: str,
                        hamming_threshold: int = 3,
-                       n_blocks: int = 4) -> pd.DataFrame:
+                       n_blocks: int = 4, output: str = "pandas"):
     """Verified Hamming-≤-threshold pairs over an EXISTING 64-bit
     signature column — simhash, image phash, any 64-bit sketch. Block
     permutation (pigeonhole: ``n_blocks > threshold`` ⇒ FULL recall: any
     pair within threshold shares at least one exact block), groups
     hash-bucketed so pairing is one vectorized xor+popcount per bucket,
-    never a Python callback per tiny group."""
+    never a Python callback per tiny group.
+
+    ``output="dataset"`` keeps the pair set DISTRIBUTED: the same pair can
+    surface from several shared blocks whose buckets live in different
+    groups, so uniqueness is one more (id_a, id_b)-keyed bucketed shuffle
+    (the minhash ``as_dataset`` route) instead of a driver
+    ``drop_duplicates``. Use when the verified-pair set itself can exceed
+    driver memory (boilerplate-heavy text, image-scale phash). The pandas
+    route gates on the MEASURED pair count
+    (``HAMMING_COLLECT_MAX_PAIRS``): above it the uniqueness shuffle runs
+    distributed before the final collect."""
     assert n_blocks > hamming_threshold
     width = 64 // n_blocks
 
@@ -129,34 +144,64 @@ def hamming_candidates(ds, id_col: str, sig_col: str,
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
                              "hamming": d[keep]})
 
-    out = (
+    pair_ds = (
         ds.map_batches(explode, batch_format="pandas")
         .map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
+    from .minhash import dedup_pairs_dataset
+
+    if output == "dataset":
+        return dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b", "hamming"))
+    # pandas contract: gate the cross-block dedup on the MEASURED pair
+    # count — above the gate the uniqueness shuffle runs distributed and
+    # only the already-unique pairs land on the driver
+    pair_ds = pair_ds.materialize()
+    if pair_ds.count() > HAMMING_COLLECT_MAX_PAIRS:
+        return (dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b", "hamming"))
+                .to_pandas().reset_index(drop=True))
+    out = pair_ds.to_pandas()
     return out.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
 
 
 def simhash_candidates(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
-                       n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
+                       n_blocks: int = 4, hash_fn: str = "stable",
+                       output: str = "pandas"):
     """Candidate near-dup pairs (verified Hamming ≤ threshold) over text:
     sign (fused into the same task wave by Ray's operator fusion) then
     the generic block-permutation pairing. ``hash_fn="md5"`` makes the
-    whole pipeline SQL-replayable."""
+    whole pipeline SQL-replayable. ``output="dataset"`` keeps the pair
+    set distributed (see ``hamming_candidates``)."""
     return hamming_candidates(add_simhash(ds, text_col, "__sig", hash_fn),
-                              id_col, "__sig", hamming_threshold, n_blocks)
+                              id_col, "__sig", hamming_threshold, n_blocks,
+                              output=output)
 
 
 def simhash_dedup(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
-                  n_blocks: int = 4, hash_fn: str = "stable") -> pd.DataFrame:
-    """Full SimHash near-dup pass → DataFrame(id, cluster=min id of the
-    connected component) for docs in near-dup clusters. The Hamming check
-    inside ``simhash_candidates`` IS the verification (unlike MinHash no
-    second exact pass is needed); components go through driver union-find
-    under the shared gate and distributed min-label propagation above it."""
+                  n_blocks: int = 4, hash_fn: str = "stable",
+                  output: str = "pandas"):
+    """Full SimHash near-dup pass → (id, cluster=min id of the connected
+    component) for docs in near-dup clusters. The Hamming check inside
+    ``simhash_candidates`` IS the verification (unlike MinHash no second
+    exact pass is needed); components go through driver union-find under
+    the shared gate and distributed min-label propagation above it.
+
+    ``output="dataset"`` runs fully distributed end-to-end: pairs stay a
+    Dataset (bucketed cross-block dedup) and components run via
+    ``distributed_components(as_dataset=True)`` — the driver holds only
+    per-round change counts. Returns a Dataset of (id_col, cluster)."""
     from .minhash import UNION_FIND_MAX_PAIRS, distributed_components, union_find_components
+
+    if output == "dataset":
+        pairs_ds = simhash_candidates(ds, id_col, text_col, hamming_threshold,
+                                      n_blocks, hash_fn, output="dataset")
+        comp = distributed_components(
+            pairs_ds.map_batches(lambda b: b[["id_a", "id_b"]],
+                                 batch_format="pandas"),
+            as_dataset=True)
+        return comp.map_batches(
+            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
 
     pairs = simhash_candidates(ds, id_col, text_col, hamming_threshold,
                                n_blocks, hash_fn)

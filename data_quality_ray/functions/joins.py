@@ -365,7 +365,7 @@ def range_join(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str,
 
 
 def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
-             n_buckets: int = 32):
+             n_buckets: int = 32, right_group_cols: list[str] | None = None):
     """Exchange fusion: ``left JOIN (SELECT on, aggs FROM right GROUP BY
     on)`` in ONE all-to-all instead of two (a grouped-aggregate shuffle
     followed by a join shuffle). Right batches collapse to one partial
@@ -374,6 +374,10 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
     the right aggregate then merges. ``aggs``: {out: (in_col, fn)} with
     fn ∈ sum/count/min/max. ``how``: inner/left/outer. Outer output uses
     the same nullable-upcast dtype canon as ``hash_join(how="outer")``.
+    ``right_group_cols`` adds extra right-side columns to the GROUP BY
+    (``left JOIN (SELECT on, extra…, aggs FROM right GROUP BY on,
+    extra…)`` — a one-to-many join carrying the extra keys through);
+    bucketing stays on ``on`` alone so the join is still one exchange.
     Measured: the two-exchange form of the customer×event-counts FULL
     JOIN ran 6.5 s at sf0.1; this runs it in one exchange (~half the
     fixed shuffle latency)."""
@@ -384,8 +388,15 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
         if fn not in _FINAL:
             raise ValueError(f"non-algebraic aggregate: {fn}")
 
+    rgc = list(right_group_cols or [])
+    gkeys = [on] + rgc
     left_cols = list(left_ds.schema().names)
-    out_cols = left_cols + [c for c in aggs if c not in left_cols]
+    clash = ((set(aggs) | set(rgc)) - {on}) & set(left_cols)
+    if clash:
+        raise ValueError(
+            f"aggregate output columns {sorted(clash)} clash with left schema — rename them")
+    out_cols = left_cols + [c for c in rgc if c not in left_cols] \
+        + [c for c in aggs if c not in left_cols]
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         out = b.reindex(columns=out_cols)
@@ -393,7 +404,10 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
         return out
 
     def tag_right(b: pd.DataFrame) -> pd.DataFrame:
-        gb = b.groupby(on, sort=False)
+        # dropna=False: SQL's GROUP BY keeps a NULL group — under
+        # how='outer' that group must surface as an unmatched row (a NULL
+        # key still never MATCHES a left row; merge_bucket splits it out)
+        gb = b.groupby(gkeys, sort=False, dropna=False)
         cols = {}
         for out_col, (in_col, fn) in aggs.items():
             cols[out_col] = gb.size() if fn == "count" \
@@ -414,13 +428,18 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["__side"] == 0][left_cols]
         rp = g[g["__side"] == 1]
-        gb = rp.groupby(on, sort=False)
+        gb = rp.groupby(gkeys, sort=False, dropna=False)
         cols = {c: getattr(gb[c], _FINAL[fn])()
                 for c, (_, fn) in aggs.items()}
-        right = pd.DataFrame(cols).reset_index()
+        right_all = pd.DataFrame(cols).reset_index()
+        # SQL: a NULL key never equals anything — split the NULL group out
+        # so pandas merge can't match NaN↔NaN; under 'outer' it survives
+        # as an unmatched row (the hash_join right_nullkey path)
+        nullkey = right_all[right_all[on].isna()]
+        right = right_all[right_all[on].notna()]
         if left.empty:
-            if how == "outer" and len(right):
-                out = right.reindex(columns=out_cols)
+            if how == "outer" and len(right_all):
+                out = right_all.reindex(columns=out_cols)
             else:
                 return pd.DataFrame(columns=out_cols)
         else:
@@ -429,6 +448,9 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
                     right = right.astype({k: left[k].dtype})
             out = left.merge(right, on=on, how=how, sort=False) \
                 .reindex(columns=out_cols)
+            if how == "outer" and len(nullkey):
+                out = pd.concat([out, nullkey.reindex(columns=out_cols)],
+                                ignore_index=True)
         if how == "outer":
             conv = {}
             for c in out.columns:

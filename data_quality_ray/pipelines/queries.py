@@ -416,6 +416,39 @@ def knn_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"id": "vec_id"})
 
 
+def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
+    """Top-k through the PERSISTED IVF store (hive layout, one directory
+    per list): build the store, query with nprobe == n_lists — exact, so
+    the brute-force cosine SQL is a hard oracle — and additionally run a
+    pruned nprobe=2 probe asserting the measured I/O-level scan
+    reduction (rows in probed partitions < rows in the whole store, from
+    parquet footers alone). → (vec_id, sim), the knn_embeddings shape."""
+    import shutil
+    import tempfile
+
+    from ..similarity.knn import build_ivf_store, ivf_topk_store
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+
+    store = tempfile.mkdtemp(prefix="dq_ivf_store_")
+    try:
+        build_ivf_store(ds, store, vec_col="embedding", n_lists=n_lists)
+        exact, full_stats = ivf_topk_store(store, "vec_id", "embedding", qvec,
+                                           k=10, nprobe=n_lists)
+        pruned, stats = ivf_topk_store(store, "vec_id", "embedding", qvec,
+                                       k=10, nprobe=2)
+        if not (0 < stats["rows_scanned"] < stats["rows_total"]):
+            raise AssertionError(f"IVF store did not prune the scan: {stats}")
+        if full_stats["rows_scanned"] != full_stats["rows_total"]:
+            raise AssertionError(f"nprobe==n_lists must scan every list: {full_stats}")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    exact["sim"] = exact["sim"].round(6)
+    return exact.rename(columns={"id": "vec_id"})[["vec_id", "sim"]]
+
+
 # below this row count the blocked fuzzy self-join runs on the driver —
 # the bucketed groupby's fixed shuffle cost (~1 s) dwarfs the compute on
 # small tables (measured: r1 collect 1.43 s vs r2 shuffle 2.44 s at sf0.1,
@@ -1257,12 +1290,16 @@ def string_cluster_part(sf_dir: str) -> pd.DataFrame:
 
 
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """General equi-join chain (orders ⋈ customer ⋈ nation) + aggregate:
-    the big-big side goes through the bucketed shuffle ``hash_join`` (one
-    all-to-all on the key), the tiny dimension through ``broadcast_join``
-    (zero shuffle) — the two join strategies an engine needs, exercised
-    in one pipeline. → (nation, revenue, n_orders)."""
-    from ..functions.joins import broadcast_join, hash_join
+    """Join chain (orders ⋈ customer ⋈ nation) + aggregate with the
+    probe side COLLAPSED before the exchange: ``agg_join(customer,
+    orders)`` pre-aggregates every orders batch to per-custkey
+    (sum, count) partials and fuses the join with the aggregate into ONE
+    all-to-all — full orders rows never ride the shuffle (the round-3
+    form shipped every orders row through ``hash_join`` first). The tiny
+    nation dimension rides ``broadcast_join`` (zero shuffle); the final
+    per-nation re-aggregate sums algebraic partials.
+    → (nation, revenue, n_orders)."""
+    from ..functions.joins import agg_join, broadcast_join
     from ..profiling.groupagg import grouped_aggregate
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -1273,13 +1310,15 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
                              columns=["n_nationkey", "n_name"]) \
         .rename(columns={"n_nationkey": "c_nationkey", "n_name": "nation"})
 
-    joined = hash_join(orders, customer, on="o_custkey",
-                       right_cols=["o_custkey", "c_nationkey"], n_buckets=32)
-    joined = broadcast_join(joined, nation, on="c_nationkey",
+    percust = agg_join(customer, orders, on="o_custkey",
+                       aggs={"revenue": ("o_totalprice", "sum"),
+                             "n_orders": ("", "count")},
+                       how="inner", n_buckets=32)
+    joined = broadcast_join(percust, nation, on="c_nationkey",
                             right_cols=["c_nationkey", "nation"])
     out = grouped_aggregate(joined, ["nation"],
-                            {"revenue": ("o_totalprice", "sum"),
-                             "n_orders": ("", "count")})
+                            {"revenue": ("revenue", "sum"),
+                             "n_orders": ("n_orders", "sum")})
     out["revenue"] = out["revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("nation").reset_index(drop=True)
@@ -1671,8 +1710,14 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     grand total from ONE finest-grain distributed aggregate (the rollup
     levels re-aggregate the tiny (nation, yr) grid on the driver —
     algebraic, so grouping twice is exact). Sentinels 'ALL'/-1 keep the
-    schema null-free. → (nation, yr, revenue, n_orders)."""
-    from ..functions.joins import broadcast_join, hash_join
+    schema null-free. → (nation, yr, revenue, n_orders).
+
+    Probe-side pushdown: ``agg_join(customer, orders,
+    right_group_cols=["yr"])`` collapses every orders batch to
+    per-(custkey, yr) sum/count partials and fuses join + aggregate into
+    ONE exchange — the round-3 form shipped every orders row through the
+    join shuffle and then ran a second grouped-aggregate exchange."""
+    from ..functions.joins import agg_join, broadcast_join
     from ..profiling.groupagg import grouped_aggregate
 
     orders = _read(sf_dir, "orders",
@@ -1690,13 +1735,15 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"]) \
         .rename(columns={"n_nationkey": "c_nationkey", "n_name": "nation"})
-    joined = hash_join(orders, customer, on="o_custkey",
-                       right_cols=["o_custkey", "c_nationkey"], n_buckets=32)
-    joined = broadcast_join(joined, nation, on="c_nationkey",
+    percust = agg_join(customer, orders, on="o_custkey",
+                       aggs={"revenue": ("o_totalprice", "sum"),
+                             "n_orders": ("", "count")},
+                       how="inner", n_buckets=32, right_group_cols=["yr"])
+    joined = broadcast_join(percust, nation, on="c_nationkey",
                             right_cols=["c_nationkey", "nation"])
     detail = grouped_aggregate(joined, ["nation", "yr"],
-                               {"revenue": ("o_totalprice", "sum"),
-                                "n_orders": ("", "count")})
+                               {"revenue": ("revenue", "sum"),
+                                "n_orders": ("n_orders", "sum")})
     per_nation = (detail.groupby("nation", as_index=False)
                   [["revenue", "n_orders"]].sum().assign(yr=-1))
     grand = pd.DataFrame({"nation": ["ALL"], "yr": [-1],

@@ -132,9 +132,20 @@ def benford_first_digit(ds, col: str) -> pd.DataFrame:
         v = b[col].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
         v = v[v >= 1.0]
-        first = np.floor(v).astype(np.int64).astype("U1")  # leading char
-        digit, n = np.unique(first, return_counts=True)
-        return pd.DataFrame({"digit": digit.astype(np.int64), "n": n})
+        # arithmetic first digit — an int64 cast would silently wrap for
+        # values >= 2^63 and corrupt the distribution
+        m = np.floor(v)
+        e = np.floor(np.log10(m))
+        d = np.floor(m / np.power(10.0, e))
+        # float log10 boundary correction (m just below a power of 10 can
+        # undershoot e by one → d lands on 10; just above can overshoot →
+        # d lands on 0)
+        d = np.where(d >= 10, np.floor(d / 10), d)
+        under = d < 1
+        if under.any():
+            d[under] = np.floor(m[under] / np.power(10.0, e[under] - 1))
+        digit, n = np.unique(d.astype(np.int64), return_counts=True)
+        return pd.DataFrame({"digit": digit, "n": n})
 
     out = ds.map_batches(partial, batch_format="pandas")
     merged = grouped_aggregate(out, ["digit"], {"n": ("n", "sum")})

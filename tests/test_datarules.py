@@ -54,6 +54,16 @@ def test_benford_first_digit(ray_session):
         pytest.approx(np.log10(2), abs=1e-6)
 
 
+def test_benford_first_digit_beyond_int64(ray_session):
+    """Values >= 2^63 (an int64 cast would wrap negative) and power-of-10
+    boundaries must yield the true first significant digit."""
+    vals = [9.3e18, 2.5e20, 1e19, 1.0, 10.0, 1000.0, 999.0, 9.999e15]
+    df = pd.DataFrame({"v": vals})
+    out = dr.benford_first_digit(_ds(df, blocks=2), "v")
+    got = dict(zip(out["digit"], out["n"]))
+    assert got == {1: 4, 2: 1, 9: 3}
+
+
 def test_iqr_outlier_fences(ray_session):
     v = np.concatenate([np.arange(1, 101, dtype=float), [1e6, -1e6]])
     df = pd.DataFrame({"v": v})

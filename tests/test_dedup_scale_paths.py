@@ -235,6 +235,113 @@ def test_blocked_pairs_matches_bruteforce(ray_session):
         assert got == sorted(exp), matcher
 
 
+def test_simhash_dataset_route_equals_pandas(ray_session):
+    """output='dataset' for the 64-bit-signature family (hamming_candidates
+    bucketed cross-block pair dedup + distributed components) must equal
+    the collected pandas route end-to-end — same pairs, same clusters."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import (
+        add_simhash, hamming_candidates, simhash_dedup,
+    )
+
+    df = _docs_df(200, seed=13)
+    ds = rd.from_pandas(df).repartition(8)
+    sig = add_simhash(ds, "text", "__sig").materialize()
+    pa = hamming_candidates(sig, "doc_id", "__sig", hamming_threshold=8,
+                            n_blocks=16)
+    pb = hamming_candidates(sig, "doc_id", "__sig", hamming_threshold=8,
+                            n_blocks=16, output="dataset").to_pandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "hamming"]].to_numpy()))
+    assert key(pa) == key(pb)
+    assert len(pa) > 0  # planted near-dups must pair up
+
+    # force the pandas route's measured-size gate onto the shuffle branch
+    import data_quality_ray.dedup.simhash as sh
+
+    orig = sh.HAMMING_COLLECT_MAX_PAIRS
+    sh.HAMMING_COLLECT_MAX_PAIRS = 1
+    try:
+        pc = hamming_candidates(sig, "doc_id", "__sig", hamming_threshold=8,
+                                n_blocks=16)
+    finally:
+        sh.HAMMING_COLLECT_MAX_PAIRS = orig
+    assert key(pa) == key(pc)
+
+    d1 = simhash_dedup(ds, "doc_id", "text", hamming_threshold=8, n_blocks=16)
+    d2 = simhash_dedup(ds, "doc_id", "text", hamming_threshold=8, n_blocks=16,
+                       output="dataset").to_pandas()
+    assert sorted(map(tuple, d1.to_numpy())) == \
+        sorted(map(tuple, d2[["doc_id", "cluster"]].to_numpy()))
+    assert len(d1) > 0
+
+
+def test_semantic_dedup_dataset_route_equals_pandas(ray_session):
+    """SemDeDup output='dataset' (pairs + components distributed, the
+    label map broadcast as sorted arrays — no all-ids driver frame) must
+    equal the pandas route row for row."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.semantic import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(40, 16))
+    rows = [(base[i % 40] + (0.001 * rng.normal(size=16) if i >= 40 else 0)).tolist()
+            for i in range(120)]
+    df = pd.DataFrame({"vec_id": np.arange(120), "embedding": rows})
+    ds = rd.from_pandas(df).repartition(4)
+    kw = dict(threshold=0.999, n_lists=8, sample_rows=120)
+    a = semantic_dedup(ds, "vec_id", "embedding", **kw)
+    b = (semantic_dedup(ds, "vec_id", "embedding", output="dataset", **kw)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        a.astype({"vec_id": "int64", "sem_cluster": "int64", "keep": "bool"}),
+        b.astype({"vec_id": "int64", "sem_cluster": "int64", "keep": "bool"}))
+    assert not a["keep"].all()  # planted dups must collapse
+
+    # no-pairs corpus: dataset route must still label every row keep=True
+    eye = pd.DataFrame({"vec_id": np.arange(8), "embedding": list(np.eye(8))})
+    out = (semantic_dedup(rd.from_pandas(eye), "vec_id", "embedding",
+                          threshold=0.5, n_lists=4, sample_rows=8,
+                          output="dataset").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert out["keep"].all() and (out["sem_cluster"] == out["vec_id"]).all()
+
+
+def test_neardup_blocked_dataset_route_equals_pandas(ray_session):
+    """neardup_pairs_blocked: the gated distributed cross-block pair
+    dedup (output='dataset' / above NEARDUP_COLLECT_MAX_PAIRS) must equal
+    the collected route."""
+    import ray.data as rd
+
+    import data_quality_ray.dedup.embedding as emb
+
+    rng = np.random.default_rng(3)
+    n = 120
+    base_keys = rng.integers(0, 2**63 - 1, 30, dtype=np.int64)
+    keys = base_keys[rng.integers(0, 30, n)]
+    vecs = rng.normal(0, 1, (30, 4))
+    mat = vecs[rng.integers(0, 30, n)] + rng.normal(0, 1e-9, (n, 4))
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "vec": list(mat), "key": keys})
+    ds = rd.from_pandas(df).repartition(4)
+    a = emb.neardup_pairs_blocked(ds, "id", "vec", "key", threshold=0.9999)
+    b = (emb.neardup_pairs_blocked(ds, "id", "vec", "key", threshold=0.9999,
+                                   output="dataset").to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "cos"]].to_numpy()))
+    assert key(a) == key(b)
+    assert len(a) > 0
+    # force the shuffle branch of the collect gate
+    orig = emb.NEARDUP_COLLECT_MAX_PAIRS
+    emb.NEARDUP_COLLECT_MAX_PAIRS = 1
+    try:
+        c = emb.neardup_pairs_blocked(ds, "id", "vec", "key", threshold=0.9999)
+    finally:
+        emb.NEARDUP_COLLECT_MAX_PAIRS = orig
+    assert key(a) == key(c)
+
+
 def test_hamming64_pairs_matches_scalar():
     from data_quality_ray.dedup.simhash import hamming64, hamming64_pairs
 

@@ -864,6 +864,17 @@ def test_weighted_reservoir(ray_session):
     assert frac > 0.35  # uniform would give ~0.10
 
 
+def test_reservoir_multicol_key_unambiguous():
+    """('a-b','c') and ('a','b-c') must build DIFFERENT row keys (the old
+    '-' joint collided them → identical digests → correlated selection)."""
+    from data_quality_ray.sampling.reservoir import KEY_SEP, _row_key
+
+    df = pd.DataFrame({"x": ["a-b", "a"], "y": ["c", "b-c"]})
+    keys = _row_key(df, ["x", "y"]).tolist()
+    assert keys[0] != keys[1]
+    assert KEY_SEP not in "a-b" + "c"  # unit separator can't appear in values
+
+
 def test_agg_join_parity_with_two_exchange_form(ray_session):
     """agg_join (fused single exchange) == grouped_aggregate + hash_join
     for inner/left/outer on random frames with duplicate and missing
@@ -896,3 +907,78 @@ def test_agg_join_parity_with_two_exchange_form(ray_session):
                                   na_position="last").reset_index(drop=True)
 
         pd.testing.assert_frame_equal(canon(fused), canon(two), check_like=True)
+
+
+def test_agg_join_null_right_keys_and_clash(ray_session):
+    """SQL semantics under null right keys: the NULL group never MATCHES
+    a left row (even a null-key left row), but under how='outer' it
+    survives as one unmatched row — verified against DuckDB. Aggregate
+    output names clashing with left columns raise like hash_join."""
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import agg_join
+
+    left = pd.DataFrame({"k": [1.0, 2.0, np.nan], "seg": ["a", "b", "c"]})
+    right = pd.DataFrame({"k": [1.0, 1.0, np.nan, np.nan, 9.0],
+                          "v": [10.0, 20.0, 5.0, 7.0, 1.0]})
+    for how in ("inner", "left", "outer"):
+        fused = agg_join(rd.from_pandas(left).repartition(2),
+                         rd.from_pandas(right).repartition(3), on="k",
+                         aggs={"n": ("", "count"), "sv": ("v", "sum")},
+                         how=how, n_buckets=4).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "outer": "FULL JOIN"}[how]
+        exp = con.execute(f"""
+            SELECT k, l.seg, g.n, g.sv FROM l {sql_how}
+            (SELECT k, count(*) AS n, sum(v) AS sv FROM r GROUP BY k) g
+            USING (k)""").df()
+        canon = lambda d: (d.reindex(columns=["k", "seg", "n", "sv"])
+                           .astype({"k": "float64", "n": "float64", "sv": "float64"})
+                           .sort_values(["k", "seg", "n", "sv"], na_position="last")
+                           .reset_index(drop=True))
+        pd.testing.assert_frame_equal(canon(fused), canon(exp), check_like=True)
+
+    with pytest.raises(ValueError, match="clash"):
+        agg_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                 aggs={"seg": ("v", "sum")})
+
+
+def test_agg_join_right_group_cols(ray_session):
+    """right_group_cols: left JOIN (SELECT k, extra, aggs FROM r GROUP BY
+    k, extra) — a one-to-many fused exchange — must match DuckDB for
+    inner/left, including left rows with no match (probe-side pushdown
+    for revenue_by_nation / rollup_revenue rides this)."""
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import agg_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                         "seg": rng.choice(list("abc"), 20)})
+    right = pd.DataFrame({"k": rng.integers(0, 25, 200).astype(np.int64),
+                          "yr": rng.integers(2020, 2023, 200).astype(np.int64),
+                          "v": rng.normal(100, 10, 200).round(3)})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql_how in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        fused = agg_join(rd.from_pandas(left).repartition(3),
+                         rd.from_pandas(right).repartition(4), on="k",
+                         aggs={"n": ("", "count"), "sv": ("v", "sum")},
+                         how=how, n_buckets=4,
+                         right_group_cols=["yr"]).to_pandas()
+        exp = con.execute(f"""
+            SELECT k, l.seg, g.yr, g.n, g.sv FROM l {sql_how}
+            (SELECT k, yr, count(*) AS n, sum(v) AS sv FROM r
+             GROUP BY k, yr) g USING (k)""").df()
+        canon = lambda d: (d.reindex(columns=["k", "seg", "yr", "n", "sv"])
+                           .astype({"k": "int64", "yr": "float64",
+                                    "n": "float64", "sv": "float64"})
+                           .round({"sv": 6})
+                           .sort_values(["k", "seg", "yr"], na_position="last")
+                           .reset_index(drop=True))
+        pd.testing.assert_frame_equal(canon(fused), canon(exp), check_like=True)
