@@ -72,14 +72,21 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
     # the winners pass needs only (key, order): callers with a re-readable
     # source should pass a column-pruned ``winners_from`` dataset so the
     # wide payload (image bytes) isn't scanned twice. The min-merge goes
-    # through the hash-bucketed grouped_aggregate — Ray's native
-    # per-distinct-key aggregate pays Python accumulate per key (43 s at
-    # 235k keys, measured vs ~1 s bucketed)
+    # through grouped_aggregate's measured-size gate (final="auto"): the
+    # winner set lands on the driver for the broadcast regardless, so a
+    # bucketed exchange only pays off once the partial count exceeds the
+    # driver gate (interleaved quiet A/B at sf0.1: driver 1.20 s vs
+    # shuffle 1.89 s — the bare Ray per-key aggregate is not an option
+    # either way, 43 s at 235k keys measured vs ~1 s bucketed)
+    import pandas as pd
+
     from ..profiling.groupagg import grouped_aggregate
 
     wsrc = winners_from if winners_from is not None else pre_ds.select_columns([key, order_col])
     winners = grouped_aggregate(wsrc, [key], {"__win": (order_col, "min")},
-                                final="shuffle").to_pandas()
+                                final="auto")
+    if not isinstance(winners, pd.DataFrame):
+        winners = winners.to_pandas()
     # sorted winner ARRAYS (not a set of tuples): numpy arrays ride the
     # object store zero-copy and membership is a vectorized searchsorted —
     # the same kernel as the flagship's _dedup_phase (pipelines/north.py)

@@ -19,6 +19,13 @@ import pandas as pd
 
 _FINAL = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+# final="auto" collects when the MEASURED partial row count (one row per
+# (batch, key) — an upper bound on distinct keys) fits comfortably on the
+# driver; above it the merge shuffles. Interleaved quiet-window A/B at
+# sf0.1 (235k distinct doc texts): driver 1.20 s vs shuffle 1.89 s — the
+# bucketed exchange's fixed latency only pays off past millions of keys.
+AUTO_COLLECT_MAX_PARTIAL_ROWS = 4_000_000
+
 
 def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
                       final: str = "driver"):
@@ -38,6 +45,12 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
       per-distinct-key Python accumulate inside Ray's aggregate — 43 s
       vs 1 s at 235k keys, measured — so high-cardinality finals go
       through the bucket shape like every other distributed merge here.)
+    - "auto": measured-size gate — materializes the partials, counts
+      their rows (≥ distinct keys), and picks "driver" at or below
+      ``AUTO_COLLECT_MAX_PARTIAL_ROWS``, "shuffle" above. Return type
+      follows the chosen path; right for callers that collect the result
+      anyway (broadcast-winners patterns) but must stay safe on
+      unbounded key spaces.
     """
     for fn_name in (fn for _, fn in aggs.values()):
         if fn_name not in _FINAL:
@@ -54,6 +67,11 @@ def grouped_aggregate(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
         return pd.DataFrame(cols).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
+
+    if final == "auto":
+        partials = partials.materialize()
+        final = ("driver" if partials.count() <= AUTO_COLLECT_MAX_PARTIAL_ROWS
+                 else "shuffle")
 
     if final == "shuffle":
         import numpy as np

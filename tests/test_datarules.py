@@ -212,6 +212,31 @@ def test_grouped_aggregate_random_parity(ray_session):
             assert list(got["n"].astype(int)) == list(exp["n"].astype(int))
 
 
+def test_grouped_aggregate_auto_gate(ray_session):
+    """final='auto' must pick the driver path (DataFrame) under the
+    measured partial-row gate and the shuffle path (Dataset) above it,
+    with identical values either way."""
+    import data_quality_ray.profiling.groupagg as ga
+
+    df = pd.DataFrame({"k": list("abcd") * 25,
+                       "v": np.arange(100, dtype=float)})
+    ds = _ds(df, blocks=4)
+    aggs = {"n": ("", "count"), "s": ("v", "sum")}
+    a = ga.grouped_aggregate(ds, ["k"], aggs, final="auto")
+    assert isinstance(a, pd.DataFrame)  # tiny input → driver path
+    orig = ga.AUTO_COLLECT_MAX_PARTIAL_ROWS
+    ga.AUTO_COLLECT_MAX_PARTIAL_ROWS = 1
+    try:
+        b = ga.grouped_aggregate(ds, ["k"], aggs, final="auto")
+    finally:
+        ga.AUTO_COLLECT_MAX_PARTIAL_ROWS = orig
+    assert not isinstance(b, pd.DataFrame)  # forced shuffle → Dataset
+    bd = b.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.sort_values("k").reset_index(drop=True)[["k", "n", "s"]],
+        bd[["k", "n", "s"]], check_dtype=False)
+
+
 def test_distinct_counts_combined_random_parity(ray_session):
     """Combined one-exchange distinct == pandas nunique (nulls excluded)
     across mixed dtypes."""
