@@ -111,6 +111,7 @@ def run_bench() -> dict:
         ("dedup_exact_docs", Q.dedup_exact_docs),
         ("reservoir_sample_lineitem", Q.reservoir_sample_lineitem),
         ("knn_embeddings", Q.knn_embeddings),
+        ("ivf_store_knn_embeddings", Q.ivf_store_knn_embeddings),
         ("minhash_neardup_docs", Q.minhash_neardup_docs),
         ("golden_record_orders", Q.golden_record_orders),
         ("text_length_by_lang", Q.text_length_by_lang),

@@ -126,12 +126,18 @@ def add_winnow_fingerprints(ds, id_col: str, text_col: str, k: int = 5,
 
 def winnow_candidates(ds, id_col: str, text_col: str, k: int = 5, w: int = 4,
                       min_shared: int = 2, hash_fn: str = "stable",
-                      n_buckets: int = 64) -> pd.DataFrame:
+                      n_buckets: int = 64, output: str = "pandas"):
     """Candidate near-dup / containment pairs: docs sharing at least
     ``min_shared`` DISTINCT fingerprint hashes -> (id_a, id_b, shared).
     Postings (fp, id) group by fingerprint hash — bucketed like every
     sibling pairing stage, pairs counted with a pandas groupby (no
-    per-tiny-group Python callbacks)."""
+    per-tiny-group Python callbacks).
+
+    A pair's shared-count splits across fp-buckets, so the global sum
+    needs one more (id_a, id_b)-keyed exchange: ``output="dataset"``
+    runs it distributed (per-pair grouped sum + min_shared filter, no
+    driver pair frame — the unbounded-pair-set route); the pandas
+    default sums on the driver (pairs ≪ corpus at sane min_shared)."""
     fps = add_winnow_fingerprints(ds, id_col, text_col, k, w, hash_fn)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -163,12 +169,30 @@ def winnow_candidates(ds, id_col: str, text_col: str, k: int = 5, w: int = 4,
         out["shared"] = out["shared"].astype(np.int64)
         return out
 
-    parts = (
+    part_ds = (
         fps.map_batches(add_bucket, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
+    if output == "dataset":
+        import pandas.util as pdu
+
+        def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
+                b["id_b"].to_numpy())
+            b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
+            return b
+
+        def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby(["id_a", "id_b"], sort=False)["shared"]
+                   .sum().reset_index())
+            return out[out["shared"] >= min_shared]
+
+        return (part_ds.map_batches(pair_bucket, batch_format="pandas")
+                .groupby("__pb").map_groups(sum_bucket, batch_format="pandas"))
+
+    parts = part_ds.to_pandas()
     if parts.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "shared": []})
     # distinct fp hashes land in exactly one bucket, so per-pair shared

@@ -95,3 +95,30 @@ def test_winnow_candidates_dataset(ray_session):
                                 "text", k=5, w=4, min_shared=3,
                                 hash_fn="md5")
     assert (0, 1) in set(zip(out_md5["id_a"], out_md5["id_b"]))
+
+
+def test_winnow_candidates_dataset_route_equals_pandas(ray_session):
+    """output='dataset' (per-pair grouped sum + min_shared filter as one
+    more keyed exchange, no driver pair frame) must equal the collected
+    route on a corpus with real cross-bucket shared counts."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.winnow import winnow_candidates
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"tok{i}" for i in range(400)])
+    texts = [" ".join(vocab[rng.integers(0, 400, 40)]) for _ in range(150)]
+    for i in range(0, 150, 10):       # planted containment pairs
+        j = int(rng.integers(0, 150))
+        texts[i] = texts[j] + " tail words here"
+    df = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+    a = winnow_candidates(ds, "doc_id", "text", k=5, w=4, min_shared=2)
+    b = (winnow_candidates(ds, "doc_id", "text", k=5, w=4, min_shared=2,
+                           output="dataset").to_pandas()
+         .sort_values(["id_a", "id_b"], kind="mergesort")
+         .reset_index(drop=True))
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "shared"]].to_numpy()))
+    assert key(a) == key(b)
+    assert len(a) > 0
