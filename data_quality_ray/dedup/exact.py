@@ -78,8 +78,6 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
     # driver gate (interleaved quiet A/B at sf0.1: driver 1.20 s vs
     # shuffle 1.89 s — the bare Ray per-key aggregate is not an option
     # either way, 43 s at 235k keys measured vs ~1 s bucketed)
-    import pandas as pd
-
     from ..profiling.groupagg import grouped_aggregate
 
     wsrc = winners_from if winners_from is not None else pre_ds.select_columns([key, order_col])

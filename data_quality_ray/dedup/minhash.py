@@ -205,13 +205,16 @@ def candidate_pairs(band_ds, id_col: str, strategy: str = "auto",
     return out.drop_duplicates().reset_index(drop=True)
 
 
-def dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b"), n_buckets: int = 64):
-    """Distributed uniqueness over a (id_a, id_b, ...) pair Dataset: one
-    (id_a, id_b)-keyed bucketed shuffle + per-bucket ``drop_duplicates`` —
-    the same pair can surface from several LSH bands / signature blocks /
-    fingerprint blocks whose buckets live in different groups, so
-    uniqueness needs exactly one more keyed exchange, never a driver
-    collect. Shared by minhash / simhash / embedding dataset routes."""
+def dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b"), n_buckets: int = 64,
+                        reducer=None):
+    """Distributed per-pair combine over a (id_a, id_b, ...) pair Dataset:
+    one (id_a, id_b)-keyed bucketed shuffle + a per-bucket reducer — the
+    same pair can surface from several LSH bands / signature blocks /
+    fingerprint blocks whose buckets live in different groups, so the
+    combine needs exactly one more keyed exchange, never a driver collect.
+    Default reducer is uniqueness (``drop_duplicates``); pass ``reducer``
+    for other per-pair folds (e.g. winnowing's shared-count sum). Shared
+    by minhash / simhash / embedding / winnow dataset routes."""
     import pandas.util as pdu
 
     def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -227,7 +230,8 @@ def dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b"), n_buckets: int = 64
         return g.drop_duplicates(["id_a", "id_b"])[cols]
 
     return (pair_ds.map_batches(pair_bucket, batch_format="pandas")
-            .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas"))
+            .groupby("__pb").map_groups(reducer or dedup_bucket,
+                                        batch_format="pandas"))
 
 
 def jaccard(text_a: str, text_b: str, shingle_size: int = 3, hash_fn: str = "stable") -> float:
@@ -259,7 +263,7 @@ def union_find_components(pairs: pd.DataFrame) -> pd.DataFrame:
 
 
 def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
-                           as_dataset: bool = False):
+                           as_dataset: bool = False, id_name: str = "id"):
     """Connected components by iterated min-label propagation over Ray
     Dataset rounds — no driver-side union-find. Each round is one shuffle:
     edge messages (dst ← label[src]) union'd with current labels, then a
@@ -279,6 +283,16 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
         }),
         batch_format="pandas",
     ).materialize()
+    if both.count() == 0:
+        # zero edges → the propagation loop would emit only empty
+        # map_groups outputs whose schema Ray drops (so would any further
+        # map_batches over the result — Ray skips empty blocks, which is
+        # why the id column is NAMED here instead of renamed by callers);
+        # return a TYPED empty (id_name, cluster). int64 stand-in dtype —
+        # the true id dtype is unknowable without rows.
+        empty = pd.DataFrame({id_name: pd.Series(dtype="int64"),
+                              "cluster": pd.Series(dtype="int64")})
+        return rd.from_pandas(empty) if as_dataset else empty
     labels = both.map_batches(
         lambda b: pd.DataFrame({"id": b["src"].unique()}).assign(lbl=lambda d: d["id"]),
         batch_format="pandas",
@@ -354,12 +368,13 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
             break
     if as_dataset:
         return labels.map_batches(
-            lambda b: pd.DataFrame({"id": b["id"],
+            lambda b: pd.DataFrame({id_name: b["id"],
                                     "cluster": b["lbl"].astype(b["id"].dtype)}),
             batch_format="pandas")
     out = labels.to_pandas()
-    return pd.DataFrame({"id": out["id"], "cluster": out["lbl"].astype(out["id"].dtype)}
-                        ).sort_values("id").reset_index(drop=True)
+    return pd.DataFrame({id_name: out["id"],
+                         "cluster": out["lbl"].astype(out["id"].dtype)}
+                        ).sort_values(id_name).reset_index(drop=True)
 
 
 # verified-pair sets larger than this go through distributed_components
@@ -652,9 +667,10 @@ def minhash_dedup(ds, id_col: str, text_col: str, threshold: float = 0.7,
                                    as_dataset=True).materialize()
         verified = verify_pairs(ds, pairs_ds, id_col, text_col, threshold,
                                 shingle_size, hash_fn, strategy="shuffle")
-        comp = distributed_components(verified, as_dataset=True)
-        return comp.map_batches(
-            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
+        # id_name, not a rename map_batches after: Ray drops empty-block
+        # schemas, so a zero-pair corpus would lose its columns
+        return distributed_components(verified, as_dataset=True,
+                                      id_name=id_col)
 
     pairs = candidate_pairs(bands_ds, id_col, strategy=strategy)
     if pairs.empty:

@@ -282,9 +282,10 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str, threshold: float = 0.5,
                                           n_buckets, as_dataset=True).materialize()
         verified = verify_pairs(ds, pairs_ds, id_col, text_col, threshold,
                                 shingle_size, hash_fn, strategy="shuffle")
-        comp = distributed_components(verified, as_dataset=True)
-        return comp.map_batches(
-            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
+        # id_name, not a rename map_batches after: Ray drops empty-block
+        # schemas, so a zero-pair corpus would lose its columns
+        return distributed_components(verified, as_dataset=True,
+                                      id_name=id_col)
 
     pairs = candidate_pairs_ssjoin(postings, id_col, threshold, n_buckets)
     if pairs.empty:

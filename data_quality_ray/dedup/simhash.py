@@ -196,12 +196,13 @@ def simhash_dedup(ds, id_col: str, text_col: str, hamming_threshold: int = 3,
     if output == "dataset":
         pairs_ds = simhash_candidates(ds, id_col, text_col, hamming_threshold,
                                       n_blocks, hash_fn, output="dataset")
-        comp = distributed_components(
+        # id_name (not a rename map_batches after): Ray drops the schema
+        # of empty blocks, so a zero-pair corpus would lose its columns
+        # through any further map over the (empty) result
+        return distributed_components(
             pairs_ds.map_batches(lambda b: b[["id_a", "id_b"]],
                                  batch_format="pandas"),
-            as_dataset=True)
-        return comp.map_batches(
-            lambda b: b.rename(columns={"id": id_col}), batch_format="pandas")
+            as_dataset=True, id_name=id_col)
 
     pairs = simhash_candidates(ds, id_col, text_col, hamming_threshold,
                                n_blocks, hash_fn)

@@ -175,22 +175,17 @@ def winnow_candidates(ds, id_col: str, text_col: str, k: int = 5, w: int = 4,
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     if output == "dataset":
-        import pandas.util as pdu
-
-        def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            h = pdu.hash_array(b["id_a"].to_numpy()) ^ pdu.hash_array(
-                b["id_b"].to_numpy())
-            b["__pb"] = (h % np.uint64(n_buckets)).astype("int64")
-            return b
+        from .minhash import dedup_pairs_dataset
 
         def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
             out = (g.groupby(["id_a", "id_b"], sort=False)["shared"]
                    .sum().reset_index())
             return out[out["shared"] >= min_shared]
 
-        return (part_ds.map_batches(pair_bucket, batch_format="pandas")
-                .groupby("__pb").map_groups(sum_bucket, batch_format="pandas"))
+        # the shared (id_a, id_b)-keyed exchange, with the per-pair fold
+        # swapped from uniqueness to the shared-count sum + threshold
+        return dedup_pairs_dataset(part_ds, n_buckets=n_buckets,
+                                   reducer=sum_bucket)
 
     parts = part_ds.to_pandas()
     if parts.empty:

@@ -410,8 +410,12 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
         gb = b.groupby(gkeys, sort=False, dropna=False)
         cols = {}
         for out_col, (in_col, fn) in aggs.items():
-            cols[out_col] = gb.size() if fn == "count" \
-                else getattr(gb[in_col], fn)()
+            if fn == "count":        # COUNT(*) — rows, like the SQL form
+                cols[out_col] = gb.size()
+            elif fn == "sum":        # min_count=1: SQL sum over an
+                cols[out_col] = gb[in_col].sum(min_count=1)  # all-NULL
+            else:                    # group is NULL, not 0
+                cols[out_col] = getattr(gb[in_col], fn)()
         out = pd.DataFrame(cols).reset_index()
         out = out.reindex(columns=out_cols)
         out["__side"] = np.int8(1)
@@ -429,7 +433,11 @@ def agg_join(left_ds, right_ds, on: str, aggs: dict, how: str = "left",
         left = g[g["__side"] == 0][left_cols]
         rp = g[g["__side"] == 1]
         gb = rp.groupby(gkeys, sort=False, dropna=False)
-        cols = {c: getattr(gb[c], _FINAL[fn])()
+        # final sum skips NaN partials with min_count=1 so an all-NULL
+        # group stays NULL end-to-end (SQL parity), while a group with
+        # values in SOME batches sums only the non-NaN partials
+        cols = {c: (gb[c].sum(min_count=1) if _FINAL[fn] == "sum"
+                    else getattr(gb[c], _FINAL[fn])())
                 for c, (_, fn) in aggs.items()}
         right_all = pd.DataFrame(cols).reset_index()
         # SQL: a NULL key never equals anything — split the NULL group out

@@ -426,7 +426,7 @@ def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
     import shutil
     import tempfile
 
-    from ..similarity.knn import build_ivf_store, ivf_topk_store
+    from ..similarity.knn import build_ivf_store, ivf_scan_stats, ivf_topk_store
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -437,8 +437,9 @@ def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
         build_ivf_store(ds, store, vec_col="embedding", n_lists=n_lists)
         exact, full_stats = ivf_topk_store(store, "vec_id", "embedding", qvec,
                                            k=10, nprobe=n_lists)
-        pruned, stats = ivf_topk_store(store, "vec_id", "embedding", qvec,
-                                       k=10, nprobe=2)
+        # the nprobe=2 pruning assertion needs footer metadata only — no
+        # second distributed read+score pass
+        stats = ivf_scan_stats(store, qvec, nprobe=2)
         if not (0 < stats["rows_scanned"] < stats["rows_total"]):
             raise AssertionError(f"IVF store did not prune the scan: {stats}")
         if full_stats["rows_scanned"] != full_stats["rows_total"]:

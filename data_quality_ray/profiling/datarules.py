@@ -130,20 +130,22 @@ def benford_first_digit(ds, col: str) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b[col].to_numpy(dtype=np.float64)
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         v = v[v >= 1.0]
         # arithmetic first digit — an int64 cast would silently wrap for
         # values >= 2^63 and corrupt the distribution
         m = np.floor(v)
         e = np.floor(np.log10(m))
+        # float log10 boundary correction on the EXPONENT (m just below a
+        # power of 10 can overshoot e; just above can undershoot): enforce
+        # 10^e <= m < 10^(e+1) by direct comparison, not by patching d
+        e = np.where(m < np.power(10.0, e), e - 1, e)
+        e = np.where(m >= np.power(10.0, e + 1), e + 1, e)
         d = np.floor(m / np.power(10.0, e))
-        # float log10 boundary correction (m just below a power of 10 can
-        # undershoot e by one → d lands on 10; just above can overshoot →
-        # d lands on 0)
-        d = np.where(d >= 10, np.floor(d / 10), d)
-        under = d < 1
-        if under.any():
-            d[under] = np.floor(m[under] / np.power(10.0, e[under] - 1))
+        # at >= ~1e23 the power itself is inexact by ~1 ulp, which can
+        # still push d onto 0 or 10 for values within 1 ulp of a boundary;
+        # clamp — either neighbour digit is defensible at that precision
+        d = np.clip(d, 1.0, 9.0)
         digit, n = np.unique(d.astype(np.int64), return_counts=True)
         return pd.DataFrame({"digit": digit, "n": n})
 

@@ -184,6 +184,42 @@ def build_ivf_store(ds, store_dir: str, vec_col: str = "embedding",
     return cent
 
 
+def _ivf_probe_dirs(store_dir: str, query: np.ndarray, nprobe: int):
+    """Centroid ranking → the ``nprobe`` list directories a query reads,
+    plus every list directory (for scan-stats denominators)."""
+    import glob
+    import os
+
+    cent = np.load(os.path.join(store_dir, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe_lists = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    all_dirs = sorted(glob.glob(os.path.join(store_dir, "ivf_list=*")))
+    probe_dirs = [d for d in all_dirs
+                  if int(os.path.basename(d).split("=", 1)[1]) in probe_lists]
+    return qn, probe_dirs, all_dirs
+
+
+def ivf_scan_stats(store_dir: str, query: np.ndarray, nprobe: int = 4) -> dict:
+    """Measured I/O-level pruning for a query at ``nprobe`` from parquet
+    FOOTER metadata alone — no row is read or scored. This is the cheap
+    way to assert scan reduction (the full ``ivf_topk_store`` pays a
+    distributed read + matmul for the result as well)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, probe_dirs, all_dirs = _ivf_probe_dirs(store_dir, query, nprobe)
+
+    def _rows(dirs):
+        return sum(pq.ParquetFile(f).metadata.num_rows
+                   for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    return {"rows_scanned": _rows(probe_dirs), "rows_total": _rows(all_dirs),
+            "lists_probed": len(probe_dirs), "lists_total": len(all_dirs)}
+
+
 def ivf_topk_store(store_dir: str, id_col: str, vec_col: str, query: np.ndarray,
                    k: int = 10, nprobe: int = 4) -> tuple[pd.DataFrame, dict]:
     """Approximate top-k against a ``build_ivf_store`` layout: load the
@@ -199,13 +235,7 @@ def ivf_topk_store(store_dir: str, id_col: str, vec_col: str, query: np.ndarray,
 
     from ..functions.broadcast import cached_get
 
-    cent = np.load(os.path.join(store_dir, "_centroids.npy"))
-    q = np.asarray(query, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    probe_lists = np.argsort(-(cent @ qn))[:nprobe].tolist()
-    all_dirs = sorted(glob.glob(os.path.join(store_dir, "ivf_list=*")))
-    probe_dirs = [d for d in all_dirs
-                  if int(os.path.basename(d).split("=", 1)[1]) in set(probe_lists)]
+    qn, probe_dirs, all_dirs = _ivf_probe_dirs(store_dir, query, nprobe)
     if not probe_dirs:
         return pd.DataFrame({"id": [], "sim": []}), {"rows_scanned": 0, "rows_total": 0}
     probe_files = sorted(f for d in probe_dirs
@@ -228,15 +258,7 @@ def ivf_topk_store(store_dir: str, id_col: str, vec_col: str, query: np.ndarray,
     out = parts.sort_values(["sim", "id"], ascending=[False, True], kind="mergesort").head(k)
     # measured pruning: rows in probed partitions vs whole store, from
     # parquet FOOTER metadata only
-    import pyarrow.parquet as pq
-
-    def _rows(dirs):
-        return sum(pq.ParquetFile(f).metadata.num_rows
-                   for d in dirs for f in glob.glob(os.path.join(d, "*.parquet")))
-
-    stats = {"rows_scanned": _rows(probe_dirs), "rows_total": _rows(all_dirs),
-             "lists_probed": len(probe_dirs), "lists_total": len(all_dirs)}
-    return out.reset_index(drop=True), stats
+    return out.reset_index(drop=True), ivf_scan_stats(store_dir, query, nprobe)
 
 
 def ivf_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,

@@ -64,6 +64,22 @@ def test_benford_first_digit_beyond_int64(ray_session):
     assert got == {1: 4, 2: 1, 9: 3}
 
 
+def test_benford_first_digit_nonfinite_and_ulp_boundaries(ray_session):
+    """inf must be filtered like nan (not flow to a NaN digit), and values
+    within ~1 ulp of large powers of 10 (where 10.0**e itself is inexact)
+    must still land on a digit in [1, 9] — never 0/10 → KeyError."""
+    near_pow = np.nextafter(1e23, 0.0)  # just below 10^23, float-inexact zone
+    vals = [np.inf, -np.inf, np.nan, 1.0, near_pow, 1e23, np.nextafter(1e23, np.inf),
+            9.999999e22, 1e308, float(2**63), 5.0]
+    df = pd.DataFrame({"v": vals})
+    out = dr.benford_first_digit(_ds(df, blocks=2), "v")
+    assert out["digit"].between(1, 9).all()
+    # the three non-finite rows and nothing else drop
+    assert out["n"].sum() == 8
+    got = dict(zip(out["digit"], out["n"]))
+    assert got[5] == 1 and got[1] >= 3  # 1.0, 1e23-family, 1e308
+
+
 def test_iqr_outlier_fences(ray_session):
     v = np.concatenate([np.arange(1, 101, dtype=float), [1e6, -1e6]])
     df = pd.DataFrame({"v": v})

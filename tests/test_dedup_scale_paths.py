@@ -276,6 +276,31 @@ def test_simhash_dataset_route_equals_pandas(ray_session):
     assert len(d1) > 0
 
 
+def test_simhash_dedup_dataset_route_zero_pairs(ray_session):
+    """A clean corpus (no Hamming-close pairs) through output='dataset'
+    must return a TYPED empty (doc_id, cluster) — Ray drops the schema of
+    all-empty map_groups outputs, so distributed_components guards the
+    zero-edge case explicitly."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import simhash_dedup
+
+    df = pd.DataFrame({"doc_id": np.arange(12),
+                       "text": [f"totally distinct document number {i} "
+                                f"{'x' * i} {'y' * (20 - i)}" for i in range(12)]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = simhash_dedup(ds, "doc_id", "text", hamming_threshold=0,
+                        n_blocks=16, output="dataset")
+    # Dataset contract: schema names survive (Ray's to_pandas() on an
+    # empty dataset drops columns even when schema() is intact, so the
+    # assertion is on the Dataset itself)
+    assert out.schema().names == ["doc_id", "cluster"]
+    assert out.count() == 0
+    # pandas route agrees on the same corpus
+    assert simhash_dedup(ds, "doc_id", "text", hamming_threshold=0,
+                         n_blocks=16).empty
+
+
 def test_semantic_dedup_dataset_route_equals_pandas(ray_session):
     """SemDeDup output='dataset' (pairs + components distributed, the
     label map broadcast as sorted arrays — no all-ids driver frame) must

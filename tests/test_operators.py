@@ -946,6 +946,40 @@ def test_agg_join_null_right_keys_and_clash(ray_session):
                  aggs={"seg": ("v", "sum")})
 
 
+def test_agg_join_all_null_sum_group(ray_session):
+    """SQL sum over a group whose input column is entirely NULL is NULL,
+    not 0 — including when the group's rows are split across right
+    partitions (NaN partials must not poison groups with real values in
+    other batches). Verified against DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.functions.joins import agg_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "seg": ["a", "b", "c"]})
+    # k=1: all-NULL v (split over 2 partitions) → sv NULL; k=2: NULL in one
+    # partition + value in another → sv 7.0; k=3 absent from right
+    right = pd.DataFrame({"k": [1, 1, 2, 2], "v": [np.nan, np.nan, np.nan, 7.0]})
+    for how in ("inner", "left", "outer"):
+        fused = agg_join(rd.from_pandas(left).repartition(2),
+                         rd.from_pandas(right).repartition(4), on="k",
+                         aggs={"n": ("", "count"), "sv": ("v", "sum")},
+                         how=how, n_buckets=4).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        sql_how = {"inner": "JOIN", "left": "LEFT JOIN", "outer": "FULL JOIN"}[how]
+        exp = con.execute(f"""
+            SELECT k, l.seg, g.n, g.sv FROM l {sql_how}
+            (SELECT k, count(*) AS n, sum(v) AS sv FROM r GROUP BY k) g
+            USING (k)""").df()
+        canon = lambda d: (d.reindex(columns=["k", "seg", "n", "sv"])
+                           .astype({"k": "float64", "n": "float64", "sv": "float64"})
+                           .sort_values(["k", "seg"], na_position="last")
+                           .reset_index(drop=True))
+        pd.testing.assert_frame_equal(canon(fused), canon(exp), check_like=True)
+
+
 def test_agg_join_right_group_cols(ray_session):
     """right_group_cols: left JOIN (SELECT k, extra, aggs FROM r GROUP BY
     k, extra) — a one-to-many fused exchange — must match DuckDB for
