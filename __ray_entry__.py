@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_docs": Q.perplexity_docs,
         "dup_char_collapse_docs": Q.dup_char_collapse_docs,
         "minhash_neardup_docs": Q.minhash_neardup_docs,
+        # cross-run near-dup index: 'yesterday' (even doc_ids) committed
+        # into the persisted LSH band-key store, 'today' (odd) screened
+        "cross_run_neardup_docs": Q.cross_run_neardup_docs,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
@@ -1195,9 +1198,14 @@ ORDER BY dv.value
 
 # --- MinHash+LSH near-dup clustering, replayed end-to-end in SQL -----------
 
-def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
-                 shingle_size: int = 3, seed: int = 17,
-                 source: str = "documents") -> str:
+def _minhash_bandk_cte(n_perm: int = 64, bands: int = 16,
+                       shingle_size: int = 3, seed: int = 17,
+                       source: str = "documents") -> str:
+    """The shared MinHash band-key derivation (tokens → shingles → md5
+    hashes → permuted signature → per-band "v|v|…" keys) as a CTE chain
+    ending at ``bandk(doc_id, band_id, band_key)`` — used by the in-run
+    near-dup oracle and the cross-run index oracle, which must agree on
+    keys byte for byte (dedup/minhash.py md5 mode is the Python twin)."""
     from data_quality_ray.dedup.minhash import perm_coefficients
 
     a, b = perm_coefficients(n_perm, seed)
@@ -1205,8 +1213,7 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
     rpb = n_perm // bands
     u64 = "18446744073709551616::HUGEINT"
     empty_key = "|".join(["18446744073709551615"] * rpb)
-    return f"""
-    WITH RECURSIVE params(p, a, b) AS (SELECT * FROM (VALUES {params})),
+    return f"""params(p, a, b) AS (SELECT * FROM (VALUES {params})),
     dt AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks
@@ -1232,7 +1239,15 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
       FROM sig GROUP BY 1, 2
       UNION ALL
       SELECT d.doc_id, t.i AS band_id, '{empty_key}' AS band_key
-      FROM dt d, range(0, {bands}) t(i) WHERE len(d.toks) = 0),
+      FROM dt d, range(0, {bands}) t(i) WHERE len(d.toks) = 0)"""
+
+
+def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
+                 shingle_size: int = 3, seed: int = 17,
+                 source: str = "documents") -> str:
+    bandk = _minhash_bandk_cte(n_perm, bands, shingle_size, seed, source)
+    return f"""
+    WITH RECURSIVE {bandk},
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bandk x JOIN bandk y
@@ -1662,6 +1677,23 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _sem_dedup_sql(),
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
+        # cross-run screen: recompute band keys for BOTH halves, count a
+        # today-band as hit iff its (band_id, band_key) exists anywhere in
+        # yesterday's distinct key set — exactly MinhashIndex.screen
+        "cross_run_neardup_docs": f"""
+    WITH {_minhash_bandk_cte()},
+    hist AS (SELECT DISTINCT band_id, band_key FROM bandk WHERE doc_id % 2 = 0),
+    today AS (SELECT * FROM bandk WHERE doc_id % 2 = 1),
+    hits AS (SELECT t.doc_id, count(*) AS n
+             FROM today t JOIN hist h
+               ON t.band_id = h.band_id AND t.band_key = h.band_key
+             GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_hit_bands,
+           coalesce(h.n, 0) >= 1 AS known_neardup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id""",
         "quality_filter_images": _f1_labels_sql(
             "image_id, verdict, first_rule, scrubbed_caption AS caption, phash"),
         "phash_dedup_images": "SELECT phash, min(image_id) AS image_id FROM (" +

@@ -113,6 +113,7 @@ def run_bench() -> dict:
         ("knn_embeddings", Q.knn_embeddings),
         ("ivf_store_knn_embeddings", Q.ivf_store_knn_embeddings),
         ("minhash_neardup_docs", Q.minhash_neardup_docs),
+        ("cross_run_neardup_docs", Q.cross_run_neardup_docs),
         ("golden_record_orders", Q.golden_record_orders),
         ("text_length_by_lang", Q.text_length_by_lang),
         ("events_hourly_window", Q.events_hourly_window),

@@ -450,6 +450,43 @@ def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
     return exact.rename(columns={"id": "vec_id"})[["vec_id", "sim"]]
 
 
+def cross_run_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-run near-dup screen driven end-to-end through the persisted
+    MinHash LSH index (state/minhash_index.py): 'yesterday' = even
+    doc_ids committed as a generation, 'today' = odd doc_ids screened
+    against it in one streaming pass. md5 key mode makes every band key
+    SQL-replayable, so the oracle recomputes the whole screen (keys,
+    membership, per-doc hit counts) from scratch.
+    → (doc_id, n_hit_bands, known_neardup) for today's docs."""
+    import shutil
+    import tempfile
+
+    from ..state.minhash_index import MinhashIndex
+
+    # the docs table reads as a handful of blocks at bench scale; the md5
+    # signature kernel (the oracle contract) is the work, so spread it —
+    # measured 5.1 s → ~2.5 s at sf0.1 / 32 CPUs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+
+    def half(par):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["doc_id"] % 2 == par]
+        return f
+
+    d = tempfile.mkdtemp(prefix="dq_mh_idx_")
+    try:
+        idx = MinhashIndex(d, hash_fn="md5")
+        idx.commit(ds.map_batches(half(0), batch_format="pandas"),
+                   "doc_id", "text")
+        out = (idx.screen(ds.map_batches(half(1), batch_format="pandas"),
+                          "doc_id", "text")
+               .to_pandas())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (out[["doc_id", "n_hit_bands", "known_neardup"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 # below this row count the blocked fuzzy self-join runs on the driver —
 # the bucketed groupby's fixed shuffle cost (~1 s) dwarfs the compute on
 # small tables (measured: r1 collect 1.43 s vs r2 shuffle 2.44 s at sf0.1,
