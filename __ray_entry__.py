@@ -139,6 +139,45 @@ def phash_neardup_images(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def cross_run_phash_images(sf_dir: str):
+    """Cross-run image near-dup screen through the persisted Hamming
+    index (state/hamming_index.py): 'yesterday' = even image_ids'
+    phashes committed as a generation, 'today' = odd image_ids screened
+    for Hamming ≤ 2 in one streaming pass. Pigeonhole (4 blocks > radius
+    2) makes the screen EXACT, so the oracle is an independent
+    brute-force min-over-history xor+bit_count — it checks completeness
+    of the block lookup, not a replay.
+    → (image_id, min_hamming, known_neardup) for today's images."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.state.hamming_index import HammingIndex
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+
+    # image_id is a STRING ("img000000123") — split runs on the numeric tail
+    def half(par):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[b["image_id"].str[3:].astype("int64") % 2 == par]
+        return f
+
+    d = tempfile.mkdtemp(prefix="dq_ph_idx_")
+    try:
+        idx = HammingIndex(d, radius=2, n_blocks=4)
+        idx.commit(ds.map_batches(half(0), batch_format="pandas"),
+                   sig_col="phash")
+        out = (idx.screen(ds.map_batches(half(1), batch_format="pandas"),
+                          sig_col="phash")
+               .to_pandas())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (out[["image_id", "min_hamming", "known_neardup"]]
+            .sort_values("image_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship + scrub (full SQL oracle)
@@ -227,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
         "phash_neardup_images": phash_neardup_images,
+        # cross-run image near-dup: yesterday's phashes committed into the
+        # persisted Hamming index, today screened exactly (pigeonhole)
+        "cross_run_phash_images": cross_run_phash_images,
         "image_features": image_features,
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
@@ -1706,6 +1748,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM L a JOIN L b ON a.image_id < b.image_id "
             "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
             "ORDER BY id_a, id_b",
+        # independent brute-force ground truth for the cross-run Hamming
+        # index: min distance over EVERY yesterday-signature per today-row
+        "cross_run_phash_images": "WITH L AS ("
+            + _f1_labels_sql("image_id, phash") + "), "
+            "today AS (SELECT image_id, phash FROM L "
+            "          WHERE CAST(substr(image_id, 4) AS BIGINT) % 2 = 1), "
+            "hist AS (SELECT DISTINCT phash FROM L "
+            "         WHERE CAST(substr(image_id, 4) AS BIGINT) % 2 = 0), "
+            "hits AS (SELECT t.image_id, "
+            "                min(bit_count(xor(t.phash, h.phash))) AS mh "
+            "         FROM today t JOIN hist h "
+            "           ON bit_count(xor(t.phash, h.phash)) <= 2 GROUP BY 1) "
+            "SELECT t.image_id, "
+            "       CAST(coalesce(h.mh, -1) AS BIGINT) AS min_hamming, "
+            "       h.image_id IS NOT NULL AS known_neardup "
+            "FROM today t LEFT JOIN hits h USING (image_id) "
+            "ORDER BY t.image_id",
         "image_features": _f1_labels_sql(
             "image_id, lum_mean, lum_std, phash_recomputed"),
         "image_quality_extended": (

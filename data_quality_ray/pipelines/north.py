@@ -224,6 +224,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          stage_mode: str = "tasks",
                          dedup_strategy: str = "broadcast",
                          dedup_index_dir: str | None = None,
+                         neardup_index_dir: str | None = None,
+                         neardup_radius: int = 2,
                          final_output: str = "rewrite",
                          manifest_shard_size: int = 0,
                          validate_inputs: bool = False) -> dict:
@@ -238,6 +240,15 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
     run are dropped BEFORE phase 1 (no decode/scoring spent on known
     dups), and this run's surviving phashes are committed as the next
     index generation after phase 2 — idempotent under crash/retry.
+
+    ``neardup_index_dir``: optional cross-run NEAR-dup index
+    (state/hamming_index.py): rows whose phash is within
+    ``neardup_radius`` Hamming bits of ANY previous run's committed
+    winners are dropped before phase 1 (exact screen by pigeonhole —
+    the day-two re-crawl whose images were re-encoded/resized). Winner
+    phashes are committed after phase 2, same generation-store
+    guarantees as ``dedup_index_dir``; both indexes can run together
+    (exact first — it's cheaper — then the Hamming screen).
 
     ``validate_inputs``: footer-check every input fragment in parallel
     Ray tasks before the run and SKIP unreadable (torn/truncated) files
@@ -262,6 +273,11 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
         from ..state.dedup_index import DedupIndex
 
         index = DedupIndex(dedup_index_dir)
+    hidx = None
+    if neardup_index_dir is not None:
+        from ..state.hamming_index import HammingIndex
+
+        hidx = HammingIndex(neardup_index_dir, radius=neardup_radius)
 
     # shard the manifest directory past ~10^5 fragments (flat listing is
     # O(#fragments)); both layouts read interchangeably, so resume works
@@ -296,6 +312,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
         wave_ds = _tagged_read(rd, wave)
         if index is not None and index.n_keys:
             wave_ds = index.filter_new(wave_ds, "phash")
+        if hidx is not None and hidx.n_keys:
+            wave_ds = hidx.filter_new(wave_ds, "phash")
         if stage_mode == "actors":
             result = wave_ds.map_batches(
                 Phase1Stage,
@@ -381,6 +399,11 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             from ..state.dedup_index import append as _index_append
 
             _index_append(index.index_dir, wp)
+        if hidx is not None:
+            # same store primitive — keys ARE the raw winner phashes
+            from ..state.dedup_index import append as _index_append
+
+            _index_append(hidx.index_dir, wp)
     return totals
 
 
