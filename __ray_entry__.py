@@ -239,7 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chronology_convert_orders": Q.chronology_convert_orders,
         "distance_convert_part": Q.distance_convert_part,
         "token_stats_docs": Q.token_stats_docs,
-        # model / sketch stages (rows-only — not SQL-expressible)
+        # model / sketch stages (each fully oracled: the SQL re-derives
+        # the model/sketch from the same constants, see oracle_sql())
         "langid_heuristic_docs": Q.langid_heuristic_docs,
         "perplexity_docs": Q.perplexity_docs,
         "dup_char_collapse_docs": Q.dup_char_collapse_docs,
@@ -278,6 +279,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": Q.rollup_revenue,
         "global_top_orders": Q.global_top_orders,
         "outer_join_customer_events": Q.outer_join_customer_events,
+        # snapshot CDC, two-table linkage, grouping sets, per-group top-k
+        "snapshot_diff_orders": Q.snapshot_diff_orders,
+        "fuzzy_join_parts": Q.fuzzy_join_parts,
+        "cube_orders": Q.cube_orders,
+        "top_tokens_per_lang": Q.top_tokens_per_lang,
+        # distributed range-partitioned global sort (ORDER BY at scale)
+        "curriculum_order_docs": Q.curriculum_order_docs,
         # table-level DQ rules (profiling/datarules.py)
         "correlation_lineitem": Q.correlation_lineitem,
         "entropy_profile": Q.entropy_profile,
@@ -1816,6 +1824,75 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(price), 2) AS revenue,
                    count(*) AS n_orders
             FROM base GROUP BY ROLLUP(nation, yr) ORDER BY 1, 2""",
+        "snapshot_diff_orders": """
+            WITH old AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     CASE WHEN o_orderkey % 7 = 0 THEN '9-OLD'
+                          ELSE o_orderpriority END AS o_orderpriority
+              FROM orders WHERE o_orderkey % 11 <> 0),
+            new AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 13 <> 0),
+            d AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_orderstatus <> n.o_orderstatus
+                            OR o.o_totalprice <> n.o_totalprice
+                            OR o.o_orderpriority <> n.o_orderpriority
+                          THEN 'changed' ELSE 'unchanged' END AS status,
+                     CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                          THEN ''
+                          ELSE concat_ws(',',
+                            CASE WHEN o.o_orderstatus <> n.o_orderstatus
+                                 THEN 'o_orderstatus' END,
+                            CASE WHEN o.o_totalprice <> n.o_totalprice
+                                 THEN 'o_totalprice' END,
+                            CASE WHEN o.o_orderpriority <> n.o_orderpriority
+                                 THEN 'o_orderpriority' END)
+                          END AS changed_cols
+              FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+            SELECT * FROM d WHERE status <> 'unchanged' ORDER BY o_orderkey""",
+        "fuzzy_join_parts": """
+            WITH cat AS (
+              SELECT p_partkey AS cat_key,
+                     CASE WHEN p_partkey % 5 = 0
+                          THEN substr(p_name, 1, length(p_name) - 1)
+                          ELSE p_name END AS name
+              FROM part WHERE p_partkey % 3 <> 0)
+            SELECT c.cat_key, p.p_partkey,
+                   CAST(levenshtein(c.name, p.p_name) AS BIGINT) AS dist
+            FROM cat c JOIN part p
+              ON split_part(c.name, ' ', 1) = split_part(p.p_name, ' ', 1)
+             AND levenshtein(c.name, p.p_name) <= 2
+            ORDER BY 1, 2""",
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2""",
+        "curriculum_order_docs": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM documents ORDER BY rank""",
+        "top_tokens_per_lang": """
+            WITH t AS (
+              SELECT lang,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2)
+            SELECT lang, token, n, rank FROM (
+              SELECT lang, token, n,
+                     CAST(row_number() OVER (PARTITION BY lang
+                          ORDER BY n DESC, token) AS BIGINT) AS rank
+              FROM c)
+            WHERE rank <= 5 ORDER BY lang, rank""",
         "global_top_orders": """
             SELECT o_orderkey, o_totalprice,
                    CAST(row_number() OVER (ORDER BY o_totalprice DESC,

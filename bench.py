@@ -144,6 +144,11 @@ def run_bench() -> dict:
         ("outer_join_customer_events", Q.outer_join_customer_events),
         ("correlation_lineitem", Q.correlation_lineitem),
         ("uniqueness_profile_customer", Q.uniqueness_profile_customer),
+        ("snapshot_diff_orders", Q.snapshot_diff_orders),
+        ("fuzzy_join_parts", Q.fuzzy_join_parts),
+        ("cube_orders", Q.cube_orders),
+        ("top_tokens_per_lang", Q.top_tokens_per_lang),
+        ("curriculum_order_docs", Q.curriculum_order_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

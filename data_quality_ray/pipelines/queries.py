@@ -2112,3 +2112,145 @@ def source_quality_docs(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return (out[["source", "n", "n_keep", "keep_rate", "avg_tokens"]]
             .sort_values("source").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / linkage / grouping sets (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff_orders(sf_dir: str) -> pd.DataFrame:
+    """CDC between two deterministic snapshots of orders: the OLD
+    snapshot simulates yesterday (keys %11==0 not yet inserted, priority
+    rewritten for %7==0, price off by +100.0 for %5==0), the NEW one
+    simulates today (keys %13==0 since deleted). ``table_diff`` finds
+    added/removed/changed rows in ONE tagged-union key exchange
+    (functions/diff.py). → (o_orderkey, status, changed_cols)."""
+    from ..functions.diff import table_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    base = lambda: _read(sf_dir, "orders", columns=cols)  # noqa: E731
+
+    def to_old(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderkey"] % 11 != 0].copy()
+        k = b["o_orderkey"].to_numpy()
+        b["o_orderpriority"] = np.where(k % 7 == 0, "9-OLD", b["o_orderpriority"])
+        b["o_totalprice"] = np.where(k % 5 == 0, b["o_totalprice"] + 100.0,
+                                     b["o_totalprice"])
+        return b
+
+    old = base().map_batches(to_old, batch_format="pandas")
+    new = base().map_batches(lambda b: b[b["o_orderkey"] % 13 != 0],
+                             batch_format="pandas")
+    out = table_diff(old, new, key="o_orderkey",
+                     compare_cols=["o_orderstatus", "o_totalprice",
+                                   "o_orderpriority"]).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def fuzzy_join_parts(sf_dir: str) -> pd.DataFrame:
+    """Two-table record linkage: a derived 'catalog' of part names
+    (subset %3!=0, last char dropped when %5==0) fuzzy-joined back to
+    part — blocked on the first name word, scored with the vectorized
+    Levenshtein pair kernel, kept at edit distance <= 2
+    (dedup/linkage.fuzzy_join: ONE hash exchange on the blocking key,
+    within-block pairs only). → (cat_key, p_partkey, dist)."""
+    from ..dedup.linkage import fuzzy_join
+
+    base = lambda: _read(sf_dir, "part", columns=["p_partkey", "p_name"])  # noqa: E731
+
+    def to_catalog(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["p_partkey"] % 3 != 0]
+        name = b["p_name"].astype(str)
+        name = np.where(b["p_partkey"].to_numpy() % 5 == 0,
+                        name.str.slice(0, -1), name)
+        return pd.DataFrame({"cat_key": b["p_partkey"].to_numpy(),
+                             "name": name,
+                             "block": pd.Series(name).str.split(" ").str[0].to_numpy()})
+
+    def with_block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["block"] = b["p_name"].str.split(" ").str[0]
+        return b
+
+    cat = base().map_batches(to_catalog, batch_format="pandas")
+    part = base().map_batches(with_block, batch_format="pandas")
+    out = fuzzy_join(cat, part, left_key="cat_key", right_key="p_partkey",
+                     left_col="name", right_col="p_name", block_col="block",
+                     max_distance=2).to_pandas()
+    out["cat_key"] = out["cat_key"].astype("int64")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["cat_key", "p_partkey"]).reset_index(drop=True)
+
+
+def cube_orders(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
+    sets from ONE distributed finest-grain aggregate
+    (profiling/groupagg.grouping_sets — the grid re-aggregates on the
+    driver, exact for algebraic aggs). → (status, priority, revenue, n)."""
+    from ..profiling.groupagg import grouping_sets
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = grouping_sets(ds, ["o_orderstatus", "o_orderpriority"],
+                        {"revenue": ("o_totalprice", "sum"), "n": ("", "count")})
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    out = out.rename(columns={"o_orderstatus": "status",
+                              "o_orderpriority": "priority"})
+    return (out[["status", "priority", "revenue", "n"]]
+            .sort_values(["status", "priority"]).reset_index(drop=True))
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-language top-k tokens: whitespace tokens → per-(lang, token)
+    counts via the partial-combine aggregate (final="shuffle" — the
+    token vocabulary is unbounded, nothing lands on the driver) → the
+    mergeable per-group top-k (groupagg.grouped_topk) with a
+    deterministic (count desc, token asc) tie-break.
+    → (lang, token, n, rank)."""
+    from ..profiling.groupagg import grouped_aggregate, grouped_topk
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # vectorized explode: split_whitespace → parent-index gather for
+        # lang; empties (leading/trailing whitespace artifacts) dropped to
+        # match str.split() semantics
+        parts = pc.utf8_split_whitespace(batch["text"].combine_chunks())
+        langs = batch["lang"].combine_chunks().take(pc.list_parent_indices(parts))
+        toks = pc.list_flatten(parts)
+        keep = pc.not_equal(toks, "")
+        return pa.table({"lang": langs.filter(keep), "token": toks.filter(keep)})
+
+    counts = grouped_aggregate(ds.map_batches(tokens, batch_format="pyarrow"),
+                               ["lang", "token"], {"n": ("", "count")},
+                               final="shuffle")
+    top = grouped_topk(counts, keys="lang", order_by=["n", "token"], k=k,
+                       ascending=[False, True]).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    return (top[["lang", "token", "n", "rank"]]
+            .sort_values(["lang", "rank"]).reset_index(drop=True))
+
+
+def curriculum_order_docs(sf_dir: str) -> pd.DataFrame:
+    """Global curriculum ordering: every document ranked by a quality
+    proxy (longest first) through Ray Data's distributed range-
+    partitioned sort — the ORDER-BY-at-scale primitive (sample → range
+    boundaries → one all-to-all exchange; no driver sort). Global ranks
+    come from block-metadata offsets over the sorted block order
+    (functions/indexing.with_row_index — no row data on the driver).
+    → (doc_id, n_chars, rank)."""
+    from ..functions.indexing import with_row_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ranked = with_row_index(
+        ds.sort(["n_chars", "doc_id"], descending=[True, False]), "rank")
+    out = ranked.to_pandas()
+    out["rank"] = (out["rank"] + 1).astype("int64")
+    return (out[["doc_id", "n_chars", "rank"]]
+            .sort_values("rank").reset_index(drop=True))

@@ -176,3 +176,56 @@ def grouped_sketches(ds, key_col: str, make_acc, update):
             acc = pickle.loads(blob)
             merged[g] = acc if g not in merged else merged[g].merge(acc)
     return merged
+
+
+def grouping_sets(ds, dims: list[str], aggs: dict[str, tuple[str, str]],
+                  sets: list[tuple] | None = None,
+                  sentinels: dict | None = None) -> pd.DataFrame:
+    """SQL ``GROUP BY GROUPING SETS / CUBE / ROLLUP`` from ONE
+    distributed pass: the finest-grain (all ``dims``) grid runs through
+    ``grouped_aggregate`` (algebraic partials, one exchange at most),
+    then every requested grouping set re-aggregates that tiny grid on
+    the driver — exact, because sum/count/min/max compose.
+
+    ``sets=None`` means the full CUBE (every subset of ``dims``).
+    Missing dims are filled from ``sentinels`` (default ``"ALL"``) so the
+    output schema is null-free and dtype-stable — the same convention
+    the SQL oracle expresses with ``coalesce``. Grand totals over an
+    empty input yield no row (matching SQL, where an empty group set
+    aggregates over zero rows only for COUNT-style global aggregates —
+    callers needing that row should union it explicitly).
+
+    → pandas DataFrame (dims + agg columns); the grid is #distinct
+    combos × #sets rows — driver-small by construction. For
+    high-cardinality dims, aggregate the finest grid with
+    ``final="shuffle"`` yourself and roll up the sets downstream.
+    """
+    from itertools import combinations
+
+    if sets is None:
+        sets = [c for r in range(len(dims) + 1)
+                for c in combinations(dims, r)]
+    sentinels = sentinels or {}
+    finest = grouped_aggregate(ds, list(dims), aggs)
+    frames = []
+    for s in sets:
+        s = list(s)
+        unknown = set(s) - set(dims)
+        if unknown:
+            raise ValueError(f"grouping set {s} not a subset of dims {dims}")
+        if s:
+            gb = finest.groupby(s, sort=False)
+            part = pd.DataFrame({out: getattr(gb[out], _FINAL[fn])()
+                                 for out, (_, fn) in aggs.items()}).reset_index()
+        else:
+            if finest.empty:
+                continue
+            part = pd.DataFrame({out: [getattr(finest[out], _FINAL[fn])()]
+                                 for out, (_, fn) in aggs.items()})
+        for d in dims:
+            if d not in s:
+                part[d] = sentinels.get(d, "ALL")
+        frames.append(part[list(dims) + list(aggs)])
+    out = (pd.concat(frames, ignore_index=True) if frames
+           else pd.DataFrame(columns=list(dims) + list(aggs)))
+    return out.sort_values(list(dims), kind="mergesort").reset_index(drop=True)
