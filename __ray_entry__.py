@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
         "image_embed_neardup": image_embed_neardup,
+        "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
         "pivot_orders": Q.pivot_orders,
         "rollup_revenue": Q.rollup_revenue,
@@ -478,6 +479,35 @@ def dup_caption_images(sf_dir: str):
                              batch_format="pandas").to_pandas()
     out["n_images"] = out["n_images"].astype("int64")
     return out.sort_values("caption").reset_index(drop=True)
+
+
+def ar_bucket_batches_images(sf_dir: str):
+    """Aspect-ratio bucketing + training-batch assembly (SDXL-style
+    multi-resolution batches, stages/arbatch.py): dimensions varied
+    deterministically from the numeric image id (w×(1+i%4), h×(1+i%3)),
+    bucketed to the nearest ladder aspect (6-dp |Δ ln aspect| argmin),
+    then per-bucket full batches of 8 in image_id order — one window
+    exchange, trailing partials dropped. → (image_id, bucket_idx,
+    bucket_w, bucket_h, batch_id, slot)."""
+    import ray.data as rd
+
+    from data_quality_ray.stages.arbatch import ar_bucket_batches
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "w", "h"])
+
+    def vary_dims(b):
+        b = b.copy()
+        idx = b["image_id"].str.slice(3).astype("int64").to_numpy()
+        b["w"] = b["w"].to_numpy(dtype="int64") * (1 + idx % 4)
+        b["h"] = b["h"].to_numpy(dtype="int64") * (1 + idx % 3)
+        return b
+
+    out = ar_bucket_batches(ds.map_batches(vary_dims, batch_format="pandas"),
+                            batch_size=8, drop_last=True).to_pandas()
+    for c in ("bucket_idx", "bucket_w", "bucket_h", "batch_id", "slot"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["bucket_idx", "batch_id", "slot"])
+            .reset_index(drop=True))
 
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
@@ -1805,6 +1835,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM (" + _f1_raw_sql("image_id, caption") + ")"
             " WHERE caption IS NOT NULL GROUP BY caption"
             " HAVING count(*) > 1 ORDER BY caption"),
+        "ar_bucket_batches_images": ("""
+            WITH img AS (
+              SELECT image_id,
+                     CAST(w AS DOUBLE)
+                       * (1 + CAST(substr(image_id, 4) AS BIGINT) % 4) AS w2,
+                     CAST(h AS DOUBLE)
+                       * (1 + CAST(substr(image_id, 4) AS BIGINT) % 3) AS h2
+              FROM (""" + _f1_raw_sql("image_id, w, h") + """)),
+            ladder(bucket_idx, bw, bh) AS (VALUES
+              (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+              (3, 1344, 768), (4, 768, 1344), (5, 1536, 640),
+              (6, 640, 1536)),
+            best AS (
+              SELECT image_id, bucket_idx, bw, bh FROM (
+                SELECT i.image_id, l.bucket_idx, l.bw, l.bh,
+                       row_number() OVER (PARTITION BY i.image_id ORDER BY
+                         round(abs(ln(i.w2 / i.h2)
+                               - ln(CAST(l.bw AS DOUBLE) / l.bh)), 6),
+                         l.bucket_idx) AS rn
+                FROM img i CROSS JOIN ladder l)
+              WHERE rn = 1),
+            ranked AS (
+              SELECT image_id, bucket_idx, bw, bh,
+                     row_number() OVER (PARTITION BY bucket_idx
+                                        ORDER BY image_id) - 1 AS r0,
+                     count(*) OVER (PARTITION BY bucket_idx) AS n
+              FROM best)
+            SELECT image_id, CAST(bucket_idx AS BIGINT) AS bucket_idx,
+                   CAST(bw AS BIGINT) AS bucket_w,
+                   CAST(bh AS BIGINT) AS bucket_h,
+                   CAST(r0 // 8 AS BIGINT) AS batch_id,
+                   CAST(r0 % 8 AS BIGINT) AS slot
+            FROM ranked WHERE r0 < (n // 8) * 8
+            ORDER BY bucket_idx, batch_id, slot"""),
         "pivot_orders": """
             SELECT o_orderpriority AS priority,
                    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,

@@ -157,6 +157,7 @@ def run_bench() -> dict:
             ("image_embed_neardup", E.image_embed_neardup),
             ("dup_caption_images", E.dup_caption_images),
             ("cross_run_phash_images", E.cross_run_phash_images),
+            ("ar_bucket_batches_images", E.ar_bucket_batches_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -23,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-_OPS = ("row_number", "lag", "lead", "cumsum", "cummin", "cummax", "cumcount")
+_OPS = ("row_number", "lag", "lead", "cumsum", "cummin", "cummax", "cumcount",
+        "count")
 
 
 def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
@@ -37,6 +38,8 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
       at the partition head); ``("lead", col[, n])`` symmetric
     - ``("cumsum", col)`` / ``("cummin", col)`` / ``("cummax", col)`` —
       running aggregate, inclusive of the current row
+    - ``("count",)`` — partition row count on every row (SQL
+      ``count(*) OVER (PARTITION BY key)`` — unordered, whole frame)
 
     Returns a Dataset with the input columns plus the analytic columns.
     """
@@ -62,6 +65,8 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
             kind = spec[0]
             if kind == "row_number":
                 g[out_col] = (gb.cumcount() + 1).astype("int64")
+            elif kind == "count":
+                g[out_col] = gb[keys[0]].transform("size").astype("int64")
             elif kind in ("lag", "lead"):
                 col = spec[1]
                 n = spec[2] if len(spec) > 2 else 1

@@ -1,0 +1,81 @@
+"""Aspect-ratio bucketing + batch assembly (stages/arbatch.py) vs a
+brute-force pandas reference, plus the window_ops partition count op."""
+
+import numpy as np
+import pandas as pd
+
+from data_quality_ray.stages.arbatch import (SDXL_BUCKETS, ar_bucket_batches,
+                                             assign_ar_buckets)
+
+
+def _ds(df, n_blocks=4):
+    import ray.data as rd
+
+    return rd.from_pandas([d for _, d in
+                           df.groupby(np.arange(len(df)) % n_blocks)])
+
+
+def _frame(n=600, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "image_id": [f"im{i:06d}" for i in range(n)],
+        "w": rng.integers(200, 2000, n),
+        "h": rng.integers(200, 2000, n),
+    })
+
+
+def _ref_assign(df, buckets):
+    log_l = np.log([b[0] / b[1] for b in buckets])
+    d = np.round(np.abs(np.log(df["w"].to_numpy(float)
+                               / df["h"].to_numpy(float))[:, None]
+                        - log_l[None, :]), 6)
+    return np.argmin(d, axis=1)
+
+
+def test_assign_matches_reference_and_tie_breaks_low():
+    df = _frame()
+    # exact tie: aspect 1.0 sits between none of the SDXL entries, so
+    # plant a symmetric two-entry ladder where every row ties
+    out = assign_ar_buckets(_ds(df), buckets=((512, 512), (512, 512))).to_pandas()
+    assert (out["bucket_idx"] == 0).all()  # tie → lowest ladder index
+    out2 = assign_ar_buckets(_ds(df)).to_pandas().sort_values("image_id")
+    exp = _ref_assign(df.sort_values("image_id"), SDXL_BUCKETS)
+    assert (out2["bucket_idx"].to_numpy() == exp).all()
+    lw = np.array([b[0] for b in SDXL_BUCKETS])
+    assert (out2["bucket_w"].to_numpy() == lw[exp]).all()
+
+
+def test_ar_bucket_batches_full_and_ordered():
+    df = _frame()
+    out = (ar_bucket_batches(_ds(df), batch_size=8).to_pandas()
+           .sort_values(["bucket_idx", "batch_id", "slot"])
+           .reset_index(drop=True))
+    exp_idx = _ref_assign(df, SDXL_BUCKETS)
+    for bidx, grp in out.groupby("bucket_idx"):
+        ids = sorted(df["image_id"][exp_idx == bidx])
+        n_full = (len(ids) // 8) * 8
+        assert list(grp["image_id"]) == ids[:n_full]  # id order, partial dropped
+        assert (grp["slot"].to_numpy() == np.arange(len(grp)) % 8).all()
+        assert (grp["batch_id"].to_numpy() == np.arange(len(grp)) // 8).all()
+    # every emitted batch is exactly full
+    sizes = out.groupby(["bucket_idx", "batch_id"]).size()
+    assert (sizes == 8).all()
+
+
+def test_ar_bucket_batches_keep_partial():
+    df = _frame(n=37)
+    out = ar_bucket_batches(_ds(df), batch_size=8, drop_last=False).to_pandas()
+    assert len(out) == 37  # nothing dropped
+    exp_idx = _ref_assign(df, SDXL_BUCKETS)
+    got = out.groupby("bucket_idx").size().to_dict()
+    want = pd.Series(exp_idx).value_counts().to_dict()
+    assert got == {k: v for k, v in want.items()}
+
+
+def test_window_count_op():
+    from data_quality_ray.functions.window import window_ops
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3, "v": range(8)})
+    out = window_ops(_ds(df), by="k", order_by="v",
+                     ops={"n": ("count",)}).to_pandas().sort_values("v")
+    assert list(out["n"]) == [5] * 5 + [3] * 3
