@@ -282,7 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join_customer_events": Q.outer_join_customer_events,
         # snapshot CDC, two-table linkage, grouping sets, per-group top-k
         "snapshot_diff_orders": Q.snapshot_diff_orders,
-        "fuzzy_join_parts": Q.fuzzy_join_parts,
+        "fuzzy_join_customers": Q.fuzzy_join_customers,
         "cube_orders": Q.cube_orders,
         "top_tokens_per_lang": Q.top_tokens_per_lang,
         # distributed range-partitioned global sort (ORDER BY at scale)
@@ -1919,18 +1919,18 @@ def oracle_sql() -> dict[str, str]:
                           END AS changed_cols
               FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
             SELECT * FROM d WHERE status <> 'unchanged' ORDER BY o_orderkey""",
-        "fuzzy_join_parts": """
+        "fuzzy_join_customers": """
             WITH cat AS (
-              SELECT p_partkey AS cat_key,
-                     CASE WHEN p_partkey % 5 = 0
-                          THEN substr(p_name, 1, length(p_name) - 1)
-                          ELSE p_name END AS name
-              FROM part WHERE p_partkey % 3 <> 0)
-            SELECT c.cat_key, p.p_partkey,
-                   CAST(levenshtein(c.name, p.p_name) AS BIGINT) AS dist
-            FROM cat c JOIN part p
-              ON split_part(c.name, ' ', 1) = split_part(p.p_name, ' ', 1)
-             AND levenshtein(c.name, p.p_name) <= 2
+              SELECT c_custkey AS cat_key,
+                     CASE WHEN c_custkey % 5 = 0
+                          THEN substr(c_name, 1, length(c_name) - 1)
+                          ELSE c_name END AS name
+              FROM customer WHERE c_custkey % 3 <> 0)
+            SELECT c.cat_key, r.c_custkey,
+                   CAST(levenshtein(c.name, r.c_name) AS BIGINT) AS dist
+            FROM cat c JOIN customer r
+              ON substr(c.name, 1, 16) = substr(r.c_name, 1, 16)
+             AND levenshtein(c.name, r.c_name) <= 1
             ORDER BY 1, 2""",
         "cube_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -145,7 +145,7 @@ def run_bench() -> dict:
         ("correlation_lineitem", Q.correlation_lineitem),
         ("uniqueness_profile_customer", Q.uniqueness_profile_customer),
         ("snapshot_diff_orders", Q.snapshot_diff_orders),
-        ("fuzzy_join_parts", Q.fuzzy_join_parts),
+        ("fuzzy_join_customers", Q.fuzzy_join_customers),
         ("cube_orders", Q.cube_orders),
         ("top_tokens_per_lang", Q.top_tokens_per_lang),
         ("curriculum_order_docs", Q.curriculum_order_docs),

@@ -51,7 +51,8 @@ def fuzzy_join(left_ds, right_ds, left_key: str, right_key: str,
     """
     import pandas.util as pdu
 
-    from ..functions.matchers_vec import batch_match_score, levenshtein_pairs
+    from ..functions.matchers_vec import (batch_match_score,
+                                          levenshtein_pairs_bounded)
 
     if (max_distance is None) == (min_score is None):
         raise ValueError("give exactly one of max_distance / min_score")
@@ -115,8 +116,19 @@ def fuzzy_join(left_ds, right_ds, left_key: str, right_key: str,
                 if max_distance is not None:
                     a_s = np.asarray(["" if x is None else str(x) for x in a], dtype=object)
                     b_s = np.asarray(["" if x is None else str(x) for x in b], dtype=object)
-                    d = levenshtein_pairs(a_s, b_s)
-                    keep = (d <= max_distance) & (a_s != "") & (b_s != "")
+                    # cheap prefilter: pairs whose length gap already
+                    # exceeds the cap can't match — skip the DP entirely
+                    alen = np.fromiter((len(s) for s in a_s), np.int64, len(a_s))
+                    blen = np.fromiter((len(s) for s in b_s), np.int64, len(b_s))
+                    cand = ((np.abs(alen - blen) <= max_distance)
+                            & (alen > 0) & (blen > 0))
+                    d = np.full(len(a_s), max_distance + 1, dtype=np.int64)
+                    ci = np.flatnonzero(cand)
+                    if len(ci):
+                        # banded Ukkonen kernel: O(k·L) per pair, exact ≤ cap
+                        d[ci] = levenshtein_pairs_bounded(a_s[ci], b_s[ci],
+                                                          max_distance)
+                    keep = d <= max_distance
                     frames.append(pd.DataFrame({left_key: lk[li][keep],
                                                 right_key: rk[ri][keep],
                                                 out_col: d[keep].astype("int64")}))

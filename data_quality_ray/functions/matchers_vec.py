@@ -62,6 +62,53 @@ def levenshtein_pairs(a_strs, b_strs) -> np.ndarray:
     return res
 
 
+def levenshtein_pairs_bounded(a_strs, b_strs, k: int) -> np.ndarray:
+    """Edit distances CAPPED at ``k``: exact value where it is ≤ k, else
+    ``k + 1``. Ukkonen diagonal band vectorized across the pair axis —
+    only the 2k+1 cells within ``|i − j| ≤ k`` are computed per row, so
+    the work is O(Lmax · k · n) instead of ``levenshtein_pairs``'s
+    O(Lmax² · n): at k=2 over ~33-char strings that is ~6× fewer numpy
+    ops (the fuzzy-join hot path). Cells are min-capped at k+1 each row
+    (capping is monotone-safe), and the answer reads off each pair's own
+    (len_a, len_b) diagonal."""
+    n = len(a_strs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    A, la = _encode(a_strs, pad=-1)
+    B, lb = _encode(b_strs, pad=-2)
+    La, Lb = A.shape[1], B.shape[1]
+    big = np.int64(k + 1)
+    res = np.full(n, big, dtype=np.int64)
+    res[la == 0] = np.minimum(lb[la == 0], big)
+    width = 2 * k + 1
+    prev = np.full((n, width), big, dtype=np.int64)
+    prev[:, k:] = np.arange(k + 1)  # row 0: cell (0, j) = j for j ≤ k
+    readable = np.abs(la - lb) <= k
+    for i in range(1, La + 1):
+        cur = np.full((n, width), big, dtype=np.int64)
+        for d in range(width):
+            j = i + d - k
+            if j < 0 or j > Lb:
+                continue
+            if j == 0:
+                if i <= k:
+                    cur[:, d] = i
+                continue
+            best = prev[:, d] + (A[:, i - 1] != B[:, j - 1])
+            if d + 1 < width:
+                np.minimum(best, prev[:, d + 1] + 1, out=best)
+            if d > 0:
+                np.minimum(best, cur[:, d - 1] + 1, out=best)
+            np.minimum(best, big, out=cur[:, d])
+        prev = cur
+        done = (la == i) & readable
+        if done.any():
+            res[done] = cur[done, lb[done] - i + k]
+    return res
+
+
 def levenshtein_sim_pairs(a_strs, b_strs) -> np.ndarray:
     la = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=len(a_strs))
     lb = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=len(b_strs))

@@ -2149,40 +2149,41 @@ def snapshot_diff_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
-def fuzzy_join_parts(sf_dir: str) -> pd.DataFrame:
-    """Two-table record linkage: a derived 'catalog' of part names
+def fuzzy_join_customers(sf_dir: str) -> pd.DataFrame:
+    """Two-table record linkage: a dirty CRM feed of customer names
     (subset %3!=0, last char dropped when %5==0) fuzzy-joined back to
-    part — blocked on the first name word, scored with the vectorized
-    Levenshtein pair kernel, kept at edit distance <= 2
+    customer — blocked on the stable 16-char name prefix (one 100-key id
+    range per block, so blocks stay balanced as the table grows), scored
+    with the BANDED Levenshtein pair kernel, kept at edit distance <= 1
     (dedup/linkage.fuzzy_join: ONE hash exchange on the blocking key,
-    within-block pairs only). → (cat_key, p_partkey, dist)."""
+    within-block pairs only). → (cat_key, c_custkey, dist)."""
     from ..dedup.linkage import fuzzy_join
 
-    base = lambda: _read(sf_dir, "part", columns=["p_partkey", "p_name"])  # noqa: E731
+    base = lambda: _read(sf_dir, "customer", columns=["c_custkey", "c_name"])  # noqa: E731
 
     def to_catalog(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["p_partkey"] % 3 != 0]
-        name = b["p_name"].astype(str)
-        name = np.where(b["p_partkey"].to_numpy() % 5 == 0,
-                        name.str.slice(0, -1), name)
-        return pd.DataFrame({"cat_key": b["p_partkey"].to_numpy(),
-                             "name": name,
-                             "block": pd.Series(name).str.split(" ").str[0].to_numpy()})
+        b = b[b["c_custkey"] % 3 != 0]
+        name = pd.Series(np.where(b["c_custkey"].to_numpy() % 5 == 0,
+                                  b["c_name"].str.slice(0, -1),
+                                  b["c_name"]))
+        return pd.DataFrame({"cat_key": b["c_custkey"].to_numpy(),
+                             "name": name.to_numpy(),
+                             "block": name.str.slice(0, 16).to_numpy()})
 
     def with_block(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["block"] = b["p_name"].str.split(" ").str[0]
+        b["block"] = b["c_name"].str.slice(0, 16)
         return b
 
     cat = base().map_batches(to_catalog, batch_format="pandas")
-    part = base().map_batches(with_block, batch_format="pandas")
-    out = fuzzy_join(cat, part, left_key="cat_key", right_key="p_partkey",
-                     left_col="name", right_col="p_name", block_col="block",
-                     max_distance=2).to_pandas()
+    cust = base().map_batches(with_block, batch_format="pandas")
+    out = fuzzy_join(cat, cust, left_key="cat_key", right_key="c_custkey",
+                     left_col="name", right_col="c_name", block_col="block",
+                     max_distance=1).to_pandas()
     out["cat_key"] = out["cat_key"].astype("int64")
-    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
     out["dist"] = out["dist"].astype("int64")
-    return out.sort_values(["cat_key", "p_partkey"]).reset_index(drop=True)
+    return out.sort_values(["cat_key", "c_custkey"]).reset_index(drop=True)
 
 
 def cube_orders(sf_dir: str) -> pd.DataFrame:

@@ -198,3 +198,21 @@ def test_grouping_sets_explicit_sets_and_sentinels(ray_session):
     assert float(grand["rev"].iloc[0]) == 7.0
     with pytest.raises(ValueError, match="not a subset"):
         grouping_sets(_ds(df, 1), ["s"], {"rev": ("v", "sum")}, sets=[("zz",)])
+
+
+def test_levenshtein_pairs_bounded_parity():
+    from data_quality_ray.functions.matchers_vec import (
+        levenshtein_pairs, levenshtein_pairs_bounded)
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcde")
+    a = np.array(["".join(rng.choice(alpha, rng.integers(0, 12)))
+                  for _ in range(800)], dtype=object)
+    b = np.array(["".join(rng.choice(alpha, rng.integers(0, 12)))
+                  for _ in range(800)], dtype=object)
+    exact = levenshtein_pairs(a, b)
+    for k in (0, 1, 2, 3, 7):
+        got = levenshtein_pairs_bounded(a, b, k)
+        assert (got == np.minimum(exact, k + 1)).all(), k
+    assert levenshtein_pairs_bounded(np.array([], dtype=object),
+                                     np.array([], dtype=object), 2).size == 0
