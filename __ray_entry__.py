@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample_lineitem": Q.reservoir_sample_lineitem,
         "knn_embeddings": Q.knn_embeddings,
         "ivf_store_knn_embeddings": Q.ivf_store_knn_embeddings,
+        "pq_topk_embeddings": Q.pq_topk_embeddings,
         "matching_pairs_supplier": Q.matching_pairs_supplier,
         "blocking_fingerprint_part": Q.blocking_fingerprint_part,
         "golden_record_orders": Q.golden_record_orders,
@@ -350,6 +351,7 @@ def _ensure_oracle_artifacts() -> None:
         write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
     _write_phonetic_goldens()
     _write_sem_centroids()
+    _write_pq_codebooks()
 
 
 # keyed by the orders-table row count — the only per-tier-distinct
@@ -385,6 +387,39 @@ def _write_sem_centroids() -> None:
                       "c": pa.array([row.tolist() for row in cent],
                                     type=pa.list_(pa.float64()))}),
             out)
+
+
+def _write_pq_codebooks() -> None:
+    """Per-tier product-quantization codebook side tables for the PQ
+    oracle, trained by the SAME library code the Ray query uses
+    (similarity/pq.pq_train, m=8, ksub=16, iters=2) so the SQL replays
+    encoding and ADC search from identical centroid values."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for key, sf in _SEM_TIERS:
+        out = os.path.join(_ORACLE_DIR, f"pq_codebooks_{key}.parquet")
+        if os.path.exists(out):
+            continue
+        import ray.data as rd
+
+        from data_quality_ray.similarity.pq import pq_train
+
+        ds = rd.read_parquet(f"/root/testdata/{sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        books = pq_train(ds, "vec_id", "embedding", m=8, ksub=16, iters=2)
+        m, ksub, _ = books.shape
+        pq.write_table(
+            pa.table({
+                "j": pa.array([j for j in range(m) for _ in range(ksub)],
+                              type=pa.int64()),
+                "code": pa.array(list(range(ksub)) * m, type=pa.int64()),
+                "c": pa.array([books[j, c].tolist() for j in range(m)
+                               for c in range(ksub)],
+                              type=pa.list_(pa.float64())),
+            }), out)
 
 
 def _write_phonetic_goldens() -> None:
@@ -749,6 +784,44 @@ SELECT e.vec_id,
        coalesce(c.lbl, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
 ORDER BY e.vec_id
+"""
+
+
+def _pq_topk_sql(m: int = 8, dsub: int = 8, k: int = 10) -> str:
+    """Replays product quantization end-to-end from the side-table
+    codebooks (trained by similarity/pq.pq_train — the same library code
+    the Ray query runs): per-subspace encoding = argmin of the
+    6-dp-rounded squared L2 (ties → lowest code), ADC = 6-dp-rounded sum
+    of per-subspace squared distances to vec_id 0's sub-vectors, final
+    order (adc, vec_id)."""
+    branches = " UNION ALL ".join(
+        f"SELECT j, code, c FROM read_parquet('{_ORACLE_DIR}/pq_codebooks_{key}.parquet') "
+        f"WHERE (SELECT count(*) FROM orders) = {key}" for key, _ in _SEM_TIERS)
+    return f"""
+WITH books AS ({branches}),
+av AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT a.vec_id, s.j, a.v[(s.j * {dsub} + 1):(s.j * {dsub} + {dsub})] AS s
+  FROM av a CROSS JOIN (SELECT unnest(range({m})) AS j) s),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT s.vec_id, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY round(power(list_distance(s.s, b.c), 2), 6), b.code) AS rn
+    FROM sub s JOIN books b ON b.j = s.j) WHERE rn = 1),
+qsub AS (
+  SELECT s.j, s.s FROM sub s JOIN av a ON a.vec_id = s.vec_id
+  WHERE a.vec_id = 0),
+lut AS (
+  SELECT b.j, b.code, power(list_distance(q.s, b.c), 2) AS d2
+  FROM books b JOIN qsub q ON q.j = b.j),
+adc AS (
+  SELECT e.vec_id, round(sum(l.d2), 6) AS adc
+  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+  GROUP BY e.vec_id)
+SELECT vec_id, adc,
+       CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
+FROM adc ORDER BY rank LIMIT {k}
 """
 
 
@@ -2197,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
+        "pq_topk_embeddings": _pq_topk_sql(),
         "matching_pairs_supplier": """
             SELECT a.s_name AS name_a, b.s_name AS name_b,
                    levenshtein(a.s_name, b.s_name) AS dist

@@ -149,6 +149,7 @@ def run_bench() -> dict:
         ("cube_orders", Q.cube_orders),
         ("top_tokens_per_lang", Q.top_tokens_per_lang),
         ("curriculum_order_docs", Q.curriculum_order_docs),
+        ("pq_topk_embeddings", Q.pq_topk_embeddings),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -450,6 +450,28 @@ def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
     return exact.rename(columns={"id": "vec_id"})[["vec_id", "sim"]]
 
 
+def pq_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Compressed-domain ANN (similarity/pq.py): train m=8 × ksub=16
+    product-quantization codebooks over the corpus (one fused Lloyd pass
+    per round covering every subspace), encode each vector to 8 codes,
+    and run ADC top-10 for vec_id 0's vector — search never touches a
+    raw embedding, only the code table plus an m×ksub lookup table. The
+    oracle replays encoding and ADC from the side-table codebooks
+    trained by the same library code. → (vec_id, adc, rank)."""
+    from ..similarity.pq import pq_encode, pq_topk, pq_train
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+    books = pq_train(ds, "vec_id", "embedding", m=8, ksub=16, iters=2)
+    codes = pq_encode(ds, "vec_id", "embedding", books)
+    out = pq_topk(codes, "vec_id", books, qvec, k=10)
+    out["adc"] = out["adc"].round(6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out[["vec_id", "adc", "rank"]]
+
+
 def cross_run_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-run near-dup screen driven end-to-end through the persisted
     MinHash LSH index (state/minhash_index.py): 'yesterday' = even

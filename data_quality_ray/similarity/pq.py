@@ -1,0 +1,153 @@
+"""Product quantization (PQ) — compressed-domain ANN for the 100-TB
+embedding path.
+
+A d-dim float vector becomes ``m`` uint8 codes (one per d/m-dim
+subspace), a 16–32× compression that lets a corpus whose raw embeddings
+exceed aggregate cluster RAM live in the object store as code tables;
+search runs in the compressed domain via asymmetric distance computation
+(ADC: one tiny query→codebook lookup table per subspace, then a gather +
+sum per row). Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011. Composes with the IVF store
+(``similarity/knn.build_ivf_store``) the same way FAISS's IVF-PQ does:
+coarse list pruning at the I/O level, PQ scan within probed lists.
+
+Distributed shape:
+- **Training** (``pq_train``) follows the ``kmeans_fit`` contract —
+  broadcast codebooks, one ``map_batches`` pass per Lloyd round emitting
+  a fixed-size partial PER BATCH covering ALL m subspaces at once
+  (m × ksub × (dsub+1) floats), driver merge, centroids quantized to
+  ``ROUND_TO`` dp per round so float summation order can't drift the
+  oracle. Init per subspace = the sub-vectors of the ksub globally
+  smallest ids. Empty codes keep their previous centroid.
+- **Encoding** (``pq_encode``) is one stateless broadcast pass; codes
+  emit as flat int64 columns ``c0..c{m-1}`` (Arrow-friendly, SQL-
+  joinable — cast to uint8 at the storage boundary for the 16× win).
+- **Search** (``pq_topk``) computes the per-subspace LUT once on the
+  driver (m × ksub floats), broadcasts it, and folds mergeable per-batch
+  top-k partials — no shuffle, same envelope as ``knn.cosine_topk``.
+
+Determinism contract (what the SQL oracle replays from the side-table
+codebooks): per-subspace assignment = argmin of the 6-dp-rounded
+SQUARED L2, ties to the lowest code id; ADC distance = 6-dp-rounded sum
+of per-subspace squared L2; final order (adc, id).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+
+ROUND_TO = 6
+
+
+def _split(x: np.ndarray, m: int) -> np.ndarray:
+    """(n, d) → (n, m, dsub); d must divide evenly by m."""
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    return x.reshape(n, m, d // m)
+
+
+def _encode_block(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) × (m, ksub, dsub) → (n, m) int64 codes: per-subspace argmin
+    of the ROUND_TO-rounded squared L2 (ties → lowest code)."""
+    sub = _split(x, books.shape[0])  # (n, m, dsub)
+    # (n, m, ksub): direct squared distances (not the dot-product
+    # expansion) so the values match SQL's list_distance^2 bit-for-bit
+    # within an ulp before the shared 6-dp round
+    d2 = np.round(((sub[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1),
+                  ROUND_TO)
+    return np.argmin(d2, axis=2).astype(np.int64)
+
+
+def pq_train(ds, id_col: str, vec_col: str, m: int = 8, ksub: int = 16,
+             iters: int = 2, round_to: int = ROUND_TO) -> np.ndarray:
+    """→ (m, ksub, dsub) codebooks after ``iters`` quantized Lloyd rounds
+    over every subspace simultaneously (one pass per round)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from .kmeans import _init_centroids
+
+    init = _init_centroids(ds, id_col, vec_col, ksub)  # (ksub, d)
+    books = np.round(np.ascontiguousarray(
+        _split(init, m).transpose(1, 0, 2)), round_to)  # (m, ksub, dsub)
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            bk = cached_get(ref)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            codes = _encode_block(x, bk)  # (n, m)
+            sub = _split(x, bk.shape[0])  # (n, m, dsub)
+            sums = np.zeros_like(bk)
+            counts = np.zeros(bk.shape[:2])
+            for j in range(bk.shape[0]):
+                np.add.at(sums[j], codes[:, j], sub[:, j, :])
+                counts[j] += np.bincount(codes[:, j], minlength=bk.shape[1])
+            return pd.DataFrame({"p": [pickle.dumps((sums, counts))]})
+
+        sums = np.zeros_like(books)
+        counts = np.zeros(books.shape[:2])
+        for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+                batch_size=64, batch_format="pandas"):
+            for blob in b["p"]:
+                s, c = pickle.loads(blob)
+                sums += s
+                counts += c
+        nonempty = counts > 0
+        books[nonempty] = np.round(
+            sums[nonempty] / counts[nonempty][:, None], round_to)
+    return books
+
+
+def pq_encode(ds, id_col: str, vec_col: str, books: np.ndarray):
+    """→ Dataset ``(id_col, c0..c{m-1})`` int64 codes (uint8-safe values;
+    kept int64 for Arrow/SQL ergonomics)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    ref = ray.put(books)
+    m = books.shape[0]
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        bk = cached_get(ref)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = _encode_block(x, bk)
+        out = {id_col: b[id_col].to_numpy()}
+        for j in range(m):
+            out[f"c{j}"] = codes[:, j]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(codes_ds, id_col: str, books: np.ndarray, query: np.ndarray,
+            k: int = 10) -> pd.DataFrame:
+    """ADC top-k over a code table: smallest 6-dp-rounded approximate
+    squared L2 to ``query``; ties → smallest id. Mergeable per-batch
+    top-k partials, zero shuffle. → (id_col, adc) sorted, ≤ k rows."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    m, ksub, dsub = books.shape
+    qsub = _split(np.asarray(query, dtype=np.float64)[None, :], m)[0]  # (m, dsub)
+    lut = ((qsub[:, None, :] - books) ** 2).sum(-1)  # (m, ksub)
+    ref = ray.put(lut)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        t = cached_get(ref)
+        codes = np.stack([b[f"c{j}"].to_numpy() for j in range(m)], axis=1)
+        adc = np.round(t[np.arange(m)[None, :], codes].sum(axis=1), ROUND_TO)
+        keep = pd.DataFrame({id_col: b[id_col].to_numpy(), "adc": adc})
+        return keep.nsmallest(k, ["adc", id_col], keep="first") \
+            if len(keep) > k else keep
+
+    parts = codes_ds.map_batches(part, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["adc", id_col], kind="mergesort").head(k)
+            .reset_index(drop=True))
