@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": Q.knn_embeddings,
         "ivf_store_knn_embeddings": Q.ivf_store_knn_embeddings,
         "pq_topk_embeddings": Q.pq_topk_embeddings,
+        "ivfpq_store_embeddings": Q.ivfpq_store_embeddings,
         "matching_pairs_supplier": Q.matching_pairs_supplier,
         "blocking_fingerprint_part": Q.blocking_fingerprint_part,
         "golden_record_orders": Q.golden_record_orders,
@@ -400,26 +401,38 @@ def _write_pq_codebooks() -> None:
     import pyarrow.parquet as pq
 
     for key, sf in _SEM_TIERS:
-        out = os.path.join(_ORACLE_DIR, f"pq_codebooks_{key}.parquet")
-        if os.path.exists(out):
-            continue
-        import ray.data as rd
+        for kind in ("", "norm_"):
+            out = os.path.join(_ORACLE_DIR, f"pq_codebooks_{kind}{key}.parquet")
+            if os.path.exists(out):
+                continue
+            import numpy as np
+            import pandas as pd
+            import ray.data as rd
 
-        from data_quality_ray.similarity.pq import pq_train
+            from data_quality_ray.similarity.pq import normalize_batch, pq_train
 
-        ds = rd.read_parquet(f"/root/testdata/{sf}/embeddings.parquet",
-                             columns=["vec_id", "embedding"])
-        books = pq_train(ds, "vec_id", "embedding", m=8, ksub=16, iters=2)
-        m, ksub, _ = books.shape
-        pq.write_table(
-            pa.table({
-                "j": pa.array([j for j in range(m) for _ in range(ksub)],
-                              type=pa.int64()),
-                "code": pa.array(list(range(ksub)) * m, type=pa.int64()),
-                "c": pa.array([books[j, c].tolist() for j in range(m)
-                               for c in range(ksub)],
-                              type=pa.list_(pa.float64())),
-            }), out)
+            ds = rd.read_parquet(f"/root/testdata/{sf}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+            if kind:  # unit-normalized variant (the IVF-PQ store contract)
+                def norm(b: pd.DataFrame) -> pd.DataFrame:
+                    b = b.copy()
+                    x = normalize_batch(
+                        np.stack(b["embedding"].to_numpy()).astype(np.float64))
+                    b["embedding"] = list(x)
+                    return b
+
+                ds = ds.map_batches(norm, batch_format="pandas")
+            books = pq_train(ds, "vec_id", "embedding", m=8, ksub=16, iters=2)
+            m, ksub, _ = books.shape
+            pq.write_table(
+                pa.table({
+                    "j": pa.array([j for j in range(m) for _ in range(ksub)],
+                                  type=pa.int64()),
+                    "code": pa.array(list(range(ksub)) * m, type=pa.int64()),
+                    "c": pa.array([books[j, c].tolist() for j in range(m)
+                                   for c in range(ksub)],
+                                  type=pa.list_(pa.float64())),
+                }), out)
 
 
 def _write_phonetic_goldens() -> None:
@@ -787,19 +800,27 @@ ORDER BY e.vec_id
 """
 
 
-def _pq_topk_sql(m: int = 8, dsub: int = 8, k: int = 10) -> str:
+def _pq_topk_sql(m: int = 8, dsub: int = 8, k: int = 10,
+                 normalized: bool = False) -> str:
     """Replays product quantization end-to-end from the side-table
     codebooks (trained by similarity/pq.pq_train — the same library code
     the Ray query runs): per-subspace encoding = argmin of the
     6-dp-rounded squared L2 (ties → lowest code), ADC = 6-dp-rounded sum
     of per-subspace squared distances to vec_id 0's sub-vectors, final
-    order (adc, vec_id)."""
+    order (adc, vec_id). ``normalized=True`` replays the IVF-PQ store
+    contract: vectors unit-normalized (sqrt of list_inner_product — the
+    same sum the library's normalize_batch computes) before encoding,
+    against the ``norm_`` codebook side tables."""
+    kind = "norm_" if normalized else ""
     branches = " UNION ALL ".join(
-        f"SELECT j, code, c FROM read_parquet('{_ORACLE_DIR}/pq_codebooks_{key}.parquet') "
+        f"SELECT j, code, c FROM read_parquet('{_ORACLE_DIR}/pq_codebooks_{kind}{key}.parquet') "
         f"WHERE (SELECT count(*) FROM orders) = {key}" for key, _ in _SEM_TIERS)
+    vexpr = ("list_transform(embedding::DOUBLE[], x -> x / greatest("
+             "sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])),"
+             " 1e-12))" if normalized else "embedding::DOUBLE[]")
     return f"""
 WITH books AS ({branches}),
-av AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+av AS (SELECT vec_id, {vexpr} AS v FROM embeddings),
 sub AS (
   SELECT a.vec_id, s.j, a.v[(s.j * {dsub} + 1):(s.j * {dsub} + {dsub})] AS s
   FROM av a CROSS JOIN (SELECT unnest(range({m})) AS j) s),
@@ -2271,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS sim
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
         "pq_topk_embeddings": _pq_topk_sql(),
+        "ivfpq_store_embeddings": _pq_topk_sql(normalized=True),
         "matching_pairs_supplier": """
             SELECT a.s_name AS name_a, b.s_name AS name_b,
                    levenshtein(a.s_name, b.s_name) AS dist

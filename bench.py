@@ -150,6 +150,7 @@ def run_bench() -> dict:
         ("top_tokens_per_lang", Q.top_tokens_per_lang),
         ("curriculum_order_docs", Q.curriculum_order_docs),
         ("pq_topk_embeddings", Q.pq_topk_embeddings),
+        ("ivfpq_store_embeddings", Q.ivfpq_store_embeddings),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -472,6 +472,42 @@ def pq_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "adc", "rank"]]
 
 
+def ivfpq_store_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
+    """IVF-PQ persisted store (similarity/pq.build_ivfpq_store): unit-
+    normalized vectors compressed to 8 codes each, hive-partitioned by
+    coarse list — the store holds CODE BYTES ONLY (no raw embeddings).
+    Queried at nprobe == n_lists the scan is exhaustive, so the oracle
+    replays pure normalized-ADC from the side-table codebooks; an
+    additional nprobe=2 probe asserts the measured I/O-level pruning
+    before returning. → (vec_id, adc, rank), the pq_topk shape."""
+    import shutil
+    import tempfile
+
+    from ..similarity.pq import build_ivfpq_store, ivfpq_topk_store
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+
+    store = tempfile.mkdtemp(prefix="dq_ivfpq_store_")
+    try:
+        build_ivfpq_store(ds, store, "vec_id", "embedding", n_lists=n_lists,
+                          m=8, ksub=16, iters=2)
+        out, full_stats = ivfpq_topk_store(store, "vec_id", qvec, k=10,
+                                           nprobe=n_lists)
+        if full_stats["rows_scanned"] != full_stats["rows_total"]:
+            raise AssertionError(f"nprobe==n_lists must scan every list: {full_stats}")
+        _, stats = ivfpq_topk_store(store, "vec_id", qvec, k=10, nprobe=2)
+        if not (0 < stats["rows_scanned"] < stats["rows_total"]):
+            raise AssertionError(f"IVF-PQ store did not prune the scan: {stats}")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    out["adc"] = out["adc"].round(6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out[["vec_id", "adc", "rank"]]
+
+
 def cross_run_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-run near-dup screen driven end-to-end through the persisted
     MinHash LSH index (state/minhash_index.py): 'yesterday' = even

@@ -126,6 +126,93 @@ def pq_encode(ds, id_col: str, vec_col: str, books: np.ndarray):
     return ds.map_batches(encode, batch_format="pandas")
 
 
+def normalize_batch(x: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows with the explicit sqrt-of-sum-of-squares (NOT
+    BLAS nrm2, whose rescaling yields different ulps than SQL's
+    ``sqrt(list_inner_product(v, v))`` — the oracle replays this)."""
+    n = np.sqrt((x * x).sum(axis=1, keepdims=True))
+    return x / np.maximum(n, 1e-12)
+
+
+def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
+                      n_lists: int = 16, m: int = 8, ksub: int = 16,
+                      iters: int = 2, sample_rows: int = 4096,
+                      seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ: persist ONLY the code table, hive-partitioned by coarse
+    list (``ivf_list=<n>/`` holding ``id_col, c0..c{m-1}``), plus the
+    coarse centroids and PQ codebooks. The raw embedding column never
+    reaches the store — at 100 TB the store is the corpus ÷ (d·4 / m)
+    (16–32×), and a query reads only its ``nprobe`` directories' code
+    bytes. Vectors are unit-normalized before PQ (cosine ranking ≡
+    squared-L2 ranking on the unit sphere), so ADC order matches the
+    cosine the coarse quantizer prunes by. → (centroids, codebooks)."""
+    import os
+
+    import ray
+
+    from .knn import IVFAssignStage, train_ivf_centroids
+
+    def norm_stage(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        x = normalize_batch(np.stack(b[vec_col].to_numpy()).astype(np.float64))
+        b[vec_col] = list(x)
+        return b
+
+    normed = ds.map_batches(norm_stage, batch_format="pandas")
+    cent = train_ivf_centroids(normed, vec_col, n_lists, sample_rows, seed=seed)
+    books = pq_train(normed, id_col, vec_col, m=m, ksub=ksub, iters=iters)
+    cent_ref, books_ref = ray.put(cent), ray.put(books)
+
+    def assign_encode(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import cached_get
+
+        b = IVFAssignStage(cent_ref, vec_col)(b)
+        bk = cached_get(books_ref)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        codes = _encode_block(x, bk)
+        out = {id_col: b[id_col].to_numpy(), "ivf_list": b["ivf_list"].to_numpy()}
+        for j in range(bk.shape[0]):
+            out[f"c{j}"] = codes[:, j]
+        return pd.DataFrame(out)
+
+    normed.map_batches(assign_encode, batch_format="pandas") \
+        .write_parquet(store_dir, partition_cols=["ivf_list"])
+    for name, arr in (("_centroids.npy", cent), ("_pq_books.npy", books)):
+        tmp = os.path.join(store_dir, f"._{name}.tmp.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, os.path.join(store_dir, name))
+    return cent, books
+
+
+def ivfpq_topk_store(store_dir: str, id_col: str, query: np.ndarray,
+                     k: int = 10, nprobe: int = 4) -> tuple[pd.DataFrame, dict]:
+    """ADC top-k against a ``build_ivfpq_store`` layout: rank the
+    committed coarse centroids, ``read_parquet`` ONLY the ``nprobe``
+    nearest list directories (code columns — the store holds nothing
+    else), and fold the broadcast LUT per batch. Returns (result,
+    scan_stats with the measured row-level pruning). The query is
+    normalized with the same kernel the store used."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from .knn import _ivf_probe_dirs, ivf_scan_stats
+
+    books = np.load(os.path.join(store_dir, "_pq_books.npy"))
+    qn = normalize_batch(np.asarray(query, dtype=np.float64)[None, :])[0]
+    _, probe_dirs, _ = _ivf_probe_dirs(store_dir, qn, nprobe)
+    stats = ivf_scan_stats(store_dir, qn, nprobe)
+    if not probe_dirs:
+        return pd.DataFrame({id_col: [], "adc": []}), stats
+    files = sorted(f for d in probe_dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    m = books.shape[0]
+    codes = rd.read_parquet(files,
+                            columns=[id_col, *(f"c{j}" for j in range(m))])
+    return pq_topk(codes, id_col, books, qn, k=k), stats
+
+
 def pq_topk(codes_ds, id_col: str, books: np.ndarray, query: np.ndarray,
             k: int = 10) -> pd.DataFrame:
     """ADC top-k over a code table: smallest 6-dp-rounded approximate

@@ -102,3 +102,36 @@ def test_pq_compresses_and_recalls_cluster():
     for qi in (0, 100, 250):
         got = pq_topk(codes, "vec_id", books, x[qi], k=10)
         assert (labels[got["vec_id"].to_numpy()] == labels[qi]).all()
+
+
+def test_ivfpq_store_roundtrip(tmp_path):
+    import os
+
+    from data_quality_ray.similarity.pq import (build_ivfpq_store,
+                                                ivfpq_topk_store,
+                                                normalize_batch)
+
+    df = _vectors(n=400, seed=13)
+    store = str(tmp_path / "ivfpq")
+    cent, books = build_ivfpq_store(_ds(df), store, "vec_id", "embedding",
+                                    n_lists=4, m=4, ksub=8, iters=1)
+    assert cent.shape[0] == 4 and books.shape == (4, 8, 8)
+    assert os.path.exists(os.path.join(store, "_pq_books.npy"))
+    q = df["embedding"][7]
+    # nprobe == n_lists scans everything → pure-ADC reference over
+    # normalized vectors must match exactly
+    got, stats = ivfpq_topk_store(store, "vec_id", q, k=10, nprobe=4)
+    assert stats["rows_scanned"] == stats["rows_total"] == 400
+    x = normalize_batch(np.stack(df["embedding"].to_numpy()))
+    c = _encode_block(x, books)
+    qn = normalize_batch(np.asarray(q, dtype=np.float64)[None, :])[0]
+    lut = ((qn.reshape(4, 8)[:, None, :] - books) ** 2).sum(-1)
+    adc = np.round(lut[np.arange(4)[None, :], c].sum(axis=1), ROUND_TO)
+    ref = (pd.DataFrame({"vec_id": df["vec_id"], "adc": adc})
+           .sort_values(["adc", "vec_id"], kind="mergesort").head(10)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+    # pruned probe reads strictly fewer rows and keeps high self-recall
+    pruned, pstats = ivfpq_topk_store(store, "vec_id", q, k=10, nprobe=1)
+    assert 0 < pstats["rows_scanned"] < pstats["rows_total"]
+    assert 7 in set(pruned["vec_id"])  # the query's own row survives pruning
