@@ -152,6 +152,9 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
 
     from .knn import IVFAssignStage, train_ivf_centroids
 
+    if ksub > 256:
+        raise ValueError("ksub must fit uint8 storage (<= 256)")
+
     def norm_stage(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         x = normalize_batch(np.stack(b[vec_col].to_numpy()).astype(np.float64))
@@ -172,10 +175,19 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
         codes = _encode_block(x, bk)
         out = {id_col: b[id_col].to_numpy(), "ivf_list": b["ivf_list"].to_numpy()}
         for j in range(bk.shape[0]):
-            out[f"c{j}"] = codes[:, j]
+            # uint8 at the storage boundary — THE compression (1 byte per
+            # code on disk instead of a plain int64 column)
+            out[f"c{j}"] = codes[:, j].astype(np.uint8)
         return pd.DataFrame(out)
 
+    # range-sort on the list id before the partitioned write: without it
+    # every upstream block fans out one tiny file into EVERY list
+    # directory (blocks × lists files — measured 8.5k files / 51 MB of
+    # footer overhead for 500k vectors); sorted, each block lands in
+    # 1–2 directories (~blocks + lists files). The exchange moves code
+    # bytes only.
     normed.map_batches(assign_encode, batch_format="pandas") \
+        .sort("ivf_list") \
         .write_parquet(store_dir, partition_cols=["ivf_list"])
     for name, arr in (("_centroids.npy", cent), ("_pq_books.npy", books)):
         tmp = os.path.join(store_dir, f"._{name}.tmp.npy")
