@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-run near-dup index: 'yesterday' (even doc_ids) committed
         # into the persisted LSH band-key store, 'today' (odd) screened
         "cross_run_neardup_docs": Q.cross_run_neardup_docs,
+        # cross-run profile store: two day-partitions committed as
+        # mergeable accumulator generations, cumulative profile = merge
+        "cross_run_profile_orders": Q.cross_run_profile_orders,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
@@ -2192,6 +2195,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 6) AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 6) AS avg_price
             FROM lineitem GROUP BY 1, 2""",
+        "cross_run_profile_orders": """
+            SELECT CAST(2 AS BIGINT) AS n_runs,
+                   count(o_totalprice) AS n_price,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   round(sum(o_totalprice) / count(o_totalprice), 6) AS avg_price,
+                   count(o_orderpriority) AS n_prio,
+                   CAST(sum(length(o_orderpriority)) AS BIGINT) AS sum_prio_len,
+                   round(sum(length(o_orderpriority)) * 1.0
+                         / count(o_orderpriority), 6) AS avg_prio_len
+            FROM orders""",
         "summary_orders": """
             SELECT o_orderstatus, count(*) AS n,
                    round(sum(o_totalprice), 2) AS sum_price,

@@ -508,6 +508,49 @@ def ivfpq_store_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
     return out[["vec_id", "adc", "rank"]]
 
 
+def cross_run_profile_orders(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day profiling through the cross-run profile store
+    (state/profile_store.py): 'day 1' = even order keys, 'day 2' = odd,
+    each committed as one generation of MERGEABLE analyzer accumulators;
+    the cumulative profile is the merge of the two blobs — day 1's rows
+    are never re-read. The oracle recomputes the same statistics over
+    the whole orders table (the union of both days).
+    → one row (n_runs, n_price, sum_price, min_price, max_price,
+    avg_price, n_prio, sum_prio_len, avg_prio_len)."""
+    import shutil
+    import tempfile
+
+    from ..state.profile_store import ProfileStore
+
+    spec = {"o_totalprice": ["summary"], "o_orderpriority": ["text_length"]}
+    base = lambda: _read(sf_dir, "orders",  # noqa: E731
+                         columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    store_dir = tempfile.mkdtemp(prefix="dq_profile_store_")
+    try:
+        store = ProfileStore(store_dir)
+        for day, keep in (("day1", 0), ("day2", 1)):
+            ds = base().map_batches(
+                lambda b, k=keep: b[b["o_orderkey"] % 2 == k],
+                batch_format="pandas")
+            store.commit(ds, spec, run_label=day)
+        n_runs = store.n_runs()
+        m = store.merged()
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    s, t = m["o_totalprice"]["summary"], m["o_orderpriority"]["text_length"]
+    return pd.DataFrame({
+        "n_runs": pd.Series([n_runs], dtype="int64"),
+        "n_price": pd.Series([s["count"]], dtype="int64"),
+        "sum_price": [round(s["sum"], 2)],
+        "min_price": [s["min"]],
+        "max_price": [s["max"]],
+        "avg_price": [round(s["mean"], 6)],
+        "n_prio": pd.Series([t["count"]], dtype="int64"),
+        "sum_prio_len": pd.Series([t["sum_length"]], dtype="int64"),
+        "avg_prio_len": [round(t["avg_length"], 6)],
+    })
+
+
 def cross_run_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-run near-dup screen driven end-to-end through the persisted
     MinHash LSH index (state/minhash_index.py): 'yesterday' = even

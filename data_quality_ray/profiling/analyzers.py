@@ -283,24 +283,14 @@ ANALYZER_FACTORIES = {
 }
 
 
-def profile(ds, spec: dict[str, list], batch_size: int = 8192,
-            merge: str = "driver", tree_fanin: int = 64) -> dict[str, dict[str, dict]]:
-    """One-pass composite profiling (Analyzers.with_ analog).
-
-    ``spec``: column → list of analyzer names (from ANALYZER_FACTORIES) or
-    ready accumulator factories (e.g. ``lambda: HistogramAcc(0, 100, 10)``,
-    ``lambda: QualityAcc(fn)``). Returns {column: {analyzer: result_dict}}.
-
-    Scale shape: map_batches folds each block into one pickled partial row;
-    the partials stream (tiny — one row per block) merges on the driver.
-    ``merge="tree"`` inserts distributed combine rounds (``tree_fanin``
-    partials per task) until ≤ ``tree_fanin`` rows remain — for jobs whose
-    block count makes the driver loop itself the bottleneck (the SCALE.md
-    #blocks ≫ 10^6 case). Exact accumulators give identical results under
-    any merge grouping (parity-tested); the approximate sketches (t-digest
-    quantiles) are merge-order-sensitive within their accuracy bound, as
-    any distributed t-digest is.
-    """
+def profile_accs(ds, spec: dict[str, list], batch_size: int = 8192,
+                 merge: str = "driver", tree_fanin: int = 64) -> dict[str, dict]:
+    """``profile`` stopping at the MERGED ACCUMULATORS (column →
+    analyzer → acc) instead of finalized result dicts — the mergeable
+    state the cross-run profile store persists per run
+    (state/profile_store.py): merging two runs' accs is exact for the
+    exact analyzers, within the sketch bound for t-digest/HLL, and never
+    re-reads historical rows."""
     columns = list(spec)
 
     def make_accs():
@@ -356,4 +346,27 @@ def profile(ds, spec: dict[str, list], batch_size: int = 8192,
                         acc.merge(accs[col][name])
     if merged is None:
         merged = make_accs()
+    return merged
+
+
+def profile(ds, spec: dict[str, list], batch_size: int = 8192,
+            merge: str = "driver", tree_fanin: int = 64) -> dict[str, dict[str, dict]]:
+    """One-pass composite profiling (Analyzers.with_ analog).
+
+    ``spec``: column → list of analyzer names (from ANALYZER_FACTORIES) or
+    ready accumulator factories (e.g. ``lambda: HistogramAcc(0, 100, 10)``,
+    ``lambda: QualityAcc(fn)``). Returns {column: {analyzer: result_dict}}.
+
+    Scale shape: map_batches folds each block into one pickled partial row;
+    the partials stream (tiny — one row per block) merges on the driver.
+    ``merge="tree"`` inserts distributed combine rounds (``tree_fanin``
+    partials per task) until ≤ ``tree_fanin`` rows remain — for jobs whose
+    block count makes the driver loop itself the bottleneck (the SCALE.md
+    #blocks ≫ 10^6 case). Exact accumulators give identical results under
+    any merge grouping (parity-tested); the approximate sketches (t-digest
+    quantiles) are merge-order-sensitive within their accuracy bound, as
+    any distributed t-digest is.
+    """
+    merged = profile_accs(ds, spec, batch_size=batch_size, merge=merge,
+                          tree_fanin=tree_fanin)
     return {col: {name: acc.result() for name, acc in d.items()} for col, d in merged.items()}

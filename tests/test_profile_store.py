@@ -1,0 +1,75 @@
+"""Cross-run profile store (state/profile_store.py): merged == one-shot,
+crash-invisibility, spec-mismatch refusal, per-run drift series."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_quality_ray.profiling.analyzers import profile
+from data_quality_ray.state.profile_store import ProfileStore
+
+SPEC = {"price": ["summary"], "status": ["text_length", "frequency"]}
+
+
+def _frame(n=3000, seed=2):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "price": np.round(rng.uniform(1, 9e5, n), 2),
+        "status": rng.choice(["OPEN", "FILLED", "PENDING", ""], n),
+    })
+
+
+def _ds(df, n_blocks=4):
+    import ray.data as rd
+
+    return rd.from_pandas([d for _, d in
+                           df.groupby(np.arange(len(df)) % n_blocks)])
+
+
+def test_merged_equals_one_shot(tmp_path):
+    df = _frame()
+    day1, day2 = df.iloc[: len(df) // 3], df.iloc[len(df) // 3:]
+    store = ProfileStore(str(tmp_path / "ps"))
+    store.commit(_ds(day1), SPEC, run_label="day1")
+    store.commit(_ds(day2), SPEC, run_label="day2")
+    assert store.n_runs() == 2
+    got = store.merged()
+    want = profile(_ds(df), SPEC)
+    # counts/extrema/frequencies merge exactly; float sums only to
+    # summation-order ulps
+    for field in ("count", "min", "max"):
+        assert got["price"]["summary"][field] == want["price"]["summary"][field]
+    for field in ("sum", "mean", "variance"):
+        assert got["price"]["summary"][field] == pytest.approx(
+            want["price"]["summary"][field], rel=1e-12)
+    assert got["status"]["text_length"] == want["status"]["text_length"]
+    assert got["status"]["frequency"] == want["status"]["frequency"]
+
+
+def test_crash_invisibility_and_labels(tmp_path):
+    df = _frame(800)
+    store = ProfileStore(str(tmp_path / "ps"))
+    store.commit(_ds(df), SPEC, run_label="good")
+    # a torn generation (no _GEN marker) must be invisible
+    torn = str(tmp_path / "ps" / "gen-7")
+    os.makedirs(torn)
+    open(os.path.join(torn, "profile.bin"), "wb").close()
+    assert store.n_runs() == 1
+    runs = store.run_results()
+    assert [r["run_label"] for r in runs] == ["good"]
+    assert runs[0]["profile"]["price"]["summary"]["count"] == 800
+    # the torn dir's number is burned — the next commit skips past it
+    store.commit(_ds(df), SPEC, run_label="later")
+    assert store.n_runs() == 2
+    assert store.merged()["price"]["summary"]["count"] == 1600
+
+
+def test_spec_mismatch_refused(tmp_path):
+    store = ProfileStore(str(tmp_path / "ps"))
+    store.commit(_ds(_frame(200)), SPEC)
+    with pytest.raises(ValueError, match="spec mismatch"):
+        store.commit(_ds(_frame(200)), {"price": ["summary"]})
+    with pytest.raises(ValueError, match="no committed runs"):
+        ProfileStore(str(tmp_path / "empty")).merged()
