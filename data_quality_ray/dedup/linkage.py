@@ -64,6 +64,10 @@ def fuzzy_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def tag(side: int, key: str, col: str):
         def _tag(b: pd.DataFrame) -> pd.DataFrame:
+            # SQL equi-join semantics: a NULL blocking key joins nothing —
+            # drop it here (a mixed None/str block column would also break
+            # the per-bucket sort)
+            b = b[b[block_col].notna()]
             return pd.DataFrame({"__key": b[key], "__val": b[col],
                                  "__block": b[block_col],
                                  "__side": np.int8(side)})

@@ -180,14 +180,18 @@ def grouped_sketches(ds, key_col: str, make_acc, update):
 
 def grouping_sets(ds, dims: list[str], aggs: dict[str, tuple[str, str]],
                   sets: list[tuple] | None = None,
-                  sentinels: dict | None = None) -> pd.DataFrame:
+                  sentinels: dict | None = None,
+                  null_value: str = "<NULL>") -> pd.DataFrame:
     """SQL ``GROUP BY GROUPING SETS / CUBE / ROLLUP`` from ONE
     distributed pass: the finest-grain (all ``dims``) grid runs through
     ``grouped_aggregate`` (algebraic partials, one exchange at most),
     then every requested grouping set re-aggregates that tiny grid on
     the driver — exact, because sum/count/min/max compose.
 
-    ``sets=None`` means the full CUBE (every subset of ``dims``).
+    ``sets=None`` means the full CUBE (every subset of ``dims``). NULL
+    dim values form their own group (rendered as ``null_value``) and
+    count toward every subtotal — SQL's NULL-group semantics, which
+    pandas groupby would otherwise silently drop.
     Missing dims are filled from ``sentinels`` (default ``"ALL"``) so the
     output schema is null-free and dtype-stable — the same convention
     the SQL oracle expresses with ``coalesce``. Grand totals over an
@@ -206,7 +210,21 @@ def grouping_sets(ds, dims: list[str], aggs: dict[str, tuple[str, str]],
         sets = [c for r in range(len(dims) + 1)
                 for c in combinations(dims, r)]
     sentinels = sentinels or {}
-    finest = grouped_aggregate(ds, list(dims), aggs)
+
+    def fill_null_dims(b: pd.DataFrame) -> pd.DataFrame:
+        # SQL's GROUP BY keeps a NULL group and counts it in every
+        # subtotal; pandas groupby drops it — materialize NULL dim values
+        # as their own ``null_value`` group before aggregating so totals
+        # never silently shrink
+        if b[dims].isna().any().any():
+            b = b.copy()
+            for d in dims:
+                b[d] = b[d].fillna(null_value)
+        return b
+
+    finest = grouped_aggregate(
+        ds.map_batches(fill_null_dims, batch_format="pandas"),
+        list(dims), aggs)
     frames = []
     for s in sets:
         s = list(s)

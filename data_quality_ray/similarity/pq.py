@@ -161,7 +161,13 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
         b[vec_col] = list(x)
         return b
 
-    normed = ds.map_batches(norm_stage, batch_format="pandas")
+    # materialize the normalized copy deliberately: it is consumed ~5
+    # times below (centroid sample, PQ init, one pass per Lloyd round,
+    # final encode) and a lazy Dataset re-executes its whole upstream —
+    # read + normalize — on EVERY consumption (CLAUDE.md trap). The
+    # object store spills if it exceeds memory, which still beats five
+    # full re-reads.
+    normed = ds.map_batches(norm_stage, batch_format="pandas").materialize()
     cent = train_ivf_centroids(normed, vec_col, n_lists, sample_rows, seed=seed)
     books = pq_train(normed, id_col, vec_col, m=m, ksub=ksub, iters=iters)
     cent_ref, books_ref = ray.put(cent), ray.put(books)

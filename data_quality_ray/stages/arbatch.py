@@ -60,8 +60,18 @@ def assign_ar_buckets(ds, buckets=SDXL_BUCKETS, w_col: str = "w",
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        ar = np.log(b[w_col].to_numpy(dtype=np.float64)
-                    / b[h_col].to_numpy(dtype=np.float64))
+        w = b[w_col].to_numpy(dtype=np.float64)
+        h = b[h_col].to_numpy(dtype=np.float64)
+        bad = ~((w > 0) & (h > 0))
+        if bad.any():
+            # fail loudly: an argmin over NaN distances would silently
+            # drop corrupt rows into bucket 0 — route geometry-invalid
+            # rows through a quality filter BEFORE batching
+            raise ValueError(
+                f"assign_ar_buckets: {int(bad.sum())} rows have "
+                f"non-positive {w_col}/{h_col} (first at index "
+                f"{int(np.flatnonzero(bad)[0])}) — filter them upstream")
+        ar = np.log(w / h)
         dist = np.round(np.abs(ar[:, None] - ladder_log[None, :]), ROUND_DP)
         idx = np.argmin(dist, axis=1)  # first minimum → lowest ladder index
         b["bucket_idx"] = idx.astype("int64")

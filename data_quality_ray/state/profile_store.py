@@ -60,9 +60,21 @@ def _next_gen(store_dir: str) -> int:
 
 
 def _signature(spec: dict) -> dict:
-    """Canonical spec signature: column → sorted analyzer names (string
-    entries as-is; (name, factory) tuples by their name)."""
-    return {col: sorted(a if isinstance(a, str) else a[0] for a in analyzers)
+    """Canonical spec signature: column → sorted analyzer identities. A
+    string entry is its own identity; a (name, factory) tuple is
+    ``name@<md5 of the factory's FRESH accumulator pickle>`` — so two
+    same-named analyzers with different parameters (e.g. HistogramAcc
+    ranges) get different signatures and can never merge silently."""
+    import hashlib
+
+    def ident(a):
+        if isinstance(a, str):
+            return a
+        name, factory = a
+        fp = hashlib.md5(pickle.dumps(factory())).hexdigest()[:12]
+        return f"{name}@{fp}"
+
+    return {col: sorted(ident(a) for a in analyzers)
             for col, analyzers in spec.items()}
 
 

@@ -32,7 +32,7 @@ def _ref_assign(df, buckets):
     return np.argmin(d, axis=1)
 
 
-def test_assign_matches_reference_and_tie_breaks_low():
+def test_assign_matches_reference_and_tie_breaks_low(ray_session):
     df = _frame()
     # exact tie: aspect 1.0 sits between none of the SDXL entries, so
     # plant a symmetric two-entry ladder where every row ties
@@ -45,7 +45,7 @@ def test_assign_matches_reference_and_tie_breaks_low():
     assert (out2["bucket_w"].to_numpy() == lw[exp]).all()
 
 
-def test_ar_bucket_batches_full_and_ordered():
+def test_ar_bucket_batches_full_and_ordered(ray_session):
     df = _frame()
     out = (ar_bucket_batches(_ds(df), batch_size=8).to_pandas()
            .sort_values(["bucket_idx", "batch_id", "slot"])
@@ -62,7 +62,7 @@ def test_ar_bucket_batches_full_and_ordered():
     assert (sizes == 8).all()
 
 
-def test_ar_bucket_batches_keep_partial():
+def test_ar_bucket_batches_keep_partial(ray_session):
     df = _frame(n=37)
     out = ar_bucket_batches(_ds(df), batch_size=8, drop_last=False).to_pandas()
     assert len(out) == 37  # nothing dropped
@@ -72,10 +72,19 @@ def test_ar_bucket_batches_keep_partial():
     assert got == {k: v for k, v in want.items()}
 
 
-def test_window_count_op():
+def test_window_count_op(ray_session):
     from data_quality_ray.functions.window import window_ops
 
     df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3, "v": range(8)})
     out = window_ops(_ds(df), by="k", order_by="v",
                      ops={"n": ("count",)}).to_pandas().sort_values("v")
     assert list(out["n"]) == [5] * 5 + [3] * 3
+
+
+def test_assign_rejects_nonpositive_dims(ray_session):
+    import pytest
+
+    df = _frame(n=20)
+    df.loc[3, "w"] = 0
+    with pytest.raises(Exception, match="non-positive"):
+        assign_ar_buckets(_ds(df)).to_pandas()

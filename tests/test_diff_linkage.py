@@ -216,3 +216,27 @@ def test_levenshtein_pairs_bounded_parity():
         assert (got == np.minimum(exact, k + 1)).all(), k
     assert levenshtein_pairs_bounded(np.array([], dtype=object),
                                      np.array([], dtype=object), 2).size == 0
+
+
+def test_fuzzy_join_null_block_joins_nothing(ray_session):
+    import ray.data as rd
+
+    L = rd.from_pandas(pd.DataFrame({"lk": [1, 2], "name": ["abc", "abd"],
+                                     "blk": ["a", None]}))
+    R = rd.from_pandas(pd.DataFrame({"rk": [9, 8], "name": ["abc", "abx"],
+                                     "blk": [None, "a"]}))
+    out = fuzzy_join(L, R, "lk", "rk", "name", "name", "blk",
+                     max_distance=2).to_pandas()
+    # NULL blocks on either side join nothing (SQL equi-join semantics)
+    assert out.to_dict("records") == [{"lk": 1, "rk": 8, "dist": 1}]
+
+
+def test_grouping_sets_keeps_null_dim_group(ray_session):
+    df = pd.DataFrame({"a": ["x", None, "x", None], "b": ["p"] * 4,
+                       "m": [1.0, 2.0, 4.0, 8.0]})
+    out = grouping_sets(_ds(df, 2), ["a", "b"], {"s": ("m", "sum"),
+                                                 "n": ("m", "count")})
+    grand = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert grand["s"].iloc[0] == 15.0 and grand["n"].iloc[0] == 4
+    nullg = out[(out["a"] == "<NULL>") & (out["b"] == "p")]
+    assert nullg["s"].iloc[0] == 10.0 and nullg["n"].iloc[0] == 2

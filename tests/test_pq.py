@@ -41,7 +41,7 @@ def _ref_train(df, m, ksub, iters):
     return books
 
 
-def test_pq_train_matches_reference_and_partition_invariant():
+def test_pq_train_matches_reference_and_partition_invariant(ray_session):
     df = _vectors()
     m, ksub, iters = 4, 8, 2
     ref = _ref_train(df, m, ksub, iters)
@@ -52,7 +52,7 @@ def test_pq_train_matches_reference_and_partition_invariant():
     np.testing.assert_array_equal(got, got2)  # blocking-invariant
 
 
-def test_pq_encode_matches_block_kernel():
+def test_pq_encode_matches_block_kernel(ray_session):
     df = _vectors(n=200)
     books = pq_train(_ds(df), "vec_id", "embedding", m=4, ksub=8, iters=1)
     enc = (pq_encode(_ds(df), "vec_id", "embedding", books)
@@ -64,7 +64,7 @@ def test_pq_encode_matches_block_kernel():
     assert enc[[f"c{j}" for j in range(4)]].to_numpy().max() < 8
 
 
-def test_pq_topk_adc_matches_brute_force():
+def test_pq_topk_adc_matches_brute_force(ray_session):
     df = _vectors(n=300)
     m, ksub = 4, 8
     books = pq_train(_ds(df), "vec_id", "embedding", m=m, ksub=ksub, iters=2)
@@ -85,7 +85,7 @@ def test_pq_topk_adc_matches_brute_force():
     assert got["vec_id"].iloc[0] == 0 or 0 in set(got["vec_id"])
 
 
-def test_pq_compresses_and_recalls_cluster():
+def test_pq_compresses_and_recalls_cluster(ray_session):
     """On tightly clustered data PQ quantizes same-cluster points to the
     same codes (ADC ties break by id), so the right recall notion is
     cluster-level: every top-k hit should share the query's true
@@ -104,7 +104,7 @@ def test_pq_compresses_and_recalls_cluster():
         assert (labels[got["vec_id"].to_numpy()] == labels[qi]).all()
 
 
-def test_ivfpq_store_roundtrip(tmp_path):
+def test_ivfpq_store_roundtrip(ray_session, tmp_path):
     import os
 
     from data_quality_ray.similarity.pq import (build_ivfpq_store,

@@ -28,7 +28,7 @@ def _ds(df, n_blocks=4):
                            df.groupby(np.arange(len(df)) % n_blocks)])
 
 
-def test_merged_equals_one_shot(tmp_path):
+def test_merged_equals_one_shot(ray_session, tmp_path):
     df = _frame()
     day1, day2 = df.iloc[: len(df) // 3], df.iloc[len(df) // 3:]
     store = ProfileStore(str(tmp_path / "ps"))
@@ -48,7 +48,7 @@ def test_merged_equals_one_shot(tmp_path):
     assert got["status"]["frequency"] == want["status"]["frequency"]
 
 
-def test_crash_invisibility_and_labels(tmp_path):
+def test_crash_invisibility_and_labels(ray_session, tmp_path):
     df = _frame(800)
     store = ProfileStore(str(tmp_path / "ps"))
     store.commit(_ds(df), SPEC, run_label="good")
@@ -66,10 +66,21 @@ def test_crash_invisibility_and_labels(tmp_path):
     assert store.merged()["price"]["summary"]["count"] == 1600
 
 
-def test_spec_mismatch_refused(tmp_path):
+def test_spec_mismatch_refused(ray_session, tmp_path):
     store = ProfileStore(str(tmp_path / "ps"))
     store.commit(_ds(_frame(200)), SPEC)
     with pytest.raises(ValueError, match="spec mismatch"):
         store.commit(_ds(_frame(200)), {"price": ["summary"]})
     with pytest.raises(ValueError, match="no committed runs"):
         ProfileStore(str(tmp_path / "empty")).merged()
+
+
+def test_same_name_different_params_refused(ray_session, tmp_path):
+    from data_quality_ray.profiling.analyzers import HistogramAcc
+
+    store = ProfileStore(str(tmp_path / "ps"))
+    store.commit(_ds(_frame(100)),
+                 {"price": [("hist", lambda: HistogramAcc(0, 100, 10))]})
+    with pytest.raises(ValueError, match="spec mismatch"):
+        store.commit(_ds(_frame(100)),
+                     {"price": [("hist", lambda: HistogramAcc(500, 900, 10))]})
