@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_store_knn_embeddings": Q.ivf_store_knn_embeddings,
         "pq_topk_embeddings": Q.pq_topk_embeddings,
         "ivfpq_store_embeddings": Q.ivfpq_store_embeddings,
+        "ivfpq_residual_embeddings": Q.ivfpq_residual_embeddings,
         "matching_pairs_supplier": Q.matching_pairs_supplier,
         "blocking_fingerprint_part": Q.blocking_fingerprint_part,
         "golden_record_orders": Q.golden_record_orders,
@@ -356,6 +357,7 @@ def _ensure_oracle_artifacts() -> None:
     _write_phonetic_goldens()
     _write_sem_centroids()
     _write_pq_codebooks()
+    _write_ivfpq_residual_sidecars()
 
 
 # keyed by the orders-table row count — the only per-tier-distinct
@@ -436,6 +438,54 @@ def _write_pq_codebooks() -> None:
                                    for c in range(ksub)],
                                   type=pa.list_(pa.float64())),
                 }), out)
+
+
+def _write_ivfpq_residual_sidecars() -> None:
+    """Residual-IVF-PQ side tables: run the SAME build the Ray query runs
+    (pq.build_ivfpq_store residual=True, n_lists=8, m=8, ksub=16,
+    iters=2) per tier and persist its committed centroids + residual
+    codebooks — the SQL replays assignment, residual encode, and the
+    per-list ADC from these exact values."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for key, sf in _SEM_TIERS:
+        cent_out = os.path.join(_ORACLE_DIR, f"ivfpq_cent_{key}.parquet")
+        books_out = os.path.join(_ORACLE_DIR, f"pq_codebooks_res_{key}.parquet")
+        if os.path.exists(cent_out) and os.path.exists(books_out):
+            continue
+        import ray.data as rd
+
+        from data_quality_ray.similarity.pq import build_ivfpq_store
+
+        ds = rd.read_parquet(f"/root/testdata/{sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        tmp = tempfile.mkdtemp(prefix="dq_ivfpq_side_")
+        try:
+            cent, books = build_ivfpq_store(ds, tmp, "vec_id", "embedding",
+                                            n_lists=8, m=8, ksub=16, iters=2,
+                                            residual=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        pq.write_table(
+            pa.table({"cid": pa.array(range(len(cent)), type=pa.int64()),
+                      "c": pa.array([r.tolist() for r in cent],
+                                    type=pa.list_(pa.float64()))}), cent_out)
+        m, ksub, _ = books.shape
+        pq.write_table(
+            pa.table({
+                "j": pa.array([j for j in range(m) for _ in range(ksub)],
+                              type=pa.int64()),
+                "code": pa.array(list(range(ksub)) * m, type=pa.int64()),
+                "c": pa.array([books[j, c].tolist() for j in range(m)
+                               for c in range(ksub)],
+                              type=pa.list_(pa.float64())),
+            }), books_out)
 
 
 def _write_phonetic_goldens() -> None:
@@ -842,6 +892,68 @@ lut AS (
 adc AS (
   SELECT e.vec_id, round(sum(l.d2), 6) AS adc
   FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+  GROUP BY e.vec_id)
+SELECT vec_id, adc,
+       CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
+FROM adc ORDER BY rank LIMIT {k}
+"""
+
+
+def _ivfpq_residual_sql(m: int = 8, dsub: int = 8, d: int = 64,
+                        k: int = 10) -> str:
+    """Replays residual IVF-PQ end-to-end from the side-table centroids
+    and residual codebooks (both produced by the SAME
+    pq.build_ivfpq_store run the Ray query executes): unit-normalize →
+    coarse assignment (argmax inner product, ties lowest cid) →
+    residual v − c → per-subspace encode (6-dp squared-L2 argmin, ties
+    lowest code) → ADC with the PER-LIST lookup table built from
+    q − c[list] → (adc, vec_id) order."""
+    cent_branches = " UNION ALL ".join(
+        f"SELECT cid, c FROM read_parquet('{_ORACLE_DIR}/ivfpq_cent_{key}.parquet') "
+        f"WHERE (SELECT count(*) FROM orders) = {key}" for key, _ in _SEM_TIERS)
+    book_branches = " UNION ALL ".join(
+        f"SELECT j, code, c FROM read_parquet('{_ORACLE_DIR}/pq_codebooks_res_{key}.parquet') "
+        f"WHERE (SELECT count(*) FROM orders) = {key}" for key, _ in _SEM_TIERS)
+    norm = ("list_transform(embedding::DOUBLE[], x -> x / greatest("
+            "sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])),"
+            " 1e-12))")
+    return f"""
+WITH cent AS ({cent_branches}),
+books AS ({book_branches}),
+av AS (SELECT vec_id, {norm} AS v FROM embeddings),
+asn AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT a.vec_id, a.v, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_inner_product(a.v, c.c) DESC, c.cid) AS rn
+    FROM av a CROSS JOIN cent c) WHERE rn = 1),
+res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, {d + 1}), i -> a.v[i] - c.c[i]) AS r
+  FROM asn a JOIN cent c USING (cid)),
+sub AS (
+  SELECT r.vec_id, r.cid, s.j,
+         r.r[(s.j * {dsub} + 1):(s.j * {dsub} + {dsub})] AS s
+  FROM res r CROSS JOIN (SELECT unnest(range({m})) AS j) s),
+enc AS (
+  SELECT vec_id, cid, j, code FROM (
+    SELECT s.vec_id, s.cid, s.j, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+             ORDER BY round(power(list_distance(s.s, b.c), 2), 6), b.code) AS rn
+    FROM sub s JOIN books b ON b.j = s.j) WHERE rn = 1),
+q AS (SELECT v FROM av WHERE vec_id = 0),
+qres AS (
+  SELECT c.cid,
+         list_transform(range(1, {d + 1}), i -> q.v[i] - c.c[i]) AS qr
+  FROM cent c CROSS JOIN q),
+lut AS (
+  SELECT qr.cid, b.j, b.code,
+         power(list_distance(qr.qr[(b.j * {dsub} + 1):(b.j * {dsub} + {dsub})],
+                             b.c), 2) AS d2
+  FROM qres qr CROSS JOIN books b),
+adc AS (
+  SELECT e.vec_id, round(sum(l.d2), 6) AS adc
+  FROM enc e JOIN lut l ON l.cid = e.cid AND l.j = e.j AND l.code = e.code
   GROUP BY e.vec_id)
 SELECT vec_id, adc,
        CAST(row_number() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rank
@@ -2308,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""",
         "pq_topk_embeddings": _pq_topk_sql(),
         "ivfpq_store_embeddings": _pq_topk_sql(normalized=True),
+        "ivfpq_residual_embeddings": _ivfpq_residual_sql(),
         "matching_pairs_supplier": """
             SELECT a.s_name AS name_a, b.s_name AS name_b,
                    levenshtein(a.s_name, b.s_name) AS dist

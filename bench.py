@@ -152,6 +152,7 @@ def run_bench() -> dict:
         ("pq_topk_embeddings", Q.pq_topk_embeddings),
         ("ivfpq_store_embeddings", Q.ivfpq_store_embeddings),
         ("cross_run_profile_orders", Q.cross_run_profile_orders),
+        ("ivfpq_residual_embeddings", Q.ivfpq_residual_embeddings),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

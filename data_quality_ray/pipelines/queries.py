@@ -508,6 +508,43 @@ def ivfpq_store_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
     return out[["vec_id", "adc", "rank"]]
 
 
+def ivfpq_residual_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
+    """Residual IVF-PQ (the FAISS-standard refinement): the PQ encodes
+    v − centroid[list(v)], so its 16 codes per subspace resolve the
+    WITHIN-list structure; search builds one ADC lookup table per probed
+    list from q − centroid[l]. Same code-only store, same I/O pruning.
+    Queried exhaustively (nprobe == n_lists) so the SQL can replay
+    assignment → residual → encode → per-list ADC from the side-table
+    centroids + residual codebooks; the nprobe=2 pruning is asserted
+    before returning. → (vec_id, adc, rank)."""
+    import shutil
+    import tempfile
+
+    from ..similarity.pq import build_ivfpq_store, ivfpq_topk_store
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+
+    store = tempfile.mkdtemp(prefix="dq_ivfpq_res_")
+    try:
+        build_ivfpq_store(ds, store, "vec_id", "embedding", n_lists=n_lists,
+                          m=8, ksub=16, iters=2, residual=True)
+        out, full_stats = ivfpq_topk_store(store, "vec_id", qvec, k=10,
+                                           nprobe=n_lists)
+        if full_stats["rows_scanned"] != full_stats["rows_total"]:
+            raise AssertionError(f"nprobe==n_lists must scan every list: {full_stats}")
+        _, stats = ivfpq_topk_store(store, "vec_id", qvec, k=10, nprobe=2)
+        if not (0 < stats["rows_scanned"] < stats["rows_total"]):
+            raise AssertionError(f"residual store did not prune: {stats}")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    out["adc"] = out["adc"].round(6)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out[["vec_id", "adc", "rank"]]
+
+
 def cross_run_profile_orders(sf_dir: str) -> pd.DataFrame:
     """Day-over-day profiling through the cross-run profile store
     (state/profile_store.py): 'day 1' = even order keys, 'day 2' = odd,

@@ -116,6 +116,24 @@ def lsh_topk(ds, id_col: str, vec_col: str, query: np.ndarray, k: int = 10,
     return out.reset_index(drop=True)
 
 
+def fit_unit_kmeans(x: np.ndarray, n_lists: int, iters: int = 10,
+                    seed: int = 11) -> np.ndarray:
+    """Seeded spherical k-means over a given sample matrix — the coarse-
+    quantizer fit shared by ``train_ivf_centroids`` (stream-order head
+    sample) and the IVF-PQ store build (id-deterministic sample)."""
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
 def train_ivf_centroids(ds, vec_col: str, n_lists: int = 16, sample_rows: int = 4096,
                         iters: int = 10, seed: int = 11) -> np.ndarray:
     """Deterministic coarse quantizer: seeded k-means on a bounded head
@@ -129,17 +147,7 @@ def train_ivf_centroids(ds, vec_col: str, n_lists: int = 16, sample_rows: int = 
         if need <= 0:
             break
     x = np.concatenate(sample)[:sample_rows]
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(x @ cent.T, axis=1)
-        for c in range(len(cent)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
-    return cent
+    return fit_unit_kmeans(x, n_lists, iters, seed)
 
 
 class IVFAssignStage:

@@ -137,7 +137,8 @@ def normalize_batch(x: np.ndarray) -> np.ndarray:
 def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
                       n_lists: int = 16, m: int = 8, ksub: int = 16,
                       iters: int = 2, sample_rows: int = 4096,
-                      seed: int = 11) -> tuple[np.ndarray, np.ndarray]:
+                      seed: int = 11,
+                      residual: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """IVF-PQ: persist ONLY the code table, hive-partitioned by coarse
     list (``ivf_list=<n>/`` holding ``id_col, c0..c{m-1}``), plus the
     coarse centroids and PQ codebooks. The raw embedding column never
@@ -145,12 +146,21 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
     (16–32×), and a query reads only its ``nprobe`` directories' code
     bytes. Vectors are unit-normalized before PQ (cosine ranking ≡
     squared-L2 ranking on the unit sphere), so ADC order matches the
-    cosine the coarse quantizer prunes by. → (centroids, codebooks)."""
+    cosine the coarse quantizer prunes by.
+
+    ``residual=True`` is the FAISS-standard refinement: the PQ encodes
+    ``v − centroid[list(v)]`` instead of ``v`` — residuals are much
+    smaller than vectors, so the same ksub spends its resolution on the
+    within-list structure. Search then builds one LUT per probed list
+    (from ``q − centroid[l]``) instead of one global LUT; same code
+    bytes, same pruning. → (centroids, codebooks)."""
+    import json
     import os
 
     import ray
 
-    from .knn import IVFAssignStage, train_ivf_centroids
+    from ..functions.broadcast import cached_get
+    from .knn import IVFAssignStage, fit_unit_kmeans
 
     if ksub > 256:
         raise ValueError("ksub must fit uint8 storage (<= 256)")
@@ -162,20 +172,48 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
         return b
 
     # materialize the normalized copy deliberately: it is consumed ~5
-    # times below (centroid sample, PQ init, one pass per Lloyd round,
+    # times below (coarse sample, PQ init, one pass per Lloyd round,
     # final encode) and a lazy Dataset re-executes its whole upstream —
     # read + normalize — on EVERY consumption (CLAUDE.md trap). The
-    # object store spills if it exceeds memory, which still beats five
-    # full re-reads.
+    # object store spills if it exceeds memory, which still beats
+    # re-reads.
     normed = ds.map_batches(norm_stage, batch_format="pandas").materialize()
-    cent = train_ivf_centroids(normed, vec_col, n_lists, sample_rows, seed=seed)
-    books = pq_train(normed, id_col, vec_col, m=m, ksub=ksub, iters=iters)
-    cent_ref, books_ref = ray.put(cent), ray.put(books)
+    # the coarse quantizer's seeded init is SAMPLE-ORDER-sensitive and
+    # block order is task-completion order (run-dependent) — sample the
+    # ``sample_rows`` SMALLEST-id vectors instead (content-deterministic
+    # under any blocking; measured: stream-order sampling flipped
+    # centroids run-to-run and broke the residual oracle). For residual
+    # stores a centroid flip changes RESULTS, not just placement.
+    best = None
+    for b in normed.iter_batches(batch_size=1024, batch_format="pandas"):
+        cand = b[[id_col, vec_col]].nsmallest(sample_rows, id_col)
+        best = cand if best is None else \
+            pd.concat([best, cand]).nsmallest(sample_rows, id_col)
+    sample = np.stack(best.sort_values(id_col)[vec_col].to_numpy()
+                      ).astype(np.float64)
+    cent = fit_unit_kmeans(sample, n_lists, seed=seed)
+    cent_ref = ray.put(cent)
+
+    if residual:
+        def to_residual(b: pd.DataFrame) -> pd.DataFrame:
+            c = cached_get(cent_ref)
+            b = IVFAssignStage(cent_ref, vec_col)(b)
+            x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            b[vec_col] = list(x - c[b["ivf_list"].to_numpy()])
+            return b
+
+        # assignment + residual computed ONCE, shared by the train passes
+        # and the final encode
+        train_src = normed.map_batches(to_residual,
+                                       batch_format="pandas").materialize()
+    else:
+        train_src = normed
+    books = pq_train(train_src, id_col, vec_col, m=m, ksub=ksub, iters=iters)
+    books_ref = ray.put(books)
 
     def assign_encode(b: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.broadcast import cached_get
-
-        b = IVFAssignStage(cent_ref, vec_col)(b)
+        if "ivf_list" not in b.columns:  # non-residual path assigns here
+            b = IVFAssignStage(cent_ref, vec_col)(b)
         bk = cached_get(books_ref)
         x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         codes = _encode_block(x, bk)
@@ -192,13 +230,17 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
     # footer overhead for 500k vectors); sorted, each block lands in
     # 1–2 directories (~blocks + lists files). The exchange moves code
     # bytes only.
-    normed.map_batches(assign_encode, batch_format="pandas") \
+    train_src.map_batches(assign_encode, batch_format="pandas") \
         .sort("ivf_list") \
         .write_parquet(store_dir, partition_cols=["ivf_list"])
     for name, arr in (("_centroids.npy", cent), ("_pq_books.npy", books)):
         tmp = os.path.join(store_dir, f"._{name}.tmp.npy")
         np.save(tmp, arr)
         os.replace(tmp, os.path.join(store_dir, name))
+    tmp = os.path.join(store_dir, "._meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"residual": residual, "m": m, "ksub": ksub}, f)
+    os.replace(tmp, os.path.join(store_dir, "_meta.json"))
     return cent, books
 
 
@@ -211,6 +253,7 @@ def ivfpq_topk_store(store_dir: str, id_col: str, query: np.ndarray,
     scan_stats with the measured row-level pruning). The query is
     normalized with the same kernel the store used."""
     import glob
+    import json
     import os
 
     import ray.data as rd
@@ -218,17 +261,42 @@ def ivfpq_topk_store(store_dir: str, id_col: str, query: np.ndarray,
     from .knn import _ivf_probe_dirs, ivf_scan_stats
 
     books = np.load(os.path.join(store_dir, "_pq_books.npy"))
+    meta_path = os.path.join(store_dir, "_meta.json")
+    residual = False
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            residual = json.load(f)["residual"]
     qn = normalize_batch(np.asarray(query, dtype=np.float64)[None, :])[0]
     _, probe_dirs, _ = _ivf_probe_dirs(store_dir, qn, nprobe)
     stats = ivf_scan_stats(store_dir, qn, nprobe)
     if not probe_dirs:
         return pd.DataFrame({id_col: [], "adc": []}), stats
-    files = sorted(f for d in probe_dirs
-                   for f in glob.glob(os.path.join(d, "*.parquet")))
     m = books.shape[0]
-    codes = rd.read_parquet(files,
-                            columns=[id_col, *(f"c{j}" for j in range(m))])
-    return pq_topk(codes, id_col, books, qn, k=k), stats
+    cols = [id_col, *(f"c{j}" for j in range(m))]
+    if not residual:
+        files = sorted(f for d in probe_dirs
+                       for f in glob.glob(os.path.join(d, "*.parquet")))
+        codes = rd.read_parquet(files, columns=cols)
+        return pq_topk(codes, id_col, books, qn, k=k), stats
+    # residual store: one LUT per probed list (q − centroid[l]); each
+    # list directory is scanned with ITS OWN query residual, partial
+    # top-ks merged across lists. nprobe is small, so this is nprobe
+    # sequential pruned scans of code bytes.
+    cent = np.load(os.path.join(store_dir, "_centroids.npy"))
+    parts = []
+    for d in probe_dirs:
+        lst = int(os.path.basename(d).split("=", 1)[1])
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            continue
+        codes = rd.read_parquet(files, columns=cols)
+        parts.append(pq_topk(codes, id_col, books, qn - cent[lst], k=k))
+    if not parts:
+        return pd.DataFrame({id_col: [], "adc": []}), stats
+    out = (pd.concat(parts, ignore_index=True)
+           .sort_values(["adc", id_col], kind="mergesort").head(k)
+           .reset_index(drop=True))
+    return out, stats
 
 
 def pq_topk(codes_ds, id_col: str, books: np.ndarray, query: np.ndarray,

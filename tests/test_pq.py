@@ -135,3 +135,43 @@ def test_ivfpq_store_roundtrip(ray_session, tmp_path):
     pruned, pstats = ivfpq_topk_store(store, "vec_id", q, k=10, nprobe=1)
     assert 0 < pstats["rows_scanned"] < pstats["rows_total"]
     assert 7 in set(pruned["vec_id"])  # the query's own row survives pruning
+
+
+def test_ivfpq_residual_store_matches_reference(ray_session, tmp_path):
+    from data_quality_ray.similarity.pq import (build_ivfpq_store,
+                                                ivfpq_topk_store,
+                                                normalize_batch)
+
+    df = _vectors(n=400, seed=21)
+    store = str(tmp_path / "ivfpq_res")
+    cent, books = build_ivfpq_store(_ds(df), store, "vec_id", "embedding",
+                                    n_lists=4, m=4, ksub=8, iters=2,
+                                    residual=True)
+    q = df["embedding"][11]
+    got, stats = ivfpq_topk_store(store, "vec_id", q, k=10, nprobe=4)
+    assert stats["rows_scanned"] == stats["rows_total"] == 400
+    # in-memory residual-ADC reference
+    x = normalize_batch(np.stack(df["embedding"].to_numpy()))
+    assign = np.argmax(
+        (x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12))
+        @ cent.T, axis=1)
+    r = x - cent[assign]
+    c = _encode_block(r, books)
+    qn = normalize_batch(np.asarray(q, dtype=np.float64)[None, :])[0]
+    rows = []
+    for lst in range(4):
+        mask = assign == lst
+        if not mask.any():
+            continue
+        qr = (qn - cent[lst]).reshape(4, 8)
+        lut = ((qr[:, None, :] - books) ** 2).sum(-1)
+        adc = np.round(lut[np.arange(4)[None, :], c[mask]].sum(axis=1), ROUND_TO)
+        rows.append(pd.DataFrame({"vec_id": df["vec_id"].to_numpy()[mask],
+                                  "adc": adc}))
+    ref = (pd.concat(rows, ignore_index=True)
+           .sort_values(["adc", "vec_id"], kind="mergesort").head(10)
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, ref)
+    # residual encoding separates same-list neighbours: the query's own
+    # row must win at full probe
+    assert got["vec_id"].iloc[0] == 11
