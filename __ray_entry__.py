@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship + scrub (full SQL oracle)
         "quality_filter_docs": Q.quality_filter_docs,
+        # end-to-end text flagship: filter+scrub → dedup → pack, composed
+        "text_pipeline_docs": Q.text_pipeline_docs,
         "scrub_pii_docs": Q.scrub_pii_docs,
         "corpus_clean_docs": Q.corpus_clean_docs,
         # profiling / statistics
@@ -2291,6 +2293,33 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_docs": _PPL_SQL,
         "dup_char_collapse_docs": _DUP_CHAR_SQL,
         "quality_filter_docs": _QUALITY_FILTER_DOCS_SQL,
+        "text_pipeline_docs": f"""
+            WITH chain AS ({_QUALITY_FILTER_DOCS_SQL}),
+            kept AS (SELECT doc_id, scrubbed_text FROM chain WHERE keep),
+            ded AS (
+              SELECT doc_id, scrubbed_text FROM (
+                SELECT doc_id, scrubbed_text,
+                       row_number() OVER (PARTITION BY scrubbed_text
+                                          ORDER BY doc_id) AS rn
+                FROM kept) WHERE rn = 1),
+            d AS (
+              SELECT doc_id, length(scrubbed_text) AS n_tok,
+                     CAST(coalesce(SUM(length(scrubbed_text)) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS st
+              FROM ded),
+            a AS (
+              SELECT doc_id, n_tok, st,
+                     CASE WHEN n_tok > 0
+                          THEN (st + n_tok - 1) // 512 - st // 512 + 1
+                          ELSE 0 END AS nc
+              FROM d),
+            e AS (SELECT doc_id, n_tok, st,
+                         st // 512 + unnest(range(nc)) AS chunk_id FROM a)
+            SELECT doc_id, chunk_id,
+                   greatest(chunk_id * 512, st) - st AS tok_start,
+                   least((chunk_id + 1) * 512, st + n_tok) - st AS tok_end
+            FROM e ORDER BY doc_id, chunk_id""",
         "scrub_pii_docs": f"""
             SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -153,6 +153,7 @@ def run_bench() -> dict:
         ("ivfpq_store_embeddings", Q.ivfpq_store_embeddings),
         ("cross_run_profile_orders", Q.cross_run_profile_orders),
         ("ivfpq_residual_embeddings", Q.ivfpq_residual_embeddings),
+        ("text_pipeline_docs", Q.text_pipeline_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

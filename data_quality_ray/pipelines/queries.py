@@ -1365,6 +1365,34 @@ def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def text_pipeline_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END TEXT FLAGSHIP: rule-chain filter + PII/toxicity scrub
+    → exact dedup on the SCRUBBED text (keep-first by doc_id) →
+    sequence-pack the survivors into 512-token chunks — three oracled
+    stages composed as ONE streaming dataset (no intermediate
+    materialization; dedup's winner filter and packing's block-offset
+    prefix sums both preserve the doc_id stream order the packer
+    needs). The SQL replays the entire composition: chain → keep →
+    row_number dedup → window prefix-sum packing.
+    → one row per (doc, chunk): (doc_id, chunk_id, tok_start, tok_end)."""
+    import pyarrow.compute as pc
+
+    from ..dedup.exact import dedup_by_key
+    from ..functions.packing import pack_assignments
+
+    kept = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(b["keep"]).select(["doc_id", "scrubbed_text"]),
+        batch_format="pyarrow")
+    survivors = dedup_by_key(kept, key="scrubbed_text", order_col="doc_id")
+    counted = survivors.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_tok": pc.cast(pc.utf8_length(b["scrubbed_text"]), pa.int64()),
+        }), batch_format="pyarrow")
+    out = pack_assignments(counted, "n_tok", 512, id_cols=["doc_id"]).to_pandas()
+    return (out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+
+
 def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup over the embeddings table: k-means coarse clusters →
     within-cluster cosine ≥ 0.2 pairs → component collapse keep-min-id.
