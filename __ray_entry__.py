@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-run profile store: two day-partitions committed as
         # mergeable accumulator generations, cumulative profile = merge
         "cross_run_profile_orders": Q.cross_run_profile_orders,
+        "cross_run_drift_orders": Q.cross_run_drift_orders,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
@@ -2336,6 +2337,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 6) AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 6) AS avg_price
             FROM lineitem GROUP BY 1, 2""",
+        "cross_run_drift_orders": """
+            WITH spine AS (SELECT unnest(range(12)) AS bin),
+            d1 AS (SELECT o_totalprice * 1.0 AS x FROM orders
+                   WHERE o_orderkey % 2 = 0),
+            d2 AS (SELECT o_totalprice * 1.2 AS x FROM orders
+                   WHERE o_orderkey % 2 = 1),
+            b1 AS (SELECT CASE WHEN x < 0.0 THEN 0
+                               WHEN x > 600000.0 THEN 11
+                               ELSE least(CAST(floor((x - 0.0)
+                                    / (600000.0 - 0.0) * 12) AS BIGINT), 11)
+                          END AS bin FROM d1),
+            b2 AS (SELECT CASE WHEN x < 0.0 THEN 0
+                               WHEN x > 600000.0 THEN 11
+                               ELSE least(CAST(floor((x - 0.0)
+                                    / (600000.0 - 0.0) * 12) AS BIGINT), 11)
+                          END AS bin FROM d2),
+            h1 AS (SELECT bin, count(*) AS n FROM b1 GROUP BY 1),
+            h2 AS (SELECT bin, count(*) AS n FROM b2 GROUP BY 1),
+            j AS (SELECT s.bin, coalesce(h1.n, 0) AS n1, coalesce(h2.n, 0) AS n2
+                  FROM spine s LEFT JOIN h1 USING (bin) LEFT JOIN h2 USING (bin)),
+            t AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM j),
+            pq_ AS (SELECT greatest(n1 * 1.0 / greatest(t1, 1), 1e-6) AS p,
+                           greatest(n2 * 1.0 / greatest(t2, 1), 1e-6) AS q
+                    FROM j, t)
+            SELECT 'day1' AS run_prev, 'day2' AS run_cur,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM pq_""",
         "cross_run_profile_orders": """
             SELECT CAST(2 AS BIGINT) AS n_runs,
                    count(o_totalprice) AS n_price,

@@ -154,6 +154,7 @@ def run_bench() -> dict:
         ("cross_run_profile_orders", Q.cross_run_profile_orders),
         ("ivfpq_residual_embeddings", Q.ivfpq_residual_embeddings),
         ("text_pipeline_docs", Q.text_pipeline_docs),
+        ("cross_run_drift_orders", Q.cross_run_drift_orders),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

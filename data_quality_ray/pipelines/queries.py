@@ -588,6 +588,46 @@ def cross_run_profile_orders(sf_dir: str) -> pd.DataFrame:
     })
 
 
+DRIFT_HIST_LO, DRIFT_HIST_HI, DRIFT_HIST_BINS = 0.0, 600_000.0, 12
+
+
+def cross_run_drift_orders(sf_dir: str) -> pd.DataFrame:
+    """Drift monitoring straight off the cross-run profile store: 'day 1'
+    = even order keys at recorded prices, 'day 2' = odd keys with a
+    deterministic +20% price shift; each day commits ONE histogram
+    accumulator generation, and PSI between consecutive runs is computed
+    from the STORED counts (state/profile_store.ProfileStore.drift) —
+    history is never re-read. The SQL recomputes both day-histograms and
+    the PSI from the raw table. → (run_prev, run_cur, psi)."""
+    import shutil
+    import tempfile
+
+    from ..profiling.analyzers import HistogramAcc
+    from ..state.profile_store import ProfileStore
+
+    spec = {"o_totalprice": [("hist", lambda: HistogramAcc(
+        DRIFT_HIST_LO, DRIFT_HIST_HI, DRIFT_HIST_BINS))]}
+    base = lambda: _read(sf_dir, "orders",  # noqa: E731
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def day(keep: int, scale: float):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["o_orderkey"] % 2 == keep].copy()
+            b["o_totalprice"] = b["o_totalprice"] * scale
+            return b
+        return base().map_batches(f, batch_format="pandas")
+
+    store_dir = tempfile.mkdtemp(prefix="dq_drift_store_")
+    try:
+        store = ProfileStore(store_dir)
+        store.commit(day(0, 1.0), spec, run_label="day1")
+        store.commit(day(1, 1.2), spec, run_label="day2")
+        out = store.drift("o_totalprice", "hist", eps=PSI_EPS)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out.reset_index(drop=True)
+
+
 def cross_run_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-run near-dup screen driven end-to-end through the persisted
     MinHash LSH index (state/minhash_index.py): 'yesterday' = even

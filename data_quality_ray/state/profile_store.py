@@ -128,6 +128,35 @@ class ProfileStore:
                                     for c, d in accs.items()}})
         return out
 
+    def drift(self, column: str, analyzer: str, eps: float = 1e-6):
+        """Population-stability drift between CONSECUTIVE committed runs,
+        computed straight off the stored histogram accumulators — no data
+        is re-read. Below/above-range counts fold into the edge bins (the
+        clamp convention of ``drift_psi``); PSI per pair =
+        Σ (p−q)·ln(p/q) with an ``eps`` probability floor on both sides.
+        → pandas DataFrame (run_prev, run_cur, psi), one row per
+        consecutive pair, commit order."""
+        import numpy as np
+        import pandas as pd
+
+        runs = []
+        for gen in _committed_gens(self.store_dir):
+            with open(os.path.join(gen, "meta.json")) as f:
+                label = json.load(f)["run_label"]
+            with open(os.path.join(gen, "profile.bin"), "rb") as f:
+                acc = pickle.loads(f.read())[column][analyzer]
+            counts = np.asarray(acc.counts, dtype=np.float64)
+            counts[0] += acc.below
+            counts[-1] += acc.above
+            runs.append((label, counts))
+        rows = []
+        for (la, ca), (lb, cb) in zip(runs, runs[1:]):
+            p = np.maximum(ca / max(ca.sum(), 1), eps)
+            q = np.maximum(cb / max(cb.sum(), 1), eps)
+            rows.append({"run_prev": la, "run_cur": lb,
+                         "psi": round(float(((p - q) * np.log(p / q)).sum()), 6)})
+        return pd.DataFrame(rows, columns=["run_prev", "run_cur", "psi"])
+
     def merged(self) -> dict:
         """Cumulative profile over every committed run:
         {column: {analyzer: result_dict}}. Raises on an empty store."""

@@ -84,3 +84,30 @@ def test_same_name_different_params_refused(ray_session, tmp_path):
     with pytest.raises(ValueError, match="spec mismatch"):
         store.commit(_ds(_frame(100)),
                      {"price": [("hist", lambda: HistogramAcc(500, 900, 10))]})
+
+
+def test_drift_series(ray_session, tmp_path):
+    from data_quality_ray.profiling.analyzers import HistogramAcc
+
+    spec = {"price": [("hist", lambda: HistogramAcc(0.0, 1000.0, 10))]}
+    store = ProfileStore(str(tmp_path / "ps"))
+    rng = np.random.default_rng(4)
+    for label, mid in (("r1", 300.0), ("r2", 305.0), ("r3", 700.0)):
+        df = pd.DataFrame({"price": rng.normal(mid, 50, 2000)})
+        store.commit(_ds(df), spec, run_label=label)
+    out = store.drift("price", "hist")
+    assert list(out["run_prev"]) == ["r1", "r2"]
+    assert list(out["run_cur"]) == ["r2", "r3"]
+    # a tiny shift drifts a little; a regime change drifts a lot
+    assert out["psi"].iloc[0] < 0.25 < out["psi"].iloc[1]
+    # reference PSI from the stored accs' own counts
+    runs = store.run_results()
+    c1 = np.asarray(runs[0]["profile"]["price"]["hist"]["counts"], float)
+    c1[0] += runs[0]["profile"]["price"]["hist"]["below"]
+    c1[-1] += runs[0]["profile"]["price"]["hist"]["above"]
+    c2 = np.asarray(runs[1]["profile"]["price"]["hist"]["counts"], float)
+    c2[0] += runs[1]["profile"]["price"]["hist"]["below"]
+    c2[-1] += runs[1]["profile"]["price"]["hist"]["above"]
+    p = np.maximum(c1 / c1.sum(), 1e-6)
+    q = np.maximum(c2 / c2.sum(), 1e-6)
+    assert out["psi"].iloc[0] == round(float(((p - q) * np.log(p / q)).sum()), 6)
