@@ -228,7 +228,9 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                          neardup_radius: int = 2,
                          final_output: str = "rewrite",
                          manifest_shard_size: int = 0,
-                         validate_inputs: bool = False) -> dict:
+                         validate_inputs: bool = False,
+                         ar_batch_size: int | None = None,
+                         ar_buckets=None) -> dict:
     """Run (or resume) the full pipeline. Returns run-level metrics.
 
     ``dedup_strategy``: "broadcast" (default — winner map fits driver
@@ -370,6 +372,8 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
                                strategy="map_groups")
         deduped.write_parquet(final_dir, **_PAYLOAD_WRITE_ARGS)
         totals["final_rows"] = rd.read_parquet(final_dir).count()
+        if ar_batch_size is not None:
+            _write_ar_batches(out_dir, totals, ar_batch_size, ar_buckets)
         return totals
     if dedup:
         # winners for fragments committed in PREVIOUS runs (resume path):
@@ -404,14 +408,52 @@ def run_quality_pipeline(input_dir: str, out_dir: str, concurrency: int | tuple 
             from ..state.dedup_index import append as _index_append
 
             _index_append(hidx.index_dir, wp)
+    if ar_batch_size is not None:
+        _write_ar_batches(out_dir, totals, ar_batch_size, ar_buckets)
     return totals
 
 
-def read_final(out_dir: str):
+def _write_ar_batches(out_dir: str, totals: dict, batch_size: int,
+                      buckets) -> None:
+    """Optional final stage: the training-batch layout over the deduped
+    survivors (stages/arbatch — SDXL-style aspect buckets, full batches
+    only), written to ``out_dir/batches/``. Reads survivor METADATA only
+    (image_id, w, h — payload bytes never move), so it costs one pruned
+    scan + one window exchange on top of whichever final mode ran.
+    Idempotent: a committed layout (marker file) is skipped on resume."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from ..stages.arbatch import SDXL_BUCKETS, ar_bucket_batches
+
+    batches_dir = os.path.join(out_dir, "batches")
+    marker = os.path.join(batches_dir, "_BATCHES_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(batches_dir, ignore_errors=True)
+        survivors = read_final(out_dir, columns=["image_id", "w", "h"])
+        layout = ar_bucket_batches(survivors,
+                                   buckets=buckets or SDXL_BUCKETS,
+                                   batch_size=batch_size)
+        layout.write_parquet(batches_dir)
+        open(marker + ".tmp", "w").close()
+        os.replace(marker + ".tmp", marker)
+    totals["ar_batch_rows"] = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(batches_dir, "*.parquet")))
+    totals["ar_batches"] = totals["ar_batch_rows"] // batch_size
+
+
+def read_final(out_dir: str, columns: list[str] | None = None):
     """Dataset of the pipeline's deduped survivors, whichever final mode
     produced them: the rewritten ``final/`` payloads, or ``filtered/``
     filtered at read time against the committed ``final_keep`` winner
-    table (metadata mode — no second payload copy ever existed)."""
+    table (metadata mode — no second payload copy ever existed).
+
+    ``columns`` prunes the read at the parquet level — a metadata-only
+    consumer (e.g. the training-batch layout) must not move payload
+    bytes. The filter columns (verdict / phash / image_id) are read
+    regardless and dropped again if not requested."""
     import ray
     import ray.data as rd
 
@@ -419,7 +461,9 @@ def read_final(out_dir: str):
 
     final_dir = os.path.join(out_dir, "final")
     if os.path.isdir(final_dir):
-        return rd.read_parquet(final_dir)
+        return rd.read_parquet(final_dir, columns=columns)
+    read_cols = (sorted({*columns, "verdict", "phash", "image_id"})
+                 if columns is not None else None)
     winners = pq.read_table(os.path.join(out_dir, "final_keep", "winners.parquet"))
     wp = winners["phash"].to_numpy()
     wi = winners["image_id"].to_numpy(zero_copy_only=False)
@@ -429,11 +473,14 @@ def read_final(out_dir: str):
         wphash, wid = cached_get(win_ref)
         return _filter_winners(batch, wphash, wid)
 
-    return (
-        rd.read_parquet(os.path.join(out_dir, "filtered"))
+    ds = (
+        rd.read_parquet(os.path.join(out_dir, "filtered"), columns=read_cols)
         .map_batches(_surviving, batch_format="pyarrow")
         .map_batches(keep_winners, batch_format="pyarrow")
     )
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds
 
 
 def _finalize_winners(parts: list[tuple[np.ndarray, np.ndarray]]):

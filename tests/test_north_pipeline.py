@@ -169,3 +169,33 @@ def test_validate_inputs_skips_corrupt_fragment(ray_session, f1_dir, tmp_path):
                                 batch_size=256, wave_files=2)
     assert stats2["n_rows"] == full["n_rows"]
     assert stats2["kept"] == full["kept"]
+
+
+def test_ar_batch_layout_stage(ray_session, f1_dir, tmp_path):
+    """Optional training-batch layout: metadata-only scan over the
+    survivors, full batches of 8, identical in both final modes, and
+    idempotent under resume."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_quality_ray.pipelines.north import run_quality_pipeline
+
+    rows = {}
+    for mode in ("rewrite", "metadata"):
+        out = str(tmp_path / mode)
+        m = run_quality_pipeline(f1_dir, out, concurrency=2, batch_size=256,
+                                 final_output=mode, ar_batch_size=8)
+        assert m["ar_batch_rows"] == m["ar_batches"] * 8 or \
+            m["ar_batch_rows"] < m["final_rows"]  # partials dropped
+        assert m["ar_batch_rows"] <= m["final_rows"]
+        # layout holds metadata columns only — payload bytes never copied
+        f = glob.glob(os.path.join(out, "batches", "*.parquet"))[0]
+        cols = set(pq.ParquetFile(f).schema_arrow.names)
+        assert "bytes" not in cols and {"image_id", "batch_id", "slot"} <= cols
+        m2 = run_quality_pipeline(f1_dir, out, concurrency=2, batch_size=256,
+                                  final_output=mode, ar_batch_size=8)
+        assert m2["ar_batch_rows"] == m["ar_batch_rows"]  # resume: committed
+        rows[mode] = m["ar_batch_rows"]
+    assert rows["rewrite"] == rows["metadata"]
