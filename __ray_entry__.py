@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable accumulator generations, cumulative profile = merge
         "cross_run_profile_orders": Q.cross_run_profile_orders,
         "cross_run_drift_orders": Q.cross_run_drift_orders,
+        "window_rank_orders": Q.window_rank_orders,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
@@ -2337,6 +2338,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 6) AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 6) AS avg_price
             FROM lineitem GROUP BY 1, 2""",
+        "window_rank_orders": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(row_number() OVER w AS BIGINT) AS seq,
+                   CAST(rank() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderpriority) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderpriority) AS BIGINT) AS drnk,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_orderpriority, o_orderkey)
+            ORDER BY o_orderstatus, seq""",
         "cross_run_drift_orders": """
             WITH spine AS (SELECT unnest(range(12)) AS bin),
             d1 AS (SELECT o_totalprice * 1.0 AS x FROM orders

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 _OPS = ("row_number", "lag", "lead", "cumsum", "cummin", "cummax", "cumcount",
-        "count")
+        "count", "rank", "dense_rank", "ntile")
 
 
 def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
@@ -40,6 +40,10 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
       running aggregate, inclusive of the current row
     - ``("count",)`` — partition row count on every row (SQL
       ``count(*) OVER (PARTITION BY key)`` — unordered, whole frame)
+    - ``("rank",)`` / ``("dense_rank",)`` — SQL RANK / DENSE_RANK over
+      the partition's ``order_by`` tuple (ties share; rank leaves gaps)
+    - ``("ntile", n)`` — SQL NTILE(n): the first ``count % n`` buckets
+      hold ``ceil(count/n)`` rows, the rest ``floor(count/n)``
 
     Returns a Dataset with the input columns plus the analytic columns.
     """
@@ -61,12 +65,49 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
         g = g.drop(columns="__bucket").sort_values(
             keys + order, kind="mergesort").reset_index(drop=True)
         gb = g.groupby(keys, sort=False)
+
+        def order_breaks(tie_cols: list) -> np.ndarray:
+            # True where the tie tuple differs from the previous row (or
+            # a new partition starts) — the tie boundary for ranks.
+            # tie_cols may be a PREFIX of order_by (SQL's RANK() OVER
+            # (ORDER BY prefix)); the stable total-order sort keeps the
+            # prefix sorted, so runs of equal tie tuples are contiguous.
+            chg = np.ones(len(g), dtype=bool)
+            if len(g) > 1:
+                chg[1:] = np.zeros(len(g) - 1, dtype=bool)
+                for c in keys + tie_cols:
+                    v = g[c].to_numpy()
+                    chg[1:] |= ~(pd.Series(v[1:]).eq(pd.Series(v[:-1]))
+                                 | (pd.isna(v[1:]) & pd.isna(v[:-1]))).to_numpy()
+            return chg
+
         for out_col, spec in ops.items():
             kind = spec[0]
             if kind == "row_number":
                 g[out_col] = (gb.cumcount() + 1).astype("int64")
             elif kind == "count":
                 g[out_col] = gb[keys[0]].transform("size").astype("int64")
+            elif kind == "rank":
+                tie = list(spec[1]) if len(spec) > 1 else order
+                seq = (gb.cumcount() + 1).to_numpy()
+                brk = order_breaks(tie)
+                # carry the sequence number forward across tie runs
+                g[out_col] = pd.Series(np.where(brk, seq, np.nan)) \
+                    .ffill().astype("int64")
+            elif kind == "dense_rank":
+                tie = list(spec[1]) if len(spec) > 1 else order
+                brk = order_breaks(tie).astype(np.int64)
+                g[out_col] = (pd.Series(brk).groupby(
+                    [g[k] for k in keys], sort=False).cumsum()).astype("int64")
+            elif kind == "ntile":
+                n = int(spec[1])
+                seq0 = gb.cumcount().to_numpy()
+                cnt = gb[keys[0]].transform("size").to_numpy()
+                k, r = cnt // n, cnt % n
+                big = r * (k + 1)  # rows covered by the size-(k+1) buckets
+                g[out_col] = np.where(
+                    seq0 < big, seq0 // np.maximum(k + 1, 1),
+                    r + (seq0 - big) // np.maximum(k, 1)).astype("int64") + 1
             elif kind in ("lag", "lead"):
                 col = spec[1]
                 n = spec[2] if len(spec) > 2 else 1

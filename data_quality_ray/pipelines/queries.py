@@ -588,6 +588,28 @@ def cross_run_profile_orders(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def window_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """Ranking analytics in one window exchange: per order-status
+    partition, SQL RANK / DENSE_RANK over the (tied) priority prefix and
+    NTILE(4) / ROW_NUMBER over the total (priority, orderkey) order —
+    the rank family added to functions/window.window_ops.
+    → (o_orderkey, o_orderstatus, seq, rnk, drnk, quartile)."""
+    from ..functions.window import window_ops
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    out = window_ops(ds, by="o_orderstatus",
+                     order_by=["o_orderpriority", "o_orderkey"],
+                     ops={"seq": ("row_number",),
+                          "rnk": ("rank", ["o_orderpriority"]),
+                          "drnk": ("dense_rank", ["o_orderpriority"]),
+                          "quartile": ("ntile", 4)}).to_pandas()
+    for c in ("o_orderkey", "seq", "rnk", "drnk", "quartile"):
+        out[c] = out[c].astype("int64")
+    return (out[["o_orderkey", "o_orderstatus", "seq", "rnk", "drnk", "quartile"]]
+            .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
+
+
 DRIFT_HIST_LO, DRIFT_HIST_HI, DRIFT_HIST_BINS = 0.0, 600_000.0, 12
 
 

@@ -88,3 +88,31 @@ def test_assign_rejects_nonpositive_dims(ray_session):
     df.loc[3, "w"] = 0
     with pytest.raises(Exception, match="non-positive"):
         assign_ar_buckets(_ds(df)).to_pandas()
+
+
+def test_window_rank_family(ray_session):
+    from data_quality_ray.functions.window import window_ops
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 300),
+                       "t": rng.integers(0, 5, 300),      # tie-prone
+                       "id": np.arange(300)})
+    out = (window_ops(_ds(df), by="k", order_by=["t", "id"],
+                      ops={"rnk": ("rank", ["t"]),
+                           "drnk": ("dense_rank", ["t"]),
+                           "q": ("ntile", 4),
+                           "seq": ("row_number",)})
+           .to_pandas().sort_values(["k", "seq"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "t", "id"]).reset_index(drop=True)
+    gb = ref.groupby("k", sort=False)
+    assert (out["rnk"].to_numpy()
+            == gb["t"].rank(method="min").astype(int).to_numpy()).all()
+    assert (out["drnk"].to_numpy()
+            == gb["t"].rank(method="dense").astype(int).to_numpy()).all()
+    # SQL NTILE: first count%n buckets hold ceil(count/n)
+    for _, grp in out.groupby("k"):
+        cnt, n = len(grp), 4
+        k, r = cnt // n, cnt % n
+        sizes = grp.groupby("q").size()
+        assert list(sizes.index) == list(range(1, n + 1))
+        assert all(sizes[i] == (k + 1 if i <= r else k) for i in sizes.index)
