@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_run_profile_orders": Q.cross_run_profile_orders,
         "cross_run_drift_orders": Q.cross_run_drift_orders,
         "window_rank_orders": Q.window_rank_orders,
+        "moving_avg_events": Q.moving_avg_events,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
@@ -2338,6 +2339,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity) / count(*), 6) AS avg_qty,
                    round(sum(l_extendedprice) / count(*), 6) AS avg_price
             FROM lineitem GROUP BY 1, 2""",
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 6) AS roll_sum,
+                   round(avg(value) OVER w, 6) AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""",
         "window_rank_orders": """
             SELECT o_orderkey, o_orderstatus,
                    CAST(row_number() OVER w AS BIGINT) AS seq,

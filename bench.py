@@ -156,6 +156,7 @@ def run_bench() -> dict:
         ("text_pipeline_docs", Q.text_pipeline_docs),
         ("cross_run_drift_orders", Q.cross_run_drift_orders),
         ("window_rank_orders", Q.window_rank_orders),
+        ("moving_avg_events", Q.moving_avg_events),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 _OPS = ("row_number", "lag", "lead", "cumsum", "cummin", "cummax", "cumcount",
-        "count", "rank", "dense_rank", "ntile")
+        "count", "rank", "dense_rank", "ntile", "rolling_sum", "rolling_mean")
 
 
 def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
@@ -44,6 +44,9 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
       the partition's ``order_by`` tuple (ties share; rank leaves gaps)
     - ``("ntile", n)`` — SQL NTILE(n): the first ``count % n`` buckets
       hold ``ceil(count/n)`` rows, the rest ``floor(count/n)``
+    - ``("rolling_sum", col, n)`` / ``("rolling_mean", col, n)`` — SQL
+      ``sum/avg(col) OVER (... ROWS BETWEEN n-1 PRECEDING AND CURRENT
+      ROW)`` (partial frames at the partition head, like SQL)
 
     Returns a Dataset with the input columns plus the analytic columns.
     """
@@ -108,6 +111,13 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
                 g[out_col] = np.where(
                     seq0 < big, seq0 // np.maximum(k + 1, 1),
                     r + (seq0 - big) // np.maximum(k, 1)).astype("int64") + 1
+            elif kind in ("rolling_sum", "rolling_mean"):
+                col, n = spec[1], int(spec[2])
+                roll = gb[col].rolling(window=n, min_periods=1)
+                agg = roll.sum() if kind == "rolling_sum" else roll.mean()
+                # groupby.rolling keeps within-group row order and groups
+                # are contiguous in the sorted frame — positional align
+                g[out_col] = agg.to_numpy()
             elif kind in ("lag", "lead"):
                 col = spec[1]
                 n = spec[2] if len(spec) > 2 else 1

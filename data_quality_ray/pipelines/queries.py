@@ -610,6 +610,27 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
 
 
+def moving_avg_events(sf_dir: str, frame: int = 7) -> pd.DataFrame:
+    """Moving-frame analytics: per user in (ts, event_id) order, the
+    7-row trailing sum and mean of ``value`` (SQL ROWS BETWEEN 6
+    PRECEDING AND CURRENT ROW; partial frames at the head) — the window
+    frame family of window_ops, same single exchange.
+    → (event_id, user_id, roll_sum, roll_avg)."""
+    from ..functions.window import window_ops
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    out = window_ops(ds, by="user_id", order_by=["ts", "event_id"],
+                     ops={"roll_sum": ("rolling_sum", "value", frame),
+                          "roll_avg": ("rolling_mean", "value", frame)}).to_pandas()
+    out["roll_sum"] = out["roll_sum"].round(6)
+    out["roll_avg"] = out["roll_avg"].round(6)
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return (out[["event_id", "user_id", "roll_sum", "roll_avg"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
 DRIFT_HIST_LO, DRIFT_HIST_HI, DRIFT_HIST_BINS = 0.0, 600_000.0, 12
 
 

@@ -116,3 +116,22 @@ def test_window_rank_family(ray_session):
         sizes = grp.groupby("q").size()
         assert list(sizes.index) == list(range(1, n + 1))
         assert all(sizes[i] == (k + 1 if i <= r else k) for i in sizes.index)
+
+
+def test_window_rolling_frames(ray_session):
+    from data_quality_ray.functions.window import window_ops
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 200),
+                       "o": np.arange(200),
+                       "v": rng.normal(0, 10, 200)})
+    out = (window_ops(_ds(df), by="k", order_by="o",
+                      ops={"s": ("rolling_sum", "v", 5),
+                           "m": ("rolling_mean", "v", 5)})
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = ref.groupby("k", sort=False)["v"]
+    np.testing.assert_allclose(out["s"], g.rolling(5, min_periods=1).sum()
+                               .to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(out["m"], g.rolling(5, min_periods=1).mean()
+                               .to_numpy(), rtol=1e-12)
