@@ -217,7 +217,13 @@ def build_ivfpq_store(ds, store_dir: str, id_col: str, vec_col: str,
         bk = cached_get(books_ref)
         x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         codes = _encode_block(x, bk)
-        out = {id_col: b[id_col].to_numpy(), "ivf_list": b["ivf_list"].to_numpy()}
+        out = {id_col: b[id_col].to_numpy(), "ivf_list": b["ivf_list"].to_numpy(),
+               # the partition value ALSO as an in-file column: hive strips
+               # partition cols from file contents, and a residual search
+               # needs each row's list for the per-list LUT gather (a
+               # partition-column filter breaks Ray's fragment sampler);
+               # RLE-dictionary makes the constant column ~free
+               "list_id": b["ivf_list"].to_numpy().astype(np.int32)}
         for j in range(bk.shape[0]):
             # uint8 at the storage boundary — THE compression (1 byte per
             # code on disk instead of a plain int64 column)
@@ -278,23 +284,41 @@ def ivfpq_topk_store(store_dir: str, id_col: str, query: np.ndarray,
                        for f in glob.glob(os.path.join(d, "*.parquet")))
         codes = rd.read_parquet(files, columns=cols)
         return pq_topk(codes, id_col, books, qn, k=k), stats
-    # residual store: one LUT per probed list (q − centroid[l]); each
-    # list directory is scanned with ITS OWN query residual, partial
-    # top-ks merged across lists. nprobe is small, so this is nprobe
-    # sequential pruned scans of code bytes.
+    # residual store: one LUT per probed list (q − centroid[l]). All
+    # probed lists scan in ONE dataset job — file-level pruning keeps
+    # the I/O win (measured: nprobe sequential per-directory jobs paid
+    # ~0.5 s fixed cost EACH) and the fold gathers through a
+    # (lists, m, ksub) LUT indexed by each row's in-file list_id.
+    import ray
+
+    from ..functions.broadcast import cached_get
+
     cent = np.load(os.path.join(store_dir, "_centroids.npy"))
-    parts = []
-    for d in probe_dirs:
-        lst = int(os.path.basename(d).split("=", 1)[1])
-        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
-        if not files:
-            continue
-        codes = rd.read_parquet(files, columns=cols)
-        parts.append(pq_topk(codes, id_col, books, qn - cent[lst], k=k))
-    if not parts:
-        return pd.DataFrame({id_col: [], "adc": []}), stats
-    out = (pd.concat(parts, ignore_index=True)
-           .sort_values(["adc", id_col], kind="mergesort").head(k)
+    lists = sorted(int(os.path.basename(d).split("=", 1)[1])
+                   for d in probe_dirs)
+    _, ksub, dsub = books.shape
+    lut3 = np.zeros((len(cent), m, ksub))
+    for lst in lists:
+        qr = _split((qn - cent[lst])[None, :], m)[0]  # (m, dsub)
+        lut3[lst] = ((qr[:, None, :] - books) ** 2).sum(-1)
+    ref = ray.put(lut3)
+    files = sorted(f for d in probe_dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    codes = rd.read_parquet(files, columns=[*cols, "list_id"])
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        t = cached_get(ref)
+        cj = np.stack([b[f"c{j}"].to_numpy().astype(np.int64)
+                       for j in range(m)], axis=1)
+        lst = b["list_id"].to_numpy().astype(np.int64)
+        adc = np.round(
+            t[lst[:, None], np.arange(m)[None, :], cj].sum(axis=1), ROUND_TO)
+        keep = pd.DataFrame({id_col: b[id_col].to_numpy(), "adc": adc})
+        return keep.nsmallest(k, ["adc", id_col], keep="first") \
+            if len(keep) > k else keep
+
+    parts = codes.map_batches(part, batch_format="pandas").to_pandas()
+    out = (parts.sort_values(["adc", id_col], kind="mergesort").head(k)
            .reset_index(drop=True))
     return out, stats
 
