@@ -78,6 +78,41 @@ def quality_filter_images(sf_dir: str):
     )
 
 
+def webdataset_roundtrip_images(sf_dir: str):
+    """WebDataset tar-shard sink+source round-trip over the image+caption
+    fixture: key-sorted shards written worker-side (atomic, resumable),
+    read back through the untar source, reporting per-image payload
+    length + caption. Oracle = the raw fixture shards (octet_length of
+    the same encoded bytes), so the hash compare proves byte-lossless
+    transport through the tar layout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from data_quality_ray.sources.webdataset import (
+        read_webdataset, write_webdataset,
+    )
+
+    fix = _image_fixture(sf_dir)
+    out = fix.replace("dq_ray_f1_", "dq_ray_wds_")
+    ds = rd.read_parquet(fix, columns=["image_id", "bytes", "caption"]) \
+           .sort("image_id")
+    write_webdataset(ds, out, key_col="image_id",
+                     exts={"bytes": "img", "caption": "txt"},
+                     shard_rows=2048, write_manifest=False)
+    back = read_webdataset(out, exts={"img": "binary", "txt": "text"})
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["__key__"],
+            "n_bytes": pc.cast(pc.binary_length(t["img"]), pa.int64()),
+            "caption": t["txt"],
+        })
+
+    df = back.map_batches(project, batch_format="pyarrow").to_pandas()
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def image_features(sf_dir: str):
     """Multimodal feature extraction (decode → mean RGB, luminance stats,
     histogram, phash recompute) over the image table. Oracled: the
@@ -258,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_run_profile_orders": Q.cross_run_profile_orders,
         "cross_run_drift_orders": Q.cross_run_drift_orders,
         "window_rank_orders": Q.window_rank_orders,
+        "window_value_orders": Q.window_value_orders,
         "moving_avg_events": Q.moving_avg_events,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
@@ -282,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # persisted Hamming index, today screened exactly (pigeonhole)
         "cross_run_phash_images": cross_run_phash_images,
         "image_features": image_features,
+        "webdataset_roundtrip_images": webdataset_roundtrip_images,
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
         "image_embed_neardup": image_embed_neardup,
@@ -2017,6 +2054,11 @@ def oracle_sql() -> dict[str, str]:
             "       h.image_id IS NOT NULL AS known_neardup "
             "FROM today t LEFT JOIN hits h USING (image_id) "
             "ORDER BY t.image_id",
+        "webdataset_roundtrip_images": (
+            "SELECT * FROM ("
+            + _f1_raw_sql("image_id, CAST(octet_length(bytes) AS BIGINT)"
+                          " AS n_bytes, caption")
+            + ") ORDER BY image_id"),
         "image_features": _f1_labels_sql(
             "image_id, lum_mean, lum_std, phash_recomputed"),
         "image_quality_extended": (
@@ -2359,6 +2401,28 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderstatus
                          ORDER BY o_orderpriority, o_orderkey)
             ORDER BY o_orderstatus, seq""",
+        "window_value_orders": """
+            SELECT o_orderkey,
+                   o_orderstatus,
+                   round(percent_rank() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderpriority), 6) AS pr,
+                   round(cume_dist() OVER (PARTITION BY o_orderstatus
+                         ORDER BY o_orderpriority), 6) AS cd,
+                   round(first_value(o_totalprice) OVER w, 2) AS first_price,
+                   round(last_value(o_totalprice) OVER
+                         (PARTITION BY o_orderstatus
+                          ORDER BY o_orderpriority, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING), 2) AS last_price,
+                   round(nth_value(o_totalprice, 3) OVER
+                         (PARTITION BY o_orderstatus
+                          ORDER BY o_orderpriority, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING), 2) AS third_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_orderpriority, o_orderkey)
+            ORDER BY o_orderkey""",
         "cross_run_drift_orders": """
             WITH spine AS (SELECT unnest(range(12)) AS bin),
             d1 AS (SELECT o_totalprice * 1.0 AS x FROM orders

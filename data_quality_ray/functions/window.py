@@ -24,7 +24,8 @@ import numpy as np
 import pandas as pd
 
 _OPS = ("row_number", "lag", "lead", "cumsum", "cummin", "cummax", "cumcount",
-        "count", "rank", "dense_rank", "ntile", "rolling_sum", "rolling_mean")
+        "count", "rank", "dense_rank", "ntile", "rolling_sum", "rolling_mean",
+        "percent_rank", "cume_dist", "first_value", "last_value", "nth_value")
 
 
 def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
@@ -47,6 +48,17 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
     - ``("rolling_sum", col, n)`` / ``("rolling_mean", col, n)`` — SQL
       ``sum/avg(col) OVER (... ROWS BETWEEN n-1 PRECEDING AND CURRENT
       ROW)`` (partial frames at the partition head, like SQL)
+    - ``("percent_rank",)`` / ``("percent_rank", tie_cols)`` — SQL
+      PERCENT_RANK(): (rank-1)/(count-1), 0.0 for a 1-row partition
+    - ``("cume_dist",)`` / ``("cume_dist", tie_cols)`` — SQL CUME_DIST():
+      rows with tie tuple ≤ current, over the partition count
+    - ``("first_value", col)`` — first value in partition order
+    - ``("last_value", col)`` — last value over the WHOLE partition (SQL
+      ``LAST_VALUE(col) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND
+      UNBOUNDED FOLLOWING)`` — the frame people mean; SQL's default
+      running frame is the current row itself, which needs no window)
+    - ``("nth_value", col, n)`` — value at 1-based position n over the
+      whole-partition frame, null when the partition is smaller
 
     Returns a Dataset with the input columns plus the analytic columns.
     """
@@ -111,6 +123,34 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
                 g[out_col] = np.where(
                     seq0 < big, seq0 // np.maximum(k + 1, 1),
                     r + (seq0 - big) // np.maximum(k, 1)).astype("int64") + 1
+            elif kind == "percent_rank":
+                tie = list(spec[1]) if len(spec) > 1 else order
+                seq = (gb.cumcount() + 1).to_numpy()
+                rnk = pd.Series(np.where(order_breaks(tie), seq, np.nan)) \
+                    .ffill().to_numpy()
+                cnt = gb[keys[0]].transform("size").to_numpy()
+                g[out_col] = np.where(cnt > 1, (rnk - 1) / np.maximum(cnt - 1, 1),
+                                      0.0)
+            elif kind == "cume_dist":
+                tie = list(spec[1]) if len(spec) > 1 else order
+                seq = pd.Series((gb.cumcount() + 1).to_numpy())
+                run_id = np.cumsum(order_breaks(tie))  # globally unique runs
+                run_max = seq.groupby(run_id).transform("max").to_numpy()
+                cnt = gb[keys[0]].transform("size").to_numpy()
+                g[out_col] = run_max / cnt
+            elif kind == "first_value":
+                g[out_col] = gb[spec[1]].transform("first")
+            elif kind == "last_value":
+                g[out_col] = gb[spec[1]].transform("last")
+            elif kind == "nth_value":
+                col, n = spec[1], int(spec[2])
+                seq = (gb.cumcount() + 1).to_numpy()
+                picked = g[col].where(seq == n)
+                # only position n is non-null per partition, so groupby
+                # "first" (null-skipping) broadcasts it; an all-null group
+                # (partition shorter than n, or a null at n) stays null
+                g[out_col] = picked.groupby([g[k] for k in keys],
+                                            sort=False).transform("first")
             elif kind in ("rolling_sum", "rolling_mean"):
                 col, n = spec[1], int(spec[2])
                 roll = gb[col].rolling(window=n, min_periods=1)

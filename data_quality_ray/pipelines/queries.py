@@ -610,6 +610,36 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
 
 
+def window_value_orders(sf_dir: str) -> pd.DataFrame:
+    """Value/distribution window family in one exchange: per order-status
+    partition over the (priority, orderkey) total order — PERCENT_RANK /
+    CUME_DIST on the tied priority prefix, FIRST_VALUE / LAST_VALUE /
+    NTH_VALUE(3) of the total price over the whole-partition frame.
+    → (o_orderkey, o_orderstatus, pr, cd, first_price, last_price,
+    third_price)."""
+    from ..functions.window import window_ops
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                        "o_totalprice"])
+    out = window_ops(ds, by="o_orderstatus",
+                     order_by=["o_orderpriority", "o_orderkey"],
+                     ops={"pr": ("percent_rank", ["o_orderpriority"]),
+                          "cd": ("cume_dist", ["o_orderpriority"]),
+                          "first_price": ("first_value", "o_totalprice"),
+                          "last_price": ("last_value", "o_totalprice"),
+                          "third_price": ("nth_value", "o_totalprice", 3)}
+                     ).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    for c in ("pr", "cd"):
+        out[c] = out[c].round(6)
+    for c in ("first_price", "last_price", "third_price"):
+        out[c] = out[c].round(2)
+    return (out[["o_orderkey", "o_orderstatus", "pr", "cd",
+                 "first_price", "last_price", "third_price"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 def moving_avg_events(sf_dir: str, frame: int = 7) -> pd.DataFrame:
     """Moving-frame analytics: per user in (ts, event_id) order, the
     7-row trailing sum and mean of ``value`` (SQL ROWS BETWEEN 6

@@ -118,6 +118,49 @@ def test_window_rank_family(ray_session):
         assert all(sizes[i] == (k + 1 if i <= r else k) for i in sizes.index)
 
 
+def test_window_value_distribution_family(ray_session):
+    from data_quality_ray.functions.window import window_ops
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 300),
+                       "t": rng.integers(0, 5, 300),      # tie-prone
+                       "id": np.arange(300),
+                       "v": rng.normal(0, 10, 300)})
+    out = (window_ops(_ds(df), by="k", order_by=["t", "id"],
+                      ops={"pr": ("percent_rank", ["t"]),
+                           "cd": ("cume_dist", ["t"]),
+                           "fv": ("first_value", "v"),
+                           "lv": ("last_value", "v"),
+                           "nv": ("nth_value", "v", 3),
+                           "seq": ("row_number",)})
+           .to_pandas().sort_values(["k", "seq"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "t", "id"]).reset_index(drop=True)
+    gb = ref.groupby("k", sort=False)
+    cnt = gb["t"].transform("size").to_numpy()
+    rmin = gb["t"].rank(method="min").to_numpy()
+    rmax = gb["t"].rank(method="max").to_numpy()
+    np.testing.assert_allclose(out["pr"], np.where(cnt > 1, (rmin - 1)
+                               / np.maximum(cnt - 1, 1), 0.0), rtol=1e-12)
+    np.testing.assert_allclose(out["cd"], rmax / cnt, rtol=1e-12)
+    np.testing.assert_allclose(out["fv"], gb["v"].transform("first"), rtol=1e-12)
+    np.testing.assert_allclose(out["lv"], gb["v"].transform("last"), rtol=1e-12)
+    nth = gb["v"].nth(2)  # pandas nth is 0-based
+    ref_nv = ref["k"].map(nth.set_axis(ref.loc[gb["v"].nth(2).index, "k"]))
+    np.testing.assert_allclose(out["nv"], ref_nv.to_numpy(), rtol=1e-12)
+
+
+def test_window_nth_value_short_partition(ray_session):
+    from data_quality_ray.functions.window import window_ops
+
+    df = pd.DataFrame({"k": ["a", "a", "b"], "o": [1, 2, 3],
+                       "v": [10.0, 20.0, 30.0]})
+    out = (window_ops(_ds(df), by="k", order_by="o",
+                      ops={"nv": ("nth_value", "v", 2)})
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    assert out.loc[0, "nv"] == 20.0 and out.loc[1, "nv"] == 20.0
+    assert pd.isna(out.loc[2, "nv"])
+
+
 def test_window_rolling_frames(ray_session):
     from data_quality_ray.functions.window import window_ops
 
