@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_run_drift_orders": Q.cross_run_drift_orders,
         "window_rank_orders": Q.window_rank_orders,
         "window_value_orders": Q.window_value_orders,
+        "skew_report_events": Q.skew_report_events,
         "moving_avg_events": Q.moving_avg_events,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
@@ -2401,6 +2402,23 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderstatus
                          ORDER BY o_orderpriority, o_orderkey)
             ORDER BY o_orderstatus, seq""",
+        "skew_report_events": """
+            WITH c AS (SELECT user_id, count(*) AS cnt
+                       FROM events GROUP BY user_id),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(cnt) AS BIGINT) AS n_rows,
+                         CAST(max(cnt) AS BIGINT) AS max_cnt,
+                         CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS cnt_p50,
+                         CAST(quantile_disc(cnt, 0.9) AS BIGINT) AS cnt_p90,
+                         CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS cnt_p99,
+                         round(max(cnt) / avg(cnt), 6) AS max_over_mean
+                  FROM c)
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+                        AS BIGINT) AS rank,
+                   user_id, CAST(cnt AS BIGINT) AS cnt,
+                   n_rows, n_keys, max_cnt, cnt_p50, cnt_p90, cnt_p99,
+                   max_over_mean
+            FROM c, s ORDER BY cnt DESC, user_id LIMIT 10""",
         "window_value_orders": """
             SELECT o_orderkey,
                    o_orderstatus,

@@ -141,7 +141,8 @@ def _key_hash(frame: pd.DataFrame, keys: list[str]) -> np.ndarray:
 
 
 def hash_join(left_ds, right_ds, on, right_cols: list[str],
-              how: str = "inner", n_buckets: int = 64, salt: int = 1):
+              how: str = "inner", n_buckets: int = 64,
+              salt: int | str = 1):
     """General distributed equi-join (Ray Data ships no join operator):
     SELECT left.*, right_cols FROM left JOIN right USING (on).
 
@@ -169,7 +170,9 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     a hot key's probe work divides across ``salt`` buckets at the cost
     of shipping the right side ``salt``×. Semantics are identical
     (parity-tested); use when the build side is small relative to the
-    probe side's skew.
+    probe side's skew. ``salt="auto"`` measures the probe-side key
+    distribution first (profiling/skew.key_skew_report) and picks the
+    salt itself.
 
     Reference precedent: the reference joins only inside a single JVM
     (ResultSet/stream zips); a distributed equi-join is part of the
@@ -178,6 +181,23 @@ def hash_join(left_ds, right_ds, on, right_cols: list[str],
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(
             f"how={how!r}: expected 'inner'/'left'/'outer'/'semi'/'anti'")
+    if salt == "auto":
+        # Measure the probe side's key distribution and pick the smallest
+        # salt that keeps the hottest key within 2× the mean bucket load
+        # (profiling/skew). Costs one keys-only aggregate pass over the
+        # left side — use it when the left is a direct (cheap-to-rescan)
+        # read; a lazy upstream pipeline would re-execute, so measure
+        # once and pass an int there instead. outer can't salt (right
+        # replicas would re-emit unmatched rows), so auto resolves to 1.
+        if how == "outer":
+            salt = 1
+        else:
+            from ..profiling.skew import key_skew_report, recommend_salt
+
+            _k = [on] if isinstance(on, str) else list(on)
+            salt = recommend_salt(
+                key_skew_report(left_ds.select_columns(_k), _k, top_k=1),
+                n_buckets=n_buckets)
     if how == "outer" and salt > 1:
         # the right side is replicated salt× — unmatched right rows would
         # surface once per replica

@@ -610,6 +610,28 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
 
 
+def skew_report_events(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-planning skew diagnostics on the events stream's user key:
+    exact per-key count quantiles + the heaviest keys, computed with
+    driver state bounded by the count frequency-of-frequencies table
+    (profiling/skew.key_skew_report). → top-10 rows (rank, user_id, cnt)
+    carrying the summary columns."""
+    from ..profiling.skew import key_skew_report
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    r = key_skew_report(ds, "user_id", top_k=10)
+    top = r["top"].copy()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    for c in ("n_rows", "n_keys", "max_cnt", "cnt_p50", "cnt_p90",
+              "cnt_p99"):
+        top[c] = np.int64(r[c])
+    top["max_over_mean"] = round(r["max_over_mean"], 6)
+    top["user_id"] = top["user_id"].astype("int64")
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["rank", "user_id", "cnt", "n_rows", "n_keys", "max_cnt",
+                "cnt_p50", "cnt_p90", "cnt_p99", "max_over_mean"]]
+
+
 def window_value_orders(sf_dir: str) -> pd.DataFrame:
     """Value/distribution window family in one exchange: per order-status
     partition over the (priority, orderkey) total order — PERCENT_RANK /
