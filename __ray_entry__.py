@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank_orders": Q.window_rank_orders,
         "window_value_orders": Q.window_value_orders,
         "skew_report_events": Q.skew_report_events,
+        "grouped_sample_docs": Q.grouped_sample_docs,
         "moving_avg_events": Q.moving_avg_events,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
@@ -2402,6 +2403,13 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderstatus
                          ORDER BY o_orderpriority, o_orderkey)
             ORDER BY o_orderstatus, seq""",
+        "grouped_sample_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5('42-' || doc_id)) AS rn
+                FROM documents)
+            WHERE rn <= 20 ORDER BY lang, doc_id""",
         "skew_report_events": """
             WITH c AS (SELECT user_id, count(*) AS cnt
                        FROM events GROUP BY user_id),

@@ -610,6 +610,21 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
 
 
+def grouped_sample_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Exact k-per-language uniform sample of documents under the md5
+    order contract (sampling/reservoir.grouped_reservoir_sample) — the
+    SQL replays it as row_number() OVER (PARTITION BY lang ORDER BY
+    md5(...)). → (lang, doc_id) sorted."""
+    from ..sampling.reservoir import grouped_reservoir_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = grouped_reservoir_sample(ds, key_cols=["doc_id"],
+                                   group_col="lang", k=k)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (out[["lang", "doc_id"]].sort_values(["lang", "doc_id"])
+            .reset_index(drop=True))
+
+
 def skew_report_events(sf_dir: str) -> pd.DataFrame:
     """Shuffle-planning skew diagnostics on the events stream's user key:
     exact per-key count quantiles + the heaviest keys, computed with

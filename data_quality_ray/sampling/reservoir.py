@@ -80,6 +80,57 @@ def reservoir_sample(ds, key_cols: list[str], k: int, seed: int = 42) -> pd.Data
     return out.reset_index(drop=True)
 
 
+def grouped_reservoir_sample(ds, key_cols: list[str], group_col: str, k: int,
+                             seed: int = 42, output: str = "pandas",
+                             n_buckets: int = 64):
+    """Exact deterministic k-per-group sample (uniform within each group,
+    same md5 order contract as ``reservoir_sample`` so DuckDB replays it
+    with ``row_number() OVER (PARTITION BY group ORDER BY md5(...))``).
+
+    Per-batch partial: sort by digest, ``groupby.head(k)`` (vectorized) —
+    at most k rows per (group, batch) survive. ``output="pandas"`` merges
+    partials on the driver (right when #groups×k is driver-sized);
+    ``output="dataset"`` hash-buckets the partials by group — ONE
+    exchange over the pre-pruned rows — and finishes each bucket
+    locally, for unbounded group spaces."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["__rk"] = _md5_hex(f"{seed}-" + _row_key(b, key_cols))
+        b = b.sort_values("__rk", kind="mergesort")
+        return b.groupby(group_col, sort=False).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    if output == "pandas":
+        frames = list(partials.iter_batches(batch_size=None,
+                                            batch_format="pandas"))
+        if not frames:
+            return pd.DataFrame(columns=list(ds.schema().names))
+        allp = pd.concat(frames, ignore_index=True)
+        out = (allp.sort_values("__rk", kind="mergesort")
+               .groupby(group_col, sort=False).head(k)
+               .drop(columns="__rk"))
+        return out.reset_index(drop=True)
+
+    import numpy as np
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_pandas_object(b[group_col], index=False)
+                         .to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("__rk", kind="mergesort")
+                .groupby(group_col, sort=False).head(k)
+                .drop(columns=["__rk", "__bucket"]))
+
+    return (partials.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(finish, batch_format="pandas"))
+
+
 def weighted_reservoir_sample(ds, key_cols: list[str], weight_col: str,
                               k: int, seed: int = 42) -> pd.DataFrame:
     """Weighted k-of-N sample without replacement (Efraimidis–Spirakis

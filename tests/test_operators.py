@@ -208,6 +208,35 @@ def test_reservoir_partition_invariance(ray_session):
     assert sorted(a["id"]) != sorted(c["id"])  # seed changes the sample
 
 
+def test_grouped_reservoir_exact_and_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.sampling.reservoir import grouped_reservoir_sample
+
+    df = pd.DataFrame({"id": np.arange(6000),
+                       "g": (np.arange(6000) % 7).astype(str)})
+    a = grouped_reservoir_sample(rd.from_pandas(df).repartition(9),
+                                 ["id"], "g", k=25, seed=42)
+    ref = duckdb.sql("""
+        SELECT g, id FROM (
+            SELECT g, id, row_number() OVER (PARTITION BY g
+                ORDER BY md5('42-' || id)) rn FROM df)
+        WHERE rn <= 25 ORDER BY g, id""").df()
+    got = a.sort_values(["g", "id"]).reset_index(drop=True)
+    assert (got["id"].to_numpy() == ref["id"].to_numpy()).all()
+    # dataset route: identical sample, fully distributed
+    b = (grouped_reservoir_sample(rd.from_pandas(df).repartition(9),
+                                  ["id"], "g", k=25, seed=42,
+                                  output="dataset", n_buckets=8)
+         .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    assert (b["id"].to_numpy() == got["id"].to_numpy()).all()
+    # short groups: a group smaller than k returns all of it
+    small = pd.DataFrame({"id": [1, 2, 3], "g": ["x", "x", "y"]})
+    s = grouped_reservoir_sample(rd.from_pandas(small), ["id"], "g", k=10)
+    assert len(s) == 3
+
+
 # ---------------------------------------------------------------------------
 # minhash / simhash / embedding dedup
 # ---------------------------------------------------------------------------
