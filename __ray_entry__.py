@@ -113,6 +113,23 @@ def webdataset_roundtrip_images(sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def caption_alignment_images(sf_dir: str):
+    """CLIP-style caption–image alignment over the fixture: hashing-trick
+    text embedding vs the phash bit pattern, cosine per pair, scored by
+    an actor-pool stage (stages/alignment.AlignmentStage). Oracled: both
+    encoders are exact md5/integer math the SQL replays bit-for-bit."""
+    import ray.data as rd
+
+    from data_quality_ray.stages.alignment import align_captions
+
+    ds = rd.read_parquet(_image_fixture(sf_dir),
+                         columns=["image_id", "caption", "phash"])
+    out = align_captions(ds, threshold=0.0, concurrency=4) \
+        .select_columns(["image_id", "alignment", "is_aligned"]).to_pandas()
+    out["alignment"] = out["alignment"].round(6)
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def image_features(sf_dir: str):
     """Multimodal feature extraction (decode → mean RGB, luminance stats,
     histogram, phash recompute) over the image table. Oracled: the
@@ -296,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_value_orders": Q.window_value_orders,
         "skew_report_events": Q.skew_report_events,
         "grouped_sample_docs": Q.grouped_sample_docs,
+        "tpch_q3_shipping": Q.tpch_q3_shipping,
         "moving_avg_events": Q.moving_avg_events,
         "simhash_docs": Q.simhash_docs,
         "simhash_pairs_docs": Q.simhash_pairs_docs,
@@ -321,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_run_phash_images": cross_run_phash_images,
         "image_features": image_features,
         "webdataset_roundtrip_images": webdataset_roundtrip_images,
+        "caption_alignment_images": caption_alignment_images,
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
         "image_embed_neardup": image_embed_neardup,
@@ -2056,6 +2075,35 @@ def oracle_sql() -> dict[str, str]:
             "       h.image_id IS NOT NULL AS known_neardup "
             "FROM today t LEFT JOIN hits h USING (image_id) "
             "ORDER BY t.image_id",
+        "caption_alignment_images": (
+            "WITH raw AS (" + _f1_raw_sql("image_id, caption, phash") + """),
+            toks AS (SELECT image_id,
+                            unnest(list_filter(string_split_regex(
+                                lower(caption), '\\s+'), x -> x <> '')) AS tok
+                     FROM raw),
+            tb AS (SELECT image_id,
+                          CAST(md5_number_lower(tok) % 64 AS INT) AS b,
+                          CAST(count(*) AS DOUBLE) AS c
+                   FROM toks GROUP BY 1, 2),
+            u AS (SELECT image_id, phash::HUGEINT + CASE WHEN phash < 0
+                         THEN 18446744073709551616::HUGEINT
+                         ELSE 0::HUGEINT END AS u FROM raw),
+            bits(b, p) AS (VALUES """
+            + ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+            + """),
+            d AS (SELECT tb.image_id,
+                         sum(c * (CAST((u.u // bits.p) % 2 AS DOUBLE) * 2 - 1))
+                             AS dot,
+                         sqrt(sum(c * c)) AS tn
+                  FROM tb
+                  JOIN u ON u.image_id = tb.image_id
+                  JOIN bits ON bits.b = tb.b
+                  GROUP BY 1)
+            SELECT r.image_id,
+                   round(dot / (tn * 8.0), 6) AS alignment,
+                   coalesce(dot / (tn * 8.0) >= 0.0, FALSE) AS is_aligned
+            FROM raw r LEFT JOIN d USING (image_id)
+            ORDER BY r.image_id"""),
         "webdataset_roundtrip_images": (
             "SELECT * FROM ("
             + _f1_raw_sql("image_id, CAST(octet_length(bytes) AS BIGINT)"
@@ -2403,6 +2451,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY o_orderstatus
                          ORDER BY o_orderpriority, o_orderkey)
             ORDER BY o_orderstatus, seq""",
+        "tpch_q3_shipping": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
         "grouped_sample_docs": """
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,

@@ -610,6 +610,55 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
             .sort_values(["o_orderstatus", "seq"]).reset_index(drop=True))
 
 
+def tpch_q3_shipping(sf_dir: str, segment: str = "BUILDING",
+                     cutoff: str = "1998-06-01") -> pd.DataFrame:
+    """TPC-H Q3-shaped 3-table composition proving the join machinery
+    pipelines: segment-filtered customers reach orders as a keys-only
+    SEMI exchange, ship-date-filtered lineitem collapses to per-order
+    revenue partials INSIDE ``agg_join`` (one fused exchange, full
+    lineitem rows never ride the shuffle), and the top-10 is per-batch
+    partial top-k + a driver merge of ≤10 rows per block.
+    → (o_orderkey, revenue, o_orderdate, o_orderpriority) top-10 by
+    revenue."""
+    from ..functions.joins import agg_join, hash_join
+
+    cut = np.datetime64(cutoff)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b[b["c_mktsegment"] == segment]
+                     .rename(columns={"c_custkey": "o_custkey"})
+                     [["o_custkey"]], batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .map_batches(lambda b: b[b["o_orderdate"].to_numpy() < cut],
+                     batch_format="pandas")
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "o_orderkey": b["l_orderkey"],
+            "rev": b["l_extendedprice"] * (1.0 - b["l_discount"]),
+        })[b["l_shipdate"].to_numpy() > cut], batch_format="pandas")
+
+    qualified = hash_join(orders, cust, on="o_custkey", right_cols=[],
+                          how="semi", n_buckets=32)
+    joined = agg_join(qualified, line, on="o_orderkey",
+                      aggs={"revenue": ("rev", "sum")}, how="inner",
+                      n_buckets=32)
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    out = (joined.map_batches(topk, batch_format="pandas").to_pandas()
+           .sort_values(["revenue", "o_orderkey"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    out["revenue"] = out["revenue"].round(2)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
 def grouped_sample_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Exact k-per-language uniform sample of documents under the md5
     order contract (sampling/reservoir.grouped_reservoir_sample) — the
