@@ -157,6 +157,10 @@ def run_bench() -> dict:
         ("cross_run_drift_orders", Q.cross_run_drift_orders),
         ("window_rank_orders", Q.window_rank_orders),
         ("moving_avg_events", Q.moving_avg_events),
+        ("window_value_orders", Q.window_value_orders),
+        ("skew_report_events", Q.skew_report_events),
+        ("grouped_sample_docs", Q.grouped_sample_docs),
+        ("tpch_q3_shipping", Q.tpch_q3_shipping),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
@@ -166,6 +170,8 @@ def run_bench() -> dict:
             ("dup_caption_images", E.dup_caption_images),
             ("cross_run_phash_images", E.cross_run_phash_images),
             ("ar_bucket_batches_images", E.ar_bucket_batches_images),
+            ("caption_alignment_images", E.caption_alignment_images),
+            ("webdataset_roundtrip_images", E.webdataset_roundtrip_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -613,14 +613,17 @@ def window_rank_orders(sf_dir: str) -> pd.DataFrame:
 def tpch_q3_shipping(sf_dir: str, segment: str = "BUILDING",
                      cutoff: str = "1998-06-01") -> pd.DataFrame:
     """TPC-H Q3-shaped 3-table composition proving the join machinery
-    pipelines: segment-filtered customers reach orders as a keys-only
-    SEMI exchange, ship-date-filtered lineitem collapses to per-order
-    revenue partials INSIDE ``agg_join`` (one fused exchange, full
-    lineitem rows never ride the shuffle), and the top-10 is per-batch
-    partial top-k + a driver merge of ≤10 rows per block.
+    pipelines: segment-filtered customer keys reach orders as a
+    BROADCAST semi filter when the measured key count fits (zero
+    exchange — the collect↔shuffle gate pattern; above the gate, a
+    keys-only SEMI shuffle), ship-date-filtered lineitem collapses to
+    per-order revenue partials INSIDE ``agg_join`` (one fused exchange,
+    full lineitem rows never ride the shuffle), and the top-10 is
+    per-batch partial top-k + a driver merge of ≤10 rows per block —
+    ONE all-to-all total on the broadcast path.
     → (o_orderkey, revenue, o_orderdate, o_orderpriority) top-10 by
     revenue."""
-    from ..functions.joins import agg_join, hash_join
+    from ..functions.joins import agg_join, broadcast_join, hash_join
 
     cut = np.datetime64(cutoff)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
@@ -640,8 +643,14 @@ def tpch_q3_shipping(sf_dir: str, segment: str = "BUILDING",
             "rev": b["l_extendedprice"] * (1.0 - b["l_discount"]),
         })[b["l_shipdate"].to_numpy() > cut], batch_format="pandas")
 
-    qualified = hash_join(orders, cust, on="o_custkey", right_cols=[],
-                          how="semi", n_buckets=32)
+    cust = cust.materialize()  # small side: segment-filtered keys only
+    if cust.count() <= 2_000_000:
+        qualified = broadcast_join(orders, cust.to_pandas(),
+                                   on="o_custkey", right_cols=[],
+                                   how="semi")
+    else:  # pragma: no cover - fixture never crosses the gate
+        qualified = hash_join(orders, cust, on="o_custkey", right_cols=[],
+                              how="semi", n_buckets=32)
     joined = agg_join(qualified, line, on="o_orderkey",
                       aggs={"revenue": ("rev", "sum")}, how="inner",
                       n_buckets=32)
