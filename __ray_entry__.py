@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": Q.simhash_pairs_docs,
         "simhash_dedup_docs": Q.simhash_dedup_docs,
         "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
+        "containment_dedup_docs": Q.containment_dedup_docs,
         "winnow_fingerprints_docs": Q.winnow_fingerprints_docs,
         "bpe_token_stats_docs": Q.bpe_token_stats_docs,
         "gopher_repetition_docs": Q.gopher_repetition_docs,
@@ -1267,6 +1268,54 @@ FROM cc GROUP BY 1 ORDER BY doc_id
 """
 
 
+# --- n-gram CONTAINMENT dedup ------------------------------------------------
+# Independent ground truth: exact containment |∩|/min over ALL shared-token
+# pairs (no prefix filter — so the oracle checks the filter's COMPLETENESS),
+# then the dominated fold: drop the smaller set (ties → larger id), report
+# the smallest dominator. Threshold 0.8 == containment_dedup_docs.
+
+_CONTAINMENT_DEDUP_SQL = r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    END) AS gram
+  FROM dt),
+gh AS (SELECT DISTINCT doc_id, md5_number_lower(gram) AS h FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT id_a, id_b, sa.n AS na, sb.n AS nb FROM cand
+  JOIN sizes sa ON sa.doc_id = cand.id_a
+  JOIN sizes sb ON sb.doc_id = cand.id_b
+  WHERE c / least(sa.n, sb.n) >= 0.8),
+dom AS (
+  SELECT CASE WHEN na < nb THEN id_a WHEN nb < na THEN id_b
+              ELSE greatest(id_a, id_b) END AS id,
+         CASE WHEN na < nb THEN id_b WHEN nb < na THEN id_a
+              ELSE least(id_a, id_b) END AS by
+  FROM verified),
+dmap AS (SELECT id, min(by) AS contained_in FROM dom GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_shingles,
+       (dmap.id IS NULL) AS keep,
+       CAST(coalesce(dmap.contained_in, -1) AS BIGINT) AS contained_in
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN dmap ON dmap.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # --- BPE-style pre-tokenizer token stats -----------------------------------
 # The pattern CONSTANTS are imported from the library (the shared-constant
 # rule): one string drives Python re and RE2; SQL-quote by doubling "'".
@@ -2015,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
         "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
+        "containment_dedup_docs": _CONTAINMENT_DEDUP_SQL,
         "winnow_fingerprints_docs": _WINNOW_FP_SQL,
         "bpe_token_stats_docs": _bpe_token_sql(),
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,

@@ -377,6 +377,16 @@ def distributed_components(pairs_ds, n_buckets: int = 64, max_iter: int = 64,
                         ).sort_values(id_name).reset_index(drop=True)
 
 
+def isin_sorted(cand: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Membership of ``v`` in the SORTED array ``cand`` via searchsorted
+    (the broadcast-prefilter kernel); all-False for an empty ``cand`` —
+    the zero-candidate edge every dataset route can hit."""
+    if len(cand) == 0:
+        return np.zeros(len(v), dtype=bool)
+    pos = np.searchsorted(cand, v)
+    return (pos < len(cand)) & (cand[np.clip(pos, 0, len(cand) - 1)] == v)
+
+
 # verified-pair sets larger than this go through distributed_components
 UNION_FIND_MAX_PAIRS = 5_000_000
 
@@ -389,11 +399,13 @@ VERIFY_BROADCAST_MAX_DOCS = 200_000
 
 
 def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
-                  hash_fn: str) -> np.ndarray:
-    """Exact shingle-set Jaccard ≥ threshold per pair, with the shingle
+                  hash_fn: str, metric: str = "jaccard") -> np.ndarray:
+    """Exact shingle-set similarity ≥ threshold per pair, with the shingle
     set memoized per DISTINCT text (boilerplate-heavy corpora repeat
     texts across pairs). Shared by the collect and shuffle paths so their
-    verdicts are bit-identical."""
+    verdicts are bit-identical. ``metric``: "jaccard" = |∩|/|∪|,
+    "containment" = |∩|/min(|a|,|b|) (how much of the SMALLER set the
+    other covers — the asymmetric subset/superset dedup score)."""
     mh = _cached_hasher(64, shingle_size, 17, hash_fn)
     memo: dict = {}
 
@@ -410,6 +422,8 @@ def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
         sa, sb = sset(ta), sset(tb)
         if not sa and not sb:
             keep[i] = True
+        elif metric == "containment":
+            keep[i] = len(sa & sb) / max(1, min(len(sa), len(sb))) >= threshold
         else:
             keep[i] = len(sa & sb) / max(1, len(sa | sb)) >= threshold
     return keep
@@ -417,8 +431,10 @@ def _jaccard_keep(texts_a, texts_b, threshold: float, shingle_size: int,
 
 def verify_pairs(ds, pairs, id_col: str, text_col: str,
                  threshold: float, shingle_size: int = 3, hash_fn: str = "stable",
-                 strategy: str = "auto", n_buckets: int = 32):
-    """Stage 4: exact shingle-set Jaccard over the candidate pairs →
+                 strategy: str = "auto", n_buckets: int = 32,
+                 metric: str = "jaccard"):
+    """Stage 4: exact shingle-set similarity (``metric``: "jaccard" or
+    "containment" — see ``_jaccard_keep``) over the candidate pairs →
     the verified subset (id_a, id_b).
 
     ``pairs`` is a pandas DataFrame (returns a DataFrame) or a Ray
@@ -466,7 +482,7 @@ def verify_pairs(ds, pairs, id_col: str, text_col: str,
         )
         keep = _jaccard_keep([texts.get(a) for a in pairs["id_a"]],
                              [texts.get(b) for b in pairs["id_b"]],
-                             threshold, shingle_size, hash_fn)
+                             threshold, shingle_size, hash_fn, metric)
         return pairs[keep].reset_index(drop=True)
 
     if pairs_is_ds:
@@ -492,10 +508,12 @@ def verify_pairs(ds, pairs, id_col: str, text_col: str,
                     else "shuffle")
     if strategy == "broadcast":
         verified = _verify_broadcast(ds, pairs_idx, cand_sorted, id_col,
-                                     text_col, threshold, shingle_size, hash_fn)
+                                     text_col, threshold, shingle_size, hash_fn,
+                                     metric)
     else:
         verified = _verify_shuffle(ds, pairs_idx, cand_sorted, id_col, text_col,
-                                   threshold, shingle_size, hash_fn, n_buckets)
+                                   threshold, shingle_size, hash_fn, n_buckets,
+                                   metric)
     if pairs_is_ds:
         return verified
     out = verified.to_pandas()
@@ -504,7 +522,7 @@ def verify_pairs(ds, pairs, id_col: str, text_col: str,
 
 def _verify_broadcast(ds, pairs_ds, cand_sorted: np.ndarray, id_col: str,
                       text_col: str, threshold: float, shingle_size: int,
-                      hash_fn: str):
+                      hash_fn: str, metric: str = "jaccard"):
     """Broadcast-verify core → Dataset of verified (id_a, id_b): the
     candidate docs' distinct shingle arrays are built distributed (one
     filtered map pass), collected once as id → sorted uint64 array
@@ -519,10 +537,7 @@ def _verify_broadcast(ds, pairs_ds, cand_sorted: np.ndarray, id_col: str,
 
     def sets_partial(b: pd.DataFrame) -> pd.DataFrame:
         cand = cached_get(cand_ref)
-        v = b[id_col].to_numpy()
-        pos = np.searchsorted(cand, v)
-        ok = (pos < len(cand)) & (cand[np.clip(pos, 0, len(cand) - 1)] == v)
-        sub = b.loc[ok]
+        sub = b.loc[isin_sorted(cand, b[id_col].to_numpy())]
         mh = _cached_hasher(64, shingle_size, 17, hash_fn)
         return pd.DataFrame({
             id_col: sub[id_col].to_numpy(),
@@ -548,7 +563,10 @@ def _verify_broadcast(ds, pairs_ds, cand_sorted: np.ndarray, id_col: str,
                 keep[i] = True
             else:
                 inter = np.intersect1d(a, c, assume_unique=True).size
-                keep[i] = inter / max(1, len(a) + len(c) - inter) >= threshold
+                if metric == "containment":
+                    keep[i] = inter / max(1, min(len(a), len(c))) >= threshold
+                else:
+                    keep[i] = inter / max(1, len(a) + len(c) - inter) >= threshold
         return b.loc[keep, ["id_a", "id_b"]]
 
     # driver-built pair frames arrive as ONE block — spread the per-pair
@@ -559,7 +577,7 @@ def _verify_broadcast(ds, pairs_ds, cand_sorted: np.ndarray, id_col: str,
 
 def _verify_shuffle(ds, pairs_idx, cand_sorted: np.ndarray, id_col: str,
                     text_col: str, threshold: float, shingle_size: int,
-                    hash_fn: str, n_buckets: int):
+                    hash_fn: str, n_buckets: int, metric: str = "jaccard"):
     """Distributed Jaccard verification core → Dataset of verified
     (id_a, id_b). ``pairs_idx`` carries (id_a, id_b, __pair_id)."""
     import ray
@@ -571,10 +589,8 @@ def _verify_shuffle(ds, pairs_idx, cand_sorted: np.ndarray, id_col: str,
 
     def filter_texts(b: pd.DataFrame) -> pd.DataFrame:
         cand = cached_get(cand_ref)
-        v = b[id_col].to_numpy()
-        pos = np.searchsorted(cand, v)
-        ok = (pos < len(cand)) & (cand[np.clip(pos, 0, len(cand) - 1)] == v)
-        return b.loc[ok, [id_col, text_col]]
+        return b.loc[isin_sorted(cand, b[id_col].to_numpy()),
+                     [id_col, text_col]]
 
     # one common schema for halves and texts — no NaN dtype churn through
     # the union (the distributed_components tagged-row discipline):
@@ -635,7 +651,8 @@ def _verify_shuffle(ds, pairs_idx, cand_sorted: np.ndarray, id_col: str,
         # sort and stride instead of a pivot
         g = g.sort_values(["pair_id", "role"], kind="mergesort")
         texts = g["text"].to_numpy(dtype=object)
-        keep = _jaccard_keep(texts[::2], texts[1::2], threshold, shingle_size, hash_fn)
+        keep = _jaccard_keep(texts[::2], texts[1::2], threshold, shingle_size,
+                             hash_fn, metric)
         return pd.DataFrame({"id_a": g["id_a"].to_numpy()[::2][keep],
                              "id_b": g["id_b"].to_numpy()[::2][keep]})
 

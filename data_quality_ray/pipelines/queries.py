@@ -1421,6 +1421,24 @@ def ngram_jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def containment_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric n-gram CONTAINMENT dedup (C = |∩|/min ≥ 0.8): drop
+    docs nearly contained in a larger doc (ties → larger id), keeping
+    the superset. Candidates via the containment-adapted prefix filter
+    (contained-side prefix × containing-side full postings), exact
+    containment verify, per-doc dominated fold. md5 hashing so the
+    DuckDB oracle recomputes ground truth from ALL shared-token pairs —
+    checking prefix completeness, not just the happy path.
+    → (doc_id, n_shingles, keep, contained_in)."""
+    from ..dedup.containment import containment_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = containment_dedup(ds, "doc_id", "text", threshold=0.8,
+                            hash_fn="md5")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def bpe_token_stats_docs(sf_dir: str) -> pd.DataFrame:
     """BPE-style pre-tokenizer tallies per doc (GPT-2 pattern family,
     RE2-safe so the IDENTICAL pattern string drives Python re and the

@@ -491,3 +491,87 @@ def test_dedup_by_content_128bit_key(ray_session):
     exp = df.groupby("text", as_index=False).agg(rid=("rid", "min"))
     assert sorted(out["rid"]) == sorted(exp["rid"])
     assert set(out.columns) == {"rid", "text"}
+
+
+def _containment_docs(n=120, seed=11):
+    # planted containment: every third doc gets a longer superset doc
+    # (its text plus extra words) and some exact copies (size ties)
+    rng = np.random.RandomState(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi"]
+    rows = []
+    nid = 0
+    for i in range(n):
+        base = " ".join(rng.choice(words, size=10))
+        rows.append((nid, base)); nid += 1
+        if i % 3 == 0:
+            extra = " ".join(rng.choice(words, size=2))
+            rows.append((nid, base + " " + extra)); nid += 1
+        if i % 7 == 0:
+            rows.append((nid, base)); nid += 1  # exact copy (tie)
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _containment_bruteforce(df, threshold=0.8, shingle_size=3):
+    from data_quality_ray.dedup.minhash import _cached_hasher
+
+    mh = _cached_hasher(64, shingle_size, 17, "stable")
+    sets = {r.doc_id: set(np.unique(mh.shingles(r.text)).tolist())
+            for r in df.itertuples()}
+    dom = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if not min(len(sa), len(sb)):
+                continue
+            if inter / min(len(sa), len(sb)) >= threshold:
+                if len(sa) < len(sb):
+                    d, by = a, b
+                elif len(sb) < len(sa):
+                    d, by = b, a
+                else:
+                    d, by = max(a, b), min(a, b)
+                dom[d] = min(dom.get(d, by), by)
+    out = pd.DataFrame({"doc_id": ids,
+                        "n_shingles": [len(sets[i]) for i in ids]})
+    out["keep"] = ~out["doc_id"].isin(dom)
+    out["contained_in"] = out["doc_id"].map(dom).fillna(-1).astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def test_containment_dedup_matches_bruteforce(ray_session):
+    # prefix-filter completeness + verify + dominated fold vs an O(n^2)
+    # exact reference — and both output routes agree
+    import ray.data as rd
+
+    from data_quality_ray.dedup.containment import containment_dedup
+
+    df = _containment_docs()
+    ds = rd.from_pandas(df).repartition(6)
+    exp = _containment_bruteforce(df)
+    got = containment_dedup(ds, "doc_id", "text", threshold=0.8)
+    assert not exp["keep"].all()  # planted containments must drop docs
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    got_ds = (containment_dedup(ds, "doc_id", "text", threshold=0.8,
+                                output="dataset").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_ds[got.columns], exp, check_dtype=False)
+
+
+def test_containment_dedup_no_pairs_and_empty_text(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.containment import containment_dedup
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["aa bb cc dd", "ee ff gg hh", None]})
+    for output in ("pandas", "dataset"):
+        got = containment_dedup(rd.from_pandas(df), "doc_id", "text",
+                                threshold=0.8, output=output)
+        if output == "dataset":
+            got = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["keep"].all()
+        assert (got["contained_in"] == -1).all()
+        assert got.loc[got["doc_id"] == 3, "n_shingles"].iloc[0] == 0
