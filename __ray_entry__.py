@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.top_orders_per_customer,
         "dsir_select_docs": Q.dsir_select_docs,
         "session_windows_events": Q.session_windows_events,
+        "funnel_conversion_events": Q.funnel_conversion_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
         "phone_e164_customers": Q.phone_e164_customers,
@@ -2842,6 +2843,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions,
                    max(n) AS longest_session_events
             FROM sizes GROUP BY 1""",
+        "funnel_conversion_events": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT count(*) FROM s1) AS users,
+                   0.0 AS avg_hours_from_prev
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2),
+                   coalesce(round((SELECT sum(epoch(s2.t2 - s1.t1))
+                                   FROM s2 JOIN s1 USING (user_id))
+                            / nullif((SELECT count(*) FROM s2), 0)
+                            / 3600.0, 6), 0.0)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+                   coalesce(round((SELECT sum(epoch(s3.t3 - s2.t2))
+                                   FROM s3 JOIN s2 USING (user_id))
+                            / nullif((SELECT count(*) FROM s3), 0)
+                            / 3600.0, 6), 0.0)
+            ORDER BY step""",
         "email_validate_customers": f"""
             WITH e AS (
               SELECT c_custkey,

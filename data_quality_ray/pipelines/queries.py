@@ -1180,6 +1180,21 @@ def session_windows_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
+    """Ordered-event funnel view → click → purchase: per user the
+    first-reach chain (each step strictly after the previous step's
+    reach time), folded to per-step converted-user counts and average
+    hours from the previous step. Events prune to the funnel types at
+    the batch level; ONE user-keyed exchange; per-bucket (count,
+    gap-sum) partials sum on the driver.
+    → (step, event_type, users, avg_hours_from_prev)."""
+    from ..functions.funnel import funnel_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def email_validate_customers(sf_dir: str) -> pd.DataFrame:
     """EmailVerify chain over deterministically synthesized emails
     (c_name + nation-keyed domain): (c_custkey, email, valid)."""

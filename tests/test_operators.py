@@ -1045,3 +1045,54 @@ def test_agg_join_right_group_cols(ray_session):
                            .sort_values(["k", "seg", "yr"], na_position="last")
                            .reset_index(drop=True))
         pd.testing.assert_frame_equal(canon(fused), canon(exp), check_like=True)
+
+
+def test_funnel_counts_matches_bruteforce(ray_session):
+    # strictly-after first-reach chain vs a plain per-user python fold;
+    # includes a user whose click precedes every view (must not convert)
+    import ray.data as rd
+
+    from data_quality_ray.functions.funnel import funnel_counts
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 200, n),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase", "other"], n),
+    })
+    # user 999: click strictly before its only view
+    df = pd.concat([df, pd.DataFrame({
+        "user_id": [999, 999],
+        "ts": [pd.Timestamp("2024-01-01"), pd.Timestamp("2024-01-02")],
+        "event_type": ["click", "view"],
+    })], ignore_index=True)
+
+    steps = ["view", "click", "purchase"]
+    got = funnel_counts(rd.from_pandas(df).repartition(7),
+                        "user_id", "ts", "event_type", steps)
+
+    users, gaps = [], []
+    reach = {}
+    for s in steps:
+        cur = {}
+        for u, g in df[df["event_type"] == s].groupby("user_id"):
+            if s == steps[0]:
+                cur[u] = g["ts"].min()
+            elif u in reach:
+                after = g.loc[g["ts"] > reach[u], "ts"]
+                if len(after):
+                    cur[u] = after.min()
+        users.append(len(cur))
+        gaps.append(0.0 if s == steps[0] else
+                    sum((cur[u] - reach[u]).total_seconds() for u in cur))
+        reach = cur
+    exp_avg = [0.0] + [round(g / u / 3600.0, 6) if u else 0.0
+                       for g, u in zip(gaps[1:], users[1:])]
+    assert got["users"].tolist() == users
+    assert got["avg_hours_from_prev"].tolist() == pytest.approx(exp_avg, abs=1e-6)
+    # the planted out-of-order user (click before its only view) stalls at
+    # step 1: it never reaches the purchase step
+    assert 999 not in reach
+    assert got.loc[0, "users"] >= 1
