@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": Q.simhash_dedup_docs,
         "ngram_jaccard_dedup_docs": Q.ngram_jaccard_dedup_docs,
         "containment_dedup_docs": Q.containment_dedup_docs,
+        "budget_cap_docs": Q.budget_cap_docs,
         "winnow_fingerprints_docs": Q.winnow_fingerprints_docs,
         "bpe_token_stats_docs": Q.bpe_token_stats_docs,
         "gopher_repetition_docs": Q.gopher_repetition_docs,
@@ -2066,6 +2067,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,
         "ngram_jaccard_dedup_docs": _NGRAM_JACCARD_DEDUP_SQL,
         "containment_dedup_docs": _CONTAINMENT_DEDUP_SQL,
+        "budget_cap_docs": """
+            WITH o AS (
+              SELECT doc_id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42-' || CAST(doc_id AS VARCHAR))
+                       ROWS UNBOUNDED PRECEDING) AS cum_chars
+              FROM documents)
+            SELECT doc_id, source, n_chars,
+                   CAST(cum_chars AS BIGINT) AS cum_chars
+            FROM o WHERE cum_chars <= 2000 ORDER BY doc_id""",
         "winnow_fingerprints_docs": _WINNOW_FP_SQL,
         "bpe_token_stats_docs": _bpe_token_sql(),
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,

@@ -1436,6 +1436,21 @@ def ngram_jaccard_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def budget_cap_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source character-budget cap (2000 chars/source): keep docs in
+    the deterministic md5 order while the source's running char total
+    stays within budget — the per-domain token-cap mixing primitive.
+    The monotone per-batch prefilter prunes past-budget rows before
+    anything moves. → (doc_id, source, n_chars, cum_chars), kept only."""
+    from ..sampling.budget import budget_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = budget_cap(ds, ["doc_id"], "source", "n_chars", budget=2000)
+    out = out.rename(columns={"cum": "cum_chars"})
+    out["cum_chars"] = out["cum_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def containment_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Asymmetric n-gram CONTAINMENT dedup (C = |∩|/min ≥ 0.8): drop
     docs nearly contained in a larger doc (ties → larger id), keeping

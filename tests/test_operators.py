@@ -1096,3 +1096,44 @@ def test_funnel_counts_matches_bruteforce(ray_session):
     # step 1: it never reaches the purchase step
     assert 999 not in reach
     assert got.loc[0, "users"] >= 1
+
+
+def test_budget_cap_matches_bruteforce_and_routes(ray_session):
+    # global digest-order cumsum vs a driver-side brute force, across a
+    # partitioning that splits every group over many batches (the
+    # monotone-prefilter correctness case), both output routes
+    import ray.data as rd
+
+    from data_quality_ray.sampling.budget import budget_cap
+    from data_quality_ray.sampling.reservoir import _md5_hex
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "id": np.arange(1000),
+        "grp": rng.choice(["a", "b", "c"], 1000),  # few groups, many batches
+        "w": rng.randint(1, 50, 1000),
+    })
+    budget = 300
+
+    exp = df.copy()
+    exp["__rk"] = _md5_hex("42-" + exp["id"].astype(str))
+    exp = exp.sort_values(["grp", "__rk"], kind="mergesort")
+    exp["cum"] = exp.groupby("grp")["w"].cumsum()
+    exp = (exp[exp["cum"] <= budget].drop(columns="__rk")
+           .sort_values("id").reset_index(drop=True))
+    assert len(exp) and len(exp) < len(df)
+
+    ds = rd.from_pandas(df).repartition(16)
+    got = (budget_cap(ds, ["id"], "grp", "w", budget)
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_ds = (budget_cap(ds, ["id"], "grp", "w", budget, output="dataset")
+              .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_ds[got.columns], exp, check_dtype=False)
+
+    # oversize first row: a group whose cheapest row exceeds the budget
+    # keeps nothing from that group
+    df2 = pd.DataFrame({"id": [1, 2], "grp": ["z", "z"], "w": [999, 999]})
+    got2 = budget_cap(rd.from_pandas(df2), ["id"], "grp", "w", budget)
+    assert len(got2) == 0
