@@ -161,6 +161,9 @@ def run_bench() -> dict:
         ("skew_report_events", Q.skew_report_events),
         ("grouped_sample_docs", Q.grouped_sample_docs),
         ("tpch_q3_shipping", Q.tpch_q3_shipping),
+        ("containment_dedup_docs", Q.containment_dedup_docs),
+        ("funnel_conversion_events", Q.funnel_conversion_events),
+        ("budget_cap_docs", Q.budget_cap_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
