@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_docs": Q.dsir_select_docs,
         "session_windows_events": Q.session_windows_events,
         "funnel_conversion_events": Q.funnel_conversion_events,
+        "json_extract_events": Q.json_extract_events,
+        "json_profile_events": Q.json_profile_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
         "phone_e164_customers": Q.phone_e164_customers,
@@ -2880,6 +2882,30 @@ def oracle_sql() -> dict[str, str]:
                             / nullif((SELECT count(*) FROM s3), 0)
                             / 3600.0, 6), 0.0)
             ORDER BY step""",
+        "json_extract_events": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(CAST(json_extract_string(TRY_CAST(props AS JSON),
+                                                      '$.k') AS BIGINT)), 6)
+                     AS avg_k,
+                   max(CAST(json_extract_string(TRY_CAST(props AS JSON),
+                                                '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "json_profile_events": """
+            WITH ks AS (
+              SELECT props AS s,
+                     unnest(json_keys(TRY_CAST(props AS JSON))) AS key
+              FROM events),
+            kv AS (
+              SELECT key,
+                     json_type(TRY_CAST(s AS JSON), '$."' || key || '"') AS type,
+                     TRY_CAST(json_extract_string(TRY_CAST(s AS JSON),
+                                                  '$."' || key || '"')
+                              AS DOUBLE) AS num
+              FROM ks)
+            SELECT key, count(*) AS n_present,
+                   count(*) FILTER (type = 'UBIGINT') AS n_ubigint,
+                   min(num) AS min_num, max(num) AS max_num
+            FROM kv GROUP BY 1 ORDER BY 1""",
         "email_validate_customers": f"""
             WITH e AS (
               SELECT c_custkey,

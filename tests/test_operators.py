@@ -1137,3 +1137,38 @@ def test_budget_cap_matches_bruteforce_and_routes(ray_session):
     df2 = pd.DataFrame({"id": [1, 2], "grp": ["z", "z"], "w": [999, 999]})
     got2 = budget_cap(rd.from_pandas(df2), ["id"], "grp", "w", budget)
     assert len(got2) == 0
+
+
+def test_json_column_ops(ray_session):
+    # vectorized extraction + schema discovery over messy JSON: multi-key,
+    # mixed types, missing keys, malformed strings, nulls
+    import ray.data as rd
+
+    from data_quality_ray.functions.jsoncol import json_extract_col, json_profile
+
+    df = pd.DataFrame({"id": range(6), "props": [
+        '{"k": 1, "name": "a"}',
+        '{"k": 2}',
+        '{"name": "b", "flag": true}',
+        'not json',
+        None,
+        '{"k": -7, "ratio": 2.5}',
+    ]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    got = (json_extract_col(ds, "props", "$.k", "k").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["k"].tolist() == pytest.approx([1, 2, None, None, None, -7],
+                                              nan_ok=True) or \
+        [None if pd.isna(v) else int(v) for v in got["k"]] == \
+        [1, 2, None, None, None, -7]
+
+    prof = json_profile(ds, "props")
+    prof = prof.set_index("key")
+    assert prof.loc["k", "n_present"] == 3
+    assert prof.loc["name", "n_present"] == 2
+    assert prof.loc["flag", "n_present"] == 1
+    assert prof.loc["k", "min_num"] == -7.0 and prof.loc["k", "max_num"] == 2.0
+    # type tallies: k has UBIGINT(1,2) and BIGINT(-7) variants per DuckDB
+    ntype_cols = [c for c in prof.columns if c.startswith("n_") and c != "n_present"]
+    assert prof.loc["name", ntype_cols].sum() == 2  # VARCHAR rows counted
