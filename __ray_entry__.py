@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunks_docs": Q.pack_chunks_docs,
         "pack_sequences_docs": Q.pack_sequences_docs,
         "decontaminate_docs": Q.decontaminate_docs,
+        "decontaminate_bloom_docs": Q.decontaminate_bloom_docs,
         "c4_clean_docs": Q.c4_clean_docs,
         "quality_classifier_docs": Q.quality_classifier_docs,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
@@ -2088,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks_docs": _PACK_CHUNKS_SQL,
         "pack_sequences_docs": _PACK_SEQUENCES_SQL,
         "decontaminate_docs": _DECONTAMINATE_SQL,
+        "decontaminate_bloom_docs": _DECONTAMINATE_SQL,
         "c4_clean_docs": _C4_CLEAN_SQL,
         "quality_classifier_docs": _CLF_SQL,
         "dsir_select_docs": _dsir_sql(),

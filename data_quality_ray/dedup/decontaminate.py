@@ -100,3 +100,208 @@ def decontaminate(ds, text_col: str, id_col: str, bench_hashes: np.ndarray,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated scale path: when the "dirty" gram set outgrows an exact
+# sorted-array broadcast (a multi-benchmark suite, a contaminated-URL
+# corpus), broadcast a fixed-size Bloom filter instead (~10 bits/gram at
+# 1% fpr vs 64 for the raw hashes) and verify only the Bloom-positive
+# (doc, gram) candidates exactly against the DISTRIBUTED bench-gram
+# dataset — results identical to `decontaminate` (no false negatives,
+# candidates exactly verified), parity-tested.
+
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 fmix64 over uint64 — decorrelates the bloom positions
+    from the md5/stable gram hash the exact paths key on."""
+    x = h.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= _FMIX1
+    x ^= x >> np.uint64(33)
+    x *= _FMIX2
+    x ^= x >> np.uint64(33)
+    return x
+
+
+class GramBloom:
+    """Packed-bit Bloom membership over PRE-HASHED uint64 gram keys
+    (`profiling.sketches.BloomFilter` hashes raw strings; here the gram
+    hash already exists, so positions come from one fmix64 +
+    Kirsch-Mitzenmacher double hashing). Merge = bitwise OR; per-batch
+    partials union like every mergeable sketch here."""
+
+    def __init__(self, expected_items: int, fpr: float = 0.01):
+        ln2 = np.log(2.0)
+        m = int(np.ceil(-max(expected_items, 64) * np.log(fpr) / (ln2 * ln2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, int(round(self.m / max(expected_items, 64) * ln2)))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _pos(self, h: np.ndarray) -> np.ndarray:
+        x = _mix64(h)
+        h2 = (x * _GOLD) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (x[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        pos = self._pos(np.asarray(h, dtype=np.uint64)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._pos(np.asarray(h, dtype=np.uint64))
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        return (((word >> (pos & np.uint64(63))) & np.uint64(1))
+                .all(axis=1).astype(bool))
+
+
+def benchmark_gram_dataset(bench_ds, text_col: str, k: int = 8,
+                           hash_fn: str = "md5"):
+    """The distributed twin of `benchmark_gram_hashes`: per-batch
+    DISTINCT gram hashes as a Dataset column ``h`` (uint64) — nothing
+    lands on the driver. Feed to `decontaminate_bloom`."""
+
+    def grams(b: pa.Table) -> pa.Table:
+        flat, _ = _doc_gram_hashes(b[text_col].to_pylist(), k, hash_fn)
+        return pa.table({"h": pa.array(np.unique(flat), type=pa.uint64())})
+
+    return bench_ds.select_columns([text_col]).map_batches(
+        grams, batch_format="pyarrow")
+
+
+def decontaminate_bloom(ds, text_col: str, id_col: str, bench_gram_ds,
+                        k: int = 8, hash_fn: str = "md5",
+                        threshold: float = 0.1, fpr: float = 0.01,
+                        n_buckets: int = 64):
+    """`decontaminate` for bench-gram sets too large to broadcast as a
+    raw sorted array. Same output schema and EXACT same values
+    (parity-tested): Bloom filters have no false negatives, and every
+    Bloom-positive gram is re-verified exactly.
+
+    Shape (the bench gram set never lands on the driver as keys):
+
+    1. ``bench_gram_ds`` (from `benchmark_gram_dataset`) materializes
+       once — it is the small side, consumed for sizing, the Bloom
+       build and the verify join.
+    2. Bloom build: per-batch packed-bit partials OR-merge on the
+       driver — driver bytes = m/8 per batch, never the gram set.
+    3. One corpus probe pass emits, per doc, a summary row
+       (id, n_grams) plus one candidate row per BLOOM-POSITIVE gram —
+       the only per-gram rows that ever shuffle.
+    4. ONE tagged-union exchange verifies candidates against the bench
+       grams (bucket by gram hash) while summary rows ride the same
+       stream bucketed by id; a second id-keyed exchange reassembles
+       per-doc (n_grams, n_hits) — no driver state, no dataset consumed
+       twice (the lazy-reexecution trap).
+    """
+    import pandas as pd
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from .minhash import isin_sorted
+
+    gram_ds = bench_gram_ds.materialize()  # small side, consumed 3×
+    expected = max(int(gram_ds.count()), 64)  # ≥ distinct grams (per-batch distinct)
+    bparams = (expected, fpr)
+
+    def bitmap(b: pa.Table) -> pa.Table:
+        g = GramBloom(*bparams)
+        g.add(b["h"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([g.bits.tobytes()], type=pa.binary())})
+
+    bloom = GramBloom(*bparams)
+    for bt in gram_ds.map_batches(bitmap, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for raw in bt["bits"].to_pylist():
+            bloom.bits |= np.frombuffer(raw, dtype=np.uint64)
+    ref = ray.put(bloom)
+
+    # side: 0 = per-doc summary, 1 = bloom-positive candidate, 2 = bench gram
+    def probe(b: pa.Table) -> pa.Table:
+        blm = cached_get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        flat, counts = _doc_gram_hashes(b[text_col].to_pylist(), k, hash_fn)
+        hit = blm.contains(flat)
+        gram_ids = np.repeat(ids, counts)
+        return pa.table({
+            id_col: pa.array(np.concatenate([ids, gram_ids[hit]])),
+            "n_grams": pa.array(np.concatenate(
+                [counts, np.zeros(int(hit.sum()), dtype=np.int64)]),
+                type=pa.int64()),
+            "h": pa.array(np.concatenate(
+                [np.zeros(len(ids), dtype=np.uint64), flat[hit]]),
+                type=pa.uint64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(ids), dtype=np.int8),
+                 np.ones(int(hit.sum()), dtype=np.int8)]), type=pa.int8()),
+        })
+
+    def tag_bench(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.zeros(len(h), dtype=np.int64)),
+            "n_grams": pa.array(np.zeros(len(h), dtype=np.int64)),
+            "h": b["h"],
+            "side": pa.array(np.full(len(h), 2, dtype=np.int8)),
+        })
+
+    import pandas.util as pdu
+
+    def bucket_a(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        summary = b["side"].to_numpy() == 0
+        hb = pdu.hash_array(b["h"].to_numpy()) % n_buckets
+        ib = pdu.hash_array(b[id_col].to_numpy()) % n_buckets
+        b["__bucket"] = np.where(summary, ib, hb).astype("int64")
+        return b
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        out = g[side == 0][[id_col, "n_grams"]].copy()
+        out["n_hits"] = np.int64(0)
+        cand = g[side == 1]
+        if len(cand):
+            bench = np.unique(g.loc[side == 2, "h"].to_numpy())
+            true_hit = isin_sorted(bench, cand["h"].to_numpy())
+            if true_hit.any():
+                cnt = (cand.loc[true_hit].groupby(id_col, sort=False)
+                       .size().reset_index(name="n_hits"))
+                cnt["n_grams"] = np.int64(0)
+                out = pd.concat([out, cnt[[id_col, "n_grams", "n_hits"]]],
+                                ignore_index=True)
+        return out
+
+    def bucket_b(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b[id_col].to_numpy())
+                         % n_buckets).astype("int64")
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, sort=False).agg(
+            n_grams=("n_grams", "sum"), n_hits=("n_hits", "sum")).reset_index()
+        frac = round6_away(agg["n_hits"].to_numpy()
+                           / np.maximum(agg["n_grams"].to_numpy(), 1))
+        agg["contam_frac"] = frac
+        agg["contaminated"] = frac >= threshold
+        return agg
+
+    stream = (ds.select_columns([id_col, text_col])
+              .map_batches(probe, batch_format="pyarrow")
+              .union(gram_ds.map_batches(tag_bench, batch_format="pyarrow"))
+              .map_batches(bucket_a, batch_format="pandas")
+              .groupby("__bucket")
+              .map_groups(verify_bucket, batch_format="pandas")
+              .map_batches(bucket_b, batch_format="pandas")
+              .groupby("__bucket")
+              .map_groups(finish, batch_format="pandas"))
+    return stream

@@ -1651,6 +1651,29 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def decontaminate_bloom_docs(sf_dir: str) -> pd.DataFrame:
+    """The Bloom-gated decontamination scale path (same stand-in
+    benchmark and thresholds as ★decontaminate_docs, same SQL oracle):
+    bench grams stay a DATASET (never a driver key array), a packed-bit
+    Bloom broadcasts (~10 bits/gram), and only Bloom-positive grams ride
+    the verify exchange — the route for bench sets too large to
+    broadcast exactly."""
+    from ..dedup.decontaminate import benchmark_gram_dataset, decontaminate_bloom
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    gram_ds = benchmark_gram_dataset(
+        ds.map_batches(pick_bench, batch_format="pyarrow"),
+        "text", k=8, hash_fn="md5")
+    out = decontaminate_bloom(ds, "text", "doc_id", gram_ds, k=8,
+                              hash_fn="md5", threshold=0.1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def c4_clean_docs(sf_dir: str) -> pd.DataFrame:
     """C4-style line-level cleaning (Raffel et al. §2.2): per-line
     min-words / terminal-punctuation / brace / blocklist filters plus

@@ -575,3 +575,47 @@ def test_containment_dedup_no_pairs_and_empty_text(ray_session):
         assert got["keep"].all()
         assert (got["contained_in"] == -1).all()
         assert got.loc[got["doc_id"] == 3, "n_shingles"].iloc[0] == 0
+
+
+def test_decontaminate_bloom_equals_exact(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.decontaminate import (
+        benchmark_gram_dataset, benchmark_gram_hashes, decontaminate,
+        decontaminate_bloom)
+
+    docs = _docs_df(300, seed=11)
+    ds = rd.from_pandas(docs).repartition(6)
+    bench_pd = docs[docs["doc_id"] % 13 == 0]
+    bench = rd.from_pandas(bench_pd).repartition(3)
+
+    exact_hashes = benchmark_gram_hashes(bench, "text", k=3, hash_fn="md5")
+    a = (decontaminate(ds, "text", "doc_id", exact_hashes, k=3,
+                       hash_fn="md5", threshold=0.1)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    gram_ds = benchmark_gram_dataset(bench, "text", k=3, hash_fn="md5")
+    # tight fpr AND a sloppy one: both must verify back to exact
+    for fpr in (0.01, 0.5):
+        b = (decontaminate_bloom(ds, "text", "doc_id", gram_ds, k=3,
+                                 hash_fn="md5", threshold=0.1, fpr=fpr)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            a, b[a.columns].astype(a.dtypes.to_dict()))
+    assert a["contaminated"].any()  # bench docs contaminate themselves
+    assert (a["n_hits"] <= a["n_grams"]).all()
+
+
+def test_decontaminate_bloom_empty_bench(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.decontaminate import (
+        benchmark_gram_dataset, decontaminate_bloom)
+
+    docs = _docs_df(50, seed=3)
+    ds = rd.from_pandas(docs).repartition(4)
+    bench = rd.from_pandas(docs[docs["doc_id"] < 0])  # empty
+    gram_ds = benchmark_gram_dataset(bench, "text", k=3, hash_fn="md5")
+    out = decontaminate_bloom(ds, "text", "doc_id", gram_ds, k=3,
+                              hash_fn="md5").to_pandas()
+    assert len(out) == len(docs)
+    assert (out["n_hits"] == 0).all() and not out["contaminated"].any()
