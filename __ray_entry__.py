@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": Q.session_windows_events,
         "funnel_conversion_events": Q.funnel_conversion_events,
         "json_extract_events": Q.json_extract_events,
+        "retention_cohorts_events": Q.retention_cohorts_events,
+        "tumbling_daily_events": Q.tumbling_daily_events,
         "json_profile_events": Q.json_profile_events,
         # validation chains over synthesized columns
         "email_validate_customers": Q.email_validate_customers,
@@ -2884,6 +2886,27 @@ def oracle_sql() -> dict[str, str]:
                             / nullif((SELECT count(*) FROM s3), 0)
                             / 3600.0, 6), 0.0)
             ORDER BY step""",
+        "retention_cohorts_events": """
+            WITH uw AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events WHERE ts IS NOT NULL),
+            fw AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+            j AS (
+              SELECT uw.user_id, fw.cw,
+                     date_diff('day', fw.cw, uw.w) // 7 AS off
+              FROM uw JOIN fw USING (user_id)),
+            c AS (SELECT cw, off, count(*) AS n_users FROM j GROUP BY 1, 2),
+            s AS (SELECT cw, n_users AS sz FROM c WHERE off = 0)
+            SELECT CAST(c.cw AS TIMESTAMP) AS cohort_week,
+                   c.off AS week_offset, c.n_users,
+                   round(c.n_users / s.sz, 6) AS retention
+            FROM c JOIN s USING (cw) ORDER BY 1, 2""",
+        "tumbling_daily_events": """
+            SELECT event_type, date_trunc('day', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 2) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "json_extract_events": """
             SELECT event_type, count(*) AS n,
                    round(avg(CAST(json_extract_string(TRY_CAST(props AS JSON),

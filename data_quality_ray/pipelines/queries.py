@@ -1187,6 +1187,28 @@ def session_windows_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def retention_cohorts_events(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention (cohort = user's first active week):
+    ONE user-keyed exchange of per-batch distinct (user, week) pairs;
+    the (cohort × offset) matrix merges on the driver.
+    → (cohort_week, week_offset, n_users, retention)."""
+    from ..functions.cohort import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+def tumbling_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate: per (event_type, day) count / sum /
+    mean of value — per-batch algebraic partials, driver merge ∝
+    days × types. → (event_type, window_start, n, sum_value,
+    avg_value)."""
+    from ..functions.cohort import tumbling_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_aggregate(ds, "ts", ["event_type"], "value", unit="day")
+
+
 def json_extract_events(sf_dir: str) -> pd.DataFrame:
     """Semi-structured ELT: extract ``$.k`` from the JSON props blob as
     a typed column (vectorized per-batch DuckDB parse — never a Python

@@ -1172,3 +1172,57 @@ def test_json_column_ops(ray_session):
     # type tallies: k has UBIGINT(1,2) and BIGINT(-7) variants per DuckDB
     ntype_cols = [c for c in prof.columns if c.startswith("n_") and c != "n_present"]
     assert prof.loc["name", ntype_cols].sum() == 2  # VARCHAR rows counted
+
+
+def test_cohort_and_tumbling(ray_session):
+    # week alignment (Monday start, DuckDB date_trunc parity), NaT rows,
+    # users active across multiple weeks, offset gaps
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.functions.cohort import (cohort_retention,
+                                                   tumbling_aggregate)
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00",   # Monday — week boundary exactly
+            "2024-01-07 23:59:59",   # same ISO week (Sunday)
+            "2024-01-22 12:00:00",   # +3 weeks (gap week skipped)
+            "2024-01-03 05:00:00",
+            "2024-01-10 05:00:00",   # +1 week
+            "2023-12-31 10:00:00",   # Sunday — prior ISO week
+            None,                    # NaT dropped
+            "2024-01-15 00:00:00",
+        ]),
+        "event_type": ["a", "a", "b", "a", "b", "a", "a", "b"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+    })
+    got = cohort_retention(rd.from_pandas(df).repartition(3), "user_id", "ts")
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                    FROM events WHERE ts IS NOT NULL),
+        fw AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+        j AS (SELECT uw.user_id, fw.cw, date_diff('day', fw.cw, uw.w)//7 AS off
+              FROM uw JOIN fw USING (user_id)),
+        c AS (SELECT cw, off, count(*) AS n_users FROM j GROUP BY 1,2),
+        s AS (SELECT cw, n_users AS sz FROM c WHERE off = 0)
+        SELECT CAST(c.cw AS TIMESTAMP) AS cohort_week, c.off AS week_offset,
+               c.n_users, round(c.n_users / s.sz, 6) AS retention
+        FROM c JOIN s USING (cw) ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_dtype=False)
+    # 2023-12-25 cohort (user 3), 2024-01-01 cohort offsets {0,1,2,3}
+    assert got["week_offset"].max() == 3
+
+    t = tumbling_aggregate(rd.from_pandas(df).repartition(3), "ts",
+                           ["event_type"], "value", unit="day")
+    wt = con.execute("""
+        SELECT event_type, date_trunc('day', ts) AS window_start,
+               count(*) AS n, round(sum(value),2) AS sum_value,
+               round(avg(value),6) AS avg_value
+        FROM events WHERE ts IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""").df()
+    pd.testing.assert_frame_equal(t, wt.astype(t.dtypes.to_dict()),
+                                  check_dtype=False)
