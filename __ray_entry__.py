@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion_events": Q.funnel_conversion_events,
         "json_extract_events": Q.json_extract_events,
         "retention_cohorts_events": Q.retention_cohorts_events,
+        "bpe_tokens_docs": Q.bpe_tokens_docs,
         "tumbling_daily_events": Q.tumbling_daily_events,
         "json_profile_events": Q.json_profile_events,
         # validation chains over synthesized columns
@@ -429,6 +430,7 @@ def _ensure_oracle_artifacts() -> None:
     _write_sem_centroids()
     _write_pq_codebooks()
     _write_ivfpq_residual_sidecars()
+    _write_bpe_merges()
 
 
 # keyed by the orders-table row count — the only per-tier-distinct
@@ -464,6 +466,78 @@ def _write_sem_centroids() -> None:
                       "c": pa.array([row.tolist() for row in cent],
                                     type=pa.list_(pa.float64()))}),
             out)
+
+
+def _write_bpe_merges() -> None:
+    """Per-tier BPE merge side tables, trained by the SAME library code
+    the Ray query uses (functions/bpe.train_bpe — deterministic: exact
+    global counts, lexicographic ties), so the SQL replays the merge
+    APPLICATION from identical constants while re-deriving the word
+    counts and token totals from raw text itself. Learning is the
+    driver-side fold over the word-frequency table (verified against a
+    serial reference in pytest) — iterative, hence not SQL-expressible."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for key, sf in _SEM_TIERS:
+        out = os.path.join(_ORACLE_DIR, f"bpe_merges_{key}.parquet")
+        if os.path.exists(out):
+            continue
+        import ray.data as rd
+
+        from data_quality_ray.functions.bpe import train_bpe
+        from data_quality_ray.pipelines.queries import BPE_MERGES
+
+        ds = rd.read_parquet(f"/root/testdata/{sf}/documents.parquet",
+                             columns=["text"])
+        merges = train_bpe(ds, "text", BPE_MERGES)
+        pq.write_table(
+            pa.table({"rank": pa.array(range(len(merges)), type=pa.int64()),
+                      "a": pa.array([m[0] for m in merges]),
+                      "b": pa.array([m[1] for m in merges])}),
+            out)
+
+
+def _bpe_sql() -> str:
+    """Replays BPE application end-to-end: word counts re-derived from
+    raw text, the learned merges (sidecar constants) applied through ONE
+    recursive CTE over spaced symbol strings — state (word, s, mi)
+    advances mi when merge mi's pattern is absent, else replaces (the
+    same literal ``" a b " → " ab "`` loop-until-absent the library
+    uses) — then token totals and the (n desc, token) top-k."""
+    from data_quality_ray.pipelines.queries import BPE_TOPK
+
+    branches = " UNION ALL ".join(
+        f"SELECT rank, a, b FROM read_parquet('{_ORACLE_DIR}/bpe_merges_{k}.parquet') "
+        f"WHERE (SELECT count(*) FROM orders) = {k}" for k, _ in _SEM_TIERS)
+    return f"""
+WITH RECURSIVE merges AS (
+  SELECT rank, ' ' || a || ' ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+  FROM ({branches})),
+wc AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents) GROUP BY 1),
+apply(word, n, s, mi) AS (
+  SELECT word, n,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s,
+         0 AS mi
+  FROM wc
+  UNION ALL
+  SELECT a.word, a.n,
+         CASE WHEN contains(a.s, m.pat) THEN replace(a.s, m.pat, m.rep)
+              ELSE a.s END,
+         CASE WHEN contains(a.s, m.pat) THEN a.mi ELSE a.mi + 1 END
+  FROM apply a JOIN merges m ON m.rank = a.mi),
+fin AS (SELECT word, n, s FROM apply
+        WHERE mi = (SELECT count(*) FROM merges)),
+tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token, n FROM fin)
+SELECT token, sum(n)::BIGINT AS n FROM tok GROUP BY 1
+ORDER BY n DESC, token LIMIT {BPE_TOPK}
+"""
 
 
 def _write_pq_codebooks() -> None:
@@ -2886,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
                             / nullif((SELECT count(*) FROM s3), 0)
                             / 3600.0, 6), 0.0)
             ORDER BY step""",
+        "bpe_tokens_docs": _bpe_sql(),
         "retention_cohorts_events": """
             WITH uw AS (
               SELECT DISTINCT user_id, date_trunc('week', ts) AS w

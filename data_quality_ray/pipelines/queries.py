@@ -1187,6 +1187,27 @@ def session_windows_events(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+BPE_MERGES = 24       # shared with the SQL replay (__ray_entry__._bpe_sql)
+BPE_TOPK = 50
+
+
+def bpe_tokens_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE: word-frequency exchange → driver merge learning
+    over the compressed vocab (deterministic ties) → vectorized
+    broadcast apply → token-frequency fold (token vocab ≤ symbols +
+    n_merges, driver merge is fixed-size). Top-`BPE_TOPK` corpus tokens
+    under `BPE_MERGES` learned merges; the SQL oracle re-derives word
+    counts from raw text and replays the merge application through a
+    recursive CTE from sidecar merges trained by this same code path.
+    → (token, n) ordered by (n desc, token)."""
+    from ..functions.bpe import bpe_token_counts, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(ds, "text", BPE_MERGES)
+    counts = bpe_token_counts(ds, "text", merges)
+    return counts.head(BPE_TOPK).reset_index(drop=True)
+
+
 def retention_cohorts_events(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention (cohort = user's first active week):
     ONE user-keyed exchange of per-batch distinct (user, week) pairs;

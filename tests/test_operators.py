@@ -1226,3 +1226,71 @@ def test_cohort_and_tumbling(ray_session):
         FROM events WHERE ts IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""").df()
     pd.testing.assert_frame_equal(t, wt.astype(t.dtypes.to_dict()),
                                   check_dtype=False)
+
+
+def _bpe_serial_reference(texts, n_merges):
+    # independent tuple-based implementation: word freq -> iterative
+    # (count pairs, argmax with lexicographic ties, exhaustive sweep)
+    import collections
+    freq = collections.Counter(
+        w for t in texts for w in (t or "").lower().split() if w)
+    words = {w: tuple(w) for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += freq[w]
+        if not counts:
+            break
+        a, b = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+
+        def sweep(syms):
+            while True:
+                out, i, changed = [], 0, False
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b); i += 2; changed = True
+                    else:
+                        out.append(syms[i]); i += 1
+                syms = tuple(out)
+                if not changed:
+                    return syms
+        words = {w: sweep(s) for w, s in words.items()}
+    return merges, words, freq
+
+
+def test_bpe_matches_serial_reference(ray_session):
+    import collections
+    import ray.data as rd
+
+    from data_quality_ray.functions.bpe import (apply_merges_to_words,
+                                                bpe_token_counts, train_bpe)
+
+    rng = np.random.RandomState(5)
+    vocab = ["lower", "low", "lowest", "newer", "new", "wider", "wide",
+             "aaaa", "aaa", "banana", "bandana", "ana"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 9)))
+             for _ in range(80)] + ["", None, "  low\tnew  "]
+    ds = rd.from_pandas(pd.DataFrame({"text": pd.Series(texts, dtype=object)}))
+
+    for n_merges in (5, 12):
+        want_merges, want_words, freq = _bpe_serial_reference(texts, n_merges)
+        got = train_bpe(ds.repartition(7), "text", n_merges)
+        assert got == want_merges
+        # vectorized apply == serial sweep tokenization, word by word
+        uniq = sorted(want_words)
+        toks = apply_merges_to_words(pd.Series(uniq, dtype=object), got)
+        assert [tuple(t.split(" ")) for t in toks] == \
+            [want_words[w] for w in uniq]
+        # corpus token counts == reference fold
+        want_counts = collections.Counter()
+        for w, syms in want_words.items():
+            for s in syms:
+                want_counts[s] += freq[w]
+        tc = bpe_token_counts(ds.repartition(3), "text", got)
+        assert dict(zip(tc["token"], tc["n"])) == dict(want_counts)
+        # partitioning invariance
+        tc2 = bpe_token_counts(ds.repartition(11), "text", got)
+        pd.testing.assert_frame_equal(tc, tc2)
