@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
         "weighted_sample_orders": Q.weighted_sample_orders,
+        "grouped_weighted_sample_orders": Q.grouped_weighted_sample_orders,
         "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
         "langid_confusion_docs": Q.langid_confusion_docs,
         "classifier_eval_docs": Q.classifier_eval_docs,
@@ -2478,6 +2479,17 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate)
                          * 1.0 / count(*), 6) AS violation_rate
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        "grouped_weighted_sample_orders": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY ln((md5_number_lower('42-' ||
+                                      CAST(o_orderkey AS VARCHAR)) + 0.5)
+                                   / 18446744073709551616.0)
+                                / o_totalprice DESC, o_orderkey) AS rn
+              FROM orders WHERE o_totalprice > 0)
+            WHERE rn <= 8 ORDER BY o_orderstatus, o_orderkey""",
         "weighted_sample_orders": """
             SELECT o_orderkey, o_totalprice FROM (
               SELECT o_orderkey, o_totalprice,

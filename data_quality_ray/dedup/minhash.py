@@ -53,6 +53,33 @@ def perm_coefficients(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def tune_lsh_params(threshold: float, n_perm: int = 64,
+                    fp_weight: float = 0.5,
+                    fn_weight: float = 0.5) -> tuple[int, int]:
+    """Pick (bands, rows) for the LSH banding scheme by minimizing the
+    weighted false-positive/false-negative probability mass of the
+    S-curve ``P(candidate | s) = 1 − (1 − s^rows)^bands`` around the
+    Jaccard ``threshold`` (the datasketch `_optimal_param` integral,
+    public algorithm, re-derived): fp = ∫₀^t P(s) ds, fn = ∫ₜ^1
+    (1 − P(s)) ds, both by 1000-point midpoint rule. Only factorizations
+    with bands × rows ≤ n_perm are considered. Deterministic; pure
+    driver-side math — feed the result to `minhash_bands` /
+    `minhash_dedup`."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0,1)")
+    xs = (np.arange(1000) + 0.5) / 1000.0
+    best, best_err = (1, n_perm), float("inf")
+    for rows in range(1, n_perm + 1):
+        for bands in range(1, n_perm // rows + 1):
+            p = 1.0 - (1.0 - xs ** rows) ** bands
+            fp = p[xs < threshold].sum() / 1000.0
+            fn = (1.0 - p[xs >= threshold]).sum() / 1000.0
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best, best_err = (bands, rows), err
+    return best
+
+
 def shingle_strings(text: str | None, k: int) -> list[str]:
     toks = (text or "").lower().split()
     if not toks:

@@ -2468,6 +2468,20 @@ def weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def grouped_weighted_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-group weighted sample (A-ES within each order status,
+    inclusion ∝ o_totalprice): per-batch k-per-group prune → ONE
+    driver merge (groups × k). → 8 winners per o_orderstatus."""
+    from ..sampling.reservoir import grouped_weighted_sample
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = grouped_weighted_sample(ds, ["o_orderkey"], "o_orderstatus",
+                                  "o_totalprice", k=8, seed=42)
+    return (out.sort_values(["o_orderstatus", "o_orderkey"])
+            .reset_index(drop=True))
+
+
 def temporal_consistency_lineitem(sf_dir: str) -> pd.DataFrame:
     """Cross-table temporal rule: a lineitem must not ship before its
     order was placed. The fact table joins the parent through the

@@ -131,6 +131,70 @@ def grouped_reservoir_sample(ds, key_cols: list[str], group_col: str, k: int,
             .groupby("__bucket").map_groups(finish, batch_format="pandas"))
 
 
+def grouped_weighted_sample(ds, key_cols: list[str], group_col: str,
+                            weight_col: str, k: int, seed: int = 42,
+                            output: str = "pandas", n_buckets: int = 64):
+    """Exact k-per-group weighted sample without replacement
+    (Efraimidis–Spirakis A-ES within each group — the per-source
+    subsampling step of a data-mixing pipeline: inclusion ∝ weight
+    inside the group, deterministic under any partitioning). Same
+    md5-low-64 score as `weighted_reservoir_sample`, so DuckDB replays
+    the selection with ``row_number() OVER (PARTITION BY group ORDER BY
+    score DESC, key)``. Rows with weight <= 0 are excluded (both
+    sides).
+
+    Per-batch partial prunes to k per (group, batch) pre-motion;
+    ``output="pandas"`` merges partials on the driver (#groups × k
+    rows), ``output="dataset"`` hash-buckets them by group — ONE
+    exchange over the pre-pruned rows — for unbounded group spaces.
+    """
+    import numpy as np
+
+    from ..profiling.sketches import md5_hash64
+
+    order = ["__score", *key_cols]
+    asc = [False] + [True] * len(key_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch[weight_col] > 0].copy()
+        if not len(b):
+            return b.assign(__score=np.array([], dtype=np.float64))
+        key = (f"{seed}-" + _row_key(b, key_cols)).to_numpy(dtype=object)
+        u = (md5_hash64(key).astype(np.float64) + 0.5) / 18446744073709551616.0
+        b["__score"] = np.log(u) / b[weight_col].to_numpy(dtype=np.float64)
+        b = b.sort_values(order, ascending=asc, kind="mergesort")
+        return b.groupby(group_col, sort=False).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    if output == "pandas":
+        frames = list(partials.iter_batches(batch_size=None,
+                                            batch_format="pandas"))
+        if not frames:
+            return pd.DataFrame(columns=list(ds.schema().names))
+        allp = pd.concat(frames, ignore_index=True)
+        out = (allp.sort_values(order, ascending=asc, kind="mergesort")
+               .groupby(group_col, sort=False).head(k)
+               .drop(columns="__score"))
+        return out.reset_index(drop=True)
+
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b[group_col].to_numpy())
+                         % n_buckets).astype("int64")
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, ascending=asc, kind="mergesort")
+        return (g.groupby(group_col, sort=False).head(k)
+                .drop(columns=["__score", "__bucket"]))
+
+    return (partials.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(finish, batch_format="pandas"))
+
+
 def weighted_reservoir_sample(ds, key_cols: list[str], weight_col: str,
                               k: int, seed: int = 42) -> pd.DataFrame:
     """Weighted k-of-N sample without replacement (Efraimidis–Spirakis

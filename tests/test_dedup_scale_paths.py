@@ -619,3 +619,48 @@ def test_decontaminate_bloom_empty_bench(ray_session):
                               hash_fn="md5").to_pandas()
     assert len(out) == len(docs)
     assert (out["n_hits"] == 0).all() and not out["contaminated"].any()
+
+
+def test_grouped_weighted_sample_routes(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.sampling.reservoir import grouped_weighted_sample
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "id": np.arange(3000),
+        "grp": rng.choice(["a", "b", "c", "d"], size=3000),
+        "w": np.where(np.arange(3000) % 7 == 0, 0.0,  # zero-weight excluded
+                      rng.exponential(2.0, size=3000)),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    a = grouped_weighted_sample(ds, ["id"], "grp", "w", k=10, seed=1)
+    b = (grouped_weighted_sample(ds, ["id"], "grp", "w", k=10, seed=1,
+                                 output="dataset", n_buckets=8)
+         .to_pandas())
+    key = lambda f: sorted(map(tuple, f[["grp", "id"]].to_numpy()))
+    assert key(a) == key(b)
+    assert (a.groupby("grp").size() == 10).all()
+    assert not set(a["id"]) & set(df.loc[df["w"] == 0, "id"])
+    # inclusion ∝ weight: winners' mean weight far above population mean
+    assert a["w"].mean() > 1.5 * df.loc[df.w > 0, "w"].mean()
+
+
+def test_tune_lsh_params():
+    from data_quality_ray.dedup.minhash import tune_lsh_params
+
+    b50, r50 = tune_lsh_params(0.5, 64)
+    b90, r90 = tune_lsh_params(0.9, 64)
+    assert b50 * r50 <= 64 and b90 * r90 <= 64
+    # higher threshold -> longer rows (sharper curve, fewer fps)
+    assert r90 > r50
+    # the chosen curve's 50%-candidate point sits near the threshold
+    for t, (b, r) in ((0.5, (b50, r50)), (0.9, (b90, r90))):
+        mid = (1 / b) ** (1 / r)  # s where P(candidate) = 1-(1-1/b)^b ~ 0.63
+        assert abs(mid - t) < 0.2
+    # fn-averse weighting must not raise the candidate bar
+    bf, rf = tune_lsh_params(0.7, 64, fp_weight=0.1, fn_weight=0.9)
+    bb, rb = tune_lsh_params(0.7, 64, fp_weight=0.9, fn_weight=0.1)
+    assert (1 / bf) ** (1 / rf) <= (1 / bb) ** (1 / rb)
+    with pytest.raises(ValueError):
+        tune_lsh_params(1.5)
