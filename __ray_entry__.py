@@ -191,6 +191,100 @@ def phash_neardup_images(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def dihedral_phash_images(sf_dir: str):
+    """Rotation/mirror-invariant image dedup WITHOUT decoding a pixel:
+    the 64-bit grid hash transforms under the dihedral group D4 as a
+    pure bit permutation (stages/image_ops.dihedral_canonical), so
+    canonical = min over the 8 variants is a flip/rotation-proof dedup
+    key. Planted mirrored copies (every 50th image, id + 1e9, phash =
+    the flip_h permutation — both engines derive them independently)
+    must collapse onto their originals. The SQL replays the permutation
+    algebra itself (bit explode × 512-row D4 permutation table × power
+    fold), so this checks the bit math, not a replay of library output.
+    → (image_id, canonical) survivors, sorted."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import dedup_by_key
+    from data_quality_ray.stages.image_ops import (D4_NAMES,
+                                                   add_dihedral_canonical,
+                                                   dihedral_variants)
+
+    flip_idx = D4_NAMES.index("flip_h")
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        # image_id = "img%09d"; mirrored copy = "mir%09d" (sorts AFTER
+        # every original, so keep-first always keeps the original)
+        num = b["image_id"].str.slice(3).astype(np.int64)
+        m = (num % 50 == 0).to_numpy()
+        if not m.any():
+            return b[["image_id", "phash"]]
+        flips = pd.DataFrame({
+            "image_id": "mir" + b["image_id"].str.slice(3)[m],
+            "phash": dihedral_variants(b["phash"].to_numpy()[m])
+            [:, flip_idx].view(np.int64),
+        })
+        return pd.concat([b[["image_id", "phash"]], flips],
+                         ignore_index=True)
+
+    ds = rd.read_parquet(_image_fixture(sf_dir),
+                         columns=["image_id", "phash"])
+    aug = ds.map_batches(augment, batch_format="pandas")
+    canon = add_dihedral_canonical(aug, "phash", "canonical")
+    out = (dedup_by_key(canon, key="canonical", order_col="image_id")
+           .to_pandas()[["image_id", "canonical"]])
+    out["canonical"] = out["canonical"].astype("int64")
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _dihedral_sql() -> str:
+    """Replays the D4 bit-permutation algebra in SQL: unsigned bit
+    explode (hugeint power table), the 8×64 permutation table from the
+    SAME `_D4_PERMS` constants, per-(image, variant) power fold, min →
+    canonical, augmented mirrored rows (canonical(flip(h)) ==
+    canonical(h) by the group property), keep-first dedup."""
+    from data_quality_ray.stages.image_ops import _D4_PERMS
+
+    base = _f1_raw_sql("image_id, phash")
+    perm_rows = ", ".join(f"({t},{j},{int(_D4_PERMS[t, j])})"
+                          for t in range(8) for j in range(64))
+    pow_rows = ", ".join(f"({j},{1 << j}::HUGEINT)" for j in range(64))
+    return f"""
+WITH raw AS ({base}),
+base AS (
+  SELECT image_id,
+         CASE WHEN phash < 0
+              THEN phash::HUGEINT + 18446744073709551616::HUGEINT
+              ELSE phash::HUGEINT END AS hu
+  FROM raw),
+pw(j, p) AS (VALUES {pow_rows}),
+perms(t, j, src) AS (VALUES {perm_rows}),
+bits AS (
+  SELECT image_id, pw.j, ((hu // pw.p) % 2)::HUGEINT AS bit
+  FROM base, pw),
+var AS (
+  SELECT b.image_id, pr.t, sum(b.bit * pw.p) AS v
+  FROM bits b JOIN perms pr ON pr.src = b.j JOIN pw ON pw.j = pr.j
+  GROUP BY 1, 2),
+canon AS (SELECT image_id, min(v) AS c FROM var GROUP BY 1),
+aug AS (
+  SELECT image_id, c FROM canon
+  UNION ALL
+  SELECT 'mir' || substr(image_id, 4), c FROM canon
+  WHERE CAST(substr(image_id, 4) AS BIGINT) % 50 = 0),
+win AS (
+  SELECT image_id, c,
+         row_number() OVER (PARTITION BY c ORDER BY image_id) AS rn
+  FROM aug)
+SELECT image_id,
+       CASE WHEN c >= 9223372036854775808::HUGEINT
+            THEN (c - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE c::BIGINT END AS canonical
+FROM win WHERE rn = 1 ORDER BY image_id
+"""
+
+
 def cross_run_phash_images(sf_dir: str):
     """Cross-run image near-dup screen through the persisted Hamming
     index (state/hamming_index.py): 'yesterday' = even image_ids'
@@ -343,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
         "phash_neardup_images": phash_neardup_images,
+        "dihedral_phash_images": dihedral_phash_images,
         # cross-run image near-dup: yesterday's phashes committed into the
         # persisted Hamming index, today screened exactly (pigeonhole)
         "cross_run_phash_images": cross_run_phash_images,
@@ -2202,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM L a JOIN L b ON a.image_id < b.image_id "
             "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
             "ORDER BY id_a, id_b",
+        "dihedral_phash_images": _dihedral_sql(),
         # independent brute-force ground truth for the cross-run Hamming
         # index: min distance over EVERY yesterday-signature per today-row
         "cross_run_phash_images": "WITH L AS ("

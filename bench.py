@@ -164,6 +164,12 @@ def run_bench() -> dict:
         ("containment_dedup_docs", Q.containment_dedup_docs),
         ("funnel_conversion_events", Q.funnel_conversion_events),
         ("budget_cap_docs", Q.budget_cap_docs),
+        ("decontaminate_bloom_docs", Q.decontaminate_bloom_docs),
+        ("retention_cohorts_events", Q.retention_cohorts_events),
+        ("tumbling_daily_events", Q.tumbling_daily_events),
+        ("bpe_tokens_docs", Q.bpe_tokens_docs),
+        ("grouped_weighted_sample_orders", Q.grouped_weighted_sample_orders),
+        ("json_extract_events", Q.json_extract_events),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

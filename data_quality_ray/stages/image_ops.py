@@ -215,3 +215,66 @@ def sample_frames(ds, n_frames: int = 4, video_col: str = "video",
                           fn_constructor_kwargs={"n_frames": n_frames, "video_col": video_col},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# --- Dihedral-invariant signature canonicalization ---------------------------
+# A grid hash (aHash/dHash family — each of the 64 bits is one cell of an
+# 8×8 grid) transforms under image rotation/mirroring as a pure BIT
+# PERMUTATION, so a rotation/mirror-invariant dedup key needs no decode:
+# canonical = min over the 8 dihedral (D4) permutations of the bit grid.
+# (A DCT phash is NOT exactly permutation-covariant under flips — sign
+# flips on odd coefficients — so this applies to grid hashes; the
+# fixture's stand-in hash is grid-based. Documented assumption.)
+
+_D4_GRID = np.arange(64).reshape(8, 8)
+# perm[j] = source bit index that lands in target bit j of the variant
+_D4_PERMS = np.stack([
+    g.ravel() for g in (
+        _D4_GRID,                      # identity
+        np.rot90(_D4_GRID, 1),         # rot90
+        np.rot90(_D4_GRID, 2),         # rot180
+        np.rot90(_D4_GRID, 3),         # rot270
+        np.fliplr(_D4_GRID),           # mirror left-right
+        np.flipud(_D4_GRID),           # mirror top-bottom
+        _D4_GRID.T,                    # transpose
+        np.rot90(_D4_GRID, 2).T,       # anti-transpose
+    )
+])
+D4_NAMES = ("identity", "rot90", "rot180", "rot270",
+            "flip_h", "flip_v", "transpose", "anti_transpose")
+_BIT_W = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def dihedral_variants(sigs: np.ndarray) -> np.ndarray:
+    """(n, 8) uint64: each signature under all 8 D4 grid permutations
+    (bit j of variant t = bit ``_D4_PERMS[t, j]`` of the input).
+    Vectorized: one (n, 64) bit unpack, 8 gathers, 8 weighted
+    bitwise-or folds."""
+    u = np.ascontiguousarray(sigs).astype(np.int64).view(np.uint64)
+    bits = ((u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+    out = np.empty((len(u), 8), dtype=np.uint64)
+    for t in range(8):
+        v = bits[:, _D4_PERMS[t]]
+        out[:, t] = np.bitwise_or.reduce(
+            np.where(v.astype(bool), _BIT_W, np.uint64(0)), axis=1)
+    return out
+
+
+def dihedral_canonical(sigs: np.ndarray) -> np.ndarray:
+    """Rotation/mirror-invariant canonical signature: min (as uint64)
+    over the 8 dihedral variants. Returns int64 (Arrow-friendly view)."""
+    return dihedral_variants(sigs).min(axis=1).view(np.int64)
+
+
+def add_dihedral_canonical(ds, sig_col: str, out_col: str = "canonical"):
+    """Streaming pass appending the D4-canonical signature column —
+    feed to any exact/Hamming dedup keyed on ``out_col`` to catch
+    rotated/mirrored duplicates without decoding a pixel."""
+    import pandas as pd
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = dihedral_canonical(b[sig_col].to_numpy())
+        return b
+
+    return ds.map_batches(f, batch_format="pandas")

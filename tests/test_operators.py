@@ -1294,3 +1294,42 @@ def test_bpe_matches_serial_reference(ray_session):
         # partitioning invariance
         tc2 = bpe_token_counts(ds.repartition(11), "text", got)
         pd.testing.assert_frame_equal(tc, tc2)
+
+
+def test_dihedral_canonical():
+    from data_quality_ray.stages.image_ops import (D4_NAMES,
+                                                   dihedral_canonical,
+                                                   dihedral_variants)
+
+    rng = np.random.RandomState(17)
+    sigs = rng.randint(-2**63, 2**63, size=200, dtype=np.int64)
+
+    # independent grid reference: unpack to an 8x8 cell grid (bit 8r+c),
+    # apply the numpy image transform, repack
+    def grid(h):
+        u = np.uint64(np.array(h, dtype=np.int64).view(np.uint64))
+        return np.array([(int(u) >> j) & 1 for j in range(64)]).reshape(8, 8)
+
+    def pack(g):
+        v = sum(int(b) << j for j, b in enumerate(g.ravel()))
+        return np.uint64(v)
+
+    transforms = {
+        "identity": lambda g: g, "rot90": lambda g: np.rot90(g, 1),
+        "rot180": lambda g: np.rot90(g, 2), "rot270": lambda g: np.rot90(g, 3),
+        "flip_h": np.fliplr, "flip_v": np.flipud,
+        "transpose": lambda g: g.T, "anti_transpose": lambda g: np.rot90(g, 2).T,
+    }
+    variants = dihedral_variants(sigs)
+    for i in (0, 7, 42):
+        g = grid(sigs[i])
+        for t, name in enumerate(D4_NAMES):
+            assert variants[i, t] == pack(transforms[name](g)), name
+
+    # invariance: canonical(any variant) == canonical(original)
+    canon = dihedral_canonical(sigs)
+    for t in range(8):
+        assert (dihedral_canonical(variants[:, t].view(np.int64)) ==
+                canon).all()
+    # canonical is itself one of the variants
+    assert (canon.view(np.uint64) == variants.min(axis=1)).all()
