@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order_docs": Q.curriculum_order_docs,
         # table-level DQ rules (profiling/datarules.py)
         "correlation_lineitem": Q.correlation_lineitem,
+        "regression_by_flag_lineitem": Q.regression_by_flag_lineitem,
+        "impute_value_events": Q.impute_value_events,
         "entropy_profile": Q.entropy_profile,
         "benford_price_lineitem": Q.benford_price_lineitem,
         "outlier_iqr_lineitem": Q.outlier_iqr_lineitem,
@@ -2518,6 +2520,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(e.n_events, -1) AS BIGINT) AS n_events
             FROM c FULL JOIN e ON c.c_custkey = e.c_custkey
             ORDER BY 1""",
+        "impute_value_events": """
+            WITH holed AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 37 = 0 THEN NULL ELSE value END AS v
+              FROM events),
+            means AS (
+              SELECT event_type, avg(v) AS m FROM holed GROUP BY 1),
+            filled AS (
+              SELECT h.event_id, h.event_type,
+                     coalesce(h.v, m.m) AS v, h.v IS NULL AS was_null
+              FROM holed h LEFT JOIN means m USING (event_type))
+            SELECT event_type, count(*) AS n,
+                   count(*) FILTER (was_null) AS n_filled,
+                   round(sum(v), 2) AS sum_value,
+                   round(sum(v) FILTER (was_null)
+                         / nullif(count(*) FILTER (was_null), 0), 6)
+                     AS fill_mean
+            FROM filled GROUP BY 1 ORDER BY 1""",
+        "regression_by_flag_lineitem": """
+            SELECT l_returnflag,
+                   count(l_quantity + l_extendedprice) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept,
+                   round(corr(l_quantity, l_extendedprice), 6) AS "corr"
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
         "correlation_lineitem": """
             -- n = pairwise-non-null rows (corr/covar semantics), not count(*)
             SELECT count(l_quantity + l_extendedprice) AS n,

@@ -2165,6 +2165,61 @@ def correlation_lineitem(sf_dir: str) -> pd.DataFrame:
                          "covar_qty_price": [round(c["covar_pop"], 6)]})
 
 
+def regression_by_flag_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS trend (price vs quantity per return flag) from
+    algebraic partials only — fixed-width per-group sums, no residual
+    pass. → (l_returnflag, n, slope, intercept, corr)."""
+    from ..profiling.datarules import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_regression(ds, ["l_returnflag"], "l_quantity",
+                              "l_extendedprice")
+
+
+def impute_value_events(sf_dir: str) -> pd.DataFrame:
+    """Group-mean null imputation: both engines independently null out
+    ``value`` where event_id % 37 == 0, then fill from the per-
+    event_type mean of the surviving rows (stats fold + broadcast fill,
+    zero shuffle). → per event_type (n, n_filled, sum_value, fill_mean)
+    proving the filled column end to end."""
+    from ..stages.impute import impute_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def knock_out(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b["value"].to_numpy(dtype=np.float64).copy()
+        v[b["event_id"].to_numpy() % 37 == 0] = np.nan
+        b["value"] = v
+        return b
+
+    holed = ds.map_batches(knock_out, batch_format="pandas")
+    filled = impute_column(holed, "value", "mean", group_col="event_type")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        f = (b["event_id"].to_numpy() % 37 == 0)
+        b["__f"] = f.astype("int64")
+        b["__fv"] = np.where(f, b["value"].to_numpy(dtype=np.float64), 0.0)
+        return (b.groupby("event_type", sort=False)
+                .agg(n=("value", "size"), n_filled=("__f", "sum"),
+                     s=("value", "sum"), fs=("__fv", "sum")).reset_index())
+
+    parts = filled.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", sort=True).agg(
+        n=("n", "sum"), n_filled=("n_filled", "sum"), s=("s", "sum"),
+        fs=("fs", "sum")).reset_index()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "n_filled": agg["n_filled"].astype("int64"),
+        "sum_value": agg["s"].round(2),
+        "fill_mean": ((agg["fs"] / agg["n_filled"]).round(6)
+                      .where(agg["n_filled"] > 0)),
+    }).reset_index(drop=True)
+
+
 def entropy_profile(sf_dir: str) -> pd.DataFrame:
     """Shannon entropy (bits) of three categorical columns — grouped
     counts via batch partials, log2 fold on the tiny value table.

@@ -347,3 +347,57 @@ def orphan_stats(child_ds, child_key: str, parent_ds, parent_key: str) -> dict:
         for c in sums:
             sums[c] += int(b[c].sum())
     return sums
+
+
+# ------------------------------------------------------- grouped regression
+
+def grouped_regression(ds, group_cols: list[str], x_col: str,
+                       y_col: str) -> pd.DataFrame:
+    """Per-group simple linear regression (OLS y = a·x + b) + Pearson r
+    from ALGEBRAIC partials only — per (group, batch): n, Σx, Σy, Σxy,
+    Σx², Σy² — so the merge is a fixed-width sum per group, never a
+    residual pass. Rows with a null in x/y are excluded (DuckDB
+    regr_slope/regr_intercept/corr semantics).
+
+    → (*group_cols, n, slope, intercept, corr) with 6-dp rounding on
+    the floats (the oracle contract); degenerate groups (zero x
+    variance) yield NULL slope/intercept/corr like SQL."""
+    from ..rules.heuristics import round6_away
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].to_numpy(dtype=np.float64)
+        y = b[y_col].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        g = b.loc[ok, group_cols].copy()
+        g["__x"] = x[ok]
+        g["__y"] = y[ok]
+        g["__xy"] = x[ok] * y[ok]
+        g["__xx"] = x[ok] * x[ok]
+        g["__yy"] = y[ok] * y[ok]
+        gb = g.groupby(group_cols, sort=False)
+        out = gb.agg(n=("__x", "size"), sx=("__x", "sum"), sy=("__y", "sum"),
+                     sxy=("__xy", "sum"), sxx=("__xx", "sum"),
+                     syy=("__yy", "sum")).reset_index()
+        return out
+
+    parts = ds.select_columns(group_cols + [x_col, y_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(group_cols, sort=True).sum().reset_index()
+    n = agg["n"].to_numpy(dtype=np.float64)
+    sx, sy = agg["sx"].to_numpy(), agg["sy"].to_numpy()
+    sxy, sxx, syy = agg["sxy"].to_numpy(), agg["sxx"].to_numpy(), agg["syy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        cov = sxy - sx * sy / n
+        slope = np.where(vx > 0, cov / np.where(vx > 0, vx, 1.0), np.nan)
+        intercept = np.where(vx > 0, (sy - slope * sx) / n, np.nan)
+        corr = np.where((vx > 0) & (vy > 0),
+                        cov / np.sqrt(np.where((vx > 0) & (vy > 0),
+                                               vx * vy, 1.0)), np.nan)
+    out = agg[group_cols].copy()
+    out["n"] = agg["n"].astype("int64")
+    out["slope"] = round6_away(slope)
+    out["intercept"] = round6_away(intercept)
+    out["corr"] = round6_away(corr)
+    return out.reset_index(drop=True)

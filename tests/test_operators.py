@@ -1333,3 +1333,68 @@ def test_dihedral_canonical():
                 canon).all()
     # canonical is itself one of the variants
     assert (canon.view(np.uint64) == variants.min(axis=1)).all()
+
+
+def test_impute_column_strategies(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages.impute import impute_column
+
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "c", "c", "d"],
+        "v": [1.0, None, 3.0, 10.0, None, None, None, 5.0],
+        "s": ["x", None, "x", "y", None, None, "z", None],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+
+    got = (impute_column(ds, "v", "mean", group_col="g").to_pandas()
+           .sort_values(["g", "v"], na_position="last"))
+    # a: mean(1,3)=2 fills the null; b: 10; c all-null stays null; d no nulls
+    assert got.loc[got.g == "a", "v"].tolist() == [1.0, 2.0, 3.0]
+    assert got.loc[got.g == "b", "v"].tolist() == [10.0, 10.0]
+    assert got.loc[got.g == "c", "v"].isna().all()
+
+    # global mean = mean of all non-null = (1+3+10+5)/4
+    g2 = impute_column(ds, "v", "mean").to_pandas()
+    assert g2["v"].fillna(-1).tolist().count(4.75) == 4
+
+    # mode with smallest-value tie-break; const
+    g3 = (impute_column(ds, "s", "mode", group_col="g").to_pandas()
+          .sort_values("g"))
+    assert g3.loc[g3.g == "a", "s"].tolist() == ["x", "x", "x"]
+    assert g3.loc[g3.g == "c", "s"].tolist() == ["z", "z"]
+    g4 = impute_column(ds, "s", "const", fill_value="?").to_pandas()
+    assert (g4["s"].fillna("!") != "!").all() and (g4["s"] == "?").sum() == 4
+
+    with pytest.raises(ValueError):
+        impute_column(ds, "v", "median")
+
+
+def test_grouped_regression_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from data_quality_ray.profiling.datarules import grouped_regression
+
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q", "r", "z"], size=500),
+        "x": rng.normal(10, 3, size=500),
+        "y": None,
+    })
+    df["y"] = 2.5 * df["x"] + rng.normal(0, 1, size=500)
+    df.loc[df.index % 11 == 0, "x"] = np.nan      # null exclusion
+    df.loc[df.g == "z", "x"] = 7.0                # zero variance -> NULLs
+    got = grouped_regression(rd.from_pandas(df).repartition(5), ["g"],
+                             "x", "y")
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT g, count(x + y) AS n,
+               round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept,
+               round(corr(x, y), 6) AS "corr"
+        FROM t GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
+                                  check_dtype=False, atol=1e-6)
+    assert got.loc[got.g == "z", ["slope", "intercept", "corr"]].isna().all().all()
