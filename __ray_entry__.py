@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats_docs": Q.bpe_token_stats_docs,
         "gopher_repetition_docs": Q.gopher_repetition_docs,
         "hash_split_docs": Q.hash_split_docs,
+        "cluster_safe_split_docs": Q.cluster_safe_split_docs,
         "stratified_sample_docs": Q.stratified_sample_docs,
         "pack_chunks_docs": Q.pack_chunks_docs,
         "pack_sequences_docs": Q.pack_sequences_docs,
@@ -1861,6 +1862,27 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
 
 # --- chronology conversions recomputed in SQL ------------------------------
 
+def _cluster_safe_split_sql() -> str:
+    """Leakage-safe split replay: the full MinHash clustering SQL
+    (_minhash_sql) as a CTE body, label = coalesce(cluster, doc_id),
+    split = md5_number_lower of the LABEL (hash_split contract)."""
+    comp = _minhash_sql()
+    return f"""
+WITH comp AS ({comp}),
+lbl AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT doc_id, cluster,
+             md5_number_lower(CAST(cluster AS VARCHAR)) % 10000 AS bk
+      FROM lbl)
+SELECT doc_id, cluster,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def _chronology_sql() -> str:
     from data_quality_ray.functions.chronology import _islamic_year_days
 
@@ -2259,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats_docs": _bpe_token_sql(),
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,
         "hash_split_docs": _HASH_SPLIT_SQL,
+        "cluster_safe_split_docs": _cluster_safe_split_sql(),
         "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
         "pack_chunks_docs": _PACK_CHUNKS_SQL,
         "pack_sequences_docs": _PACK_SEQUENCES_SQL,

@@ -1589,6 +1589,20 @@ def hash_split_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def cluster_safe_split_docs(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe 80/10/10 split: the split key is the MinHash
+    near-dup CLUSTER label (md5 mode — the SQL replays clustering AND
+    the split), so near-duplicate docs can never straddle train/valid.
+    → (doc_id, cluster, split)."""
+    from ..sampling.splits import cluster_safe_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = cluster_safe_split(ds, "doc_id", "text", threshold=0.5,
+                             hash_fn="md5").to_pandas()
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Training-mix resampling: per-source keep fraction, deterministic
     hash thresholds. The fraction table itself is derived from the source

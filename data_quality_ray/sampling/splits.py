@@ -71,3 +71,49 @@ def with_split_column(ds, key_col: str, splits: dict[str, float] | None = None,
         return b
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def cluster_safe_split(ds, id_col: str, text_col: str,
+                       splits: dict[str, float] | None = None,
+                       threshold: float = 0.5, salt: str = "",
+                       hash_fn: str = "md5", out_col: str = "split"):
+    """Leakage-safe splitting: near-duplicate documents must land in the
+    SAME split (a near-dup of a training doc inside the validation set
+    is evaluation leakage), so the split key is the doc's MinHash
+    near-dup CLUSTER label, not the doc id.
+
+    Shape: `minhash_dedup` (threshold-verified clusters; only CLUSTERED
+    docs appear — the map is bounded by the duplicated-doc count, the
+    classic broadcast-winners pattern) → the label map broadcasts as
+    sorted arrays → one streaming pass assigns label = map.get(id, id)
+    and the hash split of the label. The corpus itself never shuffles
+    beyond the dedup's own exchanges.
+
+    → Dataset of (id_col, cluster, out_col)."""
+    import ray
+
+    from ..dedup.minhash import minhash_dedup
+    from ..functions.broadcast import cached_get
+
+    splits = splits or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    comp = minhash_dedup(ds, id_col, text_col, threshold=threshold,
+                         hash_fn=hash_fn)
+    ids = comp[id_col].to_numpy()
+    order = np.argsort(ids, kind="mergesort")
+    ref = ray.put((ids[order], comp["cluster"].to_numpy()[order]))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        k, lbl = cached_get(ref)
+        mine = b[id_col].to_numpy()
+        cluster = mine.copy()
+        if len(k):
+            pos = np.searchsorted(k, mine)
+            ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == mine)
+            cluster[ok] = lbl[pos[ok]]
+        out = b[[id_col]].copy()
+        out["cluster"] = cluster
+        out[out_col] = assign_split(cluster, splits, salt, hash_fn)
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")

@@ -1398,3 +1398,42 @@ def test_grouped_regression_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()),
                                   check_dtype=False, atol=1e-6)
     assert got.loc[got.g == "z", ["slope", "intercept", "corr"]].isna().all().all()
+
+
+def test_cluster_safe_split_no_leakage(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import minhash_dedup
+    from data_quality_ray.sampling.splits import cluster_safe_split
+
+    rng = np.random.RandomState(31)
+    words = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "jade"]
+    rows = []
+    for i in range(150):
+        base = " ".join(rng.choice(words, size=10))
+        rows.append((3 * i, base))
+        rows.append((3 * i + 1, base))  # exact dup -> same cluster
+        if rng.rand() < 0.5:
+            toks = base.split(); toks[0] = rng.choice(words)
+            rows.append((3 * i + 2, " ".join(toks)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    ds = rd.from_pandas(df).repartition(5)
+
+    out = cluster_safe_split(ds, "doc_id", "text", threshold=0.5,
+                             hash_fn="md5").to_pandas()
+    assert len(out) == len(df)
+    # leakage property: every verified near-dup pair shares a split
+    comp = minhash_dedup(ds, "doc_id", "text", threshold=0.5, hash_fn="md5")
+    merged = comp.merge(out, on="doc_id")
+    assert (merged.groupby("cluster_x")["split"].nunique() == 1).all()
+    # ...and the cluster label IS what got split (the naive doc_id split
+    # would scatter at least one planted dup pair across splits)
+    naive = out.set_index("doc_id")
+    from data_quality_ray.sampling.splits import assign_split
+    naive_split = assign_split(out["doc_id"].to_numpy(),
+                               {"train": .8, "valid": .1, "test": .1})
+    leaked = (pd.DataFrame({"c": out["cluster"], "s": naive_split})
+              .groupby("c")["s"].nunique() > 1).any()
+    assert leaked  # the property the operator exists to prevent
+    # all three splits non-empty at this size
+    assert set(out["split"]) == {"train", "valid", "test"}
