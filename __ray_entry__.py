@@ -447,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "caption_alignment_images": caption_alignment_images,
         "image_quality_extended": image_quality_extended,
         "dup_caption_images": dup_caption_images,
+        "phash_topk_images": phash_topk_images,
+        "multimodal_dedup_images": multimodal_dedup_images,
         "image_embed_neardup": image_embed_neardup,
         "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
@@ -853,6 +855,47 @@ def ar_bucket_batches_images(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out.sort_values(["bucket_idx", "batch_id", "slot"])
             .reset_index(drop=True))
+
+
+def phash_topk_images(sf_dir: str):
+    """Query-by-image Hamming top-k retrieval: the 4 smallest-id images
+    query the whole table for their 10 nearest signatures (broadcast
+    query sigs + fixed-size per-batch partials — no shuffle; see
+    similarity/hamming.py). Oracle = brute-force xor+bit_count cross
+    join with a row_number() window, so the hash compare checks the
+    partial-merge top-k against an independent full scan.
+    → (query_id, image_id, hamming, rank)."""
+    import ray.data as rd
+
+    from data_quality_ray.similarity.hamming import (hamming_topk,
+                                                     smallest_id_sigs)
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    qids, qsigs = smallest_id_sigs(ds, "image_id", "phash", 4)
+    out = hamming_topk(ds, "image_id", "phash", qids, qsigs, k=10)
+    out["hamming"] = out["hamming"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return (out.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def multimodal_dedup_images(sf_dir: str):
+    """LAION-style multimodal union dedup: images collapse if they match
+    visually (phash Hamming ≤ 2, pigeonhole blocks) OR textually
+    (identical caption, star edges) — connected components over the
+    union edge set, every row labeled (cluster = min id, keep =
+    representative). The SQL re-derives BOTH edge sets independently
+    (brute-force bit_count cross join + caption self-join clique) and
+    runs the recursive min-label CTE, so the compare checks the blocking
+    scheme's completeness and the union connectivity, not a replay.
+    → (image_id, cluster, keep)."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.multimodal import multimodal_dedup
+
+    ds = rd.read_parquet(_image_fixture(sf_dir),
+                         columns=["image_id", "phash", "caption"])
+    return multimodal_dedup(ds, "image_id", "phash", "caption",
+                            hamming_threshold=2, n_blocks=4)
 
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
@@ -2323,6 +2366,45 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
             "ORDER BY id_a, id_b",
         "dihedral_phash_images": _dihedral_sql(),
+        # independent full-scan ground truth for the partial-merge top-k
+        "phash_topk_images": "WITH L AS ("
+            + _f1_labels_sql("image_id, phash") + "), "
+            "q AS (SELECT image_id AS query_id, phash AS qsig FROM L "
+            "      ORDER BY image_id LIMIT 4), "
+            "d AS (SELECT q.query_id, l.image_id, "
+            "             CAST(bit_count(xor(q.qsig, l.phash)) AS BIGINT) "
+            "                 AS hamming "
+            "      FROM q CROSS JOIN L l), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "          ORDER BY hamming, image_id) AS rank FROM d) "
+            "SELECT query_id, image_id, hamming, CAST(rank AS BIGINT) AS rank "
+            "FROM r WHERE rank <= 10 ORDER BY query_id, rank",
+        # both edge sets re-derived independently (brute-force Hamming
+        # cross join + caption clique), components via the recursive
+        # min-label CTE — checks blocking completeness + union
+        # connectivity, not a replay
+        "multimodal_dedup_images": "WITH RECURSIVE raw AS ("
+            + _f1_raw_sql("image_id, caption, phash") + "), "
+            "vp AS (SELECT a.image_id AS id_a, b.image_id AS id_b "
+            "       FROM raw a JOIN raw b ON a.image_id < b.image_id "
+            "       WHERE bit_count(xor(a.phash, b.phash)) <= 2), "
+            "cp AS (SELECT a.image_id AS id_a, b.image_id AS id_b "
+            "       FROM raw a JOIN raw b ON a.caption = b.caption "
+            "        AND a.image_id < b.image_id), "
+            "pairs AS (SELECT * FROM vp UNION SELECT * FROM cp), "
+            "nodes AS (SELECT id_a AS id FROM pairs "
+            "          UNION SELECT id_b FROM pairs), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "          UNION SELECT id_b, id_a FROM pairs), "
+            "cc(id, lbl) AS (SELECT id, id FROM nodes "
+            "    UNION SELECT e.v, cc.lbl FROM cc JOIN edges e "
+            "          ON e.u = cc.id), "
+            "comp AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY 1) "
+            "SELECT r.image_id, "
+            "       coalesce(c.lbl, r.image_id) AS cluster, "
+            "       coalesce(c.lbl, r.image_id) = r.image_id AS keep "
+            "FROM raw r LEFT JOIN comp c ON c.id = r.image_id "
+            "ORDER BY r.image_id",
         # independent brute-force ground truth for the cross-run Hamming
         # index: min distance over EVERY yesterday-signature per today-row
         "cross_run_phash_images": "WITH L AS ("

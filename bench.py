@@ -181,6 +181,8 @@ def run_bench() -> dict:
             ("ar_bucket_batches_images", E.ar_bucket_batches_images),
             ("caption_alignment_images", E.caption_alignment_images),
             ("webdataset_roundtrip_images", E.webdataset_roundtrip_images),
+            ("phash_topk_images", E.phash_topk_images),
+            ("multimodal_dedup_images", E.multimodal_dedup_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -664,3 +664,98 @@ def test_tune_lsh_params():
     assert (1 / bf) ** (1 / rf) <= (1 / bb) ** (1 / rb)
     with pytest.raises(ValueError):
         tune_lsh_params(1.5)
+
+
+def _mm_fixture():
+    """60 images: planted visual pairs (1-bit phash flips), caption dup
+    chains, and a bridge row connecting one visual pair to one caption
+    group through different edge types."""
+    rng = np.random.RandomState(44)
+    ids, sigs, caps = [], [], []
+    base_sigs = rng.randint(-2**62, 2**62, size=60).astype(np.int64)
+    for i in range(60):
+        ids.append(f"img{i:04d}")
+        sigs.append(base_sigs[i])
+        caps.append(f"caption {i}" if i % 3 else None)  # nulls must not link
+    # visual pair: 41 = 40 with one bit flipped
+    sigs[41] = np.int64(np.uint64(sigs[40]) ^ np.uint64(1 << 17))
+    # caption chain: 50, 51, 52 share a caption
+    caps[50] = caps[51] = caps[52] = "shared caption"
+    # bridge: 41 shares a caption with 52's group -> one big component
+    caps[41] = "shared caption"
+    return pd.DataFrame({"image_id": ids, "phash": sigs, "caption": caps})
+
+
+def test_multimodal_dedup_union_connectivity(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.multimodal import multimodal_dedup
+
+    df = _mm_fixture()
+    ds = rd.from_pandas(df).repartition(4)
+    out = multimodal_dedup(ds, "image_id", "phash", "caption",
+                           hamming_threshold=2, n_blocks=4)
+    assert len(out) == len(df)
+    lab = out.set_index("image_id")["cluster"]
+    # visual edge 40-41 + caption bridge 41-50/51/52 -> one component
+    assert len({lab["img0040"], lab["img0041"], lab["img0050"],
+                lab["img0051"], lab["img0052"]}) == 1
+    assert lab["img0040"] == "img0040"  # min-id representative
+    # null captions never link; untouched rows are their own keepers
+    assert lab["img0000"] == "img0000" and out.set_index("image_id")["keep"]["img0000"]
+    assert (out["keep"] == (out["cluster"] == out["image_id"])).all()
+
+
+def test_multimodal_dedup_scale_path_parity(ray_session, monkeypatch):
+    """Forced distributed components + hash_join label route must equal
+    the union-find + broadcast route row for row."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup import minhash, multimodal
+    from data_quality_ray.dedup.multimodal import multimodal_dedup
+
+    df = _mm_fixture()
+    ds = rd.from_pandas(df).repartition(4)
+    want = multimodal_dedup(ds, "image_id", "phash", "caption")
+
+    monkeypatch.setattr(minhash, "UNION_FIND_MAX_PAIRS", 0)
+    monkeypatch.setattr(multimodal, "LABEL_BROADCAST_MAX_ROWS", 0)
+    got = multimodal_dedup(ds, "image_id", "phash", "caption")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    # dataset route too
+    got_ds = multimodal_dedup(ds, "image_id", "phash", "caption",
+                              output="dataset").to_pandas()
+    got_ds["keep"] = got_ds["keep"].astype(bool)
+    pd.testing.assert_frame_equal(
+        got_ds.sort_values("image_id").reset_index(drop=True), want,
+        check_dtype=False)
+
+
+def test_hamming_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import hamming64_pairs
+    from data_quality_ray.similarity.hamming import (hamming_topk,
+                                                     smallest_id_sigs)
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ids = np.array([f"r{i:05d}" for i in range(n)])
+    sigs = rng.randint(-2**62, 2**62, size=n).astype(np.int64)
+    df = pd.DataFrame({"id": ids, "sig": sigs})
+    ds = rd.from_pandas(df).repartition(6)
+
+    qids, qsigs = smallest_id_sigs(ds, "id", "sig", 3)
+    assert list(qids) == ["r00000", "r00001", "r00002"]
+    out = hamming_topk(ds, "id", "sig", qids, qsigs, k=7)
+    assert len(out) == 3 * 7
+    for qi, qs in zip(qids, qsigs):
+        d = hamming64_pairs(np.full(n, qs).astype(np.int64).view(np.uint64),
+                            sigs.view(np.uint64))
+        order = np.lexsort((ids, d))[:7]
+        mine = out[out["query_id"] == qi]
+        assert list(mine["id"]) == list(ids[order])
+        assert list(mine["hamming"]) == list(d[order])
+        assert list(mine["rank"]) == list(range(1, 8))
