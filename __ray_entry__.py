@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix_docs": Q.temperature_mix_docs,
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
+        "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -2179,6 +2180,41 @@ def _kmeans_sql() -> str:
     return sql
 
 
+def _kcenter_sql() -> str:
+    """Unrolled greedy k-center replay: s0 = smallest vec_id, each round
+    md = min over the chosen set of the 6-dp-rounded euclidean distance,
+    next center = (md DESC, vec_id ASC) head — the same rounded compare
+    the library makes, so the greedy trajectory is engine-identical.
+    Final assignment = row_number over (rounded dist, center id)."""
+    from data_quality_ray.pipelines.queries import KCENTER_K
+    from data_quality_ray.similarity.kcenter import ROUND_TO
+
+    sql = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)"""
+    prev = "s0"
+    for i in range(1, KCENTER_K):
+        sql += f""",
+        d{i} AS (
+          SELECT v.vec_id, any_value(v.e) AS e,
+                 min(round(list_distance(v.e, s.e), {ROUND_TO})) AS md
+          FROM v CROSS JOIN {prev} s GROUP BY v.vec_id),
+        n{i} AS (SELECT vec_id, e FROM d{i} ORDER BY md DESC, vec_id LIMIT 1),
+        s{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM n{i})"""
+        prev = f"s{i}"
+    sql += f"""
+        SELECT vec_id, center_id, dist, is_center FROM (
+          SELECT v.vec_id, s.vec_id AS center_id,
+                 round(list_distance(v.e, s.e), {ROUND_TO}) AS dist,
+                 v.vec_id IN (SELECT vec_id FROM {prev}) AS is_center,
+                 row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY round(list_distance(v.e, s.e), {ROUND_TO}),
+                              s.vec_id) AS rk
+          FROM v CROSS JOIN {prev} s) WHERE rk = 1
+        ORDER BY vec_id"""
+    return sql
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -3100,6 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_docs": _temperature_mix_sql(),
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
+        "kcenter_coreset_embeddings": _kcenter_sql(),
         "substring_dedup_docs": _substring_dedup_sql(),
         "grouped_quantiles_orders": """
             SELECT o_orderpriority AS priority, count(*) AS n,

@@ -2025,6 +2025,25 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+KCENTER_K = 8
+
+
+def kcenter_coreset_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Diversity-aware coreset selection: greedy k-center (farthest-point)
+    over the embedding table — k-1 broadcast-and-partial-max streaming
+    passes, then one assignment pass (similarity/kcenter.py). The SQL
+    oracle replays every greedy round with unrolled CTEs (6-dp-rounded
+    distances make the argmax/argmin engine-stable).
+    → (vec_id, center_id, dist, is_center)."""
+    from ..similarity.kcenter import kcenter_assign, kcenter_select
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centers = kcenter_select(ds, "vec_id", "embedding", k=KCENTER_K)
+    out = kcenter_assign(ds, "vec_id", "embedding", centers).to_pandas()
+    out["is_center"] = out["is_center"].astype(bool)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 SUBSTR_NGRAM = 8
 
 

@@ -1437,3 +1437,44 @@ def test_cluster_safe_split_no_leakage(ray_session):
     assert leaked  # the property the operator exists to prevent
     # all three splits non-empty at this size
     assert set(out["split"]) == {"train", "valid", "test"}
+
+
+def test_kcenter_greedy_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.similarity.kcenter import (ROUND_TO,
+                                                     kcenter_assign,
+                                                     kcenter_select)
+
+    rng = np.random.RandomState(11)
+    n, dim, k = 300, 8, 6
+    ids = np.array([f"v{i:04d}" for i in range(n)])
+    mat = rng.randn(n, dim)
+    df = pd.DataFrame({"id": ids, "vec": list(mat)})
+    ds = rd.from_pandas(df).repartition(5)
+
+    centers = kcenter_select(ds, "id", "vec", k=k)
+    # brute-force replay of the greedy trajectory
+    chosen = [0]
+    for _ in range(k - 1):
+        d = np.round(np.sqrt(((mat[:, None, :] - mat[chosen][None, :, :]) ** 2)
+                             .sum(-1)), ROUND_TO).min(axis=1)
+        order = np.lexsort((ids, -d))
+        chosen.append(order[0])
+    assert list(centers["id"]) == list(ids[chosen])
+    assert list(centers["sel_order"]) == list(range(k))
+
+    out = kcenter_assign(ds, "id", "vec", centers).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    cs = np.sort(np.array(chosen))  # center ids ascending == sorted rows
+    csort = np.array(sorted(chosen, key=lambda i: ids[i]))
+    d = np.round(np.sqrt(((mat[:, None, :] - mat[csort][None, :, :]) ** 2)
+                         .sum(-1)), ROUND_TO)
+    ci = d.argmin(axis=1)
+    assert list(out["center_id"]) == list(ids[csort][ci])
+    assert np.allclose(out["dist"], d[np.arange(n), ci])
+    assert out["is_center"].sum() == k
+    # k-center property: max assignment distance shrinks as k grows
+    small = kcenter_select(ds, "id", "vec", k=2)
+    d2 = kcenter_assign(ds, "id", "vec", small).to_pandas()["dist"].max()
+    assert out["dist"].max() <= d2
