@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
+        "range_partition_orders": Q.range_partition_orders,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -3137,6 +3138,16 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_coreset_embeddings": _kcenter_sql(),
+        "range_partition_orders": """
+WITH qs AS (SELECT unnest(quantile_disc(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS v
+            FROM orders),
+a AS (SELECT o_totalprice,
+             (SELECT count(*) FROM qs WHERE o_totalprice > v) AS part_id
+      FROM orders)
+SELECT part_id, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+FROM a GROUP BY 1 ORDER BY 1
+""",
         "substring_dedup_docs": _substring_dedup_sql(),
         "grouped_quantiles_orders": """
             SELECT o_orderpriority AS priority, count(*) AS n,

@@ -2025,6 +2025,26 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+RANGE_PARTS = 8
+
+
+def range_partition_orders(sf_dir: str) -> pd.DataFrame:
+    """Explicit range rebalancing (functions/partitioning.py): exact
+    quantile_disc split points from one value→count exchange, broadcast
+    searchsorted assignment, per-partition (n, lo, hi) fold — the
+    balance evidence that the partitioner levels the key range. SQL
+    replays the identical quantile_disc positions and the x > v
+    assignment rule. → (part_id, n, lo, hi)."""
+    from ..functions.partitioning import range_balance
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    out = range_balance(ds, "o_totalprice", RANGE_PARTS, mode="exact")
+    out["n"] = out["n"].astype("int64")
+    out["lo"] = out["lo"].round(2)
+    out["hi"] = out["hi"].round(2)
+    return out.reset_index(drop=True)
+
+
 KCENTER_K = 8
 
 

@@ -1478,3 +1478,37 @@ def test_kcenter_greedy_matches_bruteforce(ray_session):
     small = kcenter_select(ds, "id", "vec", k=2)
     d2 = kcenter_assign(ds, "id", "vec", small).to_pandas()["dist"].max()
     assert out["dist"].max() <= d2
+
+
+def test_range_partitioner_exact_and_tdigest(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.partitioning import (
+        add_range_partition, range_balance, range_split_points)
+
+    rng = np.random.RandomState(3)
+    # skewed: lognormal values, heavy right tail
+    vals = np.round(np.exp(rng.randn(20000) * 1.5), 4)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+
+    splits = range_split_points(ds, "v", 8, mode="exact")
+    assert (np.diff(splits) >= 0).all()
+    bal = range_balance(ds, "v", 8, mode="exact")
+    # exact quantile_disc split points keep every partition within one
+    # duplicate-run of n/8
+    assert len(bal) == 8
+    assert bal["n"].sum() == len(vals)
+    assert bal["n"].max() <= 1.05 * len(vals) / 8 + 1
+    # ranges are disjoint and ordered
+    assert (bal["lo"].to_numpy()[1:] > bal["hi"].to_numpy()[:-1]).all()
+
+    # tdigest mode: same assignment machinery, balance within rank error
+    td_splits = range_split_points(ds, "v", 8, mode="tdigest")
+    parts = add_range_partition(ds, "v", td_splits).to_pandas()
+    cnt = parts.groupby("part_id").size()
+    assert cnt.max() <= 1.10 * len(vals) / 8
+    # equal-to-split values go LEFT (the x > v rule)
+    one = add_range_partition(
+        rd.from_pandas(pd.DataFrame({"v": [float(splits[0])]})), "v",
+        splits).to_pandas()
+    assert one["part_id"].iloc[0] == 0
