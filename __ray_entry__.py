@@ -373,7 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
+        "homoglyph_dedup_docs": _homoglyph_sql(),
         "range_partition_orders": Q.range_partition_orders,
+        "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -2216,6 +2218,30 @@ def _kcenter_sql() -> str:
     return sql
 
 
+def _homoglyph_sql() -> str:
+    """Replays the planted lookalike copies (same aeopcxy→Cyrillic
+    translate) and the skeleton fold from the SHARED
+    confusables.SKELETON_FROM/TO constants, then the grouped keep-first
+    count — checks that the Python table and the SQL translate agree
+    byte for byte."""
+    from data_quality_ray.functions.confusables import (SKELETON_FROM,
+                                                        SKELETON_TO)
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         translate(lower(text), 'aeopcxy', 'аеорсху')
+  FROM documents WHERE doc_id % 37 = 0),
+sk AS (SELECT doc_id,
+              translate(lower(text), '{SKELETON_FROM}', '{SKELETON_TO}') AS s
+       FROM aug)
+SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM sk GROUP BY s ORDER BY keeper_id
+"""
+
+
 def _bm25_sql() -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
@@ -3138,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_coreset_embeddings": _kcenter_sql(),
+        "homoglyph_dedup_docs": _homoglyph_sql(),
         "range_partition_orders": """
 WITH qs AS (SELECT unnest(quantile_disc(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS v
             FROM orders),

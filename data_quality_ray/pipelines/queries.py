@@ -2025,6 +2025,44 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def homoglyph_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Homoglyph-aware dedup: every 37th doc gets a planted Cyrillic
+    lookalike copy (doc_id + 1e9, the SAME translate both engines apply
+    independently), then skeleton folding (functions/confusables.py)
+    collapses lookalikes under exact grouping — planted copies MUST land
+    on their originals. Group key cardinality ≈ corpus, so the count
+    rides the hash-bucketed shuffle final (at real scale the key would
+    be the skeleton's md5 — dedup_by_content's trick — which changes
+    nothing here because only (keeper, count) leave the exchange).
+    → (keeper_id, n_docs) per skeleton group."""
+    import ray.data as rd
+
+    from ..functions.confusables import add_skeleton, skeleton_series
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["doc_id"] % 37 == 0).to_numpy()
+        if not m.any():
+            return b[["doc_id", "text"]]
+        copies = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[m] + 1_000_000_000,
+            "text": b["text"][m].str.lower().str.translate(
+                {ord(a): ord(c) for a, c in zip("aeopcxy", "аеорсху")}),
+        })
+        return pd.concat([b[["doc_id", "text"]], copies], ignore_index=True)
+
+    aug = add_skeleton(ds.map_batches(plant, batch_format="pandas"), "text")
+    out = grouped_aggregate(
+        aug, ["skeleton"],
+        {"keeper_id": ("doc_id", "min"), "n_docs": ("doc_id", "count")},
+        final="shuffle").to_pandas()
+    out[["keeper_id", "n_docs"]] = out[["keeper_id", "n_docs"]].astype("int64")
+    return (out[["keeper_id", "n_docs"]].sort_values("keeper_id")
+            .reset_index(drop=True))
+
+
 RANGE_PARTS = 8
 
 

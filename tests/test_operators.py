@@ -1512,3 +1512,21 @@ def test_range_partitioner_exact_and_tdigest(ray_session):
         rd.from_pandas(pd.DataFrame({"v": [float(splits[0])]})), "v",
         splits).to_pandas()
     assert one["part_id"].iloc[0] == 0
+
+
+def test_skeleton_fold_confusables():
+    from data_quality_ray.functions.confusables import skeleton_series
+
+    s = pd.Series([
+        "РаyРаl",          # Cyrillic а in PayPal + Cyrillic Р
+        "hello​world",            # zero-width space stripped
+        "ｈｅｌｌｏ",  # fullwidth hello
+        "samе",                   # Cyrillic е
+        None,
+    ])
+    out = skeleton_series(s)
+    assert out[0] == "paypal"
+    assert out[1] == "helloworld"
+    assert out[2] == "hello"
+    assert out[3] == "same"
+    assert pd.isna(out[4])
