@@ -374,8 +374,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": Q.kmeans_embeddings,
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
         "homoglyph_dedup_docs": _homoglyph_sql(),
+        "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "range_partition_orders": Q.range_partition_orders,
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
+        "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -2218,6 +2220,47 @@ def _kcenter_sql() -> str:
     return sql
 
 
+def _fuzzy_decontaminate_sql(threshold: float = 0.5, n_perm: int = 64,
+                             bands: int = 16, shingle_size: int = 3,
+                             seed: int = 17) -> str:
+    """Cross-corpus replay of dedup/decontaminate.fuzzy_decontaminate:
+    the shared bandk CTE over ALL documents, candidates restricted to
+    CROSS pairs (corpus = doc_id % 29 != 0, bench = % 29 == 0), the
+    exact shingle-Jaccard verification from _minhash_sql, min matching
+    bench id per corpus doc, -1 when clean."""
+    bandk = _minhash_bandk_cte(n_perm, bands, shingle_size, seed,
+                               "documents")
+    return f"""
+    WITH RECURSIVE {bandk},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandk x JOIN bandk y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+      WHERE x.doc_id % 29 <> 0 AND y.doc_id % 29 = 0),
+    gcnt AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY 1),
+    pair_inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN gset ga ON ga.doc_id = c.id_a
+      JOIN gset gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      LEFT JOIN pair_inter pi USING (id_a, id_b)
+      LEFT JOIN gcnt na ON na.doc_id = c.id_a
+      LEFT JOIN gcnt nb ON nb.doc_id = c.id_b
+      WHERE CASE WHEN coalesce(na.n, 0) = 0 AND coalesce(nb.n, 0) = 0 THEN true
+            ELSE coalesce(pi.inter, 0) * 1.0 /
+                 greatest(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(pi.inter, 0), 1)
+                 >= {threshold} END),
+    m AS (SELECT id_a, min(id_b) AS mid FROM verified GROUP BY 1)
+    SELECT d.doc_id, m.id_a IS NOT NULL AS contaminated,
+           coalesce(m.mid, -1) AS match_id
+    FROM documents d LEFT JOIN m ON m.id_a = d.doc_id
+    WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id"""
+
+
 def _homoglyph_sql() -> str:
     """Replays the planted lookalike copies (same aeopcxy→Cyrillic
     translate) and the skeleton fold from the SHARED
@@ -3165,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_coreset_embeddings": _kcenter_sql(),
         "homoglyph_dedup_docs": _homoglyph_sql(),
+        "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "range_partition_orders": """
 WITH qs AS (SELECT unnest(quantile_disc(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS v
             FROM orders),

@@ -305,3 +305,128 @@ def decontaminate_bloom(ds, text_col: str, id_col: str, bench_gram_ds,
               .groupby("__bucket")
               .map_groups(finish, batch_format="pandas"))
     return stream
+
+
+# matched-corpus maps at or below this size broadcast as sorted arrays;
+# above it the flag assignment rides a hash_join exchange (the
+# dedup/multimodal label-assignment gate, same reasoning: the map is
+# bounded by CONTAMINATED docs, which at web scale can exceed a broadcast)
+FUZZY_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def fuzzy_decontaminate(corpus_ds, bench_ds, id_col: str, text_col: str,
+                        threshold: float = 0.5, n_perm: int = 64,
+                        bands: int = 16, shingle_size: int = 3,
+                        seed: int = 17, hash_fn: str = "stable",
+                        n_buckets: int = 64):
+    """FUZZY cross-corpus decontamination: flag corpus docs whose shingle
+    Jaccard vs ANY benchmark doc ≥ threshold (near-duplicate
+    contamination the exact-gram probe misses: paraphrased or lightly
+    edited eval items). Ids must be globally unique across both inputs.
+
+    Shape: MinHash bands over both sides (side tag carried through the
+    union), ONE bucketed exchange pairs only CROSS-side rows within each
+    (band_id, band_hash) bucket (a vectorized merge per hash bucket of
+    many band groups), cross-band pair uniqueness via the distributed
+    pair-dedup shuffle, verification through the shared gated
+    ``verify_pairs`` (collect/broadcast/shuffle), then the matched map
+    (corpus id → min matching bench id, bounded by contaminated docs)
+    broadcasts under ``FUZZY_BROADCAST_MAX_ROWS`` and rides a
+    ``hash_join`` exchange above. → Dataset of (id, contaminated,
+    match_id[None when clean]) over all corpus rows."""
+    import pandas.util as pdu
+    import ray
+
+    import pandas as pd
+
+    from ..functions.broadcast import cached_get
+    from ..profiling.groupagg import grouped_aggregate
+    from .minhash import dedup_pairs_dataset, minhash_bands, verify_pairs
+
+    def tag(side):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__side"] = np.int64(side)
+            return b
+        return f
+
+    bands_c = minhash_bands(corpus_ds.select_columns([id_col, text_col]),
+                            id_col, text_col, n_perm, bands, shingle_size,
+                            seed, hash_fn).map_batches(
+                                tag(0), batch_format="pandas")
+    bands_b = minhash_bands(bench_ds.select_columns([id_col, text_col]),
+                            id_col, text_col, n_perm, bands, shingle_size,
+                            seed, hash_fn).map_batches(
+                                tag(1), batch_format="pandas")
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pdu.hash_array(b["band_hash"].to_numpy()) ^ pdu.hash_array(
+            b["band_id"].to_numpy())
+        b["__bucket"] = (h % n_buckets).astype("int64")
+        return b
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["__side"] == 0][["band_id", "band_hash", id_col]]
+        v = g[g["__side"] == 1][["band_id", "band_hash", id_col]]
+        if c.empty or v.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype=g[id_col].dtype),
+                                 "id_b": pd.Series(dtype=g[id_col].dtype)})
+        m = c.merge(v, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        return (m[[f"{id_col}_a", f"{id_col}_b"]]
+                .rename(columns={f"{id_col}_a": "id_a",
+                                 f"{id_col}_b": "id_b"})
+                .drop_duplicates())
+
+    pair_ds = (bands_c.union(bands_b)
+               .map_batches(add_bucket, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(cross_pairs, batch_format="pandas"))
+    pair_ds = dedup_pairs_dataset(pair_ds, keep_cols=("id_a", "id_b"))
+
+    both = corpus_ds.select_columns([id_col, text_col]).union(
+        bench_ds.select_columns([id_col, text_col]))
+    verified = verify_pairs(both, pair_ds, id_col, text_col, threshold,
+                            shingle_size, hash_fn)
+
+    matched = grouped_aggregate(verified, ["id_a"],
+                                {"match_id": ("id_b", "min")}, final="auto")
+    if not isinstance(matched, pd.DataFrame):
+        if matched.count() > FUZZY_BROADCAST_MAX_ROWS:
+            from ..functions.joins import hash_join
+
+            joined = hash_join(
+                corpus_ds.select_columns([id_col]),
+                matched.map_batches(
+                    lambda b: b.rename(columns={"id_a": id_col}),
+                    batch_format="pandas"),
+                on=id_col, right_cols=["match_id"], how="left")
+
+            def finish(b: pd.DataFrame) -> pd.DataFrame:
+                b = b.copy()
+                b["contaminated"] = b["match_id"].notna()
+                return b[[id_col, "contaminated", "match_id"]]
+
+            return joined.map_batches(finish, batch_format="pandas")
+        matched = matched.to_pandas()
+
+    ids = matched["id_a"].to_numpy() if len(matched) else np.array([])
+    mids = matched["match_id"].to_numpy() if len(matched) else np.array([])
+    order = np.argsort(ids, kind="mergesort")
+    ref = ray.put((ids[order], mids[order]))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        k, mv = cached_get(ref)
+        mine = b[id_col].to_numpy()
+        out = pd.DataFrame({id_col: mine})
+        out["contaminated"] = False
+        out["match_id"] = pd.Series([None] * len(mine), dtype=object)
+        if len(k):
+            pos = np.searchsorted(k, mine)
+            ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == mine)
+            out.loc[ok, "contaminated"] = True
+            out.loc[ok, "match_id"] = mv[pos[ok]]
+        return out
+
+    return corpus_ds.select_columns([id_col]).map_batches(
+        flag, batch_format="pandas")

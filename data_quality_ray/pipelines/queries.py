@@ -2025,6 +2025,28 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def fuzzy_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy (MinHash-Jaccard) cross-corpus decontamination: benchmark =
+    docs with doc_id % 29 == 0, corpus = the rest; a corpus doc is
+    contaminated when its shingle Jaccard vs ANY benchmark doc ≥ 0.5
+    (paraphrase contamination the exact-gram probe misses). md5 mode —
+    the SQL replays banding, cross-side candidate join, exact Jaccard
+    verification, and the min-match fold. → (doc_id, contaminated,
+    match_id=-1 when clean)."""
+    from ..dedup.decontaminate import fuzzy_decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = ds.map_batches(lambda b: b[b["doc_id"] % 29 != 0],
+                            batch_format="pandas")
+    bench = ds.map_batches(lambda b: b[b["doc_id"] % 29 == 0],
+                           batch_format="pandas")
+    out = fuzzy_decontaminate(corpus, bench, "doc_id", "text",
+                              threshold=0.5, hash_fn="md5").to_pandas()
+    out["match_id"] = out["match_id"].fillna(-1).astype("int64")
+    out["contaminated"] = out["contaminated"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def homoglyph_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Homoglyph-aware dedup: every 37th doc gets a planted Cyrillic
     lookalike copy (doc_id + 1e9, the SAME translate both engines apply

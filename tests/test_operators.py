@@ -1530,3 +1530,35 @@ def test_skeleton_fold_confusables():
     assert out[2] == "hello"
     assert out[3] == "same"
     assert pd.isna(out[4])
+
+
+def test_fuzzy_decontaminate_flags_paraphrases(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.decontaminate import fuzzy_decontaminate
+
+    rng = np.random.RandomState(23)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    bench_rows, corpus_rows = [], []
+    for i in range(10):
+        t = " ".join(rng.choice(words, size=12))
+        bench_rows.append((1000 + i, t))
+        if i < 4:  # light paraphrase -> contaminated
+            toks = t.split(); toks[-1] = "omega"
+            corpus_rows.append((i, " ".join(toks)))
+    for i in range(4, 40):  # unrelated corpus docs
+        corpus_rows.append((i, " ".join(rng.choice(words[:3], size=3)) + f" unique{i}"))
+    corpus = rd.from_pandas(pd.DataFrame(corpus_rows, columns=["doc_id", "text"])).repartition(3)
+    bench = rd.from_pandas(pd.DataFrame(bench_rows, columns=["doc_id", "text"])).repartition(2)
+
+    out = fuzzy_decontaminate(corpus, bench, "doc_id", "text",
+                              threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 40
+    got = set(out[out["contaminated"]]["doc_id"])
+    assert {0, 1, 2, 3} <= got
+    # paraphrase matches point at their bench source
+    m = out.set_index("doc_id")["match_id"]
+    assert all(m[i] == 1000 + i for i in range(4))
+    # clean rows carry a null match
+    assert out[~out["contaminated"]]["match_id"].isna().all()
