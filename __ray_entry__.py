@@ -375,9 +375,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
+        "campaign_overlap_events": """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
+b AS (SELECT user_id, tn,
+             CASE WHEN lag(tn) OVER w IS NULL
+                       OR tn - lag(tn) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
+s AS (SELECT user_id, tn,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tn
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b),
+iv AS (SELECT user_id, min(tn) AS s_start, max(tn) AS s_end
+       FROM s GROUP BY user_id, sid),
+mm AS (SELECT min(tn) AS mn, max(tn) AS mx FROM e),
+camp AS (SELECT k AS campaign_id,
+                mn + ((mx - mn) * k) // 16 AS c_start,
+                mn + ((mx - mn) * k) // 16 + (mx - mn) // 20 AS c_end
+         FROM mm CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)),
+j AS (SELECT iv.user_id, camp.campaign_id,
+             least(iv.s_end, camp.c_end)
+               - greatest(iv.s_start, camp.c_start) AS ov
+      FROM iv JOIN camp
+        ON iv.s_start <= camp.c_end AND camp.c_start <= iv.s_end)
+SELECT user_id, campaign_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(ov) / 1e9, 6) AS total_overlap_sec
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "range_partition_orders": Q.range_partition_orders,
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
+        "campaign_overlap_events": Q.campaign_overlap_events,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -3209,6 +3237,33 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset_embeddings": _kcenter_sql(),
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
+        "campaign_overlap_events": """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
+b AS (SELECT user_id, tn,
+             CASE WHEN lag(tn) OVER w IS NULL
+                       OR tn - lag(tn) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
+s AS (SELECT user_id, tn,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY tn
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b),
+iv AS (SELECT user_id, min(tn) AS s_start, max(tn) AS s_end
+       FROM s GROUP BY user_id, sid),
+mm AS (SELECT min(tn) AS mn, max(tn) AS mx FROM e),
+camp AS (SELECT k AS campaign_id,
+                mn + ((mx - mn) * k) // 16 AS c_start,
+                mn + ((mx - mn) * k) // 16 + (mx - mn) // 20 AS c_end
+         FROM mm CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)),
+j AS (SELECT iv.user_id, camp.campaign_id,
+             least(iv.s_end, camp.c_end)
+               - greatest(iv.s_start, camp.c_start) AS ov
+      FROM iv JOIN camp
+        ON iv.s_start <= camp.c_end AND camp.c_start <= iv.s_end)
+SELECT user_id, campaign_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(ov) / 1e9, 6) AS total_overlap_sec
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "range_partition_orders": """
 WITH qs AS (SELECT unnest(quantile_disc(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS v
             FROM orders),

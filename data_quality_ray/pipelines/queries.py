@@ -2025,6 +2025,86 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+N_CAMPAIGNS = 16
+
+
+def campaign_overlap_events(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap join (functions/intervals.py): per-user session
+    intervals (30-min gap, epoch-ns integer math) × 16 deterministic
+    campaign windows spanning the event range — band-explode join with
+    single-band pair attribution (no dedup shuffle), folded to per
+    (user, campaign) session counts + total overlap seconds. SQL replays
+    sessions (lag window), the campaign grid (integer arithmetic), and
+    the naive overlap join. → (user_id, campaign_id, n_sessions,
+    total_overlap_sec)."""
+    import ray.data as rd
+
+    from ..functions.intervals import interval_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_ns(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(),
+            "tn": b["ts"].astype("datetime64[ns]").astype("int64"),
+        })
+
+    ns = ds.map_batches(to_ns, batch_format="pandas")
+
+    # global range: fixed-size per-batch partials -> driver min/max
+    parts = pd.concat(
+        list(ns.map_batches(
+            lambda b: pd.DataFrame({"mn": [b["tn"].min()],
+                                    "mx": [b["tn"].max()]}),
+            batch_format="pandas")
+             .iter_batches(batch_size=256, batch_format="pandas")),
+        ignore_index=True)
+    mn, mx = int(parts["mn"].min()), int(parts["mx"].max())
+    span = mx - mn
+    camp = pd.DataFrame({
+        "campaign_id": np.arange(N_CAMPAIGNS, dtype=np.int64),
+        "start": np.array([mn + (span * k) // N_CAMPAIGNS
+                           for k in range(N_CAMPAIGNS)], dtype=np.int64),
+    })
+    camp["end"] = camp["start"] + span // 20
+
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b["user_id"].to_numpy())
+                         % 32).astype("int64")
+        return b
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tn"], kind="mergesort")
+        brk = (g["user_id"].ne(g["user_id"].shift())
+               | (g["tn"].diff() > SESSION_GAP_NS))
+        sid = brk.cumsum()
+        out = g.groupby([g["user_id"], sid], sort=False)["tn"] \
+            .agg(["min", "max"]).reset_index(level=0)
+        out.columns = ["user_id", "start", "end"]
+        return out.reset_index(drop=True)
+
+    iv = (ns.map_batches(add_bucket, batch_format="pandas")
+          .groupby("__bucket").map_groups(sessions, batch_format="pandas"))
+
+    joined = interval_join(iv, rd.from_pandas(camp), "start", "end",
+                           band_width=3_600_000_000_000)
+    out = grouped_aggregate(
+        joined, ["user_id", "campaign_id"],
+        {"n_sessions": ("overlap", "count"),
+         "total_ns": ("overlap", "sum")}, final="driver")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["total_overlap_sec"] = (out["total_ns"] / 1e9).round(6)
+    return (out[["user_id", "campaign_id", "n_sessions",
+                 "total_overlap_sec"]]
+            .sort_values(["user_id", "campaign_id"])
+            .reset_index(drop=True))
+
+
 def fuzzy_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
     """Fuzzy (MinHash-Jaccard) cross-corpus decontamination: benchmark =
     docs with doc_id % 29 == 0, corpus = the rest; a corpus doc is

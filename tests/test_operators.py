@@ -1562,3 +1562,40 @@ def test_fuzzy_decontaminate_flags_paraphrases(ray_session):
     assert all(m[i] == 1000 + i for i in range(4))
     # clean rows carry a null match
     assert out[~out["contaminated"]]["match_id"].isna().all()
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.intervals import interval_join
+
+    rng = np.random.RandomState(5)
+    L = pd.DataFrame({"lid": np.arange(200, dtype="int64"),
+                      "start": rng.randint(0, 10000, 200).astype("int64")})
+    L["end"] = L["start"] + rng.randint(0, 500, 200)
+    R = pd.DataFrame({"rid": np.arange(50, dtype="int64"),
+                      "start": rng.randint(0, 10000, 50).astype("int64")})
+    R["end"] = R["start"] + rng.randint(0, 800, 50)
+
+    out = interval_join(rd.from_pandas(L).repartition(4),
+                        rd.from_pandas(R).repartition(3),
+                        "start", "end", band_width=256).to_pandas()
+    m = L.merge(R, how="cross", suffixes=("", "_b"))
+    keep = (np.maximum(m["start"], m["start_b"])
+            <= np.minimum(m["end"], m["end_b"]))
+    want = m[keep].copy()
+    want["overlap"] = (np.minimum(want["end"], want["end_b"])
+                       - np.maximum(want["start"], want["start_b"]))
+    a = out.sort_values(["lid", "rid"]).reset_index(drop=True) \
+        [["lid", "rid", "overlap"]].astype("int64")
+    b = want.sort_values(["lid", "rid"]).reset_index(drop=True) \
+        [["lid", "rid", "overlap"]].astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+    # single-band attribution: each overlapping pair appears exactly once
+    assert not out.duplicated(["lid", "rid"]).any()
+    # touching endpoints count (closed intervals), disjoint do not
+    one = interval_join(
+        rd.from_pandas(pd.DataFrame({"start": [0], "end": [10]})),
+        rd.from_pandas(pd.DataFrame({"start": [10, 11], "end": [20, 21]})),
+        band_width=4).to_pandas()
+    assert len(one) == 1 and one["overlap"].iloc[0] == 0
