@@ -483,6 +483,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "dup_caption_images": dup_caption_images,
         "phash_topk_images": phash_topk_images,
         "multimodal_dedup_images": multimodal_dedup_images,
+        "hamming_store_images": hamming_store_images,
         "image_embed_neardup": image_embed_neardup,
         "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
@@ -930,6 +931,37 @@ def multimodal_dedup_images(sf_dir: str):
                          columns=["image_id", "phash", "caption"])
     return multimodal_dedup(ds, "image_id", "phash", "caption",
                             hamming_threshold=2, n_blocks=4)
+
+
+def hamming_store_images(sf_dir: str):
+    """Partition-pruned Hamming retrieval through the PERSISTED store
+    (state/hamming_store.py — hive layout, one dir per (block, bucket)):
+    build, screen the 4 smallest-id images at radius 2 (exact by
+    pigeonhole), and assert the measured footer-level scan reduction.
+    Oracle = independent brute-force xor+bit_count cross join.
+    → (query_id, image_id, hamming)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from data_quality_ray.similarity.hamming import smallest_id_sigs
+    from data_quality_ray.state.hamming_store import (
+        build_hamming_store, hamming_store_matches, hamming_store_scan_stats)
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    qids, qsigs = smallest_id_sigs(ds, "image_id", "phash", 4)
+    store = tempfile.mkdtemp(prefix="dq_hamming_store_")
+    try:
+        build_hamming_store(ds, store, "image_id", "phash")
+        out = hamming_store_matches(store, qids, qsigs, radius=2)
+        stats = hamming_store_scan_stats(store, qsigs)
+        if not (0 < stats["rows_scanned"] < stats["rows_total"]):
+            raise AssertionError(f"hamming store did not prune: {stats}")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
 
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
@@ -2500,6 +2532,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
             "ORDER BY id_a, id_b",
         "dihedral_phash_images": _dihedral_sql(),
+        "hamming_store_images": "WITH L AS ("
+            + _f1_labels_sql("image_id, phash") + "), "
+            "q AS (SELECT image_id AS query_id, phash AS qsig FROM L "
+            "      ORDER BY image_id LIMIT 4) "
+            "SELECT q.query_id, l.image_id, "
+            "       CAST(bit_count(xor(q.qsig, l.phash)) AS BIGINT) "
+            "           AS hamming "
+            "FROM q CROSS JOIN L l "
+            "WHERE bit_count(xor(q.qsig, l.phash)) <= 2 "
+            "ORDER BY query_id, image_id",
         # independent full-scan ground truth for the partial-merge top-k
         "phash_topk_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

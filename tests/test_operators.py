@@ -1599,3 +1599,33 @@ def test_interval_join_matches_bruteforce(ray_session):
         rd.from_pandas(pd.DataFrame({"start": [10, 11], "end": [20, 21]})),
         band_width=4).to_pandas()
     assert len(one) == 1 and one["overlap"].iloc[0] == 0
+
+
+def test_hamming_store_exact_and_pruned(ray_session, tmp_path):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.simhash import hamming64_pairs
+    from data_quality_ray.state.hamming_store import (
+        build_hamming_store, hamming_store_matches, hamming_store_scan_stats)
+
+    rng = np.random.RandomState(13)
+    n = 2000
+    ids = np.array([f"s{i:05d}" for i in range(n)])
+    sigs = rng.randint(-2**62, 2**62, size=n).astype(np.int64)
+    # plant 1-bit and 2-bit edits of sig 0
+    sigs[1] = np.int64(np.uint64(sigs[0]) ^ np.uint64(1 << 5))
+    sigs[2] = np.int64(np.uint64(sigs[0]) ^ np.uint64((1 << 9) | (1 << 44)))
+    sigs[3] = np.int64(np.uint64(sigs[0]) ^ np.uint64((1 << 1) | (1 << 2) | (1 << 3)))
+    ds = rd.from_pandas(pd.DataFrame({"id": ids, "sig": sigs})).repartition(4)
+
+    store = str(tmp_path / "hstore")
+    build_hamming_store(ds, store, "id", "sig")
+    out = hamming_store_matches(store, ids[:1], sigs[:1], radius=2)
+    # brute-force ground truth
+    d = hamming64_pairs(np.full(n, sigs[0]).view(np.uint64), sigs.view(np.uint64))
+    want = set(ids[d <= 2])
+    assert set(out["id"]) == want and {"s00000", "s00001", "s00002"} <= want
+    assert "s00003" not in set(out["id"])  # 3 bits > radius
+    stats = hamming_store_scan_stats(store, sigs[:1])
+    assert 0 < stats["rows_scanned"] < stats["rows_total"]
+    assert stats["dirs_probed"] <= 4
