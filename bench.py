@@ -170,6 +170,12 @@ def run_bench() -> dict:
         ("bpe_tokens_docs", Q.bpe_tokens_docs),
         ("grouped_weighted_sample_orders", Q.grouped_weighted_sample_orders),
         ("json_extract_events", Q.json_extract_events),
+        ("kcenter_coreset_embeddings", Q.kcenter_coreset_embeddings),
+        ("range_partition_orders", Q.range_partition_orders),
+        ("homoglyph_dedup_docs", Q.homoglyph_dedup_docs),
+        ("fuzzy_decontaminate_docs", Q.fuzzy_decontaminate_docs),
+        ("campaign_overlap_events", Q.campaign_overlap_events),
+        ("cluster_safe_split_docs", Q.cluster_safe_split_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
@@ -183,6 +189,7 @@ def run_bench() -> dict:
             ("webdataset_roundtrip_images", E.webdataset_roundtrip_images),
             ("phash_topk_images", E.phash_topk_images),
             ("multimodal_dedup_images", E.multimodal_dedup_images),
+            ("hamming_store_images", E.hamming_store_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()
