@@ -484,6 +484,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "phash_topk_images": phash_topk_images,
         "multimodal_dedup_images": multimodal_dedup_images,
         "hamming_store_images": hamming_store_images,
+        "audio_quality_clips": audio_quality_clips,
         "image_embed_neardup": image_embed_neardup,
         "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
@@ -562,6 +563,10 @@ def _ensure_oracle_artifacts() -> None:
         open(marker, "w").close()
     for n in _F1_SIZES:  # sf0.001/sf0.01 → 1000; sf0.1 → 10000
         write_f1(f"/tmp/dq_ray_f1_{n}", n_rows=n, seed=42, feature_labels=True)
+    from data_quality_ray.sources.audio_fixtures import write_a1
+
+    for n in _A1_SIZES:  # sf0.001/sf0.01 → 500; sf0.1 → 5000
+        write_a1(f"/tmp/dq_ray_a1_{n}", n_rows=n, seed=42)
     _write_phonetic_goldens()
     _write_sem_centroids()
     _write_pq_codebooks()
@@ -963,6 +968,45 @@ def hamming_store_images(sf_dir: str):
     out["hamming"] = out["hamming"].astype("int64")
     return out
 
+
+def _audio_fixture(sf_dir: str) -> str:
+    """Deterministic audio-clip table sized to the sf tier (third
+    modality; sources/audio_fixtures.py), cached under /tmp with a
+    golden label table for the SQL side."""
+    import duckdb
+
+    from data_quality_ray.sources.audio_fixtures import write_a1
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    n = max(500, int(n_docs))
+    out = f"/tmp/dq_ray_a1_{n}"
+    write_a1(out, n_rows=n, seed=42)
+    return out
+
+
+def audio_quality_clips(sf_dir: str):
+    """Audio quality filter over the clip table: actor-pool decode +
+    feature + rule-chain verdict (stages/audio.py — PCM never leaves the
+    worker). Oracle = the fixture's golden feature/verdict labels (the
+    image feature-label pattern); the feature math itself is pinned to
+    hand-computed waveforms in tests/test_audio.py.
+    → (clip_id, duration_sec, rms, peak, zcr, clipping_ratio,
+    silence_ratio, verdict, first_rule)."""
+    import glob
+
+    import ray.data as rd
+
+    from data_quality_ray.stages.audio import extract_audio_features
+
+    files = sorted(glob.glob(_audio_fixture(sf_dir) + "/part-*.parquet"))
+    ds = rd.read_parquet(files, columns=["clip_id", "bytes"])
+    return extract_audio_features(ds, concurrency=4).select_columns(
+        ["clip_id", "duration_sec", "rms", "peak", "zcr",
+         "clipping_ratio", "silence_ratio", "verdict", "first_rule"])
+
+
+_A1_SIZES = (500, 5000)
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
 _F1_SIZES = (1000, 10000)
@@ -2531,6 +2575,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM L a JOIN L b ON a.image_id < b.image_id "
             "WHERE bit_count(xor(a.phash, b.phash)) <= 2 "
             "ORDER BY id_a, id_b",
+        "audio_quality_clips": (" UNION ALL ".join(
+            f"SELECT clip_id, duration_sec, rms, peak, zcr, "
+            f"clipping_ratio, silence_ratio, verdict, first_rule "
+            f"FROM read_parquet('/tmp/dq_ray_a1_{n}/audio_labels.parquet') "
+            f"WHERE (SELECT greatest(500, count(*)) FROM documents) = {n}"
+            for n in _A1_SIZES) + " ORDER BY clip_id"),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

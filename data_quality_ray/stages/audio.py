@@ -1,0 +1,112 @@
+"""Audio payload stages — the third modality of the multimodal surface
+(image: stages/image.py, video frame-sampling: stages/image_ops.py).
+
+Audio clips are opaque ``binary`` columns with typed metadata
+(clip_id, bytes, sr, n_samples, caption), decoded and scored inside an
+actor-pool ``map_batches`` stage — samples never leave the worker, the
+output is fixed-width feature/verdict columns.
+
+Codec: a marked deterministic STAND-IN (``FAUD`` | sr | n | zlib'd int16
+PCM) — this sandbox ships no soundfile/ffmpeg; swap ``decode_audio`` /
+``encode_audio`` for a real codec in production. Every downstream
+feature is plain integer/float math over the PCM array, so the fixture
+generator can emit golden label columns for the SQL oracle (the image
+fixture's feature-label pattern) while unit tests pin the features to
+hand-computed waveforms.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_FAUD_MAGIC = b"FAUD"
+FULL_SCALE = 32768.0
+CLIP_LEVEL = 32760          # |sample| at or above ⇒ counted as clipped
+SILENCE_LEVEL = 327         # |sample| at or below ⇒ counted as silence (~1% FS)
+
+# rule chain (first failing rule wins), mirroring the caption rule shape
+MIN_DURATION_SEC = 1.0
+MIN_RMS = 0.01
+MAX_CLIPPING_RATIO = 0.01
+MAX_SILENCE_RATIO = 0.8
+
+
+def encode_audio(samples: np.ndarray, sr: int) -> bytes:
+    """Stand-in container: FAUD | sr u32 | n u32 | zlib(int16 PCM)."""
+    s = np.asarray(samples, dtype=np.int16)
+    return (_FAUD_MAGIC + struct.pack(">II", sr, len(s))
+            + zlib.compress(s.tobytes(), 3))
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != _FAUD_MAGIC:
+        raise ValueError("not a FAUD container")
+    sr, n = struct.unpack(">II", data[4:12])
+    s = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
+    if len(s) != n:
+        raise ValueError("FAUD length mismatch")
+    return s, sr
+
+
+def audio_features(samples: np.ndarray, sr: int) -> dict:
+    """Deterministic per-clip features, 6-dp-rounded at the edge (the
+    float contract): duration, RMS / peak (full-scale units), zero
+    crossing rate, clipping ratio, silence ratio."""
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    x = s.astype(np.float64) / FULL_SCALE
+    zc = int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+    return {
+        "duration_sec": round(n / sr, 6),
+        "rms": round(float(np.sqrt((x * x).mean())) if n else 0.0, 6),
+        "peak": round(float(np.abs(x).max()) if n else 0.0, 6),
+        "zcr": round(zc / (n - 1), 6) if n > 1 else 0.0,
+        "clipping_ratio": round(float((np.abs(s) >= CLIP_LEVEL).mean())
+                                if n else 0.0, 6),
+        "silence_ratio": round(float((np.abs(s) <= SILENCE_LEVEL).mean())
+                               if n else 0.0, 6),
+    }
+
+
+def audio_verdict(f: dict) -> tuple[str, str]:
+    """(verdict, first_rule) under the fixed rule order."""
+    if f["duration_sec"] < MIN_DURATION_SEC:
+        return "DROP", "too_short"
+    if f["rms"] < MIN_RMS:
+        return "DROP", "too_quiet"
+    if f["clipping_ratio"] > MAX_CLIPPING_RATIO:
+        return "DROP", "clipped"
+    if f["silence_ratio"] > MAX_SILENCE_RATIO:
+        return "DROP", "mostly_silent"
+    return "KEEP", "none"
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode + feature + verdict per clip. Setup cost
+    is nil for the stand-in codec, but the class shape keeps the
+    actor-pool contract (a real codec loads its decoder state once in
+    ``__init__``)."""
+
+    def __init__(self, bytes_col: str = "bytes", id_col: str = "clip_id"):
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, blob in zip(batch[self.id_col], batch[self.bytes_col]):
+            s, sr = decode_audio(blob)
+            f = audio_features(s, sr)
+            v, r = audio_verdict(f)
+            f.update({self.id_col: cid, "verdict": v, "first_rule": r})
+            rows.append(f)
+        return pd.DataFrame(rows)
+
+
+def extract_audio_features(ds, concurrency: int = 4, batch_size: int = 256,
+                           **kw):
+    return ds.map_batches(AudioFeatureStage(**kw), batch_format="pandas",
+                          concurrency=concurrency, batch_size=batch_size)
