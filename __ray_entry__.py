@@ -485,6 +485,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "multimodal_dedup_images": multimodal_dedup_images,
         "hamming_store_images": hamming_store_images,
         "audio_quality_clips": audio_quality_clips,
+        "video_frame_dedup": video_frame_dedup,
         "image_embed_neardup": image_embed_neardup,
         "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
@@ -567,6 +568,10 @@ def _ensure_oracle_artifacts() -> None:
 
     for n in _A1_SIZES:  # sf0.001/sf0.01 → 500; sf0.1 → 5000
         write_a1(f"/tmp/dq_ray_a1_{n}", n_rows=n, seed=42)
+    from data_quality_ray.sources.video_fixtures import write_v1
+
+    for n in _V1_SIZES:  # sf0.001/sf0.01 → 250; sf0.1 → 2500
+        write_v1(f"/tmp/dq_ray_v1_{n}", n_rows=n, seed=42)
     _write_phonetic_goldens()
     _write_sem_centroids()
     _write_pq_codebooks()
@@ -1006,6 +1011,57 @@ def audio_quality_clips(sf_dir: str):
          "clipping_ratio", "silence_ratio", "verdict", "first_rule"])
 
 
+def _video_fixture(sf_dir: str) -> str:
+    """Deterministic FVID clip table sized to the sf tier with planted
+    exact/near duplicates (sources/video_fixtures.py)."""
+    import duckdb
+
+    from data_quality_ray.sources.video_fixtures import write_v1
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    n = max(250, int(n_docs) // 2)
+    out = f"/tmp/dq_ray_v1_{n}"
+    write_v1(out, n_rows=n, seed=42)
+    return out
+
+
+def video_frame_dedup(sf_dir: str):
+    """Video dedup through the real sample→decode→phash path: the
+    FrameSampleStage stub container (actor-pool, frames never leave the
+    worker) feeds FrameSignatureStage's exact multi-frame key; keeper =
+    min video_id per signature. Planted exact duplicates must collapse,
+    one-frame near-duplicates must NOT. Oracle = golden signature labels
+    + an INDEPENDENT SQL keeper derivation (group-min over the label
+    sigs). → (video_id, n_frames, n_sampled, sig, keeper_id)."""
+    import glob
+
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+    from data_quality_ray.stages.image_ops import (FrameSampleStage,
+                                                   FrameSignatureStage)
+
+    files = sorted(glob.glob(_video_fixture(sf_dir) + "/part-*.parquet"))
+    ds = rd.read_parquet(files)
+    sigged = (ds.map_batches(FrameSampleStage(4, "png", "video"),
+                             batch_format="pyarrow", concurrency=4)
+              .map_batches(FrameSignatureStage(), batch_format="pyarrow",
+                           concurrency=4))
+    out = sigged.select_columns(
+        ["video_id", "n_frames", "sig", "n_sampled"]).to_pandas()
+    # keeper map: sig keyspace ≈ #clips — driver final here; the shuffle
+    # final is the documented scale route (grouped_aggregate contract)
+    keep = grouped_aggregate(
+        rd.from_pandas(out[["sig", "video_id"]]), ["sig"],
+        {"keeper_id": ("video_id", "min")}, final="driver")
+    out = out.merge(keep, on="sig")
+    out["n_frames"] = out["n_frames"].astype("int64")
+    return (out[["video_id", "n_frames", "n_sampled", "sig", "keeper_id"]]
+            .sort_values("video_id").reset_index(drop=True))
+
+
+_V1_SIZES = (250, 2500)
 _A1_SIZES = (500, 5000)
 
 # fixture sizes = max(500, 2·n_docs) over the shipped sf tiers
@@ -2581,6 +2637,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('/tmp/dq_ray_a1_{n}/audio_labels.parquet') "
             f"WHERE (SELECT greatest(500, count(*)) FROM documents) = {n}"
             for n in _A1_SIZES) + " ORDER BY clip_id"),
+        "video_frame_dedup": (" UNION ALL ".join(
+            f"SELECT l.video_id, CAST(l.n_frames AS BIGINT) AS n_frames, "
+            f"CAST(l.n_sampled AS BIGINT) AS n_sampled, l.sig, k.keeper_id "
+            f"FROM read_parquet('/tmp/dq_ray_v1_{n}/video_labels.parquet') l "
+            f"JOIN (SELECT sig, min(video_id) AS keeper_id "
+            f"      FROM read_parquet('/tmp/dq_ray_v1_{n}/video_labels.parquet') "
+            f"      GROUP BY sig) k USING (sig) "
+            f"WHERE (SELECT greatest(250, count(*) // 2) FROM documents) = {n}"
+            for n in _V1_SIZES) + " ORDER BY video_id"),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

@@ -278,3 +278,35 @@ def add_dihedral_canonical(ds, sig_col: str, out_col: str = "canonical"):
         return b
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+class FrameSignatureStage:
+    """Fold a clip's sampled frames (``FrameSampleStage`` output) into an
+    exact multi-frame dedup key: decode each sampled frame, phash64 it,
+    stable-hash the joined phash string → int64 ``sig``. Clips whose
+    UNIFORMLY SAMPLED frames all match collapse under exact dedup on
+    ``sig`` — the cheap video-dedup operating point (a one-frame edit
+    changes the key; Hamming-tolerant variants would feed the per-frame
+    phashes to the signature dedup family instead)."""
+
+    def __init__(self, frame_fmt: str = "png"):
+        from ..profiling.sketches import HASH64
+
+        self.frame_fmt = frame_fmt
+        self._hash = HASH64["stable"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs, n_sampled = [], []
+        for frames in batch["frames"].to_pylist():
+            if frames is None:
+                sigs.append(None)
+                n_sampled.append(0)
+                continue
+            ph = [int(phash64(decode(f, self.frame_fmt))) for f in frames]
+            key = "|".join(map(str, ph))
+            sigs.append(int(self._hash(np.array([key], dtype=object))[0]
+                            .astype(np.int64)))
+            n_sampled.append(len(ph))
+        batch = batch.append_column("sig", pa.array(sigs, type=pa.int64()))
+        return batch.append_column("n_sampled",
+                                   pa.array(n_sampled, type=pa.int64()))

@@ -1629,3 +1629,16 @@ def test_hamming_store_exact_and_pruned(ray_session, tmp_path):
     stats = hamming_store_scan_stats(store, sigs[:1])
     assert 0 < stats["rows_scanned"] < stats["rows_total"]
     assert stats["dirs_probed"] <= 4
+
+
+def test_video_frame_dedup_collapses_exact_not_near(ray_session):
+    out = __import__("__ray_entry__").video_frame_dedup("/root/testdata/sf0.001")
+    k = out.set_index("video_id")["keeper_id"]
+    # planted exact duplicate collapses onto its original...
+    assert k["vid500000000"] == "vid000000000"
+    # ...the one-frame near-duplicate does not
+    assert k["vid700000017"] == "vid700000017"
+    # keepers are group minima
+    assert (out.groupby("sig")["keeper_id"].nunique() == 1).all()
+    assert (out.groupby("sig")["video_id"].min() ==
+            out.groupby("sig")["keeper_id"].first()).all()
