@@ -486,6 +486,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "hamming_store_images": hamming_store_images,
         "audio_quality_clips": audio_quality_clips,
         "video_frame_dedup": video_frame_dedup,
+        "audio_fingerprint_dedup": audio_fingerprint_dedup,
         "image_embed_neardup": image_embed_neardup,
         "ar_bucket_batches_images": ar_bucket_batches_images,
         # relational completeness
@@ -1059,6 +1060,38 @@ def video_frame_dedup(sf_dir: str):
     out["n_frames"] = out["n_frames"].astype("int64")
     return (out[["video_id", "n_frames", "n_sampled", "sig", "keeper_id"]]
             .sort_values("video_id").reset_index(drop=True))
+
+
+def audio_fingerprint_dedup(sf_dir: str):
+    """Audio near-dup collapse through the real decode→FFT→fingerprint
+    path (stages/audio.audio_fingerprint: per-frame dominant-bin codes —
+    noise- and level-robust, measured): planted re-noised copies (same
+    program material, fresh noise, different bytes) MUST share the
+    whole-clip key and collapse; keeper = min clip_id per key; clips too
+    short to fingerprint are excluded. Oracle = golden fp_key labels +
+    INDEPENDENT SQL keeper derivation. → (clip_id, n_fp_frames, fp_key,
+    keeper_id)."""
+    import glob
+
+    import ray.data as rd
+
+    from data_quality_ray.profiling.groupagg import grouped_aggregate
+    from data_quality_ray.stages.audio import AudioFingerprintStage
+
+    files = sorted(glob.glob(_audio_fixture(sf_dir) + "/part-*.parquet"))
+    ds = rd.read_parquet(files, columns=["clip_id", "bytes"])
+    fp = ds.map_batches(AudioFingerprintStage(), batch_format="pandas",
+                        concurrency=4).to_pandas()
+    fp = fp[fp["fp_key"].notna()].copy()
+    fp["fp_key"] = fp["fp_key"].astype("int64")
+    keep = grouped_aggregate(
+        __import__("ray.data", fromlist=["data"]).from_pandas(
+            fp[["fp_key", "clip_id"]]), ["fp_key"],
+        {"keeper_id": ("clip_id", "min")}, final="driver")
+    out = fp.merge(keep, on="fp_key")
+    out["n_fp_frames"] = out["n_fp_frames"].astype("int64")
+    return (out[["clip_id", "n_fp_frames", "fp_key", "keeper_id"]]
+            .sort_values("clip_id").reset_index(drop=True))
 
 
 _V1_SIZES = (250, 2500)
@@ -2646,6 +2679,16 @@ def oracle_sql() -> dict[str, str]:
             f"      GROUP BY sig) k USING (sig) "
             f"WHERE (SELECT greatest(250, count(*) // 2) FROM documents) = {n}"
             for n in _V1_SIZES) + " ORDER BY video_id"),
+        "audio_fingerprint_dedup": (" UNION ALL ".join(
+            f"SELECT l.clip_id, CAST(l.n_fp_frames AS BIGINT) AS n_fp_frames, "
+            f"l.fp_key, k.keeper_id "
+            f"FROM read_parquet('/tmp/dq_ray_a1_{n}/audio_labels.parquet') l "
+            f"JOIN (SELECT fp_key, min(clip_id) AS keeper_id "
+            f"      FROM read_parquet('/tmp/dq_ray_a1_{n}/audio_labels.parquet') "
+            f"      WHERE fp_key IS NOT NULL GROUP BY fp_key) k USING (fp_key) "
+            f"WHERE l.fp_key IS NOT NULL "
+            f"AND (SELECT greatest(500, count(*)) FROM documents) = {n}"
+            for n in _A1_SIZES) + " ORDER BY clip_id"),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

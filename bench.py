@@ -190,6 +190,8 @@ def run_bench() -> dict:
             ("phash_topk_images", E.phash_topk_images),
             ("multimodal_dedup_images", E.multimodal_dedup_images),
             ("hamming_store_images", E.hamming_store_images),
+            ("audio_quality_clips", E.audio_quality_clips),
+            ("video_frame_dedup", E.video_frame_dedup),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -79,3 +79,42 @@ def test_audio_stage_matches_labels(ray_session, tmp_path):
                                "mostly_silent"}
     assert {"too_short", "too_quiet", "clipped", "mostly_silent"} <= \
         set(lab["first_rule"])
+
+
+def test_fingerprint_noise_and_level_robust():
+    from data_quality_ray.stages.audio import (audio_fingerprint,
+                                               clip_fingerprint_key)
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+
+    def mk(freq, nseed, amp=0.5):
+        tone = np.sin(2 * np.pi * freq * t)
+        n = np.random.RandomState(nseed).randn(len(t)) * 0.01
+        return np.clip(np.round((tone + n) * amp * 32767),
+                       -32768, 32767).astype(np.int16)
+
+    a, b, c, d = mk(440, 0), mk(440, 9), mk(523, 1), mk(440, 2, amp=0.25)
+    assert np.array_equal(audio_fingerprint(a, sr), audio_fingerprint(b, sr))
+    assert np.array_equal(audio_fingerprint(a, sr), audio_fingerprint(d, sr))
+    assert not np.array_equal(audio_fingerprint(a, sr), audio_fingerprint(c, sr))
+    assert clip_fingerprint_key(a, sr) == clip_fingerprint_key(b, sr)
+    assert clip_fingerprint_key(a, sr) != clip_fingerprint_key(c, sr)
+    # too short to fingerprint
+    assert clip_fingerprint_key(a[:1000], sr) is None
+
+
+def test_fingerprint_dedup_collapses_planted_copies(ray_session):
+    out = __import__("__ray_entry__").audio_fingerprint_dedup(
+        "/root/testdata/sf0.001")
+    k = out.set_index("clip_id")["keeper_id"]
+    # every planted re-noised copy lands in its original's group (two
+    # originals may legitimately share a key when their tones quantize
+    # to the same dominant-bin sequence, so compare GROUPS, not ids)
+    copies = [c for c in out["clip_id"] if c.startswith("aud5")]
+    assert copies
+    for c in copies:
+        orig = f"aud{int(c[3:]) - 500_000_000:09d}"
+        if orig in k.index:
+            assert k[c] == k[orig]
+    assert (out.groupby("fp_key")["keeper_id"].nunique() == 1).all()
