@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
+        "supplier_pagerank": _pagerank_sql(),
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,
@@ -406,6 +407,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
         "campaign_overlap_events": Q.campaign_overlap_events,
+        "supplier_pagerank": Q.supplier_pagerank,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -2413,6 +2415,49 @@ def _kcenter_sql() -> str:
     return sql
 
 
+def _pagerank_sql() -> str:
+    """Unrolled PageRank replay: edges from the same join+group, both
+    directions, r0 = round(1/N, 9), each round r = round((1-d)/N +
+    d·Σ r·w/od, 9) — the functions/graph.py quantized-state contract.
+    Doubles written in e0 notation so DuckDB never drops into DECIMAL
+    arithmetic."""
+    from data_quality_ray.functions.graph import RANK_ROUND
+    from data_quality_ray.pipelines.queries import (PAGERANK_DAMPING,
+                                                    PAGERANK_ROUNDS)
+
+    d = f"{PAGERANK_DAMPING}e0"
+    sql = f"""
+    WITH e AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             count(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    ee AS (SELECT src, dst, w FROM e
+           UNION ALL SELECT dst, src, w FROM e),
+    nodes AS (SELECT DISTINCT src AS n FROM ee),
+    nn AS (SELECT count(*) AS nc FROM nodes),
+    od AS (SELECT src, sum(w) AS od FROM ee GROUP BY 1),
+    r0 AS (SELECT n, round(1.0e0 / (SELECT nc FROM nn), {RANK_ROUND}) AS r
+           FROM nodes)"""
+    prev = "r0"
+    for i in range(1, PAGERANK_ROUNDS + 1):
+        sql += f""",
+    m{i} AS (SELECT ee.dst AS n, sum(rp.r * ee.w / od.od) AS m
+             FROM ee JOIN {prev} rp ON rp.n = ee.src
+             JOIN od ON od.src = ee.src GROUP BY 1),
+    r{i} AS (SELECT nodes.n,
+                    round((1.0e0 - {d}) / (SELECT nc FROM nn)
+                          + {d} * coalesce(m{i}.m, 0.0e0),
+                          {RANK_ROUND}) AS r
+             FROM nodes LEFT JOIN m{i} ON m{i}.n = nodes.n)"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT CAST(substr(n, 2) AS BIGINT) AS s_suppkey, round(r, 6) AS rank
+    FROM {prev} WHERE n LIKE 's%' ORDER BY 1"""
+    return sql
+
+
 def _fuzzy_decontaminate_sql(threshold: float = 0.5, n_perm: int = 64,
                              bands: int = 16, shingle_size: int = 3,
                              seed: int = 17) -> str:
@@ -3437,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset_embeddings": _kcenter_sql(),
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
+        "supplier_pagerank": _pagerank_sql(),
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,

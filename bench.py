@@ -176,6 +176,7 @@ def run_bench() -> dict:
         ("fuzzy_decontaminate_docs", Q.fuzzy_decontaminate_docs),
         ("campaign_overlap_events", Q.campaign_overlap_events),
         ("cluster_safe_split_docs", Q.cluster_safe_split_docs),
+        ("supplier_pagerank", Q.supplier_pagerank),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
@@ -192,6 +193,7 @@ def run_bench() -> dict:
             ("hamming_store_images", E.hamming_store_images),
             ("audio_quality_clips", E.audio_quality_clips),
             ("video_frame_dedup", E.video_frame_dedup),
+            ("audio_fingerprint_dedup", E.audio_fingerprint_dedup),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -2025,6 +2025,48 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ROUNDS = 5
+
+
+def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank centrality of suppliers in the customer↔supplier
+    transaction graph: one hash_join exchange builds weighted bipartite
+    edges (weight = lineitem count), symmetrized; functions/graph.py
+    runs 5 quantized-state rounds (broadcast rank vector, streaming
+    per-edge contributions, grouped partial fold). The SQL replays
+    EVERY round with unrolled CTEs. → (s_suppkey, rank)."""
+    from ..functions.graph import pagerank
+    from ..functions.joins import hash_join
+    from ..profiling.groupagg import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+                     batch_format="pandas")
+    joined = hash_join(li, orders, on="l_orderkey", right_cols=["o_custkey"])
+    w = grouped_aggregate(joined, ["o_custkey", "l_suppkey"],
+                          {"w": ("l_orderkey", "count")}, final="shuffle")
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = "c" + b["o_custkey"].astype(str)
+        dst = "s" + b["l_suppkey"].astype(str)
+        wt = b["w"].to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([src.to_numpy(), dst.to_numpy()]),
+            "dst": np.concatenate([dst.to_numpy(), src.to_numpy()]),
+            "w": np.concatenate([wt, wt]),
+        })
+
+    ranks = pagerank(w.map_batches(to_edges, batch_format="pandas"),
+                     damping=PAGERANK_DAMPING, rounds=PAGERANK_ROUNDS)
+    sup = ranks[ranks["node"].str.startswith("s")].copy()
+    sup["s_suppkey"] = sup["node"].str.slice(1).astype("int64")
+    sup["rank"] = sup["rank"].round(6)
+    return (sup[["s_suppkey", "rank"]].sort_values("s_suppkey")
+            .reset_index(drop=True))
+
+
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000
 N_CAMPAIGNS = 16
 

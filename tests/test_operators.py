@@ -1642,3 +1642,30 @@ def test_video_frame_dedup_collapses_exact_not_near(ray_session):
     assert (out.groupby("sig")["keeper_id"].nunique() == 1).all()
     assert (out.groupby("sig")["video_id"].min() ==
             out.groupby("sig")["keeper_id"].first()).all()
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.graph import RANK_ROUND, pagerank
+
+    # star + chain: hub must out-rank leaves
+    e = pd.DataFrame({"src": ["h", "h", "h", "a", "b", "c", "c", "d"],
+                      "dst": ["a", "b", "c", "h", "h", "h", "d", "c"],
+                      "w": [1, 2, 1, 1, 2, 1, 3, 3]})
+    got = pagerank(rd.from_pandas(e).repartition(3), damping=0.85, rounds=5)
+
+    nodes = np.sort(e["src"].unique())
+    idx = {n: i for i, n in enumerate(nodes)}
+    od = e.groupby("src")["w"].sum()
+    r = np.full(len(nodes), round(1 / len(nodes), RANK_ROUND))
+    for _ in range(5):
+        m = np.zeros(len(nodes))
+        for s, dd, w in e.itertuples(index=False):
+            m[idx[dd]] += r[idx[s]] * w / od[s]
+        r = np.round(0.15 / len(nodes) + 0.85 * m, RANK_ROUND)
+    assert list(got["node"]) == list(nodes)
+    assert np.allclose(got["rank"], r, atol=1e-9)
+    g = got.set_index("node")["rank"]
+    assert g["h"] > g["a"] and g["h"] > g["b"]
+    assert abs(got["rank"].sum() - 1.0) < 0.01
