@@ -36,13 +36,17 @@ _GEN_RE = re.compile(r"^gen-(\d+)$")
 
 
 def _committed_gens(index_dir: str) -> list[str]:
+    """Committed generations in NUMERIC order — retractions make the
+    replay order-sensitive (latest op per key wins), and lexicographic
+    sort would put gen-10 before gen-2."""
     if not os.path.isdir(index_dir):
         return []
     out = []
-    for name in sorted(os.listdir(index_dir)):
-        if _GEN_RE.match(name) and os.path.exists(os.path.join(index_dir, name, "_GEN")):
-            out.append(os.path.join(index_dir, name))
-    return out
+    for name in os.listdir(index_dir):
+        m = _GEN_RE.match(name)
+        if m and os.path.exists(os.path.join(index_dir, name, "_GEN")):
+            out.append((int(m.group(1)), os.path.join(index_dir, name)))
+    return [p for _, p in sorted(out)]
 
 
 def _next_gen(index_dir: str) -> int:
@@ -56,16 +60,33 @@ def _next_gen(index_dir: str) -> int:
     return max(gens, default=-1) + 1
 
 
+def _gen_keys(gen: str, prefix: str) -> np.ndarray:
+    parts = [pq.read_table(os.path.join(gen, f), columns=["key"])["key"].to_numpy()
+             for f in sorted(os.listdir(gen))
+             if f.startswith(prefix) and f.endswith(".parquet")]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+
+
 def load_keys(index_dir: str) -> np.ndarray:
-    """All committed historical keys, sorted, deduplicated."""
-    parts = []
+    """All LIVE committed keys, sorted: generations replay in numeric
+    order, appends add, tombstone files (``retract``) remove — so the
+    latest operation per key wins, and a key re-ingested after deletion
+    is live again (the GDPR right-to-be-forgotten contract: retraction
+    forgets history, it does not ban the key)."""
+    alive = np.empty(0, dtype=np.int64)
     for gen in _committed_gens(index_dir):
-        for f in sorted(os.listdir(gen)):
-            if f.endswith(".parquet"):
-                parts.append(pq.read_table(os.path.join(gen, f), columns=["key"])["key"].to_numpy())
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts))
+        added = _gen_keys(gen, "keys-")
+        tombs = _gen_keys(gen, "tombs-")
+        if len(added):
+            alive = np.union1d(alive, added) if len(alive) else added
+        if len(tombs) and len(alive):
+            alive = alive[~isin_sorted_local(alive, tombs)]
+    return alive
+
+
+def isin_sorted_local(cand: np.ndarray, v: np.ndarray) -> np.ndarray:
+    pos = np.clip(np.searchsorted(v, cand), 0, len(v) - 1)
+    return v[pos] == cand
 
 
 def append(index_dir: str, keys: np.ndarray, shard_rows: int = 4_000_000) -> str:
@@ -78,6 +99,27 @@ def append(index_dir: str, keys: np.ndarray, shard_rows: int = 4_000_000) -> str
         chunk = keys[start : start + shard_rows]
         pq.write_table(pa.table({"key": pa.array(chunk)}),
                        os.path.join(gen_dir, f"keys-{shard:04d}.parquet"))
+    tmp = os.path.join(gen_dir, "._GEN.tmp")
+    open(tmp, "w").close()
+    os.replace(tmp, os.path.join(gen_dir, "_GEN"))
+    return gen_dir
+
+
+def retract(index_dir: str, keys: np.ndarray,
+            shard_rows: int = 4_000_000) -> str:
+    """Commit a TOMBSTONE generation removing ``keys`` from the live set
+    (right-to-be-forgotten): same atomic marker protocol as ``append``,
+    idempotent (retracting an absent key is a no-op), and ordered —
+    a later ``append`` of the same key makes it live again, while
+    ``compact`` folds tombstones away entirely (the forgotten key leaves
+    no trace on disk afterwards). Returns the generation directory."""
+    gen_dir = os.path.join(index_dir, f"gen-{_next_gen(index_dir)}")
+    os.makedirs(gen_dir, exist_ok=True)
+    keys = np.unique(np.asarray(keys))
+    for shard, start in enumerate(range(0, max(len(keys), 1), shard_rows)):
+        chunk = keys[start : start + shard_rows]
+        pq.write_table(pa.table({"key": pa.array(chunk)}),
+                       os.path.join(gen_dir, f"tombs-{shard:04d}.parquet"))
     tmp = os.path.join(gen_dir, "._GEN.tmp")
     open(tmp, "w").close()
     os.replace(tmp, os.path.join(gen_dir, "_GEN"))
@@ -165,3 +207,12 @@ class DedupIndex:
                      batch_size=65536, batch_format="pandas")]
         keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
         return append(self.index_dir, keys)
+
+    def retract_keys(self, keys: np.ndarray) -> str:
+        """Tombstone ``keys`` (right-to-be-forgotten) and refresh the
+        in-memory live set so subsequent ``filter_new`` calls in this
+        process admit them again."""
+        gen = retract(self.index_dir, keys)
+        self._hist = load_keys(self.index_dir)
+        self._hist_ref = None
+        return gen

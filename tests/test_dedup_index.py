@@ -156,3 +156,59 @@ def test_compaction_preserves_membership(tmp_path):
     # gen numbers of deleted dirs are never reused while junk remains
     g2 = append(d, np.array([5], dtype=np.int64))
     assert os.path.basename(g2) not in {os.path.basename(g) for g in gens}
+
+
+def test_retraction_latest_op_wins(tmp_path):
+    import numpy as np
+
+    from data_quality_ray.state.dedup_index import (append, compact,
+                                                    load_keys, retract)
+
+    d = str(tmp_path / "idx")
+    append(d, np.array([1, 2, 3, 4], dtype=np.int64))
+    append(d, np.array([5, 6], dtype=np.int64))
+    retract(d, np.array([2, 5, 99], dtype=np.int64))  # 99 absent → no-op
+    assert list(load_keys(d)) == [1, 3, 4, 6]
+    # re-ingestion after deletion makes the key live again
+    append(d, np.array([2], dtype=np.int64))
+    assert list(load_keys(d)) == [1, 2, 3, 4, 6]
+    # compaction folds tombstones away; no retracted key resurfaces
+    compact(d)
+    assert list(load_keys(d)) == [1, 2, 3, 4, 6]
+    import glob
+    import os
+    assert not glob.glob(os.path.join(d, "gen-*", "tombs-*.parquet"))
+    # retraction after compaction still works
+    retract(d, np.array([1], dtype=np.int64))
+    assert list(load_keys(d)) == [2, 3, 4, 6]
+
+
+def test_retraction_gen_order_numeric(tmp_path):
+    """gen-10 must replay AFTER gen-2 (numeric, not lexicographic)."""
+    import numpy as np
+
+    from data_quality_ray.state.dedup_index import append, load_keys, retract
+
+    d = str(tmp_path / "idx")
+    for _ in range(10):
+        append(d, np.array([7], dtype=np.int64))  # gens 0..9
+    retract(d, np.array([7], dtype=np.int64))     # gen-10 — must win
+    assert list(load_keys(d)) == []
+
+
+def test_dedup_index_retract_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.state.dedup_index import DedupIndex
+
+    d = str(tmp_path / "idx")
+    idx = DedupIndex(d)
+    ds = rd.from_pandas(pd.DataFrame({"phash": np.array([10, 20, 30], dtype=np.int64)}))
+    idx.commit(ds, "phash")
+    idx2 = DedupIndex(d)
+    assert idx2.filter_new(ds, "phash").count() == 0  # all known
+    idx2.retract_keys(np.array([20], dtype=np.int64))
+    out = idx2.filter_new(ds, "phash").to_pandas()
+    assert list(out["phash"]) == [20]  # forgotten key admitted again
