@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
+        "fs_linkage_customers": _fs_linkage_sql(),
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,
@@ -408,6 +409,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
+        "fs_linkage_customers": Q.fs_linkage_customers,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -2415,6 +2417,78 @@ def _kcenter_sql() -> str:
     return sql
 
 
+def _fs_linkage_sql() -> str:
+    """Unrolled Fellegi–Sunter EM replay: nation-blocked pair
+    generation, the 16-row pattern fold, and every EM round — products
+    written in the SAME field order as the numpy fit (bit-identical
+    multiplication sequence), params round(…,9) then clipped into
+    [1e-6, 1-1e-6] each round (dedup/fellegi_sunter.py contract)."""
+    from data_quality_ray.dedup.fellegi_sunter import CLIP, EM_ROUND
+    from data_quality_ray.pipelines.queries import FS_BITS, FS_ROUNDS
+
+    k = len(FS_BITS)
+
+    def pm_expr(par: str, kind: str) -> str:
+        return " * ".join(
+            f"(CASE WHEN pat.{b} = 1 THEN {par}.{kind}{j + 1} "
+            f"ELSE 1.0e0 - {par}.{kind}{j + 1} END)"
+            for j, b in enumerate(FS_BITS))
+
+    def qclip(x: str) -> str:
+        return (f"least(greatest(round({x}, {EM_ROUND}), {CLIP}), "
+                f"1.0e0 - {CLIP})")
+
+    sql = f"""
+    WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+                      c_custkey % 10 AS kd,
+                      floor(c_acctbal / 1000.0e0) AS band
+               FROM customer),
+    pr AS (SELECT
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS f_seg,
+             CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0e0 THEN 1 ELSE 0 END AS f_bal,
+             CASE WHEN a.kd = b.kd THEN 1 ELSE 0 END AS f_key,
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS f_band
+           FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+                            AND a.c_custkey < b.c_custkey),
+    pat AS (SELECT f_seg, f_bal, f_key, f_band,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM pr GROUP BY 1, 2, 3, 4),
+    nt AS (SELECT sum(n) AS N FROM pat),
+    par0 AS (SELECT 0.1e0 AS p,
+                    {", ".join(f"0.9e0 AS m{j + 1}" for j in range(k))},
+                    {", ".join(f"0.1e0 AS u{j + 1}" for j in range(k))})"""
+    prev = "par0"
+    for i in range(1, FS_ROUNDS + 1):
+        g_expr = (f"({prev}.p * {pm_expr(prev, 'm')}) / "
+                  f"(({prev}.p * {pm_expr(prev, 'm')}) + "
+                  f"((1.0e0 - {prev}.p) * {pm_expr(prev, 'u')}))")
+        ms = ", ".join(
+            f"{qclip(f'sum(n * g * {b}) / sum(n * g)')} AS m{j + 1}"
+            for j, b in enumerate(FS_BITS))
+        us = ", ".join(
+            f"{qclip(f'sum(n * (1.0e0 - g) * {b}) / sum(n * (1.0e0 - g))')}"
+            f" AS u{j + 1}"
+            for j, b in enumerate(FS_BITS))
+        sql += f""",
+    g{i} AS (SELECT pat.*, {g_expr} AS g FROM pat CROSS JOIN {prev}),
+    par{i} AS (SELECT {qclip('sum(n * g) / (SELECT N FROM nt)')} AS p,
+                      {ms}, {us}
+               FROM g{i})"""
+        prev = f"par{i}"
+    sql += f""",
+    fin AS (SELECT pat.*,
+                   {pm_expr(prev, 'm')} AS pm,
+                   {pm_expr(prev, 'u')} AS pu,
+                   {prev}.p AS p
+            FROM pat CROSS JOIN {prev})
+    SELECT f_seg, f_bal, f_key, f_band, CAST(n AS BIGINT) AS n_pairs,
+           round(ln(pm / pu), 6) AS weight,
+           round((p * pm) / ((p * pm) + ((1.0e0 - p) * pu)), 6) AS posterior,
+           (p * pm) / ((p * pm) + ((1.0e0 - p) * pu)) >= 0.9e0 AS is_link
+    FROM fin ORDER BY 1, 2, 3, 4"""
+    return sql
+
+
 def _pagerank_sql() -> str:
     """Unrolled PageRank replay: edges from the same join+group, both
     directions, r0 = round(1/N, 9), each round r = round((1-d)/N +
@@ -3483,6 +3557,7 @@ def oracle_sql() -> dict[str, str]:
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
+        "fs_linkage_customers": _fs_linkage_sql(),
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,

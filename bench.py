@@ -177,6 +177,7 @@ def run_bench() -> dict:
         ("campaign_overlap_events", Q.campaign_overlap_events),
         ("cluster_safe_split_docs", Q.cluster_safe_split_docs),
         ("supplier_pagerank", Q.supplier_pagerank),
+        ("fs_linkage_customers", Q.fs_linkage_customers),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

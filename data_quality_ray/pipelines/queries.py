@@ -2025,6 +2025,77 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+FS_ROUNDS = 5
+FS_BITS = ["f_seg", "f_bal", "f_key", "f_band"]
+
+
+def fs_linkage_customers(sf_dir: str) -> pd.DataFrame:
+    """Fellegi–Sunter probabilistic linkage over nation-blocked customer
+    pairs: K=4 binary field agreements (segment, |Δacctbal| ≤ 100, key
+    last digit, balance band), pairs folded to the 16-row pattern table
+    in one exchange, EM fitted driver-side with quantized rounds
+    (dedup/fellegi_sunter.py). The SQL replays pair generation, the
+    pattern fold, and EVERY EM round with unrolled CTEs. → per pattern
+    (f_seg, f_bal, f_key, f_band, n_pairs, weight, posterior,
+    is_link)."""
+    import pandas.util as pdu
+
+    from ..dedup.fellegi_sunter import fs_em
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal",
+                        "c_mktsegment"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b["c_nationkey"].to_numpy())
+                         % 32).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_nationkey", "c_custkey"], kind="mergesort")
+        sizes = g.groupby("c_nationkey", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        ia_all, ib_all = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s > 1:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_all.append(ia + s)
+                ib_all.append(ib + s)
+        if not ia_all:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in FS_BITS + ["n"]})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        seg = g["c_mktsegment"].to_numpy()
+        bal = g["c_acctbal"].to_numpy(dtype=np.float64)
+        key = g["c_custkey"].to_numpy()
+        band = np.floor(bal / 1000.0)
+        pat = pd.DataFrame({
+            "f_seg": (seg[ia] == seg[ib]).astype(np.int64),
+            "f_bal": (np.abs(bal[ia] - bal[ib]) <= 100.0).astype(np.int64),
+            "f_key": (key[ia] % 10 == key[ib] % 10).astype(np.int64),
+            "f_band": (band[ia] == band[ib]).astype(np.int64),
+        })
+        # per-bucket partial fold: patterns, not pairs, leave the bucket
+        return (pat.groupby(FS_BITS, sort=False).size().rename("n")
+                .reset_index())
+
+    partials = (ds.map_batches(add_bucket, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(pairs_in_bucket, batch_format="pandas"))
+    from ..profiling.groupagg import grouped_aggregate
+
+    pat = grouped_aggregate(partials, FS_BITS, {"n": ("n", "sum")},
+                            final="driver").sort_values(FS_BITS) \
+        .reset_index(drop=True)
+    _, _, _, scored = fs_em(pat, FS_BITS, rounds=FS_ROUNDS)
+    scored["n_pairs"] = scored["n"].astype("int64")
+    scored["is_link"] = scored["is_link"].astype(bool)
+    return (scored[FS_BITS + ["n_pairs", "weight", "posterior", "is_link"]]
+            .reset_index(drop=True))
+
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ROUNDS = 5
 

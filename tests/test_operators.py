@@ -1669,3 +1669,30 @@ def test_pagerank_matches_numpy_reference(ray_session):
     g = got.set_index("node")["rank"]
     assert g["h"] > g["a"] and g["h"] > g["b"]
     assert abs(got["rank"].sum() - 1.0) < 0.01
+
+
+def test_fs_em_separates_planted_matches():
+    """EM on a synthetic pattern table where 10% of pairs agree on
+    everything: the fitted model must put all-agree at high posterior
+    and all-disagree at low, with monotone weights."""
+    import itertools
+
+    from data_quality_ray.dedup.fellegi_sunter import fs_em
+
+    bits = ["a", "b", "c"]
+    rows = []
+    rng = np.random.RandomState(2)
+    for pat in itertools.product([0, 1], repeat=3):
+        k = sum(pat)
+        # matches concentrate agreement; non-matches disagreement
+        n = int(1000 * (0.1 * (0.95 ** k * 0.05 ** (3 - k))
+                        + 0.9 * (0.2 ** k * 0.8 ** (3 - k))) * 8) + 1
+        rows.append(dict(zip(bits, pat), n=n))
+    pat_df = pd.DataFrame(rows)
+    m, u, p, scored = fs_em(pat_df, bits, rounds=10)
+    s = scored.set_index(bits)
+    assert s.loc[(1, 1, 1), "posterior"] > 0.9
+    assert s.loc[(0, 0, 0), "posterior"] < 0.1
+    assert s.loc[(1, 1, 1), "weight"] > s.loc[(0, 0, 0), "weight"]
+    assert (m > u).all()          # agreement more likely among matches
+    assert 0 < p < 1
