@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
         "fs_linkage_customers": _fs_linkage_sql(),
+        "global_rank_orders": """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders ORDER BY o_orderkey
+""",
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,
@@ -410,6 +415,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
         "fs_linkage_customers": Q.fs_linkage_customers,
+        "global_rank_orders": Q.global_rank_orders,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -3558,6 +3564,11 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
         "fs_linkage_customers": _fs_linkage_sql(),
+        "global_rank_orders": """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders ORDER BY o_orderkey
+""",
         "campaign_overlap_events": """
 WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
 b AS (SELECT user_id, tn,

@@ -178,6 +178,7 @@ def run_bench() -> dict:
         ("cluster_safe_split_docs", Q.cluster_safe_split_docs),
         ("supplier_pagerank", Q.supplier_pagerank),
         ("fs_linkage_customers", Q.fs_linkage_customers),
+        ("global_rank_orders", Q.global_rank_orders),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -101,3 +101,47 @@ def range_balance(ds, col: str, n_parts: int,
                             {"n": (col, "count"), "lo": (col, "min"),
                              "hi": (col, "max")}, final="driver")
     return out.sort_values("part_id").reset_index(drop=True)
+
+
+def global_row_number(ds, col: str, tiebreak: str, n_parts: int = 32,
+                      ascending: bool = True, out_col: str = "rn",
+                      mode: str = "exact"):
+    """Global ``row_number() OVER (ORDER BY col [DESC], tiebreak)``
+    WITHOUT a global sort: range-partition on ``col`` (equal values
+    always co-locate — the x > v assignment rule), count partitions in
+    one grouped fold, then each partition ranks locally and adds its
+    broadcast cumulative offset. One exchange total (the partition
+    groupby); the sort is per-partition.
+
+    ``mode="tdigest"`` splits approximately at scale — ranks stay EXACT
+    either way (offsets come from real partition counts; splits only
+    balance the work). → Dataset with ``out_col`` appended."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..profiling.groupagg import grouped_aggregate
+
+    splits = range_split_points(ds, col, n_parts, mode=mode)
+    parts = add_range_partition(ds, col, splits)
+    counts = grouped_aggregate(parts, ["part_id"], {"n": (col, "count")},
+                               final="driver").sort_values("part_id")
+    pid = counts["part_id"].to_numpy(dtype=np.int64)
+    n = counts["n"].to_numpy(dtype=np.int64)
+    # offset of partition p = rows ranked BEFORE it: lower partitions
+    # when ascending, higher when descending
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]]) if ascending else \
+        np.concatenate([[0], np.cumsum(n[::-1])[:-1]])[::-1]
+    offsets = dict(zip(pid.tolist(), cum.tolist()))
+    ref = ray.put(offsets)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(ref)
+        part = int(g["part_id"].iloc[0])
+        g = g.sort_values([col, tiebreak],
+                          ascending=[ascending, True], kind="mergesort")
+        g = g.drop(columns=["part_id"]).reset_index(drop=True)
+        g[out_col] = np.arange(1, len(g) + 1, dtype=np.int64) + offs[part]
+        return g
+
+    return parts.groupby("part_id").map_groups(rank_group,
+                                               batch_format="pandas")

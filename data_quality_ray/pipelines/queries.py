@@ -2025,6 +2025,24 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def global_rank_orders(sf_dir: str) -> pd.DataFrame:
+    """Global row_number over all orders by price WITHOUT a global sort
+    (functions/partitioning.global_row_number): range-partition on the
+    exact quantile_disc splits (equal values co-locate), per-partition
+    local sort + broadcast cumulative offsets — one exchange total. SQL
+    = the plain window function, so the compare proves the partitioned
+    rank equals the global one. → (o_orderkey, o_totalprice, rn)."""
+    from ..functions.partitioning import global_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_row_number(ds, "o_totalprice", "o_orderkey",
+                            n_parts=16, ascending=False).to_pandas()
+    out["rn"] = out["rn"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return (out[["o_orderkey", "o_totalprice", "rn"]]
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
 FS_ROUNDS = 5
 FS_BITS = ["f_seg", "f_bal", "f_key", "f_band"]
 

@@ -1696,3 +1696,25 @@ def test_fs_em_separates_planted_matches():
     assert s.loc[(1, 1, 1), "weight"] > s.loc[(0, 0, 0), "weight"]
     assert (m > u).all()          # agreement more likely among matches
     assert 0 < p < 1
+
+
+def test_global_row_number_matches_window(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.partitioning import global_row_number
+
+    rng = np.random.RandomState(8)
+    # heavy ties: values drawn from a tiny set
+    df = pd.DataFrame({"id": np.arange(5000, dtype="int64"),
+                       "v": rng.choice([1.5, 2.5, 2.5, 7.0, 9.9], 5000)})
+    ds = rd.from_pandas(df).repartition(6)
+    for asc, mode in ((True, "exact"), (False, "exact"), (False, "tdigest")):
+        out = global_row_number(ds, "v", "id", n_parts=8, ascending=asc,
+                                mode=mode).to_pandas()
+        want = df.sort_values(["v", "id"], ascending=[asc, True]) \
+            .reset_index(drop=True)
+        want["rn"] = np.arange(1, len(df) + 1)
+        got = out.sort_values("rn").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["id", "v", "rn"]],
+                                      want[["id", "v", "rn"]],
+                                      check_dtype=False)
