@@ -373,42 +373,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
-        "homoglyph_dedup_docs": _homoglyph_sql(),
-        "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
-        "supplier_pagerank": _pagerank_sql(),
-        "fs_linkage_customers": _fs_linkage_sql(),
-        "global_rank_orders": """
-SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
-FROM orders ORDER BY o_orderkey
-""",
-        "campaign_overlap_events": """
-WITH e AS (SELECT user_id, epoch_ns(ts) AS tn FROM events),
-b AS (SELECT user_id, tn,
-             CASE WHEN lag(tn) OVER w IS NULL
-                       OR tn - lag(tn) OVER w > 1800000000000
-                  THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn)),
-s AS (SELECT user_id, tn,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY tn
-                            ROWS UNBOUNDED PRECEDING) AS sid
-      FROM b),
-iv AS (SELECT user_id, min(tn) AS s_start, max(tn) AS s_end
-       FROM s GROUP BY user_id, sid),
-mm AS (SELECT min(tn) AS mn, max(tn) AS mx FROM e),
-camp AS (SELECT k AS campaign_id,
-                mn + ((mx - mn) * k) // 16 AS c_start,
-                mn + ((mx - mn) * k) // 16 + (mx - mn) // 20 AS c_end
-         FROM mm CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k)),
-j AS (SELECT iv.user_id, camp.campaign_id,
-             least(iv.s_end, camp.c_end)
-               - greatest(iv.s_start, camp.c_start) AS ov
-      FROM iv JOIN camp
-        ON iv.s_start <= camp.c_end AND camp.c_start <= iv.s_end)
-SELECT user_id, campaign_id, CAST(count(*) AS BIGINT) AS n_sessions,
-       round(sum(ov) / 1e9, 6) AS total_overlap_sec
-FROM j GROUP BY 1, 2 ORDER BY 1, 2
-""",
         "range_partition_orders": Q.range_partition_orders,
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
@@ -416,6 +380,7 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
         "supplier_pagerank": Q.supplier_pagerank,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "global_rank_orders": Q.global_rank_orders,
+        "embedding_covariance": Q.embedding_covariance,
         "substring_dedup_docs": Q.substring_dedup_docs,
         "grouped_quantiles_orders": Q.grouped_quantiles_orders,
         "window_analytics_orders": Q.window_analytics_orders,
@@ -3564,6 +3529,18 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
         "fs_linkage_customers": _fs_linkage_sql(),
+        "embedding_covariance": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+x AS (SELECT vec_id, unnest(e) AS val,
+             unnest(generate_series(1, len(e))) AS dim FROM v),
+n AS (SELECT count(*) AS n FROM v)
+SELECT a.dim AS i, b.dim AS j,
+       round(sum(a.val * b.val) / (SELECT n FROM n)
+             - (sum(a.val) / (SELECT n FROM n))
+               * (sum(b.val) / (SELECT n FROM n)), 6) AS cov
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "global_rank_orders": """
 SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
        row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn

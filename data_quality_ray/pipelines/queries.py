@@ -2025,6 +2025,23 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Distributed covariance of the embedding table (the mergeable
+    (Σxxᵀ, Σx, n) fold behind PCA — similarity/pca.py; the eigen step is
+    numpy-pinned in pytest, the SQL replays the covariance exactly).
+    → upper triangle (i, j, cov) 1-indexed, 6 dp."""
+    from ..similarity.pca import covariance
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cov, _, _ = covariance(ds, "embedding")
+    iu = np.triu_indices(cov.shape[0])
+    return pd.DataFrame({
+        "i": (iu[0] + 1).astype("int64"),
+        "j": (iu[1] + 1).astype("int64"),
+        "cov": np.round(cov[iu], 6),
+    })
+
+
 def global_rank_orders(sf_dir: str) -> pd.DataFrame:
     """Global row_number over all orders by price WITHOUT a global sort
     (functions/partitioning.global_row_number): range-partition on the

@@ -1718,3 +1718,40 @@ def test_global_row_number_matches_window(ray_session):
         pd.testing.assert_frame_equal(got[["id", "v", "rn"]],
                                       want[["id", "v", "rn"]],
                                       check_dtype=False)
+
+
+def test_pca_matches_numpy_and_reconstructs(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.similarity.pca import (covariance, pca_fit,
+                                                 pca_project)
+
+    rng = np.random.RandomState(21)
+    # planted rank-2 structure + small noise
+    basis = rng.randn(2, 16)
+    mat = rng.randn(400, 2) @ basis + rng.randn(400, 16) * 0.05 + 3.0
+    df = pd.DataFrame({"id": np.arange(400, dtype="int64"),
+                       "vec": list(mat)})
+    ds = rd.from_pandas(df).repartition(5)
+
+    cov, mu, n = covariance(ds, "vec")
+    assert n == 400
+    want_cov = np.cov(mat, rowvar=False, bias=True)
+    assert np.allclose(cov, want_cov, atol=1e-9)
+    assert np.allclose(mu, mat.mean(axis=0))
+
+    comps, evals, mu2 = pca_fit(ds, "vec", k=2)
+    w, v = np.linalg.eigh(want_cov)
+    assert np.allclose(np.sort(evals)[::-1], np.sort(w)[-2:][::-1],
+                       atol=1e-9)
+    # top-2 components capture the planted structure
+    assert evals.sum() / np.trace(want_cov) > 0.95
+
+    proj = pca_project(ds, "id", "vec", comps, mu2).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    got = np.stack(proj["pca"].to_numpy())
+    assert np.allclose(got, (mat - mu2) @ comps.T, atol=1e-9)
+    # reconstruction error ≈ dropped-eigenvalue mass
+    recon = got @ comps + mu2
+    err = ((mat - recon) ** 2).sum() / len(mat)
+    assert err < 0.1
