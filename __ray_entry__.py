@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
         "fs_linkage_customers": Q.fs_linkage_customers,
+        "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "global_rank_orders": Q.global_rank_orders,
         "embedding_covariance": Q.embedding_covariance,
         "substring_dedup_docs": Q.substring_dedup_docs,
@@ -2388,7 +2389,7 @@ def _kcenter_sql() -> str:
     return sql
 
 
-def _fs_linkage_sql() -> str:
+def _fs_linkage_sql(mode: str = "patterns") -> str:
     """Unrolled Fellegi–Sunter EM replay: nation-blocked pair
     generation, the 16-row pattern fold, and every EM round — products
     written in the SAME field order as the numpy fit (bit-identical
@@ -2410,11 +2411,11 @@ def _fs_linkage_sql() -> str:
                 f"1.0e0 - {CLIP})")
 
     sql = f"""
-    WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+    WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
                       c_custkey % 10 AS kd,
                       floor(c_acctbal / 1000.0e0) AS band
                FROM customer),
-    pr AS (SELECT
+    pr AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
              CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS f_seg,
              CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0e0 THEN 1 ELSE 0 END AS f_bal,
              CASE WHEN a.kd = b.kd THEN 1 ELSE 0 END AS f_key,
@@ -2451,12 +2452,33 @@ def _fs_linkage_sql() -> str:
                    {pm_expr(prev, 'm')} AS pm,
                    {pm_expr(prev, 'u')} AS pu,
                    {prev}.p AS p
-            FROM pat CROSS JOIN {prev})
+            FROM pat CROSS JOIN {prev})"""
+    if mode == "patterns":
+        sql += """
     SELECT f_seg, f_bal, f_key, f_band, CAST(n AS BIGINT) AS n_pairs,
            round(ln(pm / pu), 6) AS weight,
            round((p * pm) / ((p * pm) + ((1.0e0 - p) * pu)), 6) AS posterior,
            (p * pm) / ((p * pm) + ((1.0e0 - p) * pu)) >= 0.9e0 AS is_link
     FROM fin ORDER BY 1, 2, 3, 4"""
+        return sql
+    # mode == "entities": classify pairs, connected components over the
+    # link edges (recursive min-label), every customer labeled
+    sql += """,
+    lp AS (SELECT f_seg, f_bal, f_key, f_band FROM fin
+           WHERE (p * pm) / ((p * pm) + ((1.0e0 - p) * pu)) >= 0.9e0),
+    links AS (SELECT pr.id_a, pr.id_b FROM pr
+              JOIN lp USING (f_seg, f_bal, f_key, f_band)),
+    nodes AS (SELECT id_a AS id FROM links UNION SELECT id_b FROM links),
+    edges AS (SELECT id_a AS u, id_b AS v FROM links
+              UNION SELECT id_b, id_a FROM links),
+    cc(id, lbl) AS (SELECT id, id FROM nodes
+        UNION SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.id),
+    comp AS (SELECT id, min(lbl) AS lbl FROM cc GROUP BY 1)
+    SELECT cu.c_custkey,
+           coalesce(cp.lbl, cu.c_custkey) AS entity,
+           coalesce(cp.lbl, cu.c_custkey) = cu.c_custkey AS is_rep
+    FROM customer cu LEFT JOIN comp cp ON cp.id = cu.c_custkey
+    ORDER BY cu.c_custkey"""
     return sql
 
 
@@ -3529,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
         "fs_linkage_customers": _fs_linkage_sql(),
+        "fs_entity_resolution_customers": _fs_linkage_sql(mode="entities"),
         "embedding_covariance": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 x AS (SELECT vec_id, unnest(e) AS val,

@@ -179,6 +179,8 @@ def run_bench() -> dict:
         ("supplier_pagerank", Q.supplier_pagerank),
         ("fs_linkage_customers", Q.fs_linkage_customers),
         ("global_rank_orders", Q.global_rank_orders),
+        ("fs_entity_resolution_customers", Q.fs_entity_resolution_customers),
+        ("embedding_covariance", Q.embedding_covariance),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

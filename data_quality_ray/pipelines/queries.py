@@ -2131,6 +2131,117 @@ def fs_linkage_customers(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def fs_entity_resolution_customers(sf_dir: str) -> pd.DataFrame:
+    """End-to-end probabilistic entity resolution: the fs_linkage
+    machinery run to ENTITIES — nation-blocked pairs (kept as a
+    Dataset, materialized once for its two consumers), EM over the
+    pattern fold, posterior ≥ 0.9 patterns broadcast as the link
+    classifier, connected components over the link edges (union-find ≤
+    the shared gate, distributed min-label above), every customer
+    labeled. SQL replays the whole chain incl. the recursive
+    components. → (c_custkey, entity, is_rep)."""
+    import pandas.util as pdu
+    import ray
+    import ray.data as rd
+
+    from ..dedup.fellegi_sunter import fs_em
+    from ..dedup.minhash import (UNION_FIND_MAX_PAIRS,
+                                 distributed_components,
+                                 union_find_components)
+    from ..functions.broadcast import cached_get
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_nationkey", "c_acctbal",
+                        "c_mktsegment"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_array(b["c_nationkey"].to_numpy())
+                         % 32).astype("int64")
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_nationkey", "c_custkey"], kind="mergesort")
+        sizes = g.groupby("c_nationkey", sort=False).size().to_numpy()
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        ia_all, ib_all = [], []
+        for s, e in zip(offs[:-1], offs[1:]):
+            if e - s > 1:
+                ia, ib = np.triu_indices(e - s, k=1)
+                ia_all.append(ia + s)
+                ib_all.append(ib + s)
+        if not ia_all:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ["id_a", "id_b"] + FS_BITS})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        seg = g["c_mktsegment"].to_numpy()
+        bal = g["c_acctbal"].to_numpy(dtype=np.float64)
+        key = g["c_custkey"].to_numpy()
+        band = np.floor(bal / 1000.0)
+        return pd.DataFrame({
+            "id_a": key[ia], "id_b": key[ib],
+            "f_seg": (seg[ia] == seg[ib]).astype(np.int64),
+            "f_bal": (np.abs(bal[ia] - bal[ib]) <= 100.0).astype(np.int64),
+            "f_key": (key[ia] % 10 == key[ib] % 10).astype(np.int64),
+            "f_band": (band[ia] == band[ib]).astype(np.int64),
+        })
+
+    pairs = (ds.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket")
+             .map_groups(pairs_in_bucket, batch_format="pandas")
+             .materialize())  # two consumers: pattern fold + link filter
+
+    pat = grouped_aggregate(pairs, FS_BITS, {"n": ("id_a", "count")},
+                            final="driver").sort_values(FS_BITS) \
+        .reset_index(drop=True)
+    _, _, _, scored = fs_em(pat, FS_BITS, rounds=FS_ROUNDS)
+    link_pats = set(map(tuple, scored[scored["is_link"]][FS_BITS]
+                        .to_numpy().tolist()))
+    ref = ray.put(link_pats)
+
+    def link_filter(b: pd.DataFrame) -> pd.DataFrame:
+        lp = cached_get(ref)
+        keys = list(map(tuple, b[FS_BITS].to_numpy().tolist()))
+        keep = np.array([k in lp for k in keys], dtype=bool)
+        return b.loc[keep, ["id_a", "id_b"]]
+
+    links = pairs.map_batches(link_filter, batch_format="pandas") \
+        .materialize()
+    n_links = links.count()
+    if n_links == 0:
+        comp_ids = np.array([], dtype=np.int64)
+        comp_lbl = np.array([], dtype=np.int64)
+    elif n_links <= UNION_FIND_MAX_PAIRS:
+        comp = union_find_components(links.to_pandas())
+        comp_ids = comp["id"].to_numpy()
+        comp_lbl = comp["cluster"].to_numpy()
+    else:
+        comp = distributed_components(links, as_dataset=False)
+        comp_ids = comp["id"].to_numpy()
+        comp_lbl = comp["cluster"].to_numpy()
+
+    order = np.argsort(comp_ids, kind="mergesort")
+    lref = ray.put((comp_ids[order], comp_lbl[order]))
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        k, lbl = cached_get(lref)
+        mine = b["c_custkey"].to_numpy()
+        ent = mine.copy()
+        if len(k):
+            pos = np.searchsorted(k, mine)
+            ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == mine)
+            ent[ok] = lbl[pos[ok]]
+        return pd.DataFrame({"c_custkey": mine, "entity": ent,
+                             "is_rep": ent == mine})
+
+    out = ds.select_columns(["c_custkey"]).map_batches(
+        assign, batch_format="pandas").to_pandas()
+    out["entity"] = out["entity"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ROUNDS = 5
 
