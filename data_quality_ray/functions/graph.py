@@ -32,7 +32,11 @@ def pagerank(edges_ds, damping: float = 0.85, rounds: int = 5):
     from ..functions.broadcast import cached_get
     from ..profiling.groupagg import grouped_aggregate
 
-    edges_ds = edges_ds.materialize()  # consumed once per round
+    # consumed once per round: materialize with a bounded block count so
+    # per-round task launches stay fixed as upstream block counts grow
+    # (neutral at sf0.1 where rounds cost 0.5-1 s; the bound matters when
+    # the upstream exchange emits hundreds of small blocks)
+    edges_ds = edges_ds.repartition(32).materialize()
 
     od = grouped_aggregate(edges_ds, ["src"], {"od": ("w", "sum")},
                            final="driver")

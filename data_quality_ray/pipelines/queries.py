@@ -2266,19 +2266,24 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
                           {"w": ("l_orderkey", "count")}, final="shuffle")
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
-        src = "c" + b["o_custkey"].astype(str)
-        dst = "s" + b["l_suppkey"].astype(str)
+        # integer node ids (cust → 2k, supp → 2k+1): the per-round
+        # searchsorted kernel runs on 8-byte ints and the edge exchange
+        # ships fixed-width keys; wall time at sf0.1 is dominated by the
+        # one-off join+group edge build, not the rounds (phase-measured:
+        # build ~3 s warm, rounds 0.5-1 s each)
+        src = 2 * b["o_custkey"].to_numpy(dtype=np.int64)
+        dst = 2 * b["l_suppkey"].to_numpy(dtype=np.int64) + 1
         wt = b["w"].to_numpy()
         return pd.DataFrame({
-            "src": np.concatenate([src.to_numpy(), dst.to_numpy()]),
-            "dst": np.concatenate([dst.to_numpy(), src.to_numpy()]),
+            "src": np.concatenate([src, dst]),
+            "dst": np.concatenate([dst, src]),
             "w": np.concatenate([wt, wt]),
         })
 
     ranks = pagerank(w.map_batches(to_edges, batch_format="pandas"),
                      damping=PAGERANK_DAMPING, rounds=PAGERANK_ROUNDS)
-    sup = ranks[ranks["node"].str.startswith("s")].copy()
-    sup["s_suppkey"] = sup["node"].str.slice(1).astype("int64")
+    sup = ranks[ranks["node"] % 2 == 1].copy()
+    sup["s_suppkey"] = ((sup["node"] - 1) // 2).astype("int64")
     sup["rank"] = sup["rank"].round(6)
     return (sup[["s_suppkey", "rank"]].sort_values("s_suppkey")
             .reset_index(drop=True))
