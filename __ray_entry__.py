@@ -238,6 +238,43 @@ def dihedral_phash_images(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _caption_search_sql() -> str:
+    """Independent replay of caption_search: query token buckets via SQL
+    md5 hashing of the RAW query strings (tokens inlined as VALUES from
+    the shared CAPTION_QUERIES constant + tokenize contract), phash sign
+    fold, cosine, 6-dp round BEFORE the row_number rank."""
+    from data_quality_ray.stages.alignment import tokenize
+
+    rows = []
+    for qid in sorted(CAPTION_QUERIES):
+        for t in tokenize(CAPTION_QUERIES[qid]):
+            rows.append(f"('{qid}', '{t}')")
+    values = ", ".join(rows)
+    bits = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH L AS ({_f1_labels_sql("image_id, phash")}),
+qt(qid, tok) AS (VALUES {values}),
+tb AS (SELECT qid, CAST(md5_number_lower(tok) % 64 AS INT) AS b,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM qt GROUP BY 1, 2),
+tn AS (SELECT qid, sqrt(sum(c * c)) AS tn FROM tb GROUP BY 1),
+u AS (SELECT image_id, phash::HUGEINT + CASE WHEN phash < 0
+             THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+      FROM L),
+bits(b, p) AS (VALUES {bits}),
+d AS (SELECT tb.qid, u.image_id,
+             sum(c * (CAST((u.u // bits.p) % 2 AS DOUBLE) * 2 - 1)) AS dot
+      FROM tb JOIN bits ON bits.b = tb.b CROSS JOIN u
+      GROUP BY 1, 2),
+s AS (SELECT d.qid AS query_id, d.image_id,
+             round(dot / (tn.tn * 8.0), 6) AS alignment
+      FROM d JOIN tn ON tn.qid = d.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY alignment DESC, image_id) AS rank FROM s)
+SELECT query_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
 def _dihedral_sql() -> str:
     """Replays the D4 bit-permutation algebra in SQL: unsigned bit
     explode (hugeint power table), the 8×64 permutation table from the
@@ -460,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_topk_images": phash_topk_images,
         "multimodal_dedup_images": multimodal_dedup_images,
         "hamming_store_images": hamming_store_images,
+        "caption_search_images": caption_search_images,
         "audio_quality_clips": audio_quality_clips,
         "video_frame_dedup": video_frame_dedup,
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
@@ -918,6 +956,30 @@ def multimodal_dedup_images(sf_dir: str):
                          columns=["image_id", "phash", "caption"])
     return multimodal_dedup(ds, "image_id", "phash", "caption",
                             hamming_threshold=2, n_blocks=4)
+
+
+CAPTION_QUERIES = {
+    "q0": "sunset beach photo",
+    "q1": "a dog playing in the park",
+}
+
+
+def caption_search_images(sf_dir: str):
+    """Text→image retrieval: fixed query strings scored against every
+    image's phash sign pattern through the alignment encoders (broadcast
+    query matrix + fixed-size per-batch top-k partials — zero shuffle;
+    stages/alignment.caption_search). The SQL re-derives the query
+    embeddings from the RAW STRINGS (md5 bucket hashing in SQL) and
+    ranks with a window — an independent replay, not a label read.
+    → (query_id, image_id, alignment, rank)."""
+    import ray.data as rd
+
+    from data_quality_ray.stages.alignment import caption_search
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    out = caption_search(ds, CAPTION_QUERIES, k=10)
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def hamming_store_images(sf_dir: str):
@@ -2801,6 +2863,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE l.fp_key IS NOT NULL "
             f"AND (SELECT greatest(500, count(*)) FROM documents) = {n}"
             for n in _A1_SIZES) + " ORDER BY clip_id"),
+        "caption_search_images": _caption_search_sql(),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

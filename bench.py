@@ -198,6 +198,7 @@ def run_bench() -> dict:
             ("audio_quality_clips", E.audio_quality_clips),
             ("video_frame_dedup", E.video_frame_dedup),
             ("audio_fingerprint_dedup", E.audio_fingerprint_dedup),
+            ("caption_search_images", E.caption_search_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

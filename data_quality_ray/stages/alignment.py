@@ -97,3 +97,63 @@ def align_captions(ds, threshold: float = 0.0, concurrency: int | tuple = 4,
     return ds.map_batches(AlignmentStage, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size,
                           fn_constructor_kwargs={"threshold": threshold})
+
+
+def caption_search(ds, queries: dict, k: int = 10,
+                   id_col: str = "image_id", phash_col: str = "phash"):
+    """Text→image retrieval through the alignment scorer: each query
+    string is hash-bucket embedded ONCE (the stage's text encoder),
+    the (Q × 64) query matrix broadcasts, and every batch scores its
+    phash sign patterns against ALL queries in one matmul, emitting a
+    FIXED-SIZE partial (Q × k rows, ties pre-broken by (score DESC,
+    id)). Driver merge = O(blocks × Q × k) rows — the cosine_topk /
+    hamming_topk shape, zero shuffle. Scores are 6-dp-rounded BEFORE
+    ranking (the BM25 contract) so the order is engine-stable.
+    → (query_id, id_col, alignment, rank)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    qids = sorted(queries)
+    mats = np.zeros((len(qids), D), dtype=np.float64)
+    for i, q in enumerate(qids):
+        toks = tokenize(queries[q])
+        if toks:
+            h = md5_hash64(np.array(list(dict.fromkeys(toks)), dtype=object))
+            lut = {t: int(hh) % D for t, hh in zip(dict.fromkeys(toks), h)}
+            np.add.at(mats[i], np.array([lut[t] for t in toks]), 1.0)
+    tn = np.sqrt((mats * mats).sum(axis=1))
+    ref = ray.put((np.array(qids, dtype=object), mats, tn))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        _qids, _m, _tn = cached_get(ref)
+        ph = b[phash_col].to_numpy()
+        bits = ((ph.astype(np.uint64)[:, None] >> _SHIFTS) & np.uint64(1)) \
+            .astype(np.float64)
+        sign = bits * 2.0 - 1.0
+        # (Q, B) scores; image norm is exactly 8 (64 ±1 bits)
+        score = np.round((_m @ sign.T) / (_tn[:, None] * 8.0), 6)
+        ids = b[id_col].to_numpy()
+        frames = []
+        for qi in range(len(_qids)):
+            order = np.lexsort((ids, -score[qi]))[:k]
+            frames.append(pd.DataFrame({
+                "query_id": _qids[qi],
+                id_col: ids[order],
+                "alignment": score[qi][order],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = pd.concat(
+        list(ds.select_columns([id_col, phash_col])
+             .map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_size=4 * k * max(1, len(qids)),
+                           batch_format="pandas")),
+        ignore_index=True)
+    parts = parts.sort_values(["query_id", "alignment", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+    return out

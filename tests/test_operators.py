@@ -1755,3 +1755,37 @@ def test_pca_matches_numpy_and_reconstructs(ray_session):
     recon = got @ comps + mu2
     err = ((mat - recon) ** 2).sum() / len(mat)
     assert err < 0.1
+
+
+def test_caption_search_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.stages.alignment import (D, _SHIFTS, caption_search,
+                                                   md5_hash64, tokenize)
+
+    rng = np.random.RandomState(33)
+    n = 500
+    ids = np.array([f"im{i:05d}" for i in range(n)])
+    ph = rng.randint(-2**62, 2**62, size=n).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"image_id": ids, "phash": ph})) \
+        .repartition(4)
+    queries = {"a": "red red fox", "b": "blue sky"}
+    out = caption_search(ds, queries, k=7)
+
+    for qid, text in queries.items():
+        toks = tokenize(text)
+        vec = np.zeros(D)
+        h = {t: int(x) % D for t, x in
+             zip(dict.fromkeys(toks),
+                 md5_hash64(np.array(list(dict.fromkeys(toks)), dtype=object)))}
+        for t in toks:
+            vec[h[t]] += 1.0
+        bits = ((ph.astype(np.uint64)[:, None] >> _SHIFTS) & np.uint64(1)) \
+            .astype(np.float64)
+        score = np.round((vec @ (bits * 2 - 1).T)
+                         / (np.sqrt((vec * vec).sum()) * 8.0), 6)
+        order = np.lexsort((ids, -score))[:7]
+        mine = out[out["query_id"] == qid]
+        assert list(mine["image_id"]) == list(ids[order])
+        assert np.allclose(mine["alignment"], score[order])
+        assert list(mine["rank"]) == list(range(1, 8))
