@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": Q.supplier_pagerank,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
+        "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
         "global_rank_orders": Q.global_rank_orders,
         "embedding_covariance": Q.embedding_covariance,
         "substring_dedup_docs": Q.substring_dedup_docs,
@@ -2142,6 +2143,31 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
 
 # --- chronology conversions recomputed in SQL ------------------------------
 
+def _neardup_stats_sql() -> str:
+    """Cluster-size distribution replay: the full MinHash clustering SQL
+    as a CTE, singleton row = corpus minus clustered docs."""
+    comp = _minhash_sql()
+    return f"""
+WITH comp AS ({comp}),
+sz AS (SELECT cluster, count(*) AS s FROM comp GROUP BY 1),
+fof AS (SELECT s AS cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM documents),
+single AS (
+  SELECT 1 AS cluster_size,
+         (SELECT total FROM tot) - coalesce((SELECT sum(s) FROM sz), 0)
+             AS n_clusters
+  WHERE (SELECT total FROM tot) > coalesce((SELECT sum(s) FROM sz), 0)),
+allrows AS (
+  SELECT cluster_size, sum(n_clusters) AS n_clusters
+  FROM (SELECT * FROM fof UNION ALL SELECT * FROM single) GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       round(cluster_size * n_clusters * 1.0 / (SELECT total FROM tot), 6)
+           AS pct_of_corpus
+FROM allrows ORDER BY cluster_size"""
+
+
 def _cluster_safe_split_sql() -> str:
     """Leakage-safe split replay: the full MinHash clustering SQL
     (_minhash_sql) as a CTE body, label = coalesce(cluster, doc_id),
@@ -2798,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_docs": _GOPHER_REPETITION_SQL,
         "hash_split_docs": _HASH_SPLIT_SQL,
         "cluster_safe_split_docs": _cluster_safe_split_sql(),
+        "neardup_cluster_stats_docs": _neardup_stats_sql(),
         "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
         "pack_chunks_docs": _PACK_CHUNKS_SQL,
         "pack_sequences_docs": _PACK_SEQUENCES_SQL,

@@ -181,6 +181,7 @@ def run_bench() -> dict:
         ("global_rank_orders", Q.global_rank_orders),
         ("fs_entity_resolution_customers", Q.fs_entity_resolution_customers),
         ("embedding_covariance", Q.embedding_covariance),
+        ("neardup_cluster_stats_docs", Q.neardup_cluster_stats_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

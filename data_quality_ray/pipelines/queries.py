@@ -2131,6 +2131,37 @@ def fs_linkage_customers(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def neardup_cluster_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """Dedup-impact report: the MinHash near-dup clusters folded to a
+    cluster-SIZE distribution plus the corpus-level dedup ratio row —
+    the number an operator actually reads off a 100-TB dedup run
+    (how much survives). Fold is sizes → freq-of-sizes, driver state =
+    #distinct sizes. → (cluster_size, n_clusters, n_docs, pct_of_corpus)
+    with cluster_size=1 covering untouched docs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..dedup.minhash import minhash_dedup
+
+    comp = minhash_dedup(ds, "doc_id", "text", threshold=0.5, hash_fn="md5")
+    total = int(ds.count())
+    sizes = comp.groupby("cluster").size()
+    fof = sizes.value_counts().sort_index()
+    out = pd.DataFrame({
+        "cluster_size": fof.index.to_numpy(dtype=np.int64),
+        "n_clusters": fof.to_numpy(dtype=np.int64),
+    })
+    clustered = int(sizes.sum())
+    singletons = total - clustered
+    if singletons:
+        out = pd.concat([pd.DataFrame({"cluster_size": [1],
+                                       "n_clusters": [singletons]}), out],
+                        ignore_index=True)
+    out = (out.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+           .sort_values("cluster_size").reset_index(drop=True))
+    out["n_docs"] = out["cluster_size"] * out["n_clusters"]
+    out["pct_of_corpus"] = (out["n_docs"] / total).round(6)
+    return out
+
+
 def fs_entity_resolution_customers(sf_dir: str) -> pd.DataFrame:
     """End-to-end probabilistic entity resolution: the fs_linkage
     machinery run to ENTITIES — nation-blocked pairs (kept as a
