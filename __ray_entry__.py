@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
+        "triangle_coeff_part": Q.triangle_coeff_part,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
@@ -482,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": Q.c4_clean_docs,
         "quality_classifier_docs": Q.quality_classifier_docs,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
+        "dbscan_embeddings": Q.dbscan_embeddings,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -1339,6 +1341,51 @@ scored AS (
 SELECT d.doc_id,
        CASE WHEN s.n IS NULL THEN 'infinity'::DOUBLE ELSE round(exp(-s.lp / s.n), 4) END AS ppl
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+# --- DBSCAN -------------------------------------------------------------------
+# Ground truth computed INDEPENDENTLY of the blocked pair join: the FULL
+# brute-force eps-pair set (every vec_id pair cosine-tested — so a missing
+# block-pair task fails the hash compare), then the deterministic label
+# rules: core = |N_eps| incl. self >= min_pts, clusters = min-label
+# components of the core-core graph, border = min core-neighbor label,
+# noise = -1. Constants shared with pipelines/queries.dbscan_embeddings
+# (eps 0.65 -> sim floor 0.35, min_pts 4); 6-dp round-then-threshold on
+# BOTH sides per the repo float contract.
+
+_DBSCAN_SQL = r"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p)
+        GROUP BY 1),
+core AS (SELECT v.vec_id AS id FROM v LEFT JOIN deg ON deg.id = v.vec_id
+         WHERE coalesce(deg.d, 0) + 1 >= 4),
+ce AS (SELECT id_a, id_b FROM p
+       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+e2 AS (SELECT id_a AS u, id_b AS w FROM ce UNION SELECT id_b, id_a FROM ce),
+cc(id, lbl) AS (SELECT id, id FROM core
+                UNION
+                SELECT e.w, cc.lbl FROM cc JOIN e2 e ON e.u = cc.id),
+lab AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY 1),
+batt AS (
+  SELECT x.bid AS id, min(lab.cluster) AS cluster FROM (
+    SELECT id_a AS cid, id_b AS bid FROM p
+     WHERE id_a IN (SELECT id FROM core) AND id_b NOT IN (SELECT id FROM core)
+    UNION ALL
+    SELECT id_b AS cid, id_a AS bid FROM p
+     WHERE id_b IN (SELECT id FROM core) AND id_a NOT IN (SELECT id FROM core)
+  ) x JOIN lab ON lab.id = x.cid GROUP BY 1)
+SELECT v.vec_id,
+       CASE WHEN lab.id IS NOT NULL THEN 'core'
+            WHEN batt.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(lab.cluster, batt.cluster, -1) AS BIGINT) AS cluster
+FROM v LEFT JOIN lab ON lab.id = v.vec_id
+       LEFT JOIN batt ON batt.id = v.vec_id
+ORDER BY v.vec_id
 """
 
 # --- SemDeDup ----------------------------------------------------------------
@@ -2834,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_docs": _CLF_SQL,
         "dsir_select_docs": _dsir_sql(),
         "semantic_dedup_embeddings": _sem_dedup_sql(),
+        "dbscan_embeddings": _DBSCAN_SQL,
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         # cross-run screen: recompute band keys for BOTH halves, count a
@@ -3640,6 +3688,35 @@ def oracle_sql() -> dict[str, str]:
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
+        # triangle ground truth INDEPENDENT of the degree orientation: the
+        # x<y<z three-way self-join enumerates each triangle once, so a
+        # wedge-generation or semi-join bug fails the hash compare. Edge
+        # threshold (>= 2 pair instances) shared with the query.
+        "triangle_coeff_part": r"""
+WITH pe AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe)
+        GROUP BY 1),
+tr AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       FROM pe e1 JOIN pe e2 ON e2.u = e1.v
+                  JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v),
+tc AS (SELECT id, count(*) AS t
+       FROM (SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+             UNION ALL SELECT z FROM tr)
+       GROUP BY 1)
+SELECT p.p_partkey,
+       CAST(coalesce(deg.d, 0) AS BIGINT) AS deg,
+       CAST(coalesce(tc.t, 0) AS BIGINT) AS tri,
+       round(CASE WHEN coalesce(deg.d, 0) >= 2
+                  THEN 2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1))
+                  ELSE 0 END, 6) AS coef
+FROM part p LEFT JOIN deg ON deg.id = p.p_partkey
+            LEFT JOIN tc ON tc.id = p.p_partkey
+ORDER BY p.p_partkey
+""",
         "fs_linkage_customers": _fs_linkage_sql(),
         "fs_entity_resolution_customers": _fs_linkage_sql(mode="entities"),
         "embedding_covariance": """

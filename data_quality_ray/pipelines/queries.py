@@ -3348,3 +3348,80 @@ def curriculum_order_docs(sf_dir: str) -> pd.DataFrame:
     out["rank"] = (out["rank"] + 1).astype("int64")
     return (out[["doc_id", "n_chars", "rank"]]
             .sort_values("rank").reset_index(drop=True))
+
+
+def dbscan_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact DBSCAN over the embeddings table (cosine distance 0.65,
+    min_pts 4): blocked-cartesian eps-join (no bucketing assumption) →
+    core/border/noise roles with min-label clusters. The oracle
+    re-derives the full pair set brute-force in SQL and replays the
+    deterministic label rules. → (vec_id, role, cluster)."""
+    from ..similarity.dbscan import dbscan
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dbscan(ds, "vec_id", "embedding", eps=0.65, min_pts=4)
+    out["cluster"] = out["cluster"].astype("int64")
+    return out
+
+
+def triangle_coeff_part(sf_dir: str) -> pd.DataFrame:
+    """Triangle count + local clustering coefficient per part over the
+    part co-order graph (an edge joins two parts whose co-occurrence
+    count across orders is >= 2 pair instances — the threshold keeps the
+    graph's density data-driven instead of quadratic in basket size).
+    Edge build = one bucketed self-merge per order + one grouped count;
+    triangles = functions/graph.triangle_counts (degree-oriented wedge
+    generation + keys-only semi-join closing check, every stage an
+    exchange). coef = 2·tri / (deg·(deg−1)) on the thresholded graph.
+    → (p_partkey, deg, tri, coef)."""
+    from ..functions.graph import triangle_counts
+    from ..profiling.groupagg import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        import pandas.util as pdu
+
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_pandas_object(b["l_orderkey"], index=False)
+                         .to_numpy() % np.uint64(64)).astype("int64")
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[["l_orderkey", "l_partkey"]]
+        m = f.merge(f, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
+                             "v": m["l_partkey_y"].to_numpy()})
+
+    pair_ds = (li.map_batches(add_bucket, batch_format="pandas")
+               .groupby("__bucket").map_groups(pairs, batch_format="pandas"))
+    cnt = grouped_aggregate(pair_ds, ["u", "v"], {"n": ("u", "count")},
+                            final="shuffle")
+    edges = cnt.map_batches(
+        lambda b: b.loc[b["n"].to_numpy() >= 2, ["u", "v"]],
+        batch_format="pandas").materialize()
+
+    tri = triangle_counts(edges).to_pandas()
+    if tri.empty:
+        tri = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                            "tri": pd.Series(dtype="int64")})
+    deg = grouped_aggregate(
+        edges.map_batches(
+            lambda b: pd.DataFrame({"id": np.concatenate(
+                [b["u"].to_numpy(), b["v"].to_numpy()])}),
+            batch_format="pandas"),
+        ["id"], {"d": ("id", "count")})
+
+    out = _read(sf_dir, "part", columns=["p_partkey"], blocks=4).to_pandas()
+    out = out.merge(deg.rename(columns={"id": "p_partkey"}), how="left",
+                    on="p_partkey")
+    out = out.merge(tri.rename(columns={"id": "p_partkey"}), how="left",
+                    on="p_partkey")
+    d = out["d"].fillna(0).to_numpy(dtype=np.int64)
+    t = out["tri"].fillna(0).to_numpy(dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coef = np.where(d >= 2, np.round(2.0 * t / (d * (d - 1.0)), 6), 0.0)
+    return (pd.DataFrame({"p_partkey": out["p_partkey"], "deg": d, "tri": t,
+                          "coef": coef})
+            .sort_values("p_partkey").reset_index(drop=True))

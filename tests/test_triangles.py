@@ -1,0 +1,58 @@
+"""Degree-oriented distributed triangle counting (functions/graph.py)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+from data_quality_ray.functions.graph import triangle_counts
+
+
+def _brute(edges: pd.DataFrame) -> dict:
+    es = set(zip(edges["u"], edges["v"]))
+    nodes = sorted({n for e in es for n in e})
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: t for n, t in tri.items() if t}
+
+
+def _run(edges: pd.DataFrame) -> dict:
+    import ray.data as rd
+
+    out = triangle_counts(rd.from_pandas(edges), n_buckets=8).to_pandas()
+    return dict(zip(out["id"].tolist(), out["tri"].tolist()))
+
+
+def test_triangles_random_graph_vs_brute(ray_session):
+    rng = np.random.default_rng(7)
+    n = 40
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.25]
+    edges = pd.DataFrame(pairs, columns=["u", "v"]).astype("int64")
+    assert _run(edges) == _brute(edges)
+
+
+def test_triangles_known_shapes(ray_session):
+    # K4 (every node in 3 triangles) plus a disjoint path (no triangles)
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    path = [(10, 11), (11, 12)]
+    edges = pd.DataFrame(k4 + path, columns=["u", "v"]).astype("int64")
+    assert _run(edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_skewed_hub(ray_session):
+    # hub node 0 connected to 30 spokes; spokes form a ring — each ring
+    # edge closes exactly one triangle through the hub
+    spokes = list(range(1, 31))
+    edges = [(0, s) for s in spokes]
+    ring = [(min(a, b), max(a, b))
+            for a, b in zip(spokes, spokes[1:] + spokes[:1])]
+    df = (pd.DataFrame(sorted(set(edges + ring)), columns=["u", "v"])
+          .astype("int64"))
+    got = _run(df)
+    assert got[0] == 30
+    assert all(got[s] == 2 for s in spokes)
