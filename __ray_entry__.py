@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_docs": Q.quality_classifier_docs,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         "dbscan_embeddings": Q.dbscan_embeddings,
+        "sliding_chunks_docs": Q.sliding_chunks_docs,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -2882,6 +2883,34 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_docs": _dsir_sql(),
         "semantic_dedup_embeddings": _sem_dedup_sql(),
         "dbscan_embeddings": _DBSCAN_SQL,
+        # sliding-window chunk replay: window starts 0, 48·k up to
+        # ceil(max(T-64,0)/48); checksum = sum((relpos+1)·(md5low % 1000003))
+        # over each window's 1-based token slice — order-sensitive, exact
+        # in BIGINT. Window/stride/modulus shared with
+        # functions/chunking.py (64/48/1000003).
+        "sliding_chunks_docs": r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sz AS (SELECT doc_id, toks, len(toks) AS t FROM dt WHERE len(toks) > 0),
+ch AS (SELECT doc_id, toks, t,
+              unnest(generate_series(
+                  0, CAST(ceil(greatest(t - 64, 0) / 48.0) AS BIGINT))) AS k
+       FROM sz),
+tok AS (SELECT doc_id, k, t,
+               unnest(toks[k*48 + 1 : k*48 + least(64, t - k*48)]) AS tk,
+               unnest(generate_series(1, least(64, t - k*48))) AS rel
+        FROM ch)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k*48 AS BIGINT) AS start_tok,
+       CAST(least(64, t - k*48) AS BIGINT) AS n_toks,
+       CAST(sum(rel * (CAST(md5_number_lower(tk) % 1000003 AS BIGINT)))
+            AS BIGINT) AS checksum
+FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
+""",
         "string_cluster_part": _STRING_CLUSTER_SQL,
         "minhash_neardup_docs": _minhash_sql(),
         # cross-run screen: recompute band keys for BOTH halves, count a

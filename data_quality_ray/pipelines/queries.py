@@ -3425,3 +3425,19 @@ def triangle_coeff_part(sf_dir: str) -> pd.DataFrame:
     return (pd.DataFrame({"p_partkey": out["p_partkey"], "deg": d, "tri": t,
                           "coef": coef})
             .sort_values("p_partkey").reset_index(drop=True))
+
+
+def sliding_chunks_docs(sf_dir: str) -> pd.DataFrame:
+    """RAG sliding-window chunk layout over documents: 64-token windows
+    advancing by 48 (25% overlap), one embarrassingly-parallel pass
+    (functions/chunking.py — zero shuffle, zero driver state). The
+    order-weighted md5 checksum lets the SQL oracle verify each chunk's
+    exact token content and order. → (doc_id, chunk_idx, start_tok,
+    n_toks, checksum)."""
+    from ..functions.chunking import sliding_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = sliding_chunks(ds, "doc_id", "text", window=64, stride=48) \
+        .to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
