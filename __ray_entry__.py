@@ -191,6 +191,59 @@ def phash_neardup_images(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def cluster_safe_split_images(sf_dir: str):
+    """Leakage-safe 80/10/10 split for the IMAGE corpus: the split key
+    is the phash Hamming-<=2 near-dup CLUSTER label (pigeonhole block
+    pairing + min-label components), so visually near-identical images
+    never straddle train/valid — the image-side mirror of
+    cluster_safe_split_docs. The SQL replays pairs (brute-force
+    xor+bit_count), components AND the md5 hash split.
+    → (image_id, cluster, split)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from data_quality_ray.dedup.minhash import (UNION_FIND_MAX_PAIRS,
+                                                distributed_components,
+                                                union_find_components)
+    from data_quality_ray.dedup.simhash import hamming_candidates
+    from data_quality_ray.functions.broadcast import cached_get
+    from data_quality_ray.sampling.splits import assign_split
+
+    ds = rd.read_parquet(_image_fixture(sf_dir), columns=["image_id", "phash"])
+    pairs = hamming_candidates(ds, "image_id", "phash",
+                               hamming_threshold=2, n_blocks=4)
+    if pairs.empty:
+        comp = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                             "cluster": pd.Series(dtype="int64")})
+    else:
+        edges = pairs[["id_a", "id_b"]]
+        comp = (union_find_components(edges)
+                if len(edges) <= UNION_FIND_MAX_PAIRS
+                else distributed_components(edges))
+    # broadcast the (clustered ids only) label map; one streaming pass
+    # assigns label = map.get(id, id) + the hash split of the label
+    comp = comp.sort_values("id")
+    ref = ray.put((comp["id"].to_numpy(), comp["cluster"].to_numpy()))
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        k, lbl = cached_get(ref)
+        mine = b["image_id"].to_numpy()
+        cluster = mine.copy()
+        if len(k):
+            pos = np.searchsorted(k, mine)
+            ok = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == mine)
+            cluster[ok] = lbl[pos[ok]]
+        return pd.DataFrame({
+            "image_id": mine, "cluster": cluster,
+            "split": assign_split(cluster, {"train": 0.8, "valid": 0.1,
+                                            "test": 0.1})})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def dihedral_phash_images(sf_dir: str):
     """Rotation/mirror-invariant image dedup WITHOUT decoding a pixel:
     the 64-bit grid hash transforms under the dihedral group D4 as a
@@ -485,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         "dbscan_embeddings": Q.dbscan_embeddings,
         "sliding_chunks_docs": Q.sliding_chunks_docs,
+        "chunk_dedup_docs": Q.chunk_dedup_docs,
+        "cluster_safe_split_images": cluster_safe_split_images,
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
@@ -2883,6 +2938,61 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select_docs": _dsir_sql(),
         "semantic_dedup_embeddings": _sem_dedup_sql(),
         "dbscan_embeddings": _DBSCAN_SQL,
+        # chunk-fingerprint dedup: the sliding-window CTE re-derived, then
+        # one GROUP BY (checksum, n_toks) HAVING count >= 2; keeper = min
+        # packed (doc_id·2^20 + chunk_idx) — same algebra as the Python
+        "chunk_dedup_docs": r"""
+WITH dt AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sz AS (SELECT doc_id, toks, len(toks) AS t FROM dt WHERE len(toks) > 0),
+ch AS (SELECT doc_id, toks, t,
+              unnest(generate_series(
+                  0, CAST(ceil(greatest(t - 64, 0) / 48.0) AS BIGINT))) AS k
+       FROM sz),
+tok AS (SELECT doc_id, k, t,
+               unnest(toks[k*48 + 1 : k*48 + least(64, t - k*48)]) AS tk,
+               unnest(generate_series(1, least(64, t - k*48))) AS rel
+        FROM ch),
+chk AS (SELECT doc_id, k,
+               CAST(least(64, t - k*48) AS BIGINT) AS n_toks,
+               CAST(sum(rel * (CAST(md5_number_lower(tk) % 1000003 AS BIGINT)))
+                    AS BIGINT) AS checksum
+        FROM tok GROUP BY doc_id, k, t)
+SELECT checksum, n_toks,
+       CAST(count(*) AS BIGINT) AS n_dup,
+       CAST(min(doc_id * 1048576 + k) // 1048576 AS BIGINT) AS keeper_doc,
+       CAST(min(doc_id * 1048576 + k) % 1048576 AS BIGINT) AS keeper_chunk
+FROM chk GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY checksum, n_toks
+""",
+        # image-side leakage-safe split: brute-force Hamming-<=2 pairs,
+        # recursive min-label components, md5 split of the cluster label
+        # (the _cluster_safe_split_sql contract over the image fixture)
+        "cluster_safe_split_images": f"""
+WITH RECURSIVE L AS ({_f1_labels_sql("image_id, phash")}),
+p AS (SELECT a.image_id AS id_a, b.image_id AS id_b
+      FROM L a JOIN L b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+nodes AS (SELECT id_a AS id FROM p UNION SELECT id_b FROM p),
+e2 AS (SELECT id_a AS u, id_b AS w FROM p UNION SELECT id_b, id_a FROM p),
+cc(id, lbl) AS (SELECT id, id FROM nodes
+                UNION
+                SELECT e.w, cc.lbl FROM cc JOIN e2 e ON e.u = cc.id),
+comp AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY 1),
+lbl AS (SELECT l.image_id, coalesce(c.cluster, l.image_id) AS cluster
+        FROM L l LEFT JOIN comp c ON c.id = l.image_id),
+b AS (SELECT image_id, cluster,
+             md5_number_lower(CAST(cluster AS VARCHAR)) % 10000 AS bk
+      FROM lbl)
+SELECT image_id, cluster,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b ORDER BY image_id
+""",
         # sliding-window chunk replay: window starts 0, 48·k up to
         # ceil(max(T-64,0)/48); checksum = sum((relpos+1)·(md5low % 1000003))
         # over each window's 1-based token slice — order-sensitive, exact

@@ -182,6 +182,9 @@ def run_bench() -> dict:
         ("fs_entity_resolution_customers", Q.fs_entity_resolution_customers),
         ("embedding_covariance", Q.embedding_covariance),
         ("neardup_cluster_stats_docs", Q.neardup_cluster_stats_docs),
+        ("dbscan_embeddings", Q.dbscan_embeddings),
+        ("triangle_coeff_part", Q.triangle_coeff_part),
+        ("sliding_chunks_docs", Q.sliding_chunks_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -3441,3 +3441,42 @@ def sliding_chunks_docs(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     return (out.sort_values(["doc_id", "chunk_idx"])
             .reset_index(drop=True))
+
+
+def chunk_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Chunk-granularity exact dedup: fingerprint every sliding window
+    (functions/chunking.py, 64/48) and collapse identical chunks ACROSS
+    documents — the boilerplate that paragraph-level dedup misses when
+    it spans paragraph boundaries. One shuffle-free chunk pass + one
+    hash-bucketed (checksum, n_toks) fold; the keeper is the (doc,
+    chunk)-minimum, packed as doc_id·2^20 + chunk_idx so min() is one
+    algebraic aggregate on both engines. → (checksum, n_toks, n_dup,
+    keeper_doc, keeper_chunk) for fingerprints seen >= 2 times."""
+    from ..functions.chunking import sliding_chunks
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = sliding_chunks(ds, "doc_id", "text", window=64, stride=48)
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["checksum", "n_toks"]].assign(
+            ck=(b["doc_id"].to_numpy() << np.int64(20))
+            + b["chunk_idx"].to_numpy())
+        return b
+
+    agg = grouped_aggregate(chunks.map_batches(pack, batch_format="pandas"),
+                            ["checksum", "n_toks"],
+                            {"n_dup": ("ck", "count"), "k": ("ck", "min")},
+                            final="shuffle")
+    out = agg.map_batches(
+        lambda b: b.loc[b["n_dup"].to_numpy() >= 2],
+        batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["checksum", "n_toks", "n_dup", "keeper_doc",
+                              "keeper_chunk"]})
+    out["keeper_doc"] = out["k"].to_numpy() >> np.int64(20)
+    out["keeper_chunk"] = out["k"].to_numpy() & np.int64((1 << 20) - 1)
+    return (out[["checksum", "n_toks", "n_dup", "keeper_doc",
+                 "keeper_chunk"]].astype("int64")
+            .sort_values(["checksum", "n_toks"]).reset_index(drop=True))
