@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords_docs": Q.tfidf_keywords_docs,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "kcenter_coreset_embeddings": Q.kcenter_coreset_embeddings,
+        "mmr_select_embeddings": Q.mmr_select_embeddings,
         "range_partition_orders": Q.range_partition_orders,
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
@@ -2545,6 +2546,42 @@ def _kmeans_sql() -> str:
     return sql
 
 
+def _mmr_sql(k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled MMR replay: pick 0 = max 6-dp cosine to the vec_id-0
+    query (ties -> smaller id); each later round scores every unselected
+    row round(lam*rel - (1-lam)*max-sim-to-selected, 6) with the SAME
+    float64 literals the library multiplies by, so the greedy trajectory
+    is engine-identical."""
+    sql = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e FROM v ORDER BY vec_id LIMIT 1),
+r AS (SELECT vec_id, e,
+             round(list_cosine_similarity(e, (SELECT e FROM q)), 6) AS rel
+      FROM v),
+s0 AS MATERIALIZED (SELECT vec_id, e, rel, 0 AS sel_order
+       FROM r ORDER BY rel DESC, vec_id LIMIT 1)"""
+    prev = "s0"
+    for i in range(1, k):
+        # MATERIALIZED: each round references the previous selection 3x
+        # (join, NOT IN, union) — inlined CTEs would expand 3^k scans
+        sql += f""",
+d{i} AS MATERIALIZED (
+         SELECT r.vec_id, any_value(r.e) AS e, any_value(r.rel) AS rel,
+               max(round(list_cosine_similarity(r.e, s.e), 6)) AS pen
+         FROM r CROSS JOIN {prev} s
+         WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+         GROUP BY r.vec_id),
+n{i} AS (SELECT vec_id, e, rel, {i} AS sel_order FROM d{i}
+         ORDER BY round({lam!r}*rel - {(1.0 - lam)!r}*pen, 6) DESC,
+                  vec_id LIMIT 1),
+s{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM n{i})"""
+        prev = f"s{i}"
+    sql += f"""
+SELECT vec_id, CAST(sel_order AS BIGINT) AS sel_order, rel
+FROM {prev} ORDER BY sel_order"""
+    return sql
+
+
 def _kcenter_sql() -> str:
     """Unrolled greedy k-center replay: s0 = smallest vec_id, each round
     md = min over the chosen set of the 6-dp-rounded euclidean distance,
@@ -3824,6 +3861,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "tfidf_keywords_docs": _TFIDF_SQL,
         "kmeans_embeddings": _kmeans_sql(),
         "kcenter_coreset_embeddings": _kcenter_sql(),
+        "mmr_select_embeddings": _mmr_sql(),
         "homoglyph_dedup_docs": _homoglyph_sql(),
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),

@@ -185,6 +185,8 @@ def run_bench() -> dict:
         ("dbscan_embeddings", Q.dbscan_embeddings),
         ("triangle_coeff_part", Q.triangle_coeff_part),
         ("sliding_chunks_docs", Q.sliding_chunks_docs),
+        ("chunk_dedup_docs", Q.chunk_dedup_docs),
+        ("mmr_select_embeddings", Q.mmr_select_embeddings),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

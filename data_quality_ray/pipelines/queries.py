@@ -3480,3 +3480,19 @@ def chunk_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return (out[["checksum", "n_toks", "n_dup", "keeper_doc",
                  "keeper_chunk"]].astype("int64")
             .sort_values(["checksum", "n_toks"]).reset_index(drop=True))
+
+
+def mmr_select_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Query-aware diverse selection: 10 MMR picks (λ=0.7) around the
+    vec_id-0 embedding — relevance traded against redundancy with the
+    already-selected set (similarity/mmr.py, broadcast-round pattern).
+    The oracle replays every greedy round with unrolled CTEs.
+    → (vec_id, sel_order, rel)."""
+    from ..similarity.mmr import mmr_select
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qvec = np.asarray(qt["embedding"][
+        int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
+    return mmr_select(ds, "vec_id", "embedding", qvec, k=10, lam=0.7)
