@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
         "triangle_coeff_part": Q.triangle_coeff_part,
+        "link_prediction_part": Q.link_prediction_part,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
@@ -3893,6 +3894,31 @@ SELECT p.p_partkey,
 FROM part p LEFT JOIN deg ON deg.id = p.p_partkey
             LEFT JOIN tc ON tc.id = p.p_partkey
 ORDER BY p.p_partkey
+""",
+        # Adamic-Adar replay: same thresholded co-order graph, full wedge
+        # enumeration per center, integer-quantized terms (round(1e6/ln d)
+        # as BIGINT) so the sum is order-independent across engines
+        "link_prediction_part": r"""
+WITH pe AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe)
+        GROUP BY 1),
+adj AS (SELECT u AS ctr, v AS nbr FROM pe UNION ALL SELECT v, u FROM pe),
+wt AS (SELECT adj.ctr, adj.nbr,
+              CAST(round(1000000.0 / ln(deg.d)) AS BIGINT) AS term
+       FROM adj JOIN deg ON deg.id = adj.ctr),
+wp AS (SELECT a.nbr AS id_a, b.nbr AS id_b, a.term
+       FROM wt a JOIN wt b ON a.ctr = b.ctr AND a.nbr < b.nbr),
+sc AS (SELECT id_a, id_b, count(*) AS cn, sum(term) AS aa_ppm
+       FROM wp GROUP BY 1, 2),
+ne AS (SELECT sc.* FROM sc LEFT JOIN pe
+         ON pe.u = sc.id_a AND pe.v = sc.id_b
+       WHERE pe.u IS NULL)
+SELECT id_a, id_b, CAST(cn AS BIGINT) AS cn, CAST(aa_ppm AS BIGINT) AS aa_ppm
+FROM ne ORDER BY aa_ppm DESC, id_a, id_b LIMIT 100
 """,
         "fs_linkage_customers": _fs_linkage_sql(),
         "fs_entity_resolution_customers": _fs_linkage_sql(mode="entities"),

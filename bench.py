@@ -187,6 +187,7 @@ def run_bench() -> dict:
         ("sliding_chunks_docs", Q.sliding_chunks_docs),
         ("chunk_dedup_docs", Q.chunk_dedup_docs),
         ("mmr_select_embeddings", Q.mmr_select_embeddings),
+        ("link_prediction_part", Q.link_prediction_part),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -3377,30 +3377,7 @@ def triangle_coeff_part(sf_dir: str) -> pd.DataFrame:
     from ..functions.graph import triangle_counts
     from ..profiling.groupagg import grouped_aggregate
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        import pandas.util as pdu
-
-        b = b.copy()
-        b["__bucket"] = (pdu.hash_pandas_object(b["l_orderkey"], index=False)
-                         .to_numpy() % np.uint64(64)).astype("int64")
-        return b
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        f = g[["l_orderkey", "l_partkey"]]
-        m = f.merge(f, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
-                             "v": m["l_partkey_y"].to_numpy()})
-
-    pair_ds = (li.map_batches(add_bucket, batch_format="pandas")
-               .groupby("__bucket").map_groups(pairs, batch_format="pandas"))
-    cnt = grouped_aggregate(pair_ds, ["u", "v"], {"n": ("u", "count")},
-                            final="shuffle")
-    edges = cnt.map_batches(
-        lambda b: b.loc[b["n"].to_numpy() >= 2, ["u", "v"]],
-        batch_format="pandas").materialize()
+    edges = _coorder_edges(sf_dir)
 
     tri = triangle_counts(edges).to_pandas()
     if tri.empty:
@@ -3496,3 +3473,53 @@ def mmr_select_embeddings(sf_dir: str) -> pd.DataFrame:
     qvec = np.asarray(qt["embedding"][
         int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
     return mmr_select(ds, "vec_id", "embedding", qvec, k=10, lam=0.7)
+
+
+def _coorder_edges(sf_dir: str):
+    """Distinct part co-order edges (u < v) with pair-instance count >= 2
+    — shared by triangle_coeff_part and link_prediction_part: one
+    bucketed per-order self-merge + one grouped count."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        import pandas.util as pdu
+
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_pandas_object(b["l_orderkey"], index=False)
+                         .to_numpy() % np.uint64(64)).astype("int64")
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[["l_orderkey", "l_partkey"]]
+        m = f.merge(f, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
+                             "v": m["l_partkey_y"].to_numpy()})
+
+    pair_ds = (li.map_batches(add_bucket, batch_format="pandas")
+               .groupby("__bucket").map_groups(pairs, batch_format="pandas"))
+    cnt = grouped_aggregate(pair_ds, ["u", "v"], {"n": ("u", "count")},
+                            final="shuffle")
+    return cnt.map_batches(
+        lambda b: b.loc[b["n"].to_numpy() >= 2, ["u", "v"]],
+        batch_format="pandas").materialize()
+
+
+def link_prediction_part(sf_dir: str) -> pd.DataFrame:
+    """Adamic–Adar link prediction on the part co-order graph: the 100
+    strongest NON-edges by quantized AA score (functions/graph.py —
+    integer-term fold so the cross-engine sum is exact), ties broken by
+    (id_a, id_b). → (id_a, id_b, cn, aa_ppm)."""
+    from ..functions.graph import link_prediction
+
+    edges = _coorder_edges(sf_dir)
+    out = link_prediction(edges).to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["id_a", "id_b", "cn", "aa_ppm"]})
+    out = out.sort_values(["aa_ppm", "id_a", "id_b"],
+                          ascending=[False, True, True]).head(100)
+    return (out[["id_a", "id_b", "cn", "aa_ppm"]].astype("int64")
+            .reset_index(drop=True))

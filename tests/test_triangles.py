@@ -56,3 +56,34 @@ def test_triangles_skewed_hub(ray_session):
     got = _run(df)
     assert got[0] == 30
     assert all(got[s] == 2 for s in spokes)
+
+
+def test_link_prediction_vs_brute(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.graph import link_prediction
+
+    rng = np.random.default_rng(13)
+    n = 25
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.2]
+    edges = pd.DataFrame(pairs, columns=["u", "v"]).astype("int64")
+    got = link_prediction(rd.from_pandas(edges)).to_pandas()
+    got = {(a, b): (c, s) for a, b, c, s in
+           zip(got["id_a"], got["id_b"], got["cn"], got["aa_ppm"])}
+
+    es = set(map(tuple, pairs))
+    nbrs = {x: set() for e in es for x in e}
+    for a, b in es:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    for a in nbrs:
+        for b in nbrs:
+            if a < b and (a, b) not in es:
+                common = nbrs[a] & nbrs[b]
+                if common:
+                    want[(a, b)] = (len(common),
+                                    sum(int(np.round(1e6 / np.log(len(nbrs[u]))))
+                                        for u in common))
+    assert got == want
