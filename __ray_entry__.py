@@ -328,6 +328,43 @@ SELECT query_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
 
+def _hard_negatives_sql(n_anchors: int = 4, k: int = 5) -> str:
+    """Independent replay of hard_negatives: every caption re-embedded
+    from its RAW string (SQL md5 bucket hashing, the caption_search
+    contract), anchor = phash sign fold of the n smallest ids, 6-dp
+    round before the rank, own-caption excluded."""
+    bits = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH raw AS ({_f1_raw_sql("image_id, phash, caption")}),
+anch AS (SELECT image_id AS anchor_id,
+                phash::HUGEINT + CASE WHEN phash < 0
+                    THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS u
+         FROM raw ORDER BY image_id LIMIT {n_anchors}),
+toks AS (SELECT image_id,
+                unnest(list_filter(string_split_regex(
+                    lower(coalesce(caption, '')), '\\s+'),
+                    x -> x <> '')) AS tok
+         FROM raw),
+tb AS (SELECT image_id, CAST(md5_number_lower(tok) % 64 AS INT) AS b,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM toks GROUP BY 1, 2),
+tn AS (SELECT image_id, sqrt(sum(c * c)) AS tn FROM tb GROUP BY 1),
+bits(b, p) AS (VALUES {bits}),
+d AS (SELECT tb.image_id, anch.anchor_id,
+             sum(c * (CAST((anch.u // bits.p) % 2 AS DOUBLE) * 2 - 1)) AS dot
+      FROM tb JOIN bits ON bits.b = tb.b CROSS JOIN anch
+      GROUP BY 1, 2),
+s AS (SELECT d.anchor_id, d.image_id,
+             round(dot / (tn.tn * 8.0), 6) AS alignment
+      FROM d JOIN tn USING (image_id)
+      WHERE d.image_id <> d.anchor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+          ORDER BY alignment DESC, image_id) AS rank FROM s)
+SELECT anchor_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k} ORDER BY anchor_id, rank"""
+
+
 def _dihedral_sql() -> str:
     """Replays the D4 bit-permutation algebra in SQL: unsigned bit
     explode (hugeint power table), the 8×64 permutation table from the
@@ -559,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_dedup_images": multimodal_dedup_images,
         "hamming_store_images": hamming_store_images,
         "caption_search_images": caption_search_images,
+        "hard_negatives_images": hard_negatives_images,
         "audio_quality_clips": audio_quality_clips,
         "video_frame_dedup": video_frame_dedup,
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
@@ -1041,6 +1079,29 @@ def caption_search_images(sf_dir: str):
     out = caption_search(ds, CAPTION_QUERIES, k=10)
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def hard_negatives_images(sf_dir: str):
+    """Contrastive hard-negative mining: for the 4 smallest-id anchor
+    images, the 5 foreign captions most aligned with each anchor's image
+    embedding (stages/alignment.hard_negatives — broadcast anchor sign
+    matrix, per-batch caption embedding + fixed-size top-k partials,
+    zero shuffle). The SQL re-embeds every caption from the raw strings
+    (md5 bucket hashing in SQL) — an independent replay.
+    → (anchor_id, image_id, alignment, rank)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.similarity.hamming import smallest_id_sigs
+    from data_quality_ray.stages.alignment import hard_negatives
+
+    ds = rd.read_parquet(_image_fixture(sf_dir),
+                         columns=["image_id", "caption", "phash"])
+    aid, ph = smallest_id_sigs(ds, "image_id", "phash", 4)
+    anchors = pd.DataFrame({"image_id": aid, "phash": ph})
+    out = hard_negatives(ds, anchors, k=5)
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
 
 
 def hamming_store_images(sf_dir: str):
@@ -3116,6 +3177,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             f"AND (SELECT greatest(500, count(*)) FROM documents) = {n}"
             for n in _A1_SIZES) + " ORDER BY clip_id"),
         "caption_search_images": _caption_search_sql(),
+        "hard_negatives_images": _hard_negatives_sql(),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "

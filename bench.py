@@ -206,6 +206,8 @@ def run_bench() -> dict:
             ("video_frame_dedup", E.video_frame_dedup),
             ("audio_fingerprint_dedup", E.audio_fingerprint_dedup),
             ("caption_search_images", E.caption_search_images),
+            ("hard_negatives_images", E.hard_negatives_images),
+            ("cluster_safe_split_images", E.cluster_safe_split_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

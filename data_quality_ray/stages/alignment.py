@@ -157,3 +157,74 @@ def caption_search(ds, queries: dict, k: int = 10,
     out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     return out
+
+
+def hard_negatives(ds, anchors, k: int = 5, id_col: str = "image_id",
+                   caption_col: str = "caption", phash_col: str = "phash"):
+    """Contrastive hard-negative mining: for each ANCHOR image, the k
+    FOREIGN captions most aligned with the anchor's image embedding —
+    the text–image pairs a CLIP-style trainer wants as hard in-batch
+    negatives (high cross-modal similarity, wrong pairing). ``anchors``:
+    DataFrame (id_col, phash_col).
+
+    Shape: ``caption_search`` with the two encoders swapped — the
+    anchors' phash sign matrix broadcasts (A × 64, tiny), every batch
+    embeds its captions (np.unique-memoized md5 buckets) and scores all
+    anchors in one matmul, emitting a FIXED-SIZE A × k partial; driver
+    merge = O(blocks × A × k) rows, zero shuffle. Scores 6-dp-rounded
+    before ranking; a candidate never competes against its own anchor.
+    → (anchor_id, id_col, alignment, rank ≤ k)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    aid = anchors[id_col].to_numpy()
+    ph = anchors[phash_col].to_numpy()
+    bits = ((ph.astype(np.uint64)[:, None] >> _SHIFTS) & np.uint64(1)) \
+        .astype(np.float64)
+    sign = bits * 2.0 - 1.0  # (A, 64); image norm exactly 8
+    ref = ray.put((aid, sign))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        _aid, _sign = cached_get(ref)
+        caps = b[caption_col].tolist()
+        ids = b[id_col].to_numpy()
+        counts = np.zeros((len(caps), D), dtype=np.float64)
+        toks_per = [tokenize(c) for c in caps]
+        flat = [t for ts in toks_per for t in ts]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object),
+                                  return_inverse=True)
+            buckets = (md5_hash64(uniq) % np.uint64(D)).astype(np.int64)[inv]
+            rows = np.repeat(np.arange(len(caps)),
+                             [len(ts) for ts in toks_per])
+            np.add.at(counts, (rows, buckets), 1.0)
+        tnorm = np.sqrt((counts * counts).sum(axis=1))
+        ok = tnorm > 0
+        if not ok.any():
+            return pd.DataFrame({"anchor_id": [], id_col: [],
+                                 "alignment": []})
+        counts, tnorm, ids = counts[ok], tnorm[ok], ids[ok]
+        score = np.round((counts @ _sign.T) / (tnorm[:, None] * 8.0), 6)
+        frames = []
+        for ai in range(len(_aid)):
+            m = ids != _aid[ai]
+            order = np.lexsort((ids[m], -score[m, ai]))[:k]
+            frames.append(pd.DataFrame({
+                "anchor_id": _aid[ai], id_col: ids[m][order],
+                "alignment": score[m, ai][order]}))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = pd.concat(
+        list(ds.select_columns([id_col, caption_col])
+             .map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_size=4 * k * max(1, len(aid)),
+                           batch_format="pandas")),
+        ignore_index=True)
+    parts = parts.sort_values(["anchor_id", "alignment", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = parts.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("anchor_id", sort=False).cumcount() + 1
+    return out
