@@ -365,6 +365,26 @@ SELECT anchor_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY anchor_id, rank"""
 
 
+def _zorder_sql() -> str:
+    """Replays the Morton key per row: exact integer bucketing
+    ((x − min)·2^BITS // (max − min + 1)) and the bit interleave as a sum
+    of (bit · 2^position) terms generated from the SAME BITS constant."""
+    from data_quality_ray.functions.zorder import BITS
+
+    terms = " + ".join(
+        f"((bu // {1 << i}) % 2) * {1 << (2 * i + 1)} + "
+        f"((bv // {1 << i}) % 2) * {1 << (2 * i)}" for i in range(BITS))
+    return f"""
+WITH b AS (SELECT min(l_partkey) AS umin, max(l_partkey) AS umax,
+                  min(l_suppkey) AS vmin, max(l_suppkey) AS vmax
+           FROM lineitem),
+zc AS (SELECT ((l_partkey - umin) * {1 << BITS}) // (umax - umin + 1) AS bu,
+              ((l_suppkey - vmin) * {1 << BITS}) // (vmax - vmin + 1) AS bv
+       FROM lineitem, b)
+SELECT CAST({terms} AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n
+FROM zc GROUP BY 1 ORDER BY zval"""
+
+
 def _dihedral_sql() -> str:
     """Replays the D4 bit-permutation algebra in SQL: unsigned bit
     explode (hugeint power table), the 8×64 permutation table from the
@@ -508,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": Q.supplier_pagerank,
         "triangle_coeff_part": Q.triangle_coeff_part,
         "link_prediction_part": Q.link_prediction_part,
+        "zorder_layout_lineitem": Q.zorder_layout_lineitem,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
@@ -3960,6 +3981,7 @@ ORDER BY p.p_partkey
         # Adamic-Adar replay: same thresholded co-order graph, full wedge
         # enumeration per center, integer-quantized terms (round(1e6/ln d)
         # as BIGINT) so the sum is order-independent across engines
+        "zorder_layout_lineitem": _zorder_sql(),
         "link_prediction_part": r"""
 WITH pe AS (SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b

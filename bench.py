@@ -188,6 +188,7 @@ def run_bench() -> dict:
         ("chunk_dedup_docs", Q.chunk_dedup_docs),
         ("mmr_select_embeddings", Q.mmr_select_embeddings),
         ("link_prediction_part", Q.link_prediction_part),
+        ("zorder_layout_lineitem", Q.zorder_layout_lineitem),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -3523,3 +3523,41 @@ def link_prediction_part(sf_dir: str) -> pd.DataFrame:
                           ascending=[False, True, True]).head(100)
     return (out[["id_a", "id_b", "cn", "aa_ppm"]].astype("int64")
             .reset_index(drop=True))
+
+
+def zorder_layout_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Z-order physical layout of lineitem by (l_partkey, l_suppkey):
+    one min/max fold + one range-partitioned sort by the interleaved
+    Morton key, persisted; footer-measured scan pruning is then asserted
+    for a mid-range predicate on EACH column — the property a
+    single-column sort can't give both dimensions. The oracle recomputes
+    every row's z value (exact integer bucketing + bit interleave in
+    SQL). → (zval, n)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..functions.zorder import build_zorder_store, zorder_scan_stats
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    d = tempfile.mkdtemp(prefix="dq_zorder_")
+    try:
+        store = os.path.join(d, "store")
+        bounds = build_zorder_store(ds, store, "l_partkey", "l_suppkey")
+        for col in ("l_partkey", "l_suppkey"):
+            lo, hi = bounds[col]
+            span = max((hi - lo + 1) // 8, 1)
+            st = zorder_scan_stats(store, col, lo + 3 * span,
+                                   lo + 4 * span - 1)
+            if not (0 < st["files_scanned"] < st["files_total"]):
+                raise AssertionError(f"no footer pruning on {col}: {st}")
+        agg = grouped_aggregate(rd.read_parquet(store, columns=["zval"]),
+                                ["zval"], {"n": ("zval", "count")},
+                                final="shuffle").to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (agg.astype("int64").sort_values("zval")
+            .reset_index(drop=True)[["zval", "n"]])
