@@ -365,6 +365,34 @@ SELECT anchor_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY anchor_id, rank"""
 
 
+def _bootstrap_sql() -> str:
+    """Replays the deterministic Poisson bootstrap: the SAME integer
+    inverse-CDF thresholds (shared constant), md5 % 2^53 bucket per
+    (row key, replicate), int64 weight/cents sums — the only float op is
+    the final division, identical on both engines."""
+    from data_quality_ray.profiling.bootstrap import (B_REPLICATES,
+                                                      POISSON_THRESHOLDS)
+
+    ladder = " + ".join(f"(CASE WHEN m >= {t} THEN 1 ELSE 0 END)"
+                        for t in POISSON_THRESHOLDS)
+    return f"""
+WITH reps(b) AS (SELECT unnest(generate_series(0, {B_REPLICATES - 1}))),
+r AS (SELECT CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_linenumber AS VARCHAR) AS key,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+m AS (SELECT reps.b, r.cents,
+             CAST(md5_number_lower(r.key || '|' || CAST(reps.b AS VARCHAR))
+                  % 9007199254740992 AS BIGINT) AS m
+      FROM r CROSS JOIN reps),
+w AS (SELECT b, cents, {ladder} AS w FROM m),
+a AS (SELECT b, sum(w) AS sw, sum(w * cents) AS swc FROM w GROUP BY 1)
+SELECT CAST(b AS BIGINT) AS b, CAST(sw AS BIGINT) AS n_eff,
+       round(CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6)
+           AS mean_value
+FROM a ORDER BY b"""
+
+
 def _zorder_sql() -> str:
     """Replays the Morton key per row: exact integer bucketing
     ((x − min)·2^BITS // (max − min + 1)) and the bit interleave as a sum
@@ -383,6 +411,41 @@ zc AS (SELECT ((l_partkey - umin) * {1 << BITS}) // (umax - umin + 1) AS bu,
        FROM lineitem, b)
 SELECT CAST({terms} AS BIGINT) AS zval, CAST(count(*) AS BIGINT) AS n
 FROM zc GROUP BY 1 ORDER BY zval"""
+
+
+def _retrieval_eval_sql(n_anchors: int = 16) -> str:
+    """Independent replay of retrieval_ranks: every caption re-embedded
+    from its raw string, scored against the n smallest-id anchors' phash
+    sign folds, own-caption rank = row_number over (score DESC, id)."""
+    bits = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH raw AS ({_f1_raw_sql("image_id, phash, caption")}),
+anch AS (SELECT image_id AS anchor_id,
+                phash::HUGEINT + CASE WHEN phash < 0
+                    THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS u
+         FROM raw ORDER BY image_id LIMIT {n_anchors}),
+toks AS (SELECT image_id,
+                unnest(list_filter(string_split_regex(
+                    lower(coalesce(caption, '')), '\\s+'),
+                    x -> x <> '')) AS tok
+         FROM raw),
+tb AS (SELECT image_id, CAST(md5_number_lower(tok) % 64 AS INT) AS b,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM toks GROUP BY 1, 2),
+tn AS (SELECT image_id, sqrt(sum(c * c)) AS tn FROM tb GROUP BY 1),
+bits(b, p) AS (VALUES {bits}),
+d AS (SELECT tb.image_id, anch.anchor_id,
+             sum(c * (CAST((anch.u // bits.p) % 2 AS DOUBLE) * 2 - 1)) AS dot
+      FROM tb JOIN bits ON bits.b = tb.b CROSS JOIN anch
+      GROUP BY 1, 2),
+s AS (SELECT d.anchor_id, d.image_id,
+             round(dot / (tn.tn * 8.0), 6) AS a
+      FROM d JOIN tn USING (image_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+          ORDER BY a DESC, image_id) AS rk FROM s)
+SELECT anchor_id, a AS own_score, CAST(rk AS BIGINT) AS own_rank
+FROM r WHERE image_id = anchor_id ORDER BY anchor_id"""
 
 
 def _dihedral_sql() -> str:
@@ -529,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_coeff_part": Q.triangle_coeff_part,
         "link_prediction_part": Q.link_prediction_part,
         "zorder_layout_lineitem": Q.zorder_layout_lineitem,
+        "bootstrap_ci_lineitem": Q.bootstrap_ci_lineitem,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
@@ -618,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hamming_store_images": hamming_store_images,
         "caption_search_images": caption_search_images,
         "hard_negatives_images": hard_negatives_images,
+        "retrieval_eval_images": retrieval_eval_images,
         "audio_quality_clips": audio_quality_clips,
         "video_frame_dedup": video_frame_dedup,
         "audio_fingerprint_dedup": audio_fingerprint_dedup,
@@ -1123,6 +1188,26 @@ def hard_negatives_images(sf_dir: str):
     out = hard_negatives(ds, anchors, k=5)
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["anchor_id", "rank"]).reset_index(drop=True)
+
+
+def retrieval_eval_images(sf_dir: str):
+    """Cross-modal retrieval eval: rank of each anchor image's OWN
+    caption among all captions under the alignment score (the CLIP-eval
+    median-rank/recall@k measurement; stages/alignment.retrieval_ranks —
+    two shuffle-free passes with fixed-size partials). The SQL re-embeds
+    every caption and takes the row_number of the own caption — an
+    independent replay. → (anchor_id, own_score, own_rank)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.similarity.hamming import smallest_id_sigs
+    from data_quality_ray.stages.alignment import retrieval_ranks
+
+    ds = rd.read_parquet(_image_fixture(sf_dir),
+                         columns=["image_id", "caption", "phash"])
+    aid, ph = smallest_id_sigs(ds, "image_id", "phash", 16)
+    out = retrieval_ranks(ds, pd.DataFrame({"image_id": aid, "phash": ph}))
+    return out.sort_values("anchor_id").reset_index(drop=True)
 
 
 def hamming_store_images(sf_dir: str):
@@ -3199,6 +3284,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             for n in _A1_SIZES) + " ORDER BY clip_id"),
         "caption_search_images": _caption_search_sql(),
         "hard_negatives_images": _hard_negatives_sql(),
+        "retrieval_eval_images": _retrieval_eval_sql(),
         "dihedral_phash_images": _dihedral_sql(),
         "hamming_store_images": "WITH L AS ("
             + _f1_labels_sql("image_id, phash") + "), "
@@ -3982,6 +4068,7 @@ ORDER BY p.p_partkey
         # enumeration per center, integer-quantized terms (round(1e6/ln d)
         # as BIGINT) so the sum is order-independent across engines
         "zorder_layout_lineitem": _zorder_sql(),
+        "bootstrap_ci_lineitem": _bootstrap_sql(),
         "link_prediction_part": r"""
 WITH pe AS (SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b

@@ -189,6 +189,7 @@ def run_bench() -> dict:
         ("mmr_select_embeddings", Q.mmr_select_embeddings),
         ("link_prediction_part", Q.link_prediction_part),
         ("zorder_layout_lineitem", Q.zorder_layout_lineitem),
+        ("bootstrap_ci_lineitem", Q.bootstrap_ci_lineitem),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
@@ -209,6 +210,7 @@ def run_bench() -> dict:
             ("caption_search_images", E.caption_search_images),
             ("hard_negatives_images", E.hard_negatives_images),
             ("cluster_safe_split_images", E.cluster_safe_split_images),
+            ("retrieval_eval_images", E.retrieval_eval_images),
         ]
     for name, fn in query_list:
         t = time.perf_counter()

@@ -3561,3 +3561,17 @@ def zorder_layout_lineitem(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     return (agg.astype("int64").sort_values("zval")
             .reset_index(drop=True)[["zval", "n"]])
+
+
+def bootstrap_ci_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Poisson-bootstrap sampling distribution of the mean
+    extended price: 20 replicates in ONE streaming pass (fixed-size
+    per-batch partials — profiling/bootstrap.py), integer weights from
+    md5 inverse-CDF buckets so both engines reproduce the identical
+    bootstrap. → (b, n_eff, mean_value)."""
+    from ..profiling.bootstrap import bootstrap_means
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return bootstrap_means(ds, ["l_orderkey", "l_linenumber"],
+                           "l_extendedprice")

@@ -228,3 +228,96 @@ def hard_negatives(ds, anchors, k: int = 5, id_col: str = "image_id",
     out = parts.groupby("anchor_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("anchor_id", sort=False).cumcount() + 1
     return out
+
+
+def retrieval_ranks(ds, anchors, id_col: str = "image_id",
+                    caption_col: str = "caption"):
+    """Cross-modal retrieval EVALUATION: for each anchor image, the rank
+    of its OWN caption among all captions scored against the anchor's
+    image embedding — the recall@k / median-rank eval a CLIP-style
+    pipeline reports. Rank = row_number under (score DESC, id ASC), so
+    ties are engine-stable.
+
+    Two cheap passes, zero shuffle: pass 1 collects the anchors' own
+    caption scores (per-batch filter on the broadcast anchor id set —
+    A rows total); pass 2 streams every caption once, counting per
+    anchor how many FOREIGN captions beat the own score (fixed-size A
+    partial counts per batch, driver sum). Anchors whose caption has no
+    tokens are dropped (their score is null on both engines).
+    → (anchor_id, own_score, own_rank)."""
+    import pandas as pd
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    aid = anchors[id_col].to_numpy()
+    ph = anchors["phash"].to_numpy()
+    bits = ((ph.astype(np.uint64)[:, None] >> _SHIFTS) & np.uint64(1)) \
+        .astype(np.float64)
+    sign = bits * 2.0 - 1.0
+    ref = ray.put((aid, sign))
+
+    def _embed(caps):
+        counts = np.zeros((len(caps), D), dtype=np.float64)
+        toks_per = [tokenize(c) for c in caps]
+        flat = [t for ts in toks_per for t in ts]
+        if flat:
+            uniq, inv = np.unique(np.array(flat, dtype=object),
+                                  return_inverse=True)
+            buckets = (md5_hash64(uniq) % np.uint64(D)).astype(np.int64)[inv]
+            rows = np.repeat(np.arange(len(caps)),
+                             [len(ts) for ts in toks_per])
+            np.add.at(counts, (rows, buckets), 1.0)
+        return counts, np.sqrt((counts * counts).sum(axis=1))
+
+    def own_scores(b: pd.DataFrame) -> pd.DataFrame:
+        _aid, _sign = cached_get(ref)
+        m = np.isin(b[id_col].to_numpy(), _aid)
+        if not m.any():
+            return pd.DataFrame({"anchor_id": [], "own_score": []})
+        sub = b.loc[m]
+        counts, tn = _embed(sub[caption_col].tolist())
+        ok = tn > 0
+        ids = sub[id_col].to_numpy()[ok]
+        pos = np.array([np.where(_aid == i)[0][0] for i in ids])
+        s = np.round((counts[ok] * _sign[pos]).sum(axis=1) / (tn[ok] * 8.0),
+                     6)
+        return pd.DataFrame({"anchor_id": ids, "own_score": s})
+
+    own = pd.concat(
+        list(ds.select_columns([id_col, caption_col])
+             .map_batches(own_scores, batch_format="pandas")
+             .iter_batches(batch_size=1024, batch_format="pandas")),
+        ignore_index=True).drop_duplicates("anchor_id")
+    own = own.sort_values("anchor_id").reset_index(drop=True)
+    oref = ray.put((own["anchor_id"].to_numpy(),
+                    own["own_score"].to_numpy()))
+
+    def beat_counts(b: pd.DataFrame) -> pd.DataFrame:
+        _aid, _sign = cached_get(ref)
+        o_ids, o_s = cached_get(oref)
+        counts, tn = _embed(b[caption_col].tolist())
+        ok = tn > 0
+        if not ok.any():
+            return pd.DataFrame({"anchor_id": o_ids,
+                                 "beat": np.zeros(len(o_ids),
+                                                  dtype=np.int64)})
+        ids = b[id_col].to_numpy()[ok]
+        pos = np.array([np.where(_aid == i)[0][0] for i in o_ids])
+        sc = np.round((counts[ok] @ _sign[pos].T) / (tn[ok][:, None] * 8.0),
+                      6)  # (B, A') vs the anchors that HAVE own scores
+        beats = (sc > o_s[None, :]) | ((sc == o_s[None, :])
+                                       & (ids[:, None] < o_ids[None, :]))
+        return pd.DataFrame({"anchor_id": o_ids,
+                             "beat": beats.sum(axis=0).astype(np.int64)})
+
+    parts = pd.concat(
+        list(ds.select_columns([id_col, caption_col])
+             .map_batches(beat_counts, batch_format="pandas")
+             .iter_batches(batch_size=1024, batch_format="pandas")),
+        ignore_index=True)
+    agg = parts.groupby("anchor_id", sort=True)["beat"].sum()
+    out = own.copy()
+    out["own_rank"] = (out["anchor_id"].map(agg).fillna(0)
+                       .astype(np.int64) + 1)
+    return out
