@@ -365,6 +365,42 @@ SELECT anchor_id, image_id, alignment, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k} ORDER BY anchor_id, rank"""
 
 
+def _sharding_sql(n_before: int = 8, n_after: int = 9) -> str:
+    """Independent replay of the consistent-hash rings: ring points and
+    key positions both re-derived via SQL md5 (nothing handed over);
+    clockwise successor via ASOF JOIN on negated positions (max −pos ≤
+    −key ⇔ min pos ≥ key), wraparound to the ring's first point."""
+    from data_quality_ray.functions.sharding import REPLICAS, RING_MOD
+
+    def ring(n, name):
+        return f"""
+{name} AS (SELECT CAST(md5_number_lower('shard|' || CAST(g.s AS VARCHAR)
+                      || '|' || CAST(h.r AS VARCHAR)) % {RING_MOD}
+                      AS BIGINT) AS pos, g.s AS shard
+           FROM generate_series(0, {n - 1}) g(s),
+                generate_series(0, {REPLICAS - 1}) h(r)),
+{name}w AS (SELECT shard FROM {name} ORDER BY pos, shard LIMIT 1)"""
+
+    def assign(ring_name, out):
+        return f"""
+(SELECT k.kp, coalesce(j.shard, (SELECT shard FROM {ring_name}w)) AS {out}
+ FROM k ASOF LEFT JOIN (SELECT -pos AS np, shard FROM {ring_name}) j
+   ON j.np <= -k.kp)"""
+
+    return f"""
+WITH {ring(n_before, 'r0')}, {ring(n_after, 'r1')},
+k AS (SELECT CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR))
+                  % {RING_MOD} AS BIGINT) AS kp
+      FROM orders),
+a0 AS {assign('r0', 's0')},
+a1 AS {assign('r1', 's1')}
+SELECT CAST(a0.s0 AS BIGINT) AS shard_before,
+       CAST(a1.s1 AS BIGINT) AS shard_after,
+       CAST(count(*) AS BIGINT) AS n
+FROM a0 JOIN a1 USING (kp)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _bootstrap_sql() -> str:
     """Replays the deterministic Poisson bootstrap: the SAME integer
     inverse-CDF thresholds (shared constant), md5 % 2^53 bucket per
@@ -593,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_part": Q.link_prediction_part,
         "zorder_layout_lineitem": Q.zorder_layout_lineitem,
         "bootstrap_ci_lineitem": Q.bootstrap_ci_lineitem,
+        "shard_rebalance_orders": Q.shard_rebalance_orders,
         "fs_linkage_customers": Q.fs_linkage_customers,
         "fs_entity_resolution_customers": Q.fs_entity_resolution_customers,
         "neardup_cluster_stats_docs": Q.neardup_cluster_stats_docs,
@@ -4069,6 +4106,7 @@ ORDER BY p.p_partkey
         # as BIGINT) so the sum is order-independent across engines
         "zorder_layout_lineitem": _zorder_sql(),
         "bootstrap_ci_lineitem": _bootstrap_sql(),
+        "shard_rebalance_orders": _sharding_sql(),
         "link_prediction_part": r"""
 WITH pe AS (SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM lineitem a JOIN lineitem b

@@ -190,6 +190,7 @@ def run_bench() -> dict:
         ("link_prediction_part", Q.link_prediction_part),
         ("zorder_layout_lineitem", Q.zorder_layout_lineitem),
         ("bootstrap_ci_lineitem", Q.bootstrap_ci_lineitem),
+        ("shard_rebalance_orders", Q.shard_rebalance_orders),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

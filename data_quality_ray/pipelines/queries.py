@@ -3575,3 +3575,22 @@ def bootstrap_ci_lineitem(sf_dir: str) -> pd.DataFrame:
                columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
     return bootstrap_means(ds, ["l_orderkey", "l_linenumber"],
                            "l_extendedprice")
+
+
+def shard_rebalance_orders(sf_dir: str) -> pd.DataFrame:
+    """Consistent-hash resharding audit: movement matrix of order keys
+    between an 8-shard and a 9-shard md5 ring (functions/sharding.py —
+    both rings broadcast, ONE streaming searchsorted pass). Asserts the
+    minimal-movement property in-query: the moved fraction must be well
+    under the ~100% a naive hash%N reshard causes (expected ≈ 1/9).
+    → (shard_before, shard_after, n)."""
+    from ..functions.sharding import rebalance_audit
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    out = rebalance_audit(ds, "o_orderkey", n_before=8, n_after=9)
+    moved = out.loc[out["shard_before"] != out["shard_after"], "n"].sum()
+    total = out["n"].sum()
+    if not moved / total < 3.0 / 9.0:
+        raise AssertionError(
+            f"consistent hashing moved {moved}/{total} keys — ring broken")
+    return out
