@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_profile": Q.entropy_profile,
         "benford_price_lineitem": Q.benford_price_lineitem,
         "outlier_iqr_lineitem": Q.outlier_iqr_lineitem,
+        "mad_outliers_events": Q.mad_outliers_events,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3658,6 +3659,21 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "mad_outliers_events": """
+            WITH m AS (SELECT count(value) AS n, median(value) AS med
+                       FROM events),
+                 d AS (SELECT median(abs(value - med)) AS mad
+                       FROM events, m),
+                 f AS (SELECT round(med - 3.5 * 1.4826 * mad, 6) AS fence_lo,
+                              round(med + 3.5 * 1.4826 * mad, 6) AS fence_hi
+                       FROM m, d)
+            SELECT n, round(med, 6) AS median, round(mad, 6) AS mad,
+                   fence_lo, fence_hi,
+                   (SELECT count(*) FROM events, f
+                    WHERE value < fence_lo) AS n_low,
+                   (SELECT count(*) FROM events, f
+                    WHERE value > fence_hi) AS n_high
+            FROM m, d, f""",
         "uniqueness_profile_customer": (
             "SELECT * FROM (" + " UNION ALL ".join(
                 _uniq_col_sql(c) for c in

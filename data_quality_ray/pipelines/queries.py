@@ -2746,6 +2746,25 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def mad_outliers_events(sf_dir: str) -> pd.DataFrame:
+    """Robust-z (Iglewicz-Hoaglin MAD) outlier counts on events.value —
+    median and the MAD median via the EXACT distributed
+    histogram-bisection quantile (profiling/quantile_exact.py): counting
+    folds with fixed-size partials only, never a collected column, so
+    the exact path itself survives 100 TB. Fences rounded to 6 before
+    counting on BOTH sides (the IQR-fence boundary contract). → one row
+    (n, median, mad, fence_lo, fence_hi, n_low, n_high)."""
+    from ..profiling.datarules import mad_outliers
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    r = mad_outliers(ds, "value", z=3.5)
+    return pd.DataFrame({
+        "n": [r["n"]], "median": [round(r["median"], 6)],
+        "mad": [round(r["mad"], 6)],
+        "fence_lo": [r["fence_lo"]], "fence_hi": [r["fence_hi"]],
+        "n_low": [r["n_low"]], "n_high": [r["n_high"]]})
+
+
 def uniqueness_profile_customer(sf_dir: str) -> pd.DataFrame:
     """Per-column exact-distinct / null / candidate-key discovery over
     customer (distinct via the hash-bucketed shuffle — never a driver

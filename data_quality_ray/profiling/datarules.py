@@ -194,6 +194,48 @@ def iqr_outlier_fences(ds, col: str, k: float = 1.5) -> dict:
     return {"fence_lo": lo, "fence_hi": hi, **sums}
 
 
+# ----------------------------------------------------- MAD robust z-score
+
+def mad_outliers(ds, col: str, z: float = 3.5) -> dict:
+    """Robust-z outlier rule (Iglewicz-Hoaglin): median and MAD via the
+    EXACT distributed histogram-bisection quantile
+    (profiling/quantile_exact.py — counting folds only, no column
+    collection), fences ``median ± z * 1.4826 * MAD`` rounded to 6
+    decimals BEFORE the counting pass (the iqr_outlier_fences boundary
+    contract), then one distributed count against the fences.
+
+    Unlike the IQR rule above, this path never materializes the column:
+    median costs ~3 counting folds, the MAD median ~3 more over the
+    derived ``|x - median|`` column, the fence count one — all fixed-size
+    partials, so it holds at any row count."""
+    from .quantile_exact import exact_quantiles
+
+    n, (med,) = exact_quantiles(ds, col, [0.5])
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"__ad": np.abs(v - med)})
+
+    dev = ds.map_batches(absdev, batch_format="pandas")
+    _, (mad,) = exact_quantiles(dev, "__ad", [0.5])
+    half = z * 1.4826 * mad
+    lo = round(med - half, 6)
+    hi = round(med + half, 6)
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"n_low": [int((v < lo).sum())],
+                             "n_high": [int((v > hi).sum())]})
+
+    sums = {"n_low": 0, "n_high": 0}
+    for b in ds.map_batches(count_out, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for c in sums:
+            sums[c] += int(b[c].sum())
+    return {"n": n, "median": med, "mad": mad,
+            "fence_lo": lo, "fence_hi": hi, **sums}
+
+
 # ----------------------------------------------------------- uniqueness
 
 def distinct_count(ds, col: str) -> int:
