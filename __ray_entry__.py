@@ -745,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_price_lineitem": Q.benford_price_lineitem,
         "outlier_iqr_lineitem": Q.outlier_iqr_lineitem,
         "mad_outliers_events": Q.mad_outliers_events,
+        "markov_transitions_events": Q.markov_transitions_events,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3659,6 +3660,17 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "markov_transitions_events": """
+            WITH s AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              FROM events)
+            SELECT src, dst, count(*) AS n,
+                   round(count(*) * 1.0 /
+                         sum(count(*)) OVER (PARTITION BY src), 6) AS p
+            FROM s WHERE dst IS NOT NULL
+            GROUP BY src, dst""",
         "mad_outliers_events": """
             WITH m AS (SELECT count(value) AS n, median(value) AS med
                        FROM events),

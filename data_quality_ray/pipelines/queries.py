@@ -2746,6 +2746,17 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def markov_transitions_events(sf_dir: str) -> pd.DataFrame:
+    """First-order event_type transition matrix per user timeline
+    (functions/markov.py): one user-bucketed exchange, vectorized lag
+    pairs, alphabet²-row driver merge. → (src, dst, n, p)."""
+    from ..functions.markov import transition_matrix
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_matrix(ds, "user_id", "ts", "event_type", "event_id")
+
+
 def mad_outliers_events(sf_dir: str) -> pd.DataFrame:
     """Robust-z (Iglewicz-Hoaglin MAD) outlier counts on events.value —
     median and the MAD median via the EXACT distributed
