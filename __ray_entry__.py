@@ -746,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_iqr_lineitem": Q.outlier_iqr_lineitem,
         "mad_outliers_events": Q.mad_outliers_events,
         "markov_transitions_events": Q.markov_transitions_events,
+        "copurchase_lift_lineitem": Q.copurchase_lift_lineitem,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3660,6 +3661,23 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "copurchase_lift_lineitem": """
+            WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                       FROM lineitem),
+                 ng AS (SELECT count(DISTINCT g) AS n_groups FROM d),
+                 s AS (SELECT it, count(*) AS n_it FROM d GROUP BY 1),
+                 p AS (SELECT x.it AS a, y.it AS b, count(*) AS n
+                       FROM d x JOIN d y ON x.g = y.g AND x.it < y.it
+                       GROUP BY 1, 2)
+            SELECT p.a, p.b, p.n,
+                   round(p.n * n_groups * 1.0 / (sa.n_it * sb.n_it), 6)
+                     AS lift
+            FROM p
+            CROSS JOIN ng
+            JOIN s sa ON sa.it = p.a
+            JOIN s sb ON sb.it = p.b
+            WHERE p.n >= 2
+            ORDER BY lift DESC, p.a, p.b LIMIT 50""",
         "markov_transitions_events": """
             WITH s AS (
               SELECT event_type AS src,

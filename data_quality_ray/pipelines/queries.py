@@ -2746,6 +2746,18 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def copurchase_lift_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Association-rule screen: top-50 part pairs by lift among pairs
+    co-ordered >= 2 times (functions/market.py — one order-keyed
+    exchange, tagged count partials, auto-gated pair merge).
+    → (a, b, n, lift)."""
+    from ..functions.market import copurchase_lift
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    return copurchase_lift(ds, "l_orderkey", "l_partkey",
+                           min_support=2, k=50)
+
+
 def markov_transitions_events(sf_dir: str) -> pd.DataFrame:
     """First-order event_type transition matrix per user timeline
     (functions/markov.py): one user-bucketed exchange, vectorized lag
