@@ -747,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": Q.mad_outliers_events,
         "markov_transitions_events": Q.markov_transitions_events,
         "copurchase_lift_lineitem": Q.copurchase_lift_lineitem,
+        "skyline_parts": Q.skyline_parts,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3661,6 +3662,15 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "skyline_parts": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))""",
         "copurchase_lift_lineitem": """
             WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
                        FROM lineitem),

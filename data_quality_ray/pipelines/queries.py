@@ -2746,6 +2746,20 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of part under (minimize p_retailprice, maximize
+    p_size): per-block vectorized sort-sweep + tree reduction
+    (functions/skyline.py — no shuffle, candidates only).
+    → (p_partkey, p_retailprice, p_size)."""
+    from ..functions.skyline import skyline2d
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline2d(ds, "p_retailprice", "p_size",
+                    ["p_partkey", "p_retailprice", "p_size"])
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
 def copurchase_lift_lineitem(sf_dir: str) -> pd.DataFrame:
     """Association-rule screen: top-50 part pairs by lift among pairs
     co-ordered >= 2 times (functions/market.py — one order-keyed
