@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_transitions_events": Q.markov_transitions_events,
         "copurchase_lift_lineitem": Q.copurchase_lift_lineitem,
         "skyline_parts": Q.skyline_parts,
+        "bigram_pmi_docs": Q.bigram_pmi_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3662,6 +3663,28 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "bigram_pmi_docs": """
+            WITH tok AS (
+              SELECT list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents WHERE text IS NOT NULL),
+            uni AS (SELECT unnest(l) AS t FROM tok),
+            ucnt AS (SELECT t, count(*) AS n FROM uni GROUP BY 1),
+            tu AS (SELECT count(*) AS tot FROM uni),
+            bg AS (SELECT a, b FROM (
+                     SELECT unnest(l) AS a, unnest(l[2:]) AS b FROM tok)
+                   WHERE b IS NOT NULL),
+            bcnt AS (SELECT a, b, count(*) AS n FROM bg GROUP BY 1, 2),
+            tb AS (SELECT count(*) AS tot FROM bg)
+            SELECT bcnt.a, bcnt.b, bcnt.n,
+                   round(ln((bcnt.n * 1.0 / tb.tot) /
+                            ((ua.n * 1.0 / tu.tot) *
+                             (ub.n * 1.0 / tu.tot))), 6) AS pmi
+            FROM bcnt CROSS JOIN tb CROSS JOIN tu
+            JOIN ucnt ua ON ua.t = bcnt.a
+            JOIN ucnt ub ON ub.t = bcnt.b
+            WHERE bcnt.n >= 5
+            ORDER BY pmi DESC, bcnt.a, bcnt.b LIMIT 50""",
         "skyline_parts": """
             SELECT p_partkey, p_retailprice, p_size FROM part p
             WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL

@@ -2746,6 +2746,17 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def bigram_pmi_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-50 bigram collocations by PMI (count >= 5) over the documents
+    text (functions/collocations.py — count partials + auto-gated merge;
+    whitespace tokenization shared with heavy_hitter_tokens_docs).
+    → (a, b, n, pmi)."""
+    from ..functions.collocations import bigram_pmi
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bigram_pmi(ds, "text", min_count=5, k=50)
+
+
 def skyline_parts(sf_dir: str) -> pd.DataFrame:
     """Pareto frontier of part under (minimize p_retailprice, maximize
     p_size): per-block vectorized sort-sweep + tree reduction
