@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift_lineitem": Q.copurchase_lift_lineitem,
         "skyline_parts": Q.skyline_parts,
         "bigram_pmi_docs": Q.bigram_pmi_docs,
+        "hybrid_rrf_docs": Q.hybrid_rrf_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3028,7 +3029,7 @@ FROM sk GROUP BY s ORDER BY keeper_id
 """
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 10) -> str:
     """BM25 replay: same tokenizer ([a-z0-9]+ runs of lower()), same
     Lucene-style idf, same (k1, b), score rounded to 6 dp BEFORE ranking
     on both sides so the (score desc, doc_id) order is engine-stable."""
@@ -3067,7 +3068,40 @@ def _bm25_sql() -> str:
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY round(score, 6) DESC, doc_id) AS "rank"
                FROM sc)
-        SELECT query_id, doc_id, score, "rank" FROM rk WHERE "rank" <= 10"""
+        SELECT query_id, doc_id, score, "rank" FROM rk WHERE "rank" <= {k}"""
+
+
+def _hybrid_rrf_sql() -> str:
+    """RRF fusion replay: BM25 top-20 (the _bm25_sql CTE at k=20) union
+    cosine top-20 (list_cosine_similarity, the knn_embeddings contract),
+    1/(60+rank) contributions, fused score rounded to 6 BEFORE the final
+    ranking — mirrors similarity/hybrid.py."""
+    from data_quality_ray.pipelines.queries import BM25_QUERIES
+
+    qv = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, embedding::DOUBLE[] AS e "
+        f"FROM embeddings WHERE vec_id = {vid}"
+        for vid, qid in enumerate(sorted(BM25_QUERIES)))
+    return f"""
+        WITH qv AS ({qv}),
+        cs AS (SELECT qv.query_id, e.vec_id AS id,
+                      round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   qv.e), 6) AS s
+               FROM embeddings e CROSS JOIN qv),
+        crk AS (SELECT query_id, id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, id) AS r
+                FROM cs),
+        btop AS (SELECT query_id, doc_id AS id, "rank" AS r
+                 FROM ({_bm25_sql(20)})),
+        u AS (SELECT query_id, id, r FROM crk WHERE r <= 20
+              UNION ALL SELECT query_id, id, r FROM btop),
+        f AS (SELECT query_id, id, round(sum(1.0 / (60 + r)), 6) AS rrf
+              FROM u GROUP BY 1, 2)
+        SELECT query_id, id AS doc_id, rrf,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, id) AS "rank"
+        FROM f QUALIFY "rank" <= 10"""
 
 
 
@@ -4141,6 +4175,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             FROM events GROUP BY 1, 2""",
         "range_join_orders_bands": _range_bands_sql(),
         "bm25_search_docs": _bm25_sql(),
+        "hybrid_rrf_docs": _hybrid_rrf_sql(),
         "paragraph_dedup_docs": _paragraph_dedup_sql(),
         "boilerplate_removal_docs": _boilerplate_sql(),
         "temperature_mix_docs": _temperature_mix_sql(),

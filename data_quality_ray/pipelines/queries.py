@@ -2746,6 +2746,24 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def hybrid_rrf_docs(sf_dir: str) -> pd.DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-20 and cosine top-20
+    (query vectors = embeddings 0/1/2, one broadcast-matrix corpus pass)
+    fused by reciprocal-rank fusion (similarity/hybrid.py).
+    → (query_id, doc_id, rrf, rank) top-10 per query."""
+    from ..similarity.hybrid import hybrid_search
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    vid = qt["vec_id"].to_numpy()
+    vq = {qid: np.asarray(qt["embedding"][int(np.flatnonzero(vid == i)[0])]
+                          .as_py())
+          for i, qid in enumerate(sorted(BM25_QUERIES))}
+    return hybrid_search(docs, emb, BM25_QUERIES, vq, n_each=20, k=10)
+
+
 def bigram_pmi_docs(sf_dir: str) -> pd.DataFrame:
     """Top-50 bigram collocations by PMI (count >= 5) over the documents
     text (functions/collocations.py — count partials + auto-gated merge;
