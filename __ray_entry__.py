@@ -750,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": Q.skyline_parts,
         "bigram_pmi_docs": Q.bigram_pmi_docs,
         "hybrid_rrf_docs": Q.hybrid_rrf_docs,
+        "rate_anomalies_events": Q.rate_anomalies_events,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3697,6 +3698,19 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "rate_anomalies_events": """
+            WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 nh AS (SELECT count(DISTINCT hour) AS nh FROM c),
+                 t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT event_type, hour, n,
+                   round(tot * 1.0 / nh, 6) AS expected,
+                   round(tot * 1.0 / nh
+                         + 3.0 * sqrt(tot * 1.0 / nh), 6) AS threshold
+            FROM c JOIN t USING (event_type) CROSS JOIN nh
+            WHERE n > round(tot * 1.0 / nh
+                            + 3.0 * sqrt(tot * 1.0 / nh), 6)""",
         "bigram_pmi_docs": """
             WITH tok AS (
               SELECT list_filter(string_split_regex(text, '\\s+'),

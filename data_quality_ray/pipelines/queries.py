@@ -2746,6 +2746,16 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def rate_anomalies_events(sf_dir: str) -> pd.DataFrame:
+    """Poisson burst scan over (event_type, hour) buckets
+    (profiling/datarules.rate_anomalies, sigma=3).
+    → flagged (event_type, hour, n, expected, threshold)."""
+    from ..profiling.datarules import rate_anomalies
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return rate_anomalies(ds, "ts", "event_type", sigma=3.0)
+
+
 def hybrid_rrf_docs(sf_dir: str) -> pd.DataFrame:
     """Hybrid lexical+vector retrieval: BM25 top-20 and cosine top-20
     (query vectors = embeddings 0/1/2, one broadcast-matrix corpus pass)

@@ -236,6 +236,39 @@ def mad_outliers(ds, col: str, z: float = 3.5) -> dict:
             "fence_lo": lo, "fence_hi": hi, **sums}
 
 
+# ---------------------------------------------------- rate anomaly scan
+
+def rate_anomalies(ds, ts_col: str, type_col: str, sigma: float = 3.0) -> pd.DataFrame:
+    """Poisson burst detector over an event stream: bucket events into
+    (type, hour) counts — ONE counting fold (grouped_aggregate driver
+    merge; the key space is types × hours, bounded by wall time not row
+    count) — then flag buckets whose count exceeds the type's expected
+    hourly rate by ``sigma`` Poisson standard deviations
+    (c > E + sigma*sqrt(E), E = type_total / global_distinct_hours).
+    Threshold rounded to 6 BEFORE comparing (the fence contract).
+    → flagged rows (event_type, hour, n, expected, threshold)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b[ts_col].dt.floor("h")
+        out = (pd.DataFrame({"event_type": b[type_col], "hour": h})
+               .groupby(["event_type", "hour"], sort=False).size()
+               .rename("n").reset_index())
+        return out
+
+    counts = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+              .groupby(["event_type", "hour"], sort=True)["n"].sum()
+              .reset_index())
+    n_hours = counts["hour"].nunique()
+    totals = counts.groupby("event_type")["n"].transform("sum")
+    expected = totals.to_numpy(dtype=np.float64) / n_hours
+    thr = np.round(expected + sigma * np.sqrt(expected), 6)
+    flagged = counts[counts["n"].to_numpy() > thr].copy()
+    flagged["expected"] = np.round(expected[counts["n"].to_numpy() > thr], 6)
+    flagged["threshold"] = thr[counts["n"].to_numpy() > thr]
+    flagged["n"] = flagged["n"].astype(np.int64)
+    return flagged.reset_index(drop=True)
+
+
 # ----------------------------------------------------------- uniqueness
 
 def distinct_count(ds, col: str) -> int:

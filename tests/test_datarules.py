@@ -270,3 +270,24 @@ def test_distinct_counts_combined_random_parity(ray_session):
     assert got["i"] == df["i"].nunique()
     assert got["f"] == df["f"].nunique()
     assert got["s"] == df["s"].nunique()
+
+
+def test_rate_anomalies_flags_bursts(ray_session):
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2025-01-01")
+    # steady 5/hour for 48h, one 60-event burst hour for type A
+    rows = []
+    for h in range(48):
+        for _ in range(5):
+            rows.append(("A", base + pd.Timedelta(hours=h, minutes=int(rng.integers(60)))))
+            rows.append(("B", base + pd.Timedelta(hours=h, minutes=int(rng.integers(60)))))
+    rows += [("A", base + pd.Timedelta(hours=10, minutes=int(rng.integers(60))))
+             for _ in range(55)]
+    df = pd.DataFrame(rows, columns=["t", "ts"])
+    out = dr.rate_anomalies(_ds(df, blocks=6), "ts", "t", sigma=3.0)
+    assert list(out["event_type"].unique()) == ["A"]
+    assert len(out) == 1 and out.loc[0, "n"] == 60
+    # hand check: E = (5*48+55)/48; threshold = E + 3*sqrt(E)
+    e = (5 * 48 + 55) / 48
+    assert out.loc[0, "expected"] == round(e, 6)
+    assert out.loc[0, "threshold"] == round(e + 3 * np.sqrt(e), 6)
