@@ -163,6 +163,23 @@ def image_quality_extended(sf_dir: str):
     )
 
 
+def best_of_cluster_images(sf_dir: str):
+    """Best-of-cluster image survivorship: per exact-phash near-dup
+    cluster keep the SHARPEST image (recomputed from decoded pixels by
+    the feature stage), ties by image_id — keep-highest-quality dedup,
+    the web-scale alternative to keep-first (dedup/exact.keep_best_by).
+    Oracle: the golden label table replays max-rounded-sharpness/min-id
+    per phash."""
+    import ray.data as rd
+
+    from data_quality_ray.dedup.exact import keep_best_by
+    from data_quality_ray.stages.image_ops import extract_image_features
+
+    ds = rd.read_parquet(_image_fixture(sf_dir))
+    feats = extract_image_features(ds, concurrency=4)
+    return keep_best_by(feats, "phash", "sharpness", "image_id")
+
+
 def phash_dedup_images(sf_dir: str):
     """phash-keyed exact near-dup collapse on the image table."""
     import ray.data as rd
@@ -704,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_cluster_part": Q.string_cluster_part,
         "quality_filter_images": quality_filter_images,
         "phash_dedup_images": phash_dedup_images,
+        "best_of_cluster_images": best_of_cluster_images,
         "phash_neardup_images": phash_neardup_images,
         "dihedral_phash_images": dihedral_phash_images,
         # cross-run image near-dup: yesterday's phashes committed into the
@@ -1430,6 +1448,21 @@ def _f1_raw_sql(select: str) -> str:
         f" WHERE (SELECT greatest(500, 2 * count(*)) FROM documents) = {n}"
         for n in _F1_SIZES
     )
+
+
+def _best_of_cluster_sql() -> str:
+    """Per-phash-cluster survivorship replay over the golden label table:
+    max rounded sharpness, min image_id tie-break — the keep_best_by
+    contract (dedup/exact.py)."""
+    return " UNION ALL ".join(
+        f"""SELECT * FROM (
+              SELECT phash, round(sharpness, 6) AS sharpness, image_id
+              FROM read_parquet('/tmp/dq_ray_f1_{n}/_labels.parquet')
+              QUALIFY row_number() OVER (
+                PARTITION BY phash
+                ORDER BY round(sharpness, 6) DESC, image_id) = 1)
+            WHERE (SELECT greatest(500, 2 * count(*)) FROM documents) = {n}"""
+        for n in _F1_SIZES)
 
 
 def _fd_sql(lhs: str, rhs: str) -> str:
@@ -3326,6 +3359,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             "image_id, verdict, first_rule, scrubbed_caption AS caption, phash"),
         "phash_dedup_images": "SELECT phash, min(image_id) AS image_id FROM (" +
             _f1_labels_sql("image_id, phash") + ") GROUP BY phash",
+        "best_of_cluster_images": _best_of_cluster_sql(),
         # brute-force all-pairs ground truth: pigeonhole says the blocked
         # candidate pass must find EVERY pair within threshold
         "phash_neardup_images": "WITH L AS (" + _f1_labels_sql("image_id, phash") + ") "

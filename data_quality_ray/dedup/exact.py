@@ -14,6 +14,7 @@ early-reduction idea).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -106,6 +107,75 @@ def dedup_by_key(ds, key: str, order_col: str, strategy: str = "aggregate",
         return batch.filter(pa.array(mask))
 
     return pre_ds.map_batches(keep_winners, batch_format="pyarrow")
+
+
+def keep_best_by(ds, key: str, score_col: str, id_col: str,
+                 round_to: int = 6):
+    """Best-of-cluster survivorship: one representative per ``key`` —
+    the row with the MAX ``score_col`` (rounded to ``round_to`` before
+    ranking, the engine-stable contract), ties broken by MIN ``id_col``.
+    → (key, score_col, id_col) per cluster.
+
+    The generalization of ``dedup_by_key`` from keep-first to
+    keep-highest-quality (web-scale image dedup keeps the sharpest
+    duplicate, not the first-seen). Shape: the pruned 3-column
+    projection is materialized ONCE (upstream may be a decode stage —
+    the lazy re-execution trap), then two auto-gated aggregate folds:
+    per-key max score, then min id among the rows tying that max
+    (tie rows filtered by a broadcast sorted-array membership kernel).
+    On the shuffle path both folds return Datasets and join through ONE
+    bucketed hash_join exchange instead of the driver."""
+    import pyarrow as pa
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..profiling.groupagg import grouped_aggregate
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        # np/pandas rounding (half-to-even), the repo-wide contract
+        return pd.DataFrame({key: b[key], score_col: b[score_col].round(round_to),
+                             id_col: b[id_col]})
+
+    small = ds.map_batches(proj, batch_format="pandas").materialize()
+    best = grouped_aggregate(small, [key], {"__best": (score_col, "max")},
+                             final="auto")
+
+    if isinstance(best, pd.DataFrame):
+        order = np.argsort(best[key].to_numpy(), kind="mergesort")
+        bk = best[key].to_numpy()[order]
+        bs = best["__best"].to_numpy()[order]
+        ref = ray.put((bk, bs))
+
+        def tie_rows(b: pa.Table) -> pa.Table:
+            wk, ws = cached_get(ref)
+            if len(wk) == 0:
+                return b.slice(0, 0)
+            kv = b[key].to_numpy(zero_copy_only=False)
+            sv = b[score_col].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(wk, kv), 0, len(wk) - 1)
+            mask = (wk[pos] == kv) & (ws[pos] == sv)
+            return b.filter(pa.array(mask))
+
+        ties = small.map_batches(tie_rows, batch_format="pyarrow")
+        win = grouped_aggregate(ties, [key], {id_col: (id_col, "min")},
+                                final="driver")
+        out = win.merge(
+            pd.DataFrame({key: bk, score_col: bs}), on=key, sort=False)
+        return out[[key, score_col, id_col]].sort_values(key) \
+            .reset_index(drop=True)
+
+    # shuffle path: min-id fold over ALL rows keyed by (key, score) —
+    # only the max-score group's min survives the join below
+    idmin = grouped_aggregate(small, [key, score_col],
+                              {id_col: (id_col, "min")}, final="shuffle")
+    from ..functions.joins import hash_join
+
+    joined = hash_join(
+        best.map_batches(
+            lambda b: b.rename(columns={"__best": score_col}),
+            batch_format="pandas"),
+        idmin, on=[key, score_col], right_cols=[id_col], how="inner")
+    return joined
 
 
 def dedup_by_content(ds, text_col: str, order_col: str, key_col: str = "__content_hash"):
