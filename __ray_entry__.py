@@ -769,6 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi_docs": Q.bigram_pmi_docs,
         "hybrid_rrf_docs": Q.hybrid_rrf_docs,
         "rate_anomalies_events": Q.rate_anomalies_events,
+        "trimmed_mean_lineitem": Q.trimmed_mean_lineitem,
+        "mutual_info_orders": Q.mutual_info_orders,
+        "k_anonymity_customer": Q.k_anonymity_customer,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3732,6 +3735,55 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                     WHERE l_extendedprice > fence_hi) AS n_high,
                    (SELECT count(*) FROM lineitem) AS n
             FROM f""",
+        "trimmed_mean_lineitem": """
+            WITH b AS (SELECT quantile_cont(l_extendedprice, 0.1) AS lo,
+                              quantile_cont(l_extendedprice, 0.9) AS hi
+                       FROM lineitem)
+            SELECT (SELECT count(l_extendedprice) FROM lineitem) AS n,
+                   count(*) AS n_kept, round(lo, 6) AS lo,
+                   round(hi, 6) AS hi,
+                   round(avg(l_extendedprice), 6) AS trimmed_mean
+            FROM lineitem, b
+            WHERE l_extendedprice BETWEEN lo AND hi
+            GROUP BY lo, hi""",
+        "mutual_info_orders": """
+            WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                              count(*) AS n
+                       FROM orders GROUP BY 1, 2),
+                 t AS (SELECT sum(n) AS tot FROM j),
+                 pa AS (SELECT a, sum(n) AS na FROM j GROUP BY 1),
+                 pb AS (SELECT b, sum(n) AS nb FROM j GROUP BY 1),
+                 mi AS (SELECT sum((j.n * 1.0 / t.tot)
+                            * ln((j.n * 1.0 / t.tot)
+                                 / ((pa.na * 1.0 / t.tot)
+                                    * (pb.nb * 1.0 / t.tot)))) AS mi
+                        FROM j JOIN pa USING (a) JOIN pb USING (b)
+                        CROSS JOIN t),
+                 ha AS (SELECT -sum((na * 1.0 / t.tot)
+                                    * ln(na * 1.0 / t.tot)) AS h
+                        FROM pa CROSS JOIN t),
+                 hb AS (SELECT -sum((nb * 1.0 / t.tot)
+                                    * ln(nb * 1.0 / t.tot)) AS h
+                        FROM pb CROSS JOIN t)
+            SELECT CAST(t.tot AS BIGINT) AS n, round(mi.mi, 6) AS mi,
+                   round(mi.mi / sqrt(ha.h * hb.h), 6) AS nmi,
+                   round(ha.h, 6) AS h_a, round(hb.h, 6) AS h_b
+            FROM t, mi, ha, hb""",
+        "k_anonymity_customer": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal,
+                              count(*) AS n
+                       FROM customer GROUP BY 1, 2, 3),
+                 g AS (SELECT c_nationkey, c_mktsegment,
+                              sum(n) AS rows_, count(*) AS l_div
+                       FROM c GROUP BY 1, 2)
+            SELECT count(*) AS n_groups,
+                   CAST(min(rows_) AS BIGINT) AS min_group_size,
+                   count(*) FILTER (WHERE rows_ < 5) AS n_groups_lt_k,
+                   CAST(coalesce(sum(rows_) FILTER (WHERE rows_ < 5), 0)
+                        AS BIGINT) AS rows_at_risk,
+                   min(l_div) AS min_l_diversity,
+                   count(*) FILTER (WHERE l_div < 2) AS n_groups_lt_l
+            FROM g""",
         "rate_anomalies_events": """
             WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                               count(*) AS n

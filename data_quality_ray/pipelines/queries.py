@@ -2746,6 +2746,48 @@ def outlier_iqr_lineitem(sf_dir: str) -> pd.DataFrame:
                          ["fence_lo", "fence_hi", "n_low", "n_high", "n"]})
 
 
+def trimmed_mean_lineitem(sf_dir: str) -> pd.DataFrame:
+    """10% two-sided quantile-trimmed mean of l_extendedprice — exact
+    bounds from the histogram-bisection quantile, one (count, sum) fold
+    inside the closed interval. → one row."""
+    from ..profiling.datarules import trimmed_mean
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    r = trimmed_mean(ds, "l_extendedprice", trim=0.1)
+    return pd.DataFrame({"n": [r["n"]], "n_kept": [r["n_kept"]],
+                         "lo": [round(r["lo"], 6)],
+                         "hi": [round(r["hi"], 6)],
+                         "trimmed_mean": [round(r["trimmed_mean"], 6)]})
+
+
+def mutual_info_orders(sf_dir: str) -> pd.DataFrame:
+    """Mutual information + NMI between order status and priority from
+    one joint-count fold (profiling/datarules.mutual_information).
+    → one row (n, mi, nmi, h_a, h_b)."""
+    from ..profiling.datarules import mutual_information
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority"])
+    r = mutual_information(ds, "o_orderstatus", "o_orderpriority")
+    return pd.DataFrame({"n": [r["n"]], "mi": [round(r["mi"], 6)],
+                         "nmi": [round(r["nmi"], 6)],
+                         "h_a": [round(r["h_a"], 6)],
+                         "h_b": [round(r["h_b"], 6)]})
+
+
+def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity / distinct-l-diversity privacy scan over the
+    (nationkey, mktsegment) quasi-identifier with acctbal sensitive
+    (k=5, l=2) — one combination-count fold. → one row."""
+    from ..profiling.datarules import k_anonymity
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    r = k_anonymity(ds, ["c_nationkey", "c_mktsegment"], "c_acctbal",
+                    k=5, l=2)
+    return pd.DataFrame({c: [v] for c, v in r.items()})
+
+
 def rate_anomalies_events(sf_dir: str) -> pd.DataFrame:
     """Poisson burst scan over (event_type, hour) buckets
     (profiling/datarules.rate_anomalies, sigma=3).

@@ -269,6 +269,81 @@ def rate_anomalies(ds, ts_col: str, type_col: str, sigma: float = 3.0) -> pd.Dat
     return flagged.reset_index(drop=True)
 
 
+# --------------------------------------------------------- trimmed mean
+
+def trimmed_mean(ds, col: str, trim: float = 0.1) -> dict:
+    """Quantile-trimmed robust mean: exact [q_trim, q_{1-trim}] bounds
+    via the histogram-bisection quantile (counting folds only), then one
+    (count, sum) fold over values inside the CLOSED interval. Everything
+    is fixed-size partials — the exact path at any row count."""
+    from .quantile_exact import exact_quantiles
+
+    n, (lo, hi) = exact_quantiles(ds, col, [trim, 1.0 - trim])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v <= hi)]
+        return pd.DataFrame({"n": [len(v)], "s": [v.sum()]})
+
+    parts = ds.map_batches(fold, batch_format="pandas").to_pandas()
+    kept = int(parts["n"].sum())
+    return {"n": n, "n_kept": kept, "lo": lo, "hi": hi,
+            "trimmed_mean": float(parts["s"].sum()) / kept if kept else float("nan")}
+
+
+# -------------------------------------------------- mutual information
+
+def mutual_information(ds, col_a: str, col_b: str) -> dict:
+    """MI and normalized MI between two categorical columns from ONE
+    joint-count fold (cells = |A|×|B|, bounded by category counts not
+    rows). Natural-log MI = Σ p_ab · ln(p_ab / (p_a·p_b)); NMI divides
+    by sqrt(H(A)·H(B)). Null categories participate as their own level
+    (groupby dropna=False — matches SQL GROUP BY)."""
+    from .groupagg import grouped_aggregate
+
+    joint = grouped_aggregate(ds.select_columns([col_a, col_b]),
+                              [col_a, col_b], {"n": ("", "count")})
+    n = joint["n"].sum()
+    pa_ = joint.groupby(col_a, dropna=False)["n"].transform("sum") / n
+    pb_ = joint.groupby(col_b, dropna=False)["n"].transform("sum") / n
+    pab = joint["n"] / n
+    mi = float((pab * np.log(pab / (pa_ * pb_))).sum())
+    ha = -float((joint.groupby(col_a, dropna=False)["n"].sum() / n)
+                .pipe(lambda p: (p * np.log(p)).sum()))
+    hb = -float((joint.groupby(col_b, dropna=False)["n"].sum() / n)
+                .pipe(lambda p: (p * np.log(p)).sum()))
+    nmi = mi / np.sqrt(ha * hb) if ha > 0 and hb > 0 else 0.0
+    return {"n": int(n), "mi": mi, "nmi": float(nmi),
+            "h_a": ha, "h_b": hb}
+
+
+# ----------------------------------------------------- k-anonymity scan
+
+def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str,
+                k: int = 5, l: int = 2) -> dict:
+    """Privacy profiling over quasi-identifier groups: k-anonymity
+    (every group >= k rows) and distinct-l-diversity (every group >= l
+    distinct sensitive values). ONE fold to per-group (rows, distinct
+    sensitive) — pre-aggregated inside batches over (quasi, sensitive),
+    so the exchange carries distinct combinations, not rows."""
+    from .groupagg import grouped_aggregate
+
+    combo = grouped_aggregate(
+        ds.select_columns(quasi_cols + [sensitive_col]),
+        quasi_cols + [sensitive_col], {"n": ("", "count")})
+    g = combo.groupby(quasi_cols, dropna=False).agg(
+        rows=("n", "sum"), l_div=("n", "size")).reset_index()
+    return {
+        "n_groups": int(len(g)),
+        "min_group_size": int(g["rows"].min()),
+        "n_groups_lt_k": int((g["rows"] < k).sum()),
+        "rows_at_risk": int(g.loc[g["rows"] < k, "rows"].sum()),
+        "min_l_diversity": int(g["l_div"].min()),
+        "n_groups_lt_l": int((g["l_div"] < l).sum()),
+    }
+
+
 # ----------------------------------------------------------- uniqueness
 
 def distinct_count(ds, col: str) -> int:

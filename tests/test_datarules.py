@@ -291,3 +291,49 @@ def test_rate_anomalies_flags_bursts(ray_session):
     e = (5 * 48 + 55) / 48
     assert out.loc[0, "expected"] == round(e, 6)
     assert out.loc[0, "threshold"] == round(e + 3 * np.sqrt(e), 6)
+
+
+def test_trimmed_mean_matches_scipy_style(ray_session):
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.normal(50, 5, 2000), [1e6, -1e6, np.nan]])
+    df = pd.DataFrame({"v": v})
+    out = dr.trimmed_mean(_ds(df, blocks=7), "v", trim=0.1)
+    ok = df["v"].dropna()
+    lo, hi = ok.quantile(0.1), ok.quantile(0.9)
+    kept = ok[(ok >= lo) & (ok <= hi)]
+    assert out["n"] == len(ok)
+    assert out["n_kept"] == len(kept)
+    assert out["lo"] == pytest.approx(lo, rel=1e-9)
+    assert out["hi"] == pytest.approx(hi, rel=1e-9)
+    assert out["trimmed_mean"] == pytest.approx(kept.mean(), rel=1e-12)
+
+
+def test_mutual_information_independent_and_dependent(ray_session):
+    # perfectly dependent: MI == H(A) == H(B), NMI == 1
+    df = pd.DataFrame({"a": ["x", "y"] * 500})
+    df["b"] = df["a"].str.upper()
+    out = dr.mutual_information(_ds(df, blocks=4), "a", "b")
+    assert out["n"] == 1000
+    assert out["mi"] == pytest.approx(np.log(2), abs=1e-12)
+    assert out["nmi"] == pytest.approx(1.0, abs=1e-12)
+    # independent uniform: MI == 0
+    rng = np.random.default_rng(3)
+    df2 = pd.DataFrame({"a": np.repeat(["x", "y"], 500),
+                        "b": np.tile(["p", "q"], 500)})
+    out2 = dr.mutual_information(_ds(df2, blocks=4), "a", "b")
+    assert out2["mi"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_k_anonymity_counts(ray_session):
+    df = pd.DataFrame({
+        "zip": ["10001"] * 6 + ["10002"] * 3 + ["10003"] * 1,
+        "age": [30] * 10,
+        "diag": ["a", "a", "b", "c", "d", "e", "a", "a", "a", "z"],
+    })
+    out = dr.k_anonymity(_ds(df, blocks=3), ["zip", "age"], "diag", k=5, l=2)
+    assert out["n_groups"] == 3
+    assert out["min_group_size"] == 1
+    assert out["n_groups_lt_k"] == 2          # sizes 3 and 1
+    assert out["rows_at_risk"] == 4
+    assert out["min_l_diversity"] == 1        # the 10002/10003 groups
+    assert out["n_groups_lt_l"] == 2          # 10002 (all "a") and 10003
