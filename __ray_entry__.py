@@ -639,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select_embeddings": Q.mmr_select_embeddings,
         "range_partition_orders": Q.range_partition_orders,
         "homoglyph_dedup_docs": Q.homoglyph_dedup_docs,
+        "url_canonical_docs": Q.url_canonical_docs,
+        "url_dedup_docs": Q.url_dedup_docs,
+        "domain_cap_docs": Q.domain_cap_docs,
         "fuzzy_decontaminate_docs": Q.fuzzy_decontaminate_docs,
         "campaign_overlap_events": Q.campaign_overlap_events,
         "supplier_pagerank": Q.supplier_pagerank,
@@ -3042,6 +3045,98 @@ def _fuzzy_decontaminate_sql(threshold: float = 0.5, n_perm: int = 64,
     WHERE d.doc_id % 29 <> 0 ORDER BY d.doc_id"""
 
 
+_URL_BASE_SQL = """
+SELECT doc_id,
+ CASE WHEN doc_id % 17 = 0 THEN
+   source || (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.Example.com' END)
+          || '/p/' || (doc_id % 10)
+          || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+ ELSE
+   (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+   (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) || source ||
+   (CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.Example.com' END) ||
+   (CASE WHEN doc_id % 7 = 0
+         THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+         ELSE '' END) ||
+   '/p/' || (doc_id % 10) ||
+   (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+   (CASE WHEN doc_id % 2 = 0
+         THEN '?utm_source=feed&b=' || (doc_id % 3) || '&a=1' ELSE '' END) ||
+   (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END)
+ END AS url
+FROM documents"""
+
+_URL_VARIANT_SQL = """
+SELECT doc_id + 1000000000 AS doc_id,
+ (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+ (CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'WWW.' END) || upper(source) ||
+ (CASE WHEN doc_id % 5 = 0 THEN '.co.UK' ELSE '.EXAMPLE.COM' END) ||
+ (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END) ||
+ '/p/' || (doc_id % 10) || '//' ||
+ (CASE WHEN doc_id % 2 = 0
+       THEN '?a=1&utm_x=9&b=' || (doc_id % 3) ELSE '?utm_campaign=z' END) ||
+ '#v2' AS url
+FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0"""
+
+
+def _url_canon_with(u0_sql: str) -> str:
+    """WITH-prefix that derives raw URLs (``u0_sql``) and replays the
+    FULL canonicalization pipeline of functions/urls.py independently in
+    SQL — regexp parse, scheme/host lowering, www./default-port strip,
+    trailing-slash rtrim, tracking-param filter + bytewise sort,
+    registered domain over the shared MULTIPART_SUFFIXES — ending in a
+    ``dom(doc_id, url_canon, domain)`` CTE. The tracking regex and the
+    suffix tuple are imported from the library so the two engines cannot
+    desynchronize."""
+    from data_quality_ray.functions.urls import (MULTIPART_SUFFIXES,
+                                                 TRACKING_PARAM_RE)
+
+    suf = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    return f"""
+WITH u0 AS ({u0_sql}),
+p2 AS (SELECT doc_id,
+        CASE WHEN regexp_matches(u, '^[A-Za-z][A-Za-z0-9+.-]*://')
+             THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        END AS scheme,
+        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       FROM (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u
+             FROM u0)),
+p3 AS (SELECT doc_id, scheme,
+        lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        regexp_replace(rest, '^[^/?]*', '') AS tail
+       FROM p2),
+p4 AS (SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+             ELSE h END AS host,
+        rtrim(regexp_extract(tail, '^([^?]*)', 1), '/') AS path,
+        CASE WHEN tail LIKE '%?%'
+             THEN regexp_replace(tail, '^[^?]*[?]', '') ELSE '' END AS q
+       FROM (SELECT doc_id, scheme, tail,
+                    regexp_replace(hostport, '^www\\.', '') AS h FROM p3)),
+p5 AS (SELECT doc_id, scheme, host, path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+          x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))),
+          '&') AS qc
+       FROM p4),
+canon AS (SELECT doc_id,
+        CASE WHEN scheme IS NULL THEN NULL
+             ELSE scheme || '://' || host || path ||
+                  (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
+        END AS url_canon,
+        CASE WHEN scheme IS NULL THEN NULL ELSE host END AS host
+       FROM p5),
+dom AS (SELECT doc_id, url_canon,
+        CASE WHEN host IS NULL THEN NULL
+             WHEN len(l) >= 3
+                  AND (l[len(l)-1] || '.' || l[len(l)]) IN ({suf})
+                  THEN l[len(l)-2] || '.' || l[len(l)-1] || '.' || l[len(l)]
+             WHEN len(l) >= 2 THEN l[len(l)-1] || '.' || l[len(l)]
+             ELSE host END AS domain
+       FROM (SELECT doc_id, url_canon, host, string_split(host, '.') AS l
+             FROM canon))"""
+
+
 def _homoglyph_sql() -> str:
     """Replays the planted lookalike copies (same aeopcxy→Cyrillic
     translate) and the skeleton fold from the SHARED
@@ -4284,6 +4379,22 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "kcenter_coreset_embeddings": _kcenter_sql(),
         "mmr_select_embeddings": _mmr_sql(),
         "homoglyph_dedup_docs": _homoglyph_sql(),
+        "url_canonical_docs": _url_canon_with(_URL_BASE_SQL) + """
+SELECT doc_id, coalesce(url_canon, '') AS url_canon,
+       coalesce(domain, '') AS domain
+FROM dom ORDER BY doc_id""",
+        "url_dedup_docs": _url_canon_with(
+            _URL_BASE_SQL + "\nUNION ALL" + _URL_VARIANT_SQL) + """
+SELECT min(doc_id) AS doc_id, url_canon, domain
+FROM dom WHERE url_canon IS NOT NULL
+GROUP BY url_canon, domain ORDER BY doc_id""",
+        "domain_cap_docs": _url_canon_with(_URL_BASE_SQL) + """
+SELECT doc_id, domain FROM (
+    SELECT doc_id, domain,
+           row_number() OVER (PARTITION BY domain
+               ORDER BY md5('42-' || doc_id)) AS rn
+    FROM dom WHERE url_canon IS NOT NULL)
+WHERE rn <= 3 ORDER BY doc_id""",
         "fuzzy_decontaminate_docs": _fuzzy_decontaminate_sql(),
         "supplier_pagerank": _pagerank_sql(),
         # triangle ground truth INDEPENDENT of the degree orientation: the

@@ -2460,6 +2460,117 @@ def homoglyph_dedup_docs(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def _derive_doc_urls(b: pd.DataFrame, variant: bool = False) -> pd.Series:
+    """Deterministic raw-URL recipe shared bit-for-bit with the SQL
+    oracles (no URL column exists in the fixture, so both engines derive
+    the SAME messy string from (doc_id, source) and normalize it
+    INDEPENDENTLY). ``variant=True`` renders a textually different form
+    of the same resource — case jumble, toggled www, explicit default
+    port, doubled trailing slash, extra tracking params, fragment — that
+    MUST canonicalize equal to the original. doc_id % 17 == 0 rows are
+    scheme-less (invalid) both sides."""
+    d = b["doc_id"].astype("int64")
+    src = b["source"].astype(str)
+    if variant:
+        src = src.str.upper()
+    sch = pd.Series(np.where(d % 3 == 0, "http" if variant else "HTTP",
+                             "HTTPS" if variant else "https"), index=b.index)
+    www3 = (d % 4 == 0) != variant  # toggled in the variant form
+    www = pd.Series(np.where(www3, "WWW.", ""), index=b.index)
+    sfx = pd.Series(np.where(d % 5 == 0, ".co.UK" if variant else ".CO.UK",
+                             ".EXAMPLE.COM" if variant else ".Example.com"),
+                    index=b.index)
+    if variant:
+        port = pd.Series(np.where(d % 3 == 0, ":80", ":443"), index=b.index)
+    else:
+        port = pd.Series(np.where(d % 7 == 0,
+                                  np.where(d % 3 == 0, ":80", ":443"), ""),
+                         index=b.index)
+    path = "/p/" + (d % 10).astype(str)
+    path = path + ("//" if variant else
+                   pd.Series(np.where(d % 2 == 0, "/", ""), index=b.index))
+    if variant:
+        qs = ("?a=1&utm_x=9&b=" + (d % 3).astype(str)).where(
+            d % 2 == 0, "?utm_campaign=z")
+        frag = "#v2"
+    else:
+        qs = ("?utm_source=feed&b=" + (d % 3).astype(str) + "&a=1").where(
+            d % 2 == 0, "")
+        frag = pd.Series(np.where(d % 6 == 0, "#sec", ""), index=b.index)
+    url = sch + "://" + www + src + sfx + port + path + qs + frag
+    return url.mask(d % 17 == 0, src + sfx + path)  # scheme-less → invalid
+
+
+def url_canonical_docs(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (functions/urls.py) over per-doc derived
+    messy URLs: lowercase scheme/host, strip www./default port/fragment/
+    trailing slashes, drop+sort query params, registered domain with
+    multi-part suffixes. Scheme-less rows → '' both sides. The SQL
+    PARSES the same raw string independently (regexp pipeline), so this
+    is a full replay of the normalization algebra, one row per doc."""
+    from ..functions.urls import add_canonical_url
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    raw = ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "url": _derive_doc_urls(b)}),
+        batch_format="pandas")
+    out = add_canonical_url(raw, "url").to_pandas()
+    out["url_canon"] = out["url_canon"].fillna("")
+    out["domain"] = out["domain"].fillna("")
+    return (out[["doc_id", "url_canon", "domain"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def url_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Canonical-URL dedup (functions/urls.url_dedup): every valid doc
+    with doc_id % 13 == 0 gets a planted textual variant (doc_id + 1e9)
+    that canonicalizes EQUAL — all variants must collapse onto their
+    originals (plus any organic canonical collisions), keeper = min id.
+    → (doc_id, url_canon, domain) per surviving URL."""
+    from ..functions.urls import url_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({"doc_id": b["doc_id"],
+                             "url": _derive_doc_urls(b)})
+        m = ((b["doc_id"] % 13 == 0) & (b["doc_id"] % 17 != 0)).to_numpy()
+        if not m.any():
+            return base
+        v = b[m]
+        var = pd.DataFrame({
+            "doc_id": v["doc_id"].to_numpy() + 1_000_000_000,
+            "url": _derive_doc_urls(v, variant=True).to_numpy(),
+        })
+        return pd.concat([base, var], ignore_index=True)
+
+    raw = ds.map_batches(plant, batch_format="pandas")
+    out = url_dedup(raw, "url", "doc_id").to_pandas()
+    return (out[["doc_id", "url_canon", "domain"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+DOMAIN_CAP = 3
+
+
+def domain_cap_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-domain contribution cap (functions/urls.domain_cap): at most
+    3 docs per registered domain under the md5-order sampling contract
+    (uniform within each domain, deterministic under any partitioning;
+    invalid URLs dropped). → kept (doc_id, domain) rows."""
+    from ..functions.urls import domain_cap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    raw = ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "url": _derive_doc_urls(b)}),
+        batch_format="pandas")
+    out = domain_cap(raw, "url", "doc_id", cap=DOMAIN_CAP)
+    return (out[["doc_id", "domain"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 RANGE_PARTS = 8
 
 
