@@ -775,6 +775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_lineitem": Q.trimmed_mean_lineitem,
         "mutual_info_orders": Q.mutual_info_orders,
         "k_anonymity_customer": Q.k_anonymity_customer,
+        "chi_square_orders": Q.chi_square_orders,
+        "ewma_anomalies_events": Q.ewma_anomalies_events,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3879,6 +3881,51 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                    min(l_div) AS min_l_diversity,
                    count(*) FILTER (WHERE l_div < 2) AS n_groups_lt_l
             FROM g""",
+        "chi_square_orders": """
+            WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                              count(*) AS n
+                       FROM orders GROUP BY 1, 2),
+                 t AS (SELECT sum(n) AS tot FROM j),
+                 pa AS (SELECT a, sum(n) AS na FROM j GROUP BY 1),
+                 pb AS (SELECT b, sum(n) AS nb FROM j GROUP BY 1),
+                 x AS (SELECT sum(j.n * j.n * 1.0 * t.tot
+                                  / (pa.na * pb.nb)) - max(t.tot) AS chi2
+                       FROM j JOIN pa USING (a) JOIN pb USING (b)
+                       CROSS JOIN t),
+                 k AS (SELECT (SELECT count(*) FROM pa) AS ka,
+                              (SELECT count(*) FROM pb) AS kb)
+            SELECT CAST(t.tot AS BIGINT) AS n, round(x.chi2, 6) AS chi2,
+                   CAST((k.ka - 1) * (k.kb - 1) AS BIGINT) AS dof,
+                   round(sqrt(x.chi2 / (t.tot * (least(k.ka, k.kb) - 1))),
+                         6) AS cramers_v
+            FROM t, x, k""",
+        "ewma_anomalies_events": """
+            WITH RECURSIVE c AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, hour, n,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY hour) AS i
+                  FROM c),
+            e AS (SELECT event_type, hour, CAST(n AS BIGINT) AS n, i,
+                         CAST(n AS DOUBLE) AS ewma,
+                         CAST(NULL AS DOUBLE) AS ewma_prev,
+                         CAST(NULL AS DOUBLE) AS threshold
+                  FROM r WHERE i = 1
+                  UNION ALL
+                  SELECT r.event_type, r.hour, CAST(r.n AS BIGINT), r.i,
+                         round(0.3::DOUBLE * r.n
+                               + (1.0::DOUBLE - 0.3::DOUBLE) * e.ewma, 6),
+                         e.ewma,
+                         round(e.ewma + 3.0::DOUBLE * sqrt(e.ewma), 6)
+                  FROM r JOIN e ON r.event_type = e.event_type
+                              AND r.i = e.i + 1)
+            SELECT event_type, hour, n, ewma_prev, threshold,
+                   round(n - threshold, 6) AS score,
+                   n > threshold AS flagged
+            FROM e WHERE i > 1
+            ORDER BY score DESC, event_type, hour LIMIT 10""",
         "rate_anomalies_events": """
             WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                               count(*) AS n

@@ -2899,6 +2899,33 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def chi_square_orders(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence + Cramér's V between order status and
+    priority from one joint-count fold (profiling/datarules.chi_square).
+    → one row (n, chi2, dof, cramers_v)."""
+    from ..profiling.datarules import chi_square
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority"])
+    r = chi_square(ds, "o_orderstatus", "o_orderpriority")
+    return pd.DataFrame({"n": [r["n"]], "chi2": [round(r["chi2"], 6)],
+                         "dof": [r["dof"]],
+                         "cramers_v": [round(r["cramers_v"], 6)]})
+
+
+def ewma_anomalies_events(sf_dir: str) -> pd.DataFrame:
+    """EWMA control chart over hourly event-type counts
+    (profiling/datarules.ewma_anomalies, alpha=0.3, sigma=3): top-10
+    buckets by exceedance score, 6-dp-quantized per round so the SQL
+    recursive CTE replays the float iteration bit-for-bit.
+    → (event_type, hour, n, ewma_prev, threshold, score, flagged)."""
+    from ..profiling.datarules import ewma_anomalies
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return ewma_anomalies(ds, "ts", "event_type", alpha=0.3, sigma=3.0,
+                          top=10)
+
+
 def rate_anomalies_events(sf_dir: str) -> pd.DataFrame:
     """Poisson burst scan over (event_type, hour) buckets
     (profiling/datarules.rate_anomalies, sigma=3).

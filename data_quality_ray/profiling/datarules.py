@@ -318,6 +318,72 @@ def mutual_information(ds, col_a: str, col_b: str) -> dict:
             "h_a": ha, "h_b": hb}
 
 
+# ---------------------------------------------- chi-square independence
+
+def chi_square(ds, col_a: str, col_b: str) -> dict:
+    """Pearson chi-square independence test + Cramér's V between two
+    categorical columns from the SAME single joint-count fold as
+    ``mutual_information``. Unobserved cells need no enumeration:
+    chi2 = Σ_observed o²·n/(n_a·n_b) − n (the (0−e)²/e mass of empty
+    cells telescopes into the −n term). dof = (|A|−1)(|B|−1);
+    V = sqrt(chi2 / (n · (min(|A|,|B|)−1)))."""
+    from .groupagg import grouped_aggregate
+
+    joint = grouped_aggregate(ds.select_columns([col_a, col_b]),
+                              [col_a, col_b], {"n": ("", "count")})
+    n = float(joint["n"].sum())
+    na = joint.groupby(col_a, dropna=False)["n"].transform("sum").astype(float)
+    nb = joint.groupby(col_b, dropna=False)["n"].transform("sum").astype(float)
+    chi2 = float((joint["n"].astype(float) ** 2 * n / (na * nb)).sum()) - n
+    ka = joint[col_a].nunique(dropna=False)
+    kb = joint[col_b].nunique(dropna=False)
+    dof = (ka - 1) * (kb - 1)
+    v = float(np.sqrt(chi2 / (n * (min(ka, kb) - 1)))) if min(ka, kb) > 1 else 0.0
+    return {"n": int(n), "chi2": chi2, "dof": int(dof), "cramers_v": v}
+
+
+# ------------------------------------------- EWMA control-chart anomaly
+
+def ewma_anomalies(ds, ts_col: str, type_col: str, alpha: float = 0.3,
+                   sigma: float = 3.0, top: int = 10) -> pd.DataFrame:
+    """Drift-adaptive burst detection: per (type, hour) counts fold to
+    the driver (state ∝ buckets, never rows), then an EWMA control
+    chart per type over the OBSERVED hour sequence — threshold_i =
+    ewma_{i−1} + sigma·sqrt(ewma_{i−1}), ewma_i = alpha·n_i +
+    (1−alpha)·ewma_{i−1}, both 6-dp-quantized per step so a recursive
+    SQL CTE replays the float iteration bit-for-bit (the kmeans/pagerank
+    quantized-state trick). Returns the ``top`` buckets by exceedance
+    score (n − threshold), flagged column marks true breaches —
+    non-empty output even on a calm stream."""
+    from ..rules.heuristics import round6_away
+    from .groupagg import grouped_aggregate
+
+    r6 = lambda v: float(round6_away(np.float64(v)))
+    hours = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "event_type": b[type_col],
+            "hour": b[ts_col].dt.floor("h"),
+        }), batch_format="pandas")
+    c = grouped_aggregate(hours, ["event_type", "hour"],
+                          {"n": ("", "count")})
+    c = c.sort_values(["event_type", "hour"], kind="mergesort")
+    rows = []
+    for et, g in c.groupby("event_type", sort=False):
+        ns = g["n"].to_numpy(dtype=np.float64)
+        ewma = ns[0]
+        for i in range(1, len(ns)):
+            thr = r6(ewma + sigma * np.sqrt(ewma))
+            rows.append((et, g["hour"].iloc[i], int(ns[i]), ewma, thr,
+                         r6(ns[i] - thr), bool(ns[i] > thr)))
+            ewma = r6(alpha * ns[i] + (1.0 - alpha) * ewma)
+    out = pd.DataFrame(rows, columns=["event_type", "hour", "n",
+                                      "ewma_prev", "threshold", "score",
+                                      "flagged"])
+    out = out.sort_values(["score", "event_type", "hour"],
+                          ascending=[False, True, True], kind="mergesort")
+    return out.head(top).reset_index(drop=True)
+
+
 # ----------------------------------------------------- k-anonymity scan
 
 def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str,

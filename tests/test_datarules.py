@@ -337,3 +337,43 @@ def test_k_anonymity_counts(ray_session):
     assert out["rows_at_risk"] == 4
     assert out["min_l_diversity"] == 1        # the 10002/10003 groups
     assert out["n_groups_lt_l"] == 2          # 10002 (all "a") and 10003
+
+
+def test_chi_square_matches_scipy_formula(ray_session):
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], 3000),
+                       "b": rng.choice(["p", "q"], 3000)})
+    out = dr.chi_square(_ds(df, blocks=6), "a", "b")
+    ct = pd.crosstab(df["a"], df["b"])
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.values.sum()
+    chi2 = float(((ct.values - e) ** 2 / e).sum())
+    assert out["n"] == 3000
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-10)
+    assert out["dof"] == 2
+    v = np.sqrt(chi2 / (3000 * 1))
+    assert out["cramers_v"] == pytest.approx(v, rel=1e-10)
+    # perfect dependence → V == 1
+    df2 = pd.DataFrame({"a": ["x", "y"] * 200})
+    df2["b"] = df2["a"].str.upper()
+    out2 = dr.chi_square(_ds(df2, blocks=2), "a", "b")
+    assert out2["cramers_v"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ewma_anomalies_flags_burst_and_adapts(ray_session):
+    base = pd.Timestamp("2025-03-01")
+    rows = []
+    for h in range(30):
+        for _ in range(60 if h == 20 else 5):  # burst at hour 20
+            rows.append(("A", base + pd.Timedelta(hours=h, minutes=1)))
+    df = pd.DataFrame(rows, columns=["t", "ts"])
+    out = dr.ewma_anomalies(_ds(df, blocks=4), "ts", "t",
+                            alpha=0.3, sigma=3.0, top=3)
+    top = out.iloc[0]
+    assert top["flagged"] and top["n"] == 60
+    assert top["hour"] == base + pd.Timedelta(hours=20)
+    # steady-state pre-burst threshold: ewma stays 5 → thr = 5+3*sqrt(5)
+    assert top["ewma_prev"] == 5.0
+    assert top["threshold"] == pytest.approx(5 + 3 * np.sqrt(5), abs=1e-6)
+    # hour 21 (back to 5) must NOT flag: ewma jumped up after the burst
+    h21 = out[out["hour"] == base + pd.Timedelta(hours=21)]
+    assert h21.empty or not h21["flagged"].any()
