@@ -777,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_customer": Q.k_anonymity_customer,
         "chi_square_orders": Q.chi_square_orders,
         "ewma_anomalies_events": Q.ewma_anomalies_events,
+        "spearman_lineitem": Q.spearman_lineitem,
+        "seeded_shuffle_docs": Q.seeded_shuffle_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3881,6 +3883,25 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                    min(l_div) AS min_l_diversity,
                    count(*) FILTER (WHERE l_div < 2) AS n_groups_lt_l
             FROM g""",
+        "spearman_lineitem": """
+            WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL),
+                 rk AS (SELECT
+                    rank() OVER (ORDER BY x)
+                      + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                    rank() OVER (ORDER BY y)
+                      + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+                    FROM r)
+            SELECT count(*) AS n, round(corr(rx, ry), 6) AS spearman
+            FROM rk""",
+        "seeded_shuffle_docs": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5_number_lower('7-' || doc_id), doc_id
+                   ) AS rank
+            FROM documents ORDER BY doc_id""",
         "chi_square_orders": """
             WITH j AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
                               count(*) AS n

@@ -145,3 +145,31 @@ def global_row_number(ds, col: str, tiebreak: str, n_parts: int = 32,
 
     return parts.groupby("part_id").map_groups(rank_group,
                                                batch_format="pandas")
+
+
+def seeded_shuffle_rank(ds, key_col: str, seed: int = 42,
+                        n_parts: int = 32, out_col: str = "rank"):
+    """Deterministic seeded GLOBAL shuffle order — the reproducible
+    training-data shuffle: every row gets rank = ``row_number() OVER
+    (ORDER BY md5_number_lower('{seed}-' || key), key)``, identical on
+    any cluster size / partitioning / day (resume a crashed epoch and
+    the example order is unchanged). Rides ``global_row_number`` over
+    the 64-bit digest (``mode="tdigest"`` — hash keys are uniform, so
+    approximate splits are balanced by construction; ranks stay exact),
+    ONE exchange, no global sort. For the physically reordered dataset,
+    follow with ``ds.sort([hash, key])`` or write partitioned by
+    ``rank // block``."""
+    from ..profiling.sketches import md5_hash64
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__shuf64"] = md5_hash64(
+            (f"{seed}-" + b[key_col].astype(str)).to_numpy())
+        return b
+
+    ranked = global_row_number(ds.map_batches(add_hash,
+                                              batch_format="pandas"),
+                               "__shuf64", tiebreak=key_col,
+                               n_parts=n_parts, mode="tdigest",
+                               out_col=out_col)
+    return ranked.drop_columns(["__shuf64"])

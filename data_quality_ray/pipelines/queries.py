@@ -2899,6 +2899,33 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def spearman_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    (profiling/datarules.spearman — tagged value-count fold → broadcast
+    avg-rank fill → Pearson co-moment fold, zero sort exchanges).
+    → one row (n, spearman)."""
+    from ..profiling.datarules import spearman
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+    r = spearman(ds, "l_quantity", "l_extendedprice")
+    return pd.DataFrame({"n": [r["n"]],
+                         "spearman": [round(r["spearman"], 6)]})
+
+
+def seeded_shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic seeded global shuffle order
+    (functions/partitioning.seeded_shuffle_rank, seed=7): rank =
+    row_number over (md5-low-64 of '7-doc_id', doc_id), reproducible on
+    any partitioning. → (doc_id, rank) for every doc."""
+    from ..functions.partitioning import seeded_shuffle_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = seeded_shuffle_rank(ds, "doc_id", seed=7).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["doc_id", "rank"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def chi_square_orders(sf_dir: str) -> pd.DataFrame:
     """Chi-square independence + Cramér's V between order status and
     priority from one joint-count fold (profiling/datarules.chi_square).

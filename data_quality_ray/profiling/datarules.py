@@ -318,6 +318,74 @@ def mutual_information(ds, col_a: str, col_b: str) -> dict:
             "h_a": ha, "h_b": hb}
 
 
+# ------------------------------------------------- Spearman correlation
+
+def spearman(ds, x_col: str, y_col: str) -> dict:
+    """Spearman rank correlation = Pearson r over AVERAGE ranks (SQL
+    tie semantics), in two streaming passes and zero sort exchanges:
+
+    1. one tagged value-count fold over null-free (x, y) pairs — ONE
+       exchange whose state is the two distinct-value tables (the
+       documented small-side exact contract, like range_split_points
+       ``mode="exact"``; for distinct spaces beyond the driver, rank via
+       functions/partitioning.global_row_number + a per-value (min,max)
+       grouped fold instead);
+    2. driver prefix-sums counts into value→avg-rank arrays (avg rank of
+       a value = rows_before + (count+1)/2), broadcasts them once, and a
+       stateless searchsorted fill feeds the mergeable ``comoments``
+       Pearson fold.
+    """
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from .groupagg import grouped_aggregate
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        x = pd.to_numeric(b[x_col], errors="coerce")
+        y = pd.to_numeric(b[y_col], errors="coerce")
+        ok = x.notna() & y.notna()
+        return pd.DataFrame({"x": x[ok].astype(np.float64),
+                             "y": y[ok].astype(np.float64)})
+
+    pair = ds.map_batches(pairs, batch_format="pandas")
+
+    def tag_counts(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b["x"].value_counts()
+        cy = b["y"].value_counts()
+        return pd.DataFrame({
+            "tag": np.repeat(["x", "y"], [len(cx), len(cy)]),
+            "value": np.concatenate([cx.index.to_numpy(np.float64),
+                                     cy.index.to_numpy(np.float64)]),
+            "n": np.concatenate([cx.to_numpy(np.int64),
+                                 cy.to_numpy(np.int64)]),
+        })
+
+    counts = grouped_aggregate(pair.map_batches(tag_counts,
+                                                batch_format="pandas"),
+                               ["tag", "value"], {"n": ("n", "sum")})
+
+    def avg_ranks(sub: pd.DataFrame):
+        sub = sub.sort_values("value")
+        c = sub["n"].to_numpy(np.float64)
+        cum = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        return sub["value"].to_numpy(np.float64), cum + (c + 1.0) / 2.0
+
+    ref_x = ray.put(avg_ranks(counts[counts["tag"] == "x"]))
+    ref_y = ray.put(avg_ranks(counts[counts["tag"] == "y"]))
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        vx, rx = cached_get(ref_x)
+        vy, ry = cached_get(ref_y)
+        return pd.DataFrame({
+            "rx": rx[np.searchsorted(vx, b["x"].to_numpy(np.float64))],
+            "ry": ry[np.searchsorted(vy, b["y"].to_numpy(np.float64))],
+        })
+
+    c = correlation(pair.map_batches(fill, batch_format="pandas"),
+                    "rx", "ry")
+    return {"n": c["n"], "spearman": c["corr"]}
+
+
 # ---------------------------------------------- chi-square independence
 
 def chi_square(ds, col_a: str, col_b: str) -> dict:

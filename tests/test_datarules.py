@@ -377,3 +377,20 @@ def test_ewma_anomalies_flags_burst_and_adapts(ray_session):
     # hour 21 (back to 5) must NOT flag: ewma jumped up after the burst
     h21 = out[out["hour"] == base + pd.Timedelta(hours=21)]
     assert h21.empty or not h21["flagged"].any()
+
+
+def test_spearman_matches_pandas_rank_corr(ray_session):
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 30, 3000).astype(float)     # heavy ties
+    y = x * 2 + rng.normal(0, 10, 3000)
+    y[::17] = np.nan                                # null pairs excluded
+    df = pd.DataFrame({"x": x, "y": y})
+    out = dr.spearman(_ds(df, blocks=7), "x", "y")
+    ok = df.dropna()
+    ref = ok["x"].rank().corr(ok["y"].rank())
+    assert out["n"] == len(ok)
+    assert out["spearman"] == pytest.approx(ref, abs=1e-12)
+    # monotone → exactly 1 even with ties
+    df2 = pd.DataFrame({"x": np.arange(100.0), "y": np.arange(100.0) ** 3})
+    assert dr.spearman(_ds(df2, blocks=3), "x", "y")["spearman"] == (
+        pytest.approx(1.0, abs=1e-12))

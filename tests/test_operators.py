@@ -1789,3 +1789,30 @@ def test_caption_search_matches_bruteforce(ray_session):
         assert list(mine["image_id"]) == list(ids[order])
         assert np.allclose(mine["alignment"], score[order])
         assert list(mine["rank"]) == list(range(1, 8))
+
+
+def test_seeded_shuffle_rank_deterministic_and_complete(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.functions.partitioning import seeded_shuffle_rank
+
+    def _ds(frame, blocks):
+        return rd.from_pandas(frame).repartition(blocks)
+
+    df = pd.DataFrame({"k": range(500)})
+    a = seeded_shuffle_rank(_ds(df, blocks=6), "k", seed=7).to_pandas()
+    b = seeded_shuffle_rank(_ds(df, blocks=1), "k", seed=7).to_pandas()
+    # exact permutation, partition-invariant
+    assert sorted(a["rank"]) == list(range(1, 501))
+    m = a.sort_values("k")["rank"].to_numpy()
+    assert (m == b.sort_values("k")["rank"].to_numpy()).all()
+    # a different seed produces a different order
+    c = seeded_shuffle_rank(_ds(df, blocks=6), "k", seed=8).to_pandas()
+    assert (c.sort_values("k")["rank"].to_numpy() != m).any()
+    # matches the md5-low-64 contract directly
+    from data_quality_ray.profiling.sketches import md5_hash64
+    h = md5_hash64(("7-" + df["k"].astype(str)).to_numpy())
+    ref = pd.DataFrame({"k": df["k"], "h": h}).sort_values(["h", "k"])
+    ref["rank"] = range(1, 501)
+    assert (ref.sort_values("k")["rank"].to_numpy() == m).all()
