@@ -779,6 +779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_anomalies_events": Q.ewma_anomalies_events,
         "spearman_lineitem": Q.spearman_lineitem,
         "seeded_shuffle_docs": Q.seeded_shuffle_docs,
+        "dp_counts_orders": Q.dp_counts_orders,
+        "scd2_orders": Q.scd2_orders,
+        "domain_quality_report_docs": Q.domain_quality_report_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
         "fd_check_part": Q.fd_check_part,
         "referential_integrity": Q.referential_integrity,
@@ -3883,6 +3886,57 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                    min(l_div) AS min_l_diversity,
                    count(*) FILTER (WHERE l_div < 2) AS n_groups_lt_l
             FROM g""",
+        "domain_quality_report_docs": f"""
+            WITH chain AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 d AS ({_url_canon_with(_URL_BASE_SQL)}
+                       SELECT doc_id, domain FROM dom
+                       WHERE domain IS NOT NULL)
+            SELECT d.domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN c.keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_keep,
+                   round(sum(CASE WHEN c.keep THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS keep_rate,
+                   CAST(sum(CASE WHEN c.first_rule IN
+                            ('toxicity', 'pii_email', 'pii_ssn',
+                             'pii_phone') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_scrubbed
+            FROM chain c JOIN d USING (doc_id)
+            GROUP BY 1 ORDER BY 1""",
+        "dp_counts_orders": """
+            WITH c AS (SELECT o_orderpriority AS g, count(*) AS n
+                       FROM orders GROUP BY 1),
+                 u AS (SELECT g, n,
+                              (CAST(md5_number_lower('42-' || g) AS DOUBLE)
+                               + 0.5) / 18446744073709551616.0 AS u
+                       FROM c)
+            SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(n + (-(1.0 / 0.5))
+                           * (CASE WHEN u > 0.5 THEN 1.0
+                                   WHEN u < 0.5 THEN -1.0
+                                   ELSE 0.0 END)
+                           * ln(1 - 2 * abs(u - 0.5)), 6) AS noisy_n
+            FROM u ORDER BY 1""",
+        "scd2_orders": """
+            WITH h AS (SELECT o_custkey AS k, o_orderdate AS d,
+                              o_orderkey AS ok, o_orderstatus AS s
+                       FROM orders),
+                 w AS (SELECT *, CASE WHEN lag(s) OVER
+                               (PARTITION BY k ORDER BY d, ok)
+                               IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+                       FROM h),
+                 r AS (SELECT *, sum(chg) OVER (PARTITION BY k
+                               ORDER BY d, ok ROWS UNBOUNDED PRECEDING)
+                               AS run
+                       FROM w),
+                 runs AS (SELECT k, run, s, min(d) AS valid_from,
+                                 CAST(count(*) AS BIGINT) AS n_rows
+                          FROM r GROUP BY k, run, s)
+            SELECT k AS o_custkey, s AS o_orderstatus, valid_from, n_rows,
+                   lead(valid_from) OVER (PARTITION BY k ORDER BY run)
+                       AS valid_to,
+                   lead(valid_from) OVER (PARTITION BY k ORDER BY run)
+                       IS NULL AS is_current
+            FROM runs ORDER BY o_custkey, valid_from, o_orderstatus""",
         "spearman_lineitem": """
             WITH r AS (SELECT l_quantity AS x, l_extendedprice AS y
                        FROM lineitem

@@ -2899,6 +2899,79 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def dp_counts_orders(sf_dir: str) -> pd.DataFrame:
+    """ε-DP Laplace count release over order priorities
+    (profiling/datarules.dp_noisy_counts, eps=0.5, seed=42) —
+    deterministic seeded noise, SQL replays the inverse-CDF transform
+    from the same md5 stream. → (o_orderpriority, n, noisy_n)."""
+    from ..profiling.datarules import dp_noisy_counts
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    return dp_noisy_counts(ds, "o_orderpriority", eps=0.5, seed=42)
+
+
+def scd2_orders(sf_dir: str) -> pd.DataFrame:
+    """SCD type-2 history collapse (functions/scd.scd2_collapse): each
+    customer's order-status history ordered by (date, orderkey) folds
+    into validity runs — valid_from/valid_to/is_current per run of equal
+    status. → one row per run."""
+    from ..functions.scd import scd2_collapse
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_orderstatus"])
+    out = scd2_collapse(ds, "o_custkey", ["o_orderdate", "o_orderkey"],
+                        ["o_orderstatus"]).to_pandas()
+    return (out[["o_custkey", "o_orderstatus", "valid_from", "n_rows",
+                 "valid_to", "is_current"]]
+            .sort_values(["o_custkey", "valid_from", "o_orderstatus"])
+            .reset_index(drop=True))
+
+
+def domain_quality_report_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-domain crawl-curation report — the composition a web-scale
+    run actually produces: ONE stateless pass computes each doc's rule
+    verdict (cached chain) AND its registered domain (derived URL →
+    functions/urls), pre-aggregates per (domain, batch), and one tiny
+    grouped exchange merges. → (domain, n_docs, n_keep, keep_rate,
+    n_scrubbed) per domain."""
+    from ..functions.urls import registered_domains, url_parts
+    from ..pipelines.quality_filter import build_docs_chain, cached_chain
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        engine = cached_chain(build_docs_chain)
+        res = engine.apply(b["text"].to_numpy(),
+                           aux={"lang": b["lang"].to_numpy()})
+        dom = registered_domains(url_parts(_derive_doc_urls(b))["host"])
+        f = pd.DataFrame({
+            "domain": dom.astype(object),
+            "keep": (res.verdict != "DROP").astype(np.int64),
+            "scrub": np.isin(res.first_rule,
+                             ["toxicity", "pii_email", "pii_ssn",
+                              "pii_phone"]).astype(np.int64),
+        })
+        f = f[f["domain"].notna()]
+        return (f.groupby("domain", sort=False)
+                .agg(n_docs=("keep", "size"), n_keep=("keep", "sum"),
+                     n_scrubbed=("scrub", "sum")).reset_index())
+
+    parts = ds.map_batches(fold, batch_format="pandas")
+    out = grouped_aggregate(parts, ["domain"],
+                            {"n_docs": ("n_docs", "sum"),
+                             "n_keep": ("n_keep", "sum"),
+                             "n_scrubbed": ("n_scrubbed", "sum")})
+    out[["n_docs", "n_keep", "n_scrubbed"]] = out[
+        ["n_docs", "n_keep", "n_scrubbed"]].astype("int64")
+    kr = out["n_keep"].to_numpy(np.float64) / out["n_docs"].to_numpy(np.float64)
+    out["keep_rate"] = np.floor(kr * 1e6 + 0.5) / 1e6
+    return (out[["domain", "n_docs", "n_keep", "keep_rate", "n_scrubbed"]]
+            .sort_values("domain").reset_index(drop=True))
+
+
 def spearman_lineitem(sf_dir: str) -> pd.DataFrame:
     """Spearman rank correlation between quantity and extended price
     (profiling/datarules.spearman — tagged value-count fold → broadcast

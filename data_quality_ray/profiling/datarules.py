@@ -452,6 +452,33 @@ def ewma_anomalies(ds, ts_col: str, type_col: str, alpha: float = 0.3,
     return out.head(top).reset_index(drop=True)
 
 
+# ------------------------------------------------ DP noisy count release
+
+def dp_noisy_counts(ds, group_col: str, eps: float = 1.0,
+                    seed: int = 42) -> pd.DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    sensitivity 1) with DETERMINISTIC seeded noise so the release is
+    reproducible and SQL-replayable: u = (md5-low-64 of
+    '{seed}-{group}' + 0.5) / 2^64 ∈ (0,1), noise = −(1/ε)·sgn(u−½)·
+    ln(1−2|u−½|) (inverse Laplace CDF). One counting fold; noise is
+    derived per GROUP key, not per row. Negative releases are kept
+    (standard post-processing decides clamping). → (group, n, noisy_n),
+    noisy_n rounded half-away at 6 dp (DuckDB's mode, signed)."""
+    from .groupagg import grouped_aggregate
+    from .sketches import md5_hash64
+
+    counts = grouped_aggregate(ds.select_columns([group_col]),
+                               [group_col], {"n": ("", "count")})
+    counts = counts.sort_values(group_col, kind="mergesort").reset_index(drop=True)
+    u = (md5_hash64((f"{seed}-" + counts[group_col].astype(str))
+                    .to_numpy()).astype(np.float64) + 0.5) / 2.0 ** 64
+    noise = -(1.0 / eps) * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    x = counts["n"].to_numpy(np.float64) + noise
+    counts["noisy_n"] = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    counts["n"] = counts["n"].astype("int64")
+    return counts
+
+
 # ----------------------------------------------------- k-anonymity scan
 
 def k_anonymity(ds, quasi_cols: list[str], sensitive_col: str,

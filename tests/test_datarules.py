@@ -394,3 +394,22 @@ def test_spearman_matches_pandas_rank_corr(ray_session):
     df2 = pd.DataFrame({"x": np.arange(100.0), "y": np.arange(100.0) ** 3})
     assert dr.spearman(_ds(df2, blocks=3), "x", "y")["spearman"] == (
         pytest.approx(1.0, abs=1e-12))
+
+
+def test_dp_noisy_counts_deterministic_and_calibrated(ray_session):
+    df = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 50 + ["c"] * 7})
+    out1 = dr.dp_noisy_counts(_ds(df, blocks=4), "g", eps=0.5, seed=1)
+    out2 = dr.dp_noisy_counts(_ds(df, blocks=1), "g", eps=0.5, seed=1)
+    assert out1.equals(out2)                      # partition-invariant
+    assert list(out1["n"]) == [100, 50, 7]
+    # noise reproduces the inverse-CDF formula exactly
+    from data_quality_ray.profiling.sketches import md5_hash64
+    u = (md5_hash64(np.array(["1-a", "1-b", "1-c"])).astype(np.float64)
+         + 0.5) / 2.0 ** 64
+    noise = -2.0 * np.sign(u - 0.5) * np.log(1 - 2 * np.abs(u - 0.5))
+    x = np.array([100, 50, 7]) + noise
+    want = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    assert np.allclose(out1["noisy_n"].to_numpy(), want, atol=0)
+    # different seed → different release
+    out3 = dr.dp_noisy_counts(_ds(df, blocks=4), "g", eps=0.5, seed=2)
+    assert (out3["noisy_n"].to_numpy() != out1["noisy_n"].to_numpy()).any()

@@ -1816,3 +1816,27 @@ def test_seeded_shuffle_rank_deterministic_and_complete(ray_session):
     ref = pd.DataFrame({"k": df["k"], "h": h}).sort_values(["h", "k"])
     ref["rank"] = range(1, 501)
     assert (ref.sort_values("k")["rank"].to_numpy() == m).all()
+
+
+def test_scd2_collapse_runs_and_intervals(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.functions.scd import scd2_collapse
+
+    df = pd.DataFrame({
+        "k":  [1, 1, 1, 1, 2, 2, 3],
+        "t":  [1, 2, 3, 4, 1, 2, 1],
+        "st": ["A", "A", "B", "A", None, None, "C"],
+    })
+    out = (scd2_collapse(rd.from_pandas(df).repartition(3), "k", "t", ["st"])
+           .to_pandas().sort_values(["k", "valid_from"]).reset_index(drop=True))
+    k1 = out[out["k"] == 1]
+    assert list(k1["st"]) == ["A", "B", "A"]          # A-run, B, A again
+    assert list(k1["n_rows"]) == [2, 1, 1]
+    assert list(k1["valid_from"]) == [1, 3, 4]
+    assert list(k1["valid_to"].fillna(-1)) == [3, 4, -1]
+    assert list(k1["is_current"]) == [False, False, True]
+    k2 = out[out["k"] == 2]                            # null == null: one run
+    assert len(k2) == 1 and k2["n_rows"].iloc[0] == 2
+    assert out[out["k"] == 3]["is_current"].all()
