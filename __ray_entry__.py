@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_lineitem": Q.spearman_lineitem,
         "seeded_shuffle_docs": Q.seeded_shuffle_docs,
         "dp_counts_orders": Q.dp_counts_orders,
+        "contract_check_customer": Q.contract_check_customer,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
@@ -3902,6 +3903,35 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                         AS BIGINT) AS n_scrubbed
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
+        "contract_check_customer": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+            SELECT "column", rule, n_violations, n.n FROM (
+              SELECT 'c_acctbal' AS "column", 'min' AS rule,
+                     CAST(count(*) FILTER (WHERE c_acctbal < -900.0)
+                          AS BIGINT) AS n_violations FROM customer
+              UNION ALL SELECT 'c_acctbal', 'max',
+                     count(*) FILTER (WHERE c_acctbal > 9000.0)
+                     FROM customer
+              UNION ALL SELECT 'c_custkey', 'not_null',
+                     count(*) FILTER (WHERE c_custkey IS NULL)
+                     FROM customer
+              UNION ALL SELECT 'c_custkey', 'unique',
+                     count(c_custkey) - count(DISTINCT c_custkey)
+                     FROM customer
+              UNION ALL SELECT 'c_mktsegment', 'allowed',
+                     count(*) FILTER (WHERE c_mktsegment IS NOT NULL
+                         AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+                                                  'FURNITURE', 'HOUSEHOLD'))
+                     FROM customer
+              UNION ALL SELECT 'c_name', 'regex',
+                     count(*) FILTER (WHERE c_name IS NOT NULL AND NOT
+                         regexp_full_match(c_name, 'Customer#[0-9]{9}'))
+                     FROM customer
+              UNION ALL SELECT 'c_nationkey', 'min',
+                     count(*) FILTER (WHERE c_nationkey < 0) FROM customer
+              UNION ALL SELECT 'c_nationkey', 'max',
+                     count(*) FILTER (WHERE c_nationkey > 20) FROM customer
+            ) CROSS JOIN n ORDER BY "column", rule""",
         "dp_counts_orders": """
             WITH c AS (SELECT o_orderpriority AS g, count(*) AS n
                        FROM orders GROUP BY 1),

@@ -2899,6 +2899,29 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+CONTRACT_CUSTOMER = {
+    "c_acctbal": {"min": -900.0, "max": 9000.0},
+    "c_custkey": {"not_null": True, "unique": True},
+    "c_mktsegment": {"allowed": ["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                 "HOUSEHOLD"]},
+    "c_name": {"regex": "Customer#[0-9]{9}"},
+    "c_nationkey": {"min": 0, "max": 20},
+}
+
+
+def contract_check_customer(sf_dir: str) -> pd.DataFrame:
+    """Declarative table contract (profiling/contract.contract_check)
+    over customer: bounds / allowed set / regex / not-null in one
+    counting pass, uniqueness via the combined distinct exchange.
+    → (column, rule, n_violations, n) per declared rule."""
+    from ..profiling.contract import contract_check
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                        "c_mktsegment"])
+    return contract_check(ds, CONTRACT_CUSTOMER)
+
+
 def dp_counts_orders(sf_dir: str) -> pd.DataFrame:
     """ε-DP Laplace count release over order priorities
     (profiling/datarules.dp_noisy_counts, eps=0.5, seed=42) —

@@ -413,3 +413,29 @@ def test_dp_noisy_counts_deterministic_and_calibrated(ray_session):
     # different seed → different release
     out3 = dr.dp_noisy_counts(_ds(df, blocks=4), "g", eps=0.5, seed=2)
     assert (out3["noisy_n"].to_numpy() != out1["noisy_n"].to_numpy()).any()
+
+
+def test_contract_check_rules(ray_session):
+    from data_quality_ray.profiling.contract import contract_check
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, None, 5],
+        "v": [0.5, -3.0, 12.0, 1.0, np.nan],
+        "cat": ["a", "b", "zz", None, "a"],
+        "code": ["X1", "X2", "bad", None, "X9"],
+    })
+    spec = {
+        "id": {"not_null": True, "unique": True},
+        "v": {"min": 0.0, "max": 10.0},
+        "cat": {"allowed": ["a", "b"]},
+        "code": {"regex": "X[0-9]"},
+    }
+    out = contract_check(_ds(df, blocks=2), spec)
+    got = {(r["column"], r["rule"]): r["n_violations"]
+           for _, r in out.iterrows()}
+    assert got[("id", "not_null")] == 1
+    assert got[("id", "unique")] == 1          # 4 non-null, 3 distinct
+    assert got[("v", "min")] == 1 and got[("v", "max")] == 1
+    assert got[("cat", "allowed")] == 1        # zz (null not counted)
+    assert got[("code", "regex")] == 1         # bad (null not counted)
+    assert (out["n"] == 5).all()
