@@ -191,6 +191,13 @@ def run_bench() -> dict:
         ("zorder_layout_lineitem", Q.zorder_layout_lineitem),
         ("bootstrap_ci_lineitem", Q.bootstrap_ci_lineitem),
         ("shard_rebalance_orders", Q.shard_rebalance_orders),
+        ("url_dedup_docs", Q.url_dedup_docs),
+        ("domain_quality_report_docs", Q.domain_quality_report_docs),
+        ("seeded_shuffle_docs", Q.seeded_shuffle_docs),
+        ("scd2_orders", Q.scd2_orders),
+        ("spearman_lineitem", Q.spearman_lineitem),
+        ("ewma_anomalies_events", Q.ewma_anomalies_events),
+        ("contract_check_customer", Q.contract_check_customer),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
