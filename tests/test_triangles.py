@@ -87,3 +87,28 @@ def test_link_prediction_vs_brute(ray_session):
                                     sum(int(np.round(1e6 / np.log(len(nbrs[u]))))
                                         for u in common))
     assert got == want
+
+
+def test_graph_collect_shuffle_parity(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.graph import link_prediction, triangle_counts
+
+    rng = np.random.default_rng(31)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 60, (400, 2))
+             if a != b}
+    edges = pd.DataFrame(sorted((min(a, b), max(a, b)) for a, b in pairs),
+                         columns=["u", "v"]).drop_duplicates().astype("int64")
+    ds = rd.from_pandas(edges).repartition(4)
+
+    tc = triangle_counts(ds, strategy="collect").to_pandas()
+    ts = triangle_counts(ds, strategy="shuffle").to_pandas()
+    assert tc.sort_values("id").reset_index(drop=True).equals(
+        ts.sort_values("id").reset_index(drop=True).astype({"id": "int64", "tri": "int64"}))
+
+    lc = link_prediction(ds, strategy="collect").to_pandas()
+    ls = link_prediction(ds, strategy="shuffle").to_pandas()
+    key = ["id_a", "id_b"]
+    assert lc.sort_values(key).reset_index(drop=True).equals(
+        ls[["id_a", "id_b", "cn", "aa_ppm"]].astype("int64")
+        .sort_values(key).reset_index(drop=True))
