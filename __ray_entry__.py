@@ -781,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_shuffle_docs": Q.seeded_shuffle_docs,
         "dp_counts_orders": Q.dp_counts_orders,
         "contract_check_customer": Q.contract_check_customer,
+        "epoch_plan_docs": Q.epoch_plan_docs,
+        "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
         "uniqueness_profile_customer": Q.uniqueness_profile_customer,
@@ -3275,22 +3277,6 @@ def oracle_sql() -> dict[str, str]:
                           "orders", "lineitem", "events", "documents",
                           "embeddings"))
             + ") ORDER BY tbl"),
-        "zipf_fit_docs": f"""
-            WITH t AS (
-              SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
-                                        x -> x <> '')) AS token
-              FROM documents),
-            cnt AS (SELECT token, count(*) AS c FROM t GROUP BY token),
-            top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token)
-                           AS r
-                    FROM cnt ORDER BY c DESC, token LIMIT {Q.ZIPF_TOP_K}),
-            xy AS (SELECT ln(r) AS x, ln(c) AS y FROM top)
-            SELECT count(*) AS n_top,
-                   round(covar_pop(x, y) / var_pop(x), 6) AS slope,
-                   round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6)
-                       AS intercept,
-                   round(corr(x, y) ^ 2, 6) AS r2
-            FROM xy""",
         "rule_report_docs": f"""
             WITH filt AS ({_QUALITY_FILTER_DOCS_SQL})
             SELECT CASE WHEN f.first_rule IS NULL OR f.first_rule = ''
@@ -3903,6 +3889,45 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                         AS BIGINT) AS n_scrubbed
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
+        "epoch_plan_docs": """
+            SELECT doc_id, (rn - 1) // 64 AS shard_id,
+                   (rn - 1) % 64 AS pos
+            FROM (SELECT doc_id, row_number() OVER (
+                      ORDER BY md5_number_lower('11-' || doc_id), doc_id
+                  ) AS rn FROM documents)
+            ORDER BY doc_id""",
+        "pii_audit_docs": f"""
+            WITH c AS (SELECT
+                len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS e,
+                len(regexp_extract_all(text, '{SSN_PATTERN}')) AS s,
+                len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS p,
+                len(regexp_extract_all(text, '{_TOXIC_RE_SQL}')) AS t
+                FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   count(*) FILTER (WHERE e > 0) AS docs_email,
+                   CAST(sum(e) AS BIGINT) AS hits_email,
+                   count(*) FILTER (WHERE s > 0) AS docs_ssn,
+                   CAST(sum(s) AS BIGINT) AS hits_ssn,
+                   count(*) FILTER (WHERE p > 0) AS docs_phone,
+                   CAST(sum(p) AS BIGINT) AS hits_phone,
+                   count(*) FILTER (WHERE t > 0) AS docs_toxic,
+                   CAST(sum(t) AS BIGINT) AS hits_toxic
+            FROM c""",
+        "zipf_fit_docs": r"""
+            WITH toks AS (SELECT unnest(list_filter(
+                              string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+                          FROM documents),
+                 c AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+                 top AS (SELECT tok, n, row_number() OVER
+                             (ORDER BY n DESC, tok) AS r
+                         FROM c QUALIFY r <= 500),
+                 l AS (SELECT ln(r) AS x, ln(n) AS y FROM top)
+            SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(corr(y, x), 6) AS r
+            FROM l""",
         "contract_check_customer": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
             SELECT "column", rule, n_violations, n.n FROM (

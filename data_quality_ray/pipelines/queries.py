@@ -2899,6 +2899,50 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def epoch_plan_docs(sf_dir: str) -> pd.DataFrame:
+    """Reproducible epoch layout (pipelines/epochs.epoch_plan, seed=11,
+    64 rows/shard): shard_id and in-shard position per doc from the
+    seeded global shuffle rank — one exchange, identical on any
+    partitioning. → (doc_id, shard_id, pos)."""
+    from ..pipelines.epochs import epoch_plan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = epoch_plan(ds, "doc_id", seed=11, shard_rows=64).to_pandas()
+    out[["shard_id", "pos"]] = out[["shard_id", "pos"]].astype("int64")
+    return (out[["doc_id", "shard_id", "pos"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def pii_audit_docs(sf_dir: str) -> pd.DataFrame:
+    """PII/toxicity exposure audit (rules/scrub.pii_audit): doc and hit
+    counts per category from the same compiled patterns the scrub stage
+    rewrites with. → one row."""
+    from ..rules.scrub import pii_audit
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return pii_audit(ds, "text")
+
+
+def zipf_fit_docs(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law fit over the whitespace-token stream of lower(text)
+    (profiling/datarules.zipf_fit, top 500 tokens): OLS of ln(freq) on
+    ln(rank). → one row (n_tokens, slope, intercept, r)."""
+    from ..profiling.datarules import zipf_fit
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks = [t for v in batch["text"].to_numpy(zero_copy_only=False)
+                for t in (v or "").lower().split()]
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    r = zipf_fit(ds.map_batches(tokens, batch_format="pyarrow"), "token")
+    return pd.DataFrame({"n_tokens": [r["n_tokens"]],
+                         "slope": [round(r["slope"], 6)],
+                         "intercept": [round(r["intercept"], 6)],
+                         "r": [round(r["r"], 6)]})
+
+
 CONTRACT_CUSTOMER = {
     "c_acctbal": {"min": -900.0, "max": 9000.0},
     "c_custkey": {"not_null": True, "unique": True},
@@ -3515,43 +3559,6 @@ def rule_report_docs(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_scrubbed"):
         out[c] = out[c].astype("int64")
     return out.sort_values("first_rule").reset_index(drop=True)
-
-
-ZIPF_TOP_K = 100
-
-
-def zipf_fit_docs(sf_dir: str) -> pd.DataFrame:
-    """Corpus-statistics profile: least-squares fit of ln(count) vs
-    ln(rank) over the exact top-100 tokens — the Zipf slope a healthy
-    natural-language corpus puts near −1 (synthetic/templated corpora
-    flatten it; a drift monitor for generated-text contamination).
-    Token counts come from batch-partial grouped counts (CMS is the
-    unbounded-vocabulary path, heavy_hitter_tokens_docs); the regression
-    runs on the tiny top-k table. → (n_top, slope, intercept, r2)."""
-    from ..profiling.groupagg import grouped_aggregate
-
-    ds = _read(sf_dir, "documents", columns=["text"])
-
-    def tokens(batch: pa.Table) -> pa.Table:
-        toks = [t for v in batch["text"].to_numpy(zero_copy_only=False)
-                for t in (v or "").split()]
-        return pa.table({"token": pa.array(toks, type=pa.string())})
-
-    counts = grouped_aggregate(ds.map_batches(tokens, batch_format="pyarrow"),
-                               ["token"], {"n": ("", "count")})
-    top = counts.sort_values(["n", "token"], ascending=[False, True],
-                             kind="mergesort").head(ZIPF_TOP_K)
-    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
-    y = np.log(top["n"].to_numpy(dtype=np.float64))
-    vx = np.cov(x, x, bias=True)[0, 1]
-    cxy = np.cov(x, y, bias=True)[0, 1]
-    slope = cxy / vx
-    intercept = y.mean() - slope * x.mean()
-    r = np.corrcoef(x, y)[0, 1]
-    return pd.DataFrame({"n_top": [np.int64(len(top))],
-                         "slope": [round(float(slope), 6)],
-                         "intercept": [round(float(intercept), 6)],
-                         "r2": [round(float(r * r), 6)]})
 
 
 def catalog_overview(sf_dir: str) -> pd.DataFrame:

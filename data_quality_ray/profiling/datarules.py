@@ -452,6 +452,35 @@ def ewma_anomalies(ds, ts_col: str, type_col: str, alpha: float = 0.3,
     return out.head(top).reset_index(drop=True)
 
 
+# ------------------------------------------------------------- Zipf fit
+
+def zipf_fit(token_ds, token_col: str = "token", top: int = 500) -> dict:
+    """Zipf's-law fit over a token Dataset: distributed token counts
+    (hash-bucketed shuffle final — vocab never lands on the driver),
+    top-``top`` by (count desc, token) via one Ray sort + limit, then a
+    driver OLS of ln(freq) on ln(rank) over those ``top`` rows — the
+    corpus-health check (natural text ≈ −1 slope; boilerplate/spam
+    corpora flatten or steepen). → {n_tokens, slope, intercept, r}."""
+    from .groupagg import grouped_aggregate
+
+    counts = grouped_aggregate(token_ds, [token_col],
+                               {"n": ("", "count")}, final="shuffle")
+    head = (counts.sort(["n", token_col], descending=[True, False])
+            .limit(top).to_pandas())
+    head = head.sort_values(["n", token_col],
+                            ascending=[False, True]).reset_index(drop=True)
+    x = np.log(np.arange(1, len(head) + 1, dtype=np.float64))
+    y = np.log(head["n"].to_numpy(np.float64))
+    xm, ym = x.mean(), y.mean()
+    sxx = ((x - xm) ** 2).sum()
+    sxy = ((x - xm) * (y - ym)).sum()
+    syy = ((y - ym) ** 2).sum()
+    slope = sxy / sxx
+    return {"n_tokens": int(len(head)), "slope": float(slope),
+            "intercept": float(ym - slope * xm),
+            "r": float(sxy / np.sqrt(sxx * syy))}
+
+
 # ------------------------------------------------ DP noisy count release
 
 def dp_noisy_counts(ds, group_col: str, eps: float = 1.0,

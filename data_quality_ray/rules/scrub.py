@@ -117,3 +117,29 @@ def phone_format_e164(v: str | None, default_cc: str = "1") -> str | None:
     if len(s) == 11 and s.startswith(default_cc):
         return "+" + s
     return "+" + s
+
+
+def pii_audit(ds, col: str):
+    """Corpus PII/toxicity EXPOSURE report (counts, no rewriting — the
+    audit that decides whether scrubbing is needed and verifies it
+    afterwards): per batch, vectorized non-overlapping match counts per
+    category fold to ONE fixed-width partial row; driver sums. Shares
+    the exact compiled patterns with the scrub stage so audit and
+    rewrite cannot disagree. → one row (n_docs, docs_<cat>, hits_<cat>
+    for email/ssn/phone/toxic)."""
+    import pandas as pd
+
+    pats = {"email": _EMAIL_RE, "ssn": _SSN_RE, "phone": _PHONE_RE,
+            "toxic": _TOXIC_RE}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[col].astype("string")
+        out = {"n_docs": [len(s)]}
+        for k, rx in pats.items():
+            c = s.str.count(rx).fillna(0).astype("int64")
+            out[f"docs_{k}"] = [int((c > 0).sum())]
+            out[f"hits_{k}"] = [int(c.sum())]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return parts.sum().to_frame().T.astype("int64")

@@ -439,3 +439,37 @@ def test_contract_check_rules(ray_session):
     assert got[("cat", "allowed")] == 1        # zz (null not counted)
     assert got[("code", "regex")] == 1         # bad (null not counted)
     assert (out["n"] == 5).all()
+
+
+def test_zipf_fit_on_synthetic_power_law(ray_session):
+    import ray.data as rd
+
+    # exact power-law counts: token i appears round(1000/i) times
+    toks = []
+    for i in range(1, 201):
+        toks += [f"w{i:03d}"] * round(1000 / i)
+    df = pd.DataFrame({"token": toks})
+    r = dr.zipf_fit(rd.from_pandas(df).repartition(5), "token", top=200)
+    assert r["n_tokens"] == 200
+    assert r["slope"] == pytest.approx(-1.0, abs=0.02)
+    assert r["r"] == pytest.approx(-1.0, abs=0.01)
+
+
+def test_pii_audit_counts(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.rules.scrub import pii_audit
+
+    df = pd.DataFrame({"text": [
+        "mail a@b.com and c@d.org now",       # 2 email hits, 1 doc
+        "ssn 123-45-6789 ok",                  # 1 ssn
+        "call +1 555 123 4567",                # 1 phone
+        "clean text here",
+        None,
+    ]})
+    out = pii_audit(rd.from_pandas(df).repartition(2), "text")
+    row = out.iloc[0]
+    assert row["n_docs"] == 5
+    assert row["docs_email"] == 1 and row["hits_email"] == 2
+    assert row["docs_ssn"] == 1 and row["hits_ssn"] == 1
+    assert row["docs_phone"] == 1 and row["hits_phone"] == 1
