@@ -782,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts_orders": Q.dp_counts_orders,
         "contract_check_customer": Q.contract_check_customer,
         "epoch_plan_docs": Q.epoch_plan_docs,
+        "peak_rate_users_events": Q.peak_rate_users_events,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -3889,6 +3890,14 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                         AS BIGINT) AS n_scrubbed
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
+        "peak_rate_users_events": """
+            WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS peak,
+                   CAST(sum(n) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_buckets
+            FROM c GROUP BY 1 HAVING max(n) > 2 ORDER BY 1""",
         "epoch_plan_docs": """
             SELECT doc_id, (rn - 1) // 64 AS shard_id,
                    (rn - 1) % 64 AS pos

@@ -2899,6 +2899,17 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def peak_rate_users_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user peak-rate abuse screen
+    (profiling/datarules.peak_rate_users, hourly buckets, threshold 2):
+    users whose busiest hour exceeds the rate cap.
+    → (user_id, peak, n_events, n_buckets)."""
+    from ..profiling.datarules import peak_rate_users
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    return peak_rate_users(ds, "ts", "user_id", freq="h", threshold=2)
+
+
 def epoch_plan_docs(sf_dir: str) -> pd.DataFrame:
     """Reproducible epoch layout (pipelines/epochs.epoch_plan, seed=11,
     64 rows/shard): shard_id and in-shard position per doc from the

@@ -452,6 +452,33 @@ def ewma_anomalies(ds, ts_col: str, type_col: str, alpha: float = 0.3,
     return out.head(top).reset_index(drop=True)
 
 
+# ------------------------------------------------- per-user peak rates
+
+def peak_rate_users(ds, ts_col: str, user_col: str, freq: str = "min",
+                    threshold: int = 5) -> pd.DataFrame:
+    """Bot / abuse screen over an event stream: per-user PEAK events per
+    time bucket. Per-batch (user, bucket) counts pre-aggregate before
+    ONE hash-bucketed exchange (state ∝ distinct (user, bucket) pairs,
+    never rows), then a per-user (max, sum) fold. → flagged users only
+    (peak > threshold): (user_id, peak, n_events, n_buckets)."""
+    from .groupagg import grouped_aggregate
+
+    buckets = ds.map_batches(
+        lambda b: pd.DataFrame({"user_id": b[user_col],
+                                "bucket": b[ts_col].dt.floor(freq)}),
+        batch_format="pandas")
+    c = grouped_aggregate(buckets, ["user_id", "bucket"],
+                          {"n": ("", "count")}, final="shuffle")
+    per_user = grouped_aggregate(
+        c.map_batches(lambda b: b[["user_id", "n"]], batch_format="pandas"),
+        ["user_id"], {"peak": ("n", "max"), "n_events": ("n", "sum"),
+                      "n_buckets": ("n", "count")})
+    out = per_user[per_user["peak"] > threshold].copy()
+    for col in ("user_id", "peak", "n_events", "n_buckets"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------- Zipf fit
 
 def zipf_fit(token_ds, token_col: str = "token", top: int = 500) -> dict:

@@ -473,3 +473,15 @@ def test_pii_audit_counts(ray_session):
     assert row["docs_email"] == 1 and row["hits_email"] == 2
     assert row["docs_ssn"] == 1 and row["hits_ssn"] == 1
     assert row["docs_phone"] == 1 and row["hits_phone"] == 1
+
+
+def test_peak_rate_users_flags_only_bursty(ray_session):
+    base = pd.Timestamp("2025-04-01")
+    rows = [(1, base + pd.Timedelta(minutes=i)) for i in range(10)]      # 10/hr
+    rows += [(2, base + pd.Timedelta(hours=i)) for i in range(10)]      # 1/hr
+    rows += [(3, base + pd.Timedelta(minutes=30 + i)) for i in range(3)]  # 3/hr
+    df = pd.DataFrame(rows, columns=["u", "ts"])
+    out = dr.peak_rate_users(_ds(df, blocks=3), "ts", "u", freq="h",
+                             threshold=3)
+    assert list(out["user_id"]) == [1]
+    assert out.loc[0, "peak"] == 10 and out.loc[0, "n_events"] == 10
