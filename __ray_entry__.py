@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contract_check_customer": Q.contract_check_customer,
         "epoch_plan_docs": Q.epoch_plan_docs,
         "peak_rate_users_events": Q.peak_rate_users_events,
+        "best_of_cluster_docs": Q.best_of_cluster_docs,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -2509,6 +2510,24 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
 
 # --- chronology conversions recomputed in SQL ------------------------------
 
+def _best_of_cluster_sql() -> str:
+    """Best-of-cluster text survivorship replay: the full MinHash
+    clustering SQL joined to the full classifier-retrain SQL, per-cluster
+    argmax by (quality_score desc, doc_id)."""
+    return f"""
+WITH comp AS ({_minhash_sql()}),
+clf AS ({_CLF_SQL}),
+j AS (SELECT c.cluster, c.doc_id, f.quality_score
+      FROM comp c JOIN clf f USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          ORDER BY quality_score DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY cluster) AS n_docs
+      FROM j)
+SELECT cluster, doc_id AS keeper_id, CAST(n_docs AS BIGINT) AS n_docs,
+       quality_score AS best_score
+FROM r WHERE rn = 1 ORDER BY cluster"""
+
+
 def _neardup_stats_sql() -> str:
     """Cluster-size distribution replay: the full MinHash clustering SQL
     as a CTE, singleton row = corpus minus clustered docs."""
@@ -3890,6 +3909,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                         AS BIGINT) AS n_scrubbed
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
+        "best_of_cluster_docs": _best_of_cluster_sql(),
         "peak_rate_users_events": """
             WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
                               count(*) AS n

@@ -2899,6 +2899,52 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def best_of_cluster_docs(sf_dir: str) -> pd.DataFrame:
+    """Text survivorship across near-dup clusters — the text twin of the
+    image keep-sharpest rule: MinHash clusters (md5 mode) pick their
+    highest-quality member by the hashed-linear score, ties to the
+    smaller id. Cluster labels broadcast once (bounded by the DUPLICATED
+    doc count — dedup/exact's winner pattern; a corpus whose duplicate
+    set exceeds a broadcast routes the same tag through hash_join), one
+    streaming score pass, driver argmax over clustered docs only.
+    → (cluster, keeper_id, n_docs, best_score)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+
+    clusters = minhash_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        "doc_id", "text", threshold=0.5, hash_fn="md5")
+    if clusters.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["cluster", "keeper_id", "n_docs"]}).assign(
+            best_score=pd.Series(dtype="float64"))
+    srt = clusters.sort_values("doc_id")
+    ref = ray.put((srt["doc_id"].to_numpy(np.int64),
+                   srt["cluster"].to_numpy(np.int64)))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        ids, lbl = cached_get(ref)
+        d = b["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(ids, d)
+        ok = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == d)
+        out = b[ok].copy()
+        out["cluster"] = lbl[pos[ok]]
+        return out[["doc_id", "cluster", "quality_score"]]
+
+    tagged = (_quality_classifier_ds(sf_dir)
+              .map_batches(tag, batch_format="pandas").to_pandas())
+    tagged = tagged.sort_values(["cluster", "quality_score", "doc_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    out = tagged.groupby("cluster", sort=True).agg(
+        keeper_id=("doc_id", "first"), n_docs=("doc_id", "count"),
+        best_score=("quality_score", "first")).reset_index()
+    out[["cluster", "keeper_id", "n_docs"]] = out[
+        ["cluster", "keeper_id", "n_docs"]].astype("int64")
+    return out
+
+
 def peak_rate_users_events(sf_dir: str) -> pd.DataFrame:
     """Per-user peak-rate abuse screen
     (profiling/datarules.peak_rate_users, hourly buckets, threshold 2):
