@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_plan_docs": Q.epoch_plan_docs,
         "peak_rate_users_events": Q.peak_rate_users_events,
         "best_of_cluster_docs": Q.best_of_cluster_docs,
+        "lang_mix_docs": Q.lang_mix_docs,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -1589,7 +1590,8 @@ _DBL_RE_SQL = (r"[-+]?(([0-9]+|[0-9]{1,3}(,[0-9]{3})+)(\.[0-9]*)?"
 
 # --- langid heuristic, replicated in SQL (shares the marker sets) ----------
 
-def _langid_sql(final_select: str = "SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1") -> str:
+def _langid_sql(final_select: str = "SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1",
+                source: str = "SELECT doc_id, text, lang FROM documents") -> str:
     from data_quality_ray.stages.models import _LANG_MARKERS, _LANG_ORDER
 
     marker_lists = {
@@ -1601,18 +1603,19 @@ def _langid_sql(final_select: str = "SELECT lang_pred, count(*) AS n FROM pred G
     )
     # strictly-greater argmax in _LANG_ORDER (ties → earlier language), 0 → unknown
     return f"""
-    WITH t AS (
+    WITH src AS ({source}),
+    t AS (
       SELECT doc_id, text, lang,
              length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
              length(replace(text, ' ', '')) AS nonsp,
              regexp_extract_all(lower(text), '\\p{{L}}+') AS toks
-      FROM documents),
+      FROM src),
     s AS (
       SELECT doc_id, text, lang, cjk, nonsp, len(toks) AS ntok,
         {score_cols}
       FROM t),
     pred AS (
-      SELECT lang, CASE
+      SELECT doc_id, lang, CASE
         WHEN text IS NULL OR text = '' THEN 'unknown'
         WHEN cjk > 0 AND cjk * 1.0 / greatest(nonsp, 1) > 0.2 THEN 'zh'
         WHEN ntok = 0 THEN 'unknown'
@@ -3910,6 +3913,23 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
         "best_of_cluster_docs": _best_of_cluster_sql(),
+        "lang_mix_docs": f"""
+            WITH dp AS ({_langid_sql(
+                final_select="SELECT doc_id, lang_pred FROM pred")}),
+            lp AS ({_langid_sql(
+                final_select="SELECT doc_id, lang_pred FROM pred",
+                source="SELECT doc_id, l AS text, lang FROM ("
+                       "SELECT doc_id, unnest(string_split(text, chr(10)))"
+                       " AS l, lang FROM documents) WHERE trim(l) <> ''")})
+            SELECT d.doc_id, d.lang_pred AS lang_doc,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN l.lang_pred <> d.lang_pred
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_offlang,
+                   round(sum(CASE WHEN l.lang_pred <> d.lang_pred
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                       AS mix_ratio
+            FROM lp l JOIN dp d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1""",
         "peak_rate_users_events": """
             WITH c AS (SELECT user_id, date_trunc('hour', ts) AS b,
                               count(*) AS n

@@ -2899,6 +2899,47 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def lang_mix_docs(sf_dir: str) -> pd.DataFrame:
+    """Code-switching / language-mixing detection: the langid heuristic
+    applied to the whole doc AND to each non-empty line ('\\n' split) in
+    ONE streaming pass (model built once per actor, line predictions on
+    the exploded axis); a line is off-language when its prediction
+    differs from the doc's. → (doc_id, lang_doc, n_lines, n_offlang,
+    mix_ratio) for docs with >= 1 non-empty line."""
+    from ..stages.models import HeuristicLangID
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Stage:
+        def __init__(self):
+            self.model = HeuristicLangID()
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            doc_pred = self.model.predict(b["text"].to_numpy())
+            lines = b["text"].astype("string").str.split("\n")
+            ex = lines.explode()
+            # strip SPACES only — matches the oracle's trim(l) semantics
+            ex = ex[ex.notna() & (ex.str.strip(" ") != "")]
+            lp = self.model.predict(ex.to_numpy(dtype=object))
+            f = pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy()[ex.index.to_numpy()],
+                "off": lp != doc_pred[ex.index.to_numpy()],
+            })
+            g = f.groupby("doc_id", sort=False).agg(
+                n_lines=("off", "size"), n_offlang=("off", "sum"))
+            g["lang_doc"] = pd.Series(doc_pred, index=b["doc_id"].to_numpy()
+                                      ).reindex(g.index).to_numpy()
+            return g.reset_index()
+
+    out = ds.map_batches(Stage, concurrency=4,
+                         batch_format="pandas").to_pandas()
+    out[["n_lines", "n_offlang"]] = out[["n_lines", "n_offlang"]].astype("int64")
+    out["mix_ratio"] = np.floor(
+        out["n_offlang"] / out["n_lines"] * 1e6 + 0.5) / 1e6
+    return (out[["doc_id", "lang_doc", "n_lines", "n_offlang", "mix_ratio"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def best_of_cluster_docs(sf_dir: str) -> pd.DataFrame:
     """Text survivorship across near-dup clusters — the text twin of the
     image keep-sharpest rule: MinHash clusters (md5 mode) pick their
