@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_rate_users_events": Q.peak_rate_users_events,
         "best_of_cluster_docs": Q.best_of_cluster_docs,
         "lang_mix_docs": Q.lang_mix_docs,
+        "logreg_lineitem": Q.logreg_lineitem,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -2513,7 +2514,13 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
 
 # --- chronology conversions recomputed in SQL ------------------------------
 
-def _best_of_cluster_sql() -> str:
+def _logreg_sql():
+    from data_quality_ray.similarity.logreg import logreg_fit_sql
+
+    return logreg_fit_sql
+
+
+def _best_of_text_cluster_sql() -> str:
     """Best-of-cluster text survivorship replay: the full MinHash
     clustering SQL joined to the full classifier-retrain SQL, per-cluster
     argmax by (quality_score desc, doc_id)."""
@@ -3912,7 +3919,16 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
                         AS BIGINT) AS n_scrubbed
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
-        "best_of_cluster_docs": _best_of_cluster_sql(),
+        "best_of_cluster_docs": _best_of_text_cluster_sql(),
+        "logreg_lineitem": _logreg_sql()(
+            "SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, "
+            "l_extendedprice / 100000.0 AS x3, "
+            "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL "
+            "AND l_returnflag IS NOT NULL",
+            ["x1", "x2", "x3"], "y",
+            rounds=Q.LOGREG_ROUNDS, lr=Q.LOGREG_LR),
         "lang_mix_docs": f"""
             WITH dp AS ({_langid_sql(
                 final_select="SELECT doc_id, lang_pred FROM pred")}),

@@ -2899,6 +2899,39 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+LOGREG_ROUNDS, LOGREG_LR = 8, 1.0
+
+
+def logreg_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic regression (similarity/logreg.logreg_fit):
+    predict l_returnflag == 'R' from scaled (quantity, discount,
+    extendedprice) with 8 quantized full-batch GD rounds — one
+    fixed-width partial pass per round, weights re-rounded 6 dp so the
+    unrolled SQL CTE replays every round. → one row
+    (n, loss, w0..w3)."""
+    from ..similarity.logreg import logreg_fit
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_extendedprice",
+                        "l_returnflag"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x1": b["l_quantity"].to_numpy(np.float64) / 50.0,
+            "x2": b["l_discount"].to_numpy(np.float64) * 10.0,
+            "x3": b["l_extendedprice"].to_numpy(np.float64) / 100000.0,
+            "y": (b["l_returnflag"] == "R").to_numpy(np.float64),
+        })
+
+    r = logreg_fit(ds.map_batches(feats, batch_format="pandas"),
+                   ["x1", "x2", "x3"], "y",
+                   rounds=LOGREG_ROUNDS, lr=LOGREG_LR)
+    out = {"n": [r["n"]], "loss": [round(r["loss"], 6)]}
+    for i, wi in enumerate(r["w"]):
+        out[f"w{i}"] = [round(float(wi), 6)]
+    return pd.DataFrame(out)
+
+
 def lang_mix_docs(sf_dir: str) -> pd.DataFrame:
     """Code-switching / language-mixing detection: the langid heuristic
     applied to the whole doc AND to each non-empty line ('\\n' split) in
