@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_of_cluster_docs": Q.best_of_cluster_docs,
         "lang_mix_docs": Q.lang_mix_docs,
         "logreg_lineitem": Q.logreg_lineitem,
+        "kcore_parts": Q.kcore_parts,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -2514,6 +2515,31 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
 
 # --- chronology conversions recomputed in SQL ------------------------------
 
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling replay of functions/graph.kcore over the part
+    co-order graph (same >= 2 pair-instance edge threshold as the
+    triangle oracle)."""
+    base = """SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2"""
+    # MATERIALIZED: each round references the previous edge set three
+    # times; inlined CTEs would expand 3^rounds scans of lineitem.
+    ctes = [f"e0 AS MATERIALIZED ({base})"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT id, count(*) AS d FROM (SELECT u AS id "
+            f"FROM e{r-1} UNION ALL SELECT v FROM e{r-1}) GROUP BY 1)")
+        ctes.append(f"k{r} AS (SELECT id FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN k{r} a ON e.u = a.id JOIN k{r} b ON e.v = b.id)")
+    final = (f"SELECT id, CAST(count(*) AS BIGINT) AS deg FROM "
+             f"(SELECT u AS id FROM e{rounds} UNION ALL "
+             f"SELECT v FROM e{rounds}) GROUP BY 1 ORDER BY 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _logreg_sql():
     from data_quality_ray.similarity.logreg import logreg_fit_sql
 
@@ -3920,6 +3946,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             FROM chain c JOIN d USING (doc_id)
             GROUP BY 1 ORDER BY 1""",
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
+        "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "logreg_lineitem": _logreg_sql()(
             "SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, "
             "l_extendedprice / 100000.0 AS x3, "

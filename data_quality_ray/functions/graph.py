@@ -221,6 +221,75 @@ def triangle_counts(edges_ds, n_buckets: int = 64, strategy: str = "auto"):
                              final="shuffle")
 
 
+def kcore(edges_ds, k: int, rounds: int = 12, n_buckets: int = 64,
+          strategy: str = "auto"):
+    """k-core decomposition by iterated peeling: drop nodes with degree
+    < k, re-count, repeat — EXACTLY ``rounds`` rounds on both engines
+    (rounds after the fixpoint are no-ops, so a fixed round count makes
+    the data-dependent iteration SQL-replayable with unrolled CTEs, the
+    kmeans contract). Returns (id, deg) for nodes surviving all rounds,
+    deg = degree inside the final core.
+
+    Distributed route: per round one degree fold (hash-bucketed grouped
+    count) + one keys-only semi-join filter of the edge set against the
+    surviving nodes — no driver state. Small graphs take the measured
+    collect gate (same bound as triangle_counts) and peel locally."""
+    import ray.data as rd
+
+    from ..profiling.groupagg import grouped_aggregate
+    from .joins import hash_join
+
+    edges_ds = edges_ds.materialize()
+    e = _collect_small_graph(edges_ds, strategy)
+    if e is not None:
+        for _ in range(rounds):
+            if e.empty:
+                break
+            ids = np.concatenate([e["u"].to_numpy(np.int64),
+                                  e["v"].to_numpy(np.int64)])
+            deg = pd.Series(ids).value_counts()
+            keep = set(deg[deg >= k].index)
+            if len(keep) == deg.size:
+                break
+            e = e[e["u"].isin(keep) & e["v"].isin(keep)]
+        if e.empty:
+            return rd.from_pandas(pd.DataFrame(
+                {"id": pd.Series(dtype="int64"),
+                 "deg": pd.Series(dtype="int64")}))
+        ids = np.concatenate([e["u"].to_numpy(np.int64),
+                              e["v"].to_numpy(np.int64)])
+        deg = pd.Series(ids).value_counts()
+        out = (pd.DataFrame({"id": deg.index.to_numpy(np.int64),
+                             "deg": deg.to_numpy(np.int64)})
+               .sort_values("id").reset_index(drop=True))
+        return rd.from_pandas(out)
+
+    cur = edges_ds
+
+    def ends(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": np.concatenate([b["u"].to_numpy(),
+                                                   b["v"].to_numpy()])})
+
+    for _ in range(rounds):
+        deg = grouped_aggregate(cur.map_batches(ends, batch_format="pandas"),
+                                ["id"], {"d": ("id", "count")},
+                                final="shuffle")
+        keep = deg.map_batches(lambda b: b[b["d"] >= k][["id"]],
+                               batch_format="pandas")
+        ku = keep.map_batches(lambda b: b.rename(columns={"id": "u"}),
+                              batch_format="pandas")
+        kv = keep.map_batches(lambda b: b.rename(columns={"id": "v"}),
+                              batch_format="pandas")
+        cur = hash_join(hash_join(cur, ku, on="u", right_cols=[],
+                                  how="semi", n_buckets=n_buckets),
+                        kv, on="v", right_cols=[], how="semi",
+                        n_buckets=n_buckets).materialize()
+    final = grouped_aggregate(cur.map_batches(ends, batch_format="pandas"),
+                              ["id"], {"deg": ("id", "count")},
+                              final="shuffle")
+    return final
+
+
 def _link_prediction_local(e: pd.DataFrame) -> pd.DataFrame:
     """Driver twin of the distributed path: symmetrize → per-center
     neighbor pairs → quantized AA fold → anti-join vs the edge set."""

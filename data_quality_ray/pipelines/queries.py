@@ -2899,6 +2899,25 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+KCORE_K, KCORE_ROUNDS = 3, 12
+
+
+def kcore_parts(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition of the part co-order graph
+    (functions/graph.kcore, k=3, 12 fixed peeling rounds — rounds past
+    the fixpoint are no-ops, making the data-dependent iteration
+    SQL-replayable with unrolled CTEs). → (id, deg) of the surviving
+    core, deg inside the core."""
+    from ..functions.graph import kcore
+
+    edges = _coorder_edges(sf_dir)
+    out = kcore(edges, k=KCORE_K, rounds=KCORE_ROUNDS).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64")})
+    return (out.astype("int64").sort_values("id").reset_index(drop=True))
+
+
 LOGREG_ROUNDS, LOGREG_LR = 8, 1.0
 
 

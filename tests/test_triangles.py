@@ -112,3 +112,32 @@ def test_graph_collect_shuffle_parity(ray_session):
     assert lc.sort_values(key).reset_index(drop=True).equals(
         ls[["id_a", "id_b", "cn", "aa_ppm"]].astype("int64")
         .sort_values(key).reset_index(drop=True))
+
+
+def test_kcore_peeling_and_parity(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.functions.graph import kcore
+
+    # a 4-clique (core-3) plus a tail of degree-1/2 nodes that must peel
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    edges = pd.DataFrame(clique + tail, columns=["u", "v"]).astype("int64")
+    ds = rd.from_pandas(edges).repartition(3)
+    out = kcore(ds, k=3, rounds=10, strategy="collect").to_pandas()
+    assert sorted(out["id"]) == [0, 1, 2, 3]
+    assert (out["deg"] == 3).all()
+    # collect == shuffle parity on a random graph
+    rng = np.random.default_rng(17)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 40, (200, 2)) if a < b}
+    e2 = pd.DataFrame(sorted(pairs), columns=["u", "v"]).astype("int64")
+    d2 = rd.from_pandas(e2).repartition(4)
+    # 3 rounds / 8 buckets: keeps the forced-shuffle leg unit-test-sized
+    # (12 rounds x two 64-bucket joins is minutes of pure exchange
+    # latency at 4 CPUs); parity only needs both paths to run the SAME
+    # round count, not the production one
+    c = kcore(d2, k=3, rounds=3, strategy="collect").to_pandas()
+    s = kcore(d2, k=3, rounds=3, n_buckets=8, strategy="shuffle").to_pandas()
+    c = c.sort_values("id").reset_index(drop=True)
+    s = s.astype("int64").sort_values("id").reset_index(drop=True)
+    assert c.equals(s[["id", "deg"]])
