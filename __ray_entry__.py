@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix_docs": Q.lang_mix_docs,
         "logreg_lineitem": Q.logreg_lineitem,
         "kcore_parts": Q.kcore_parts,
+        "strip_html_docs": Q.strip_html_docs,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -2540,6 +2541,37 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _strip_html_sql() -> str:
+    """Wrap + extract replay sharing the functions/html.py constants."""
+    from data_quality_ray.functions.html import (ENTITIES, SCRIPT_RE,
+                                                 STYLE_RE, TAG_RE, WS_RE)
+
+    ent_chain = "u"
+    for ent, rep in ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{ent}', '{rep_sql}')"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    '<html><head><title>T</title>'
+    || (CASE WHEN doc_id % 3 = 0 THEN
+        '<script type="text/javascript">var x = 1 < 2;</script>'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN
+        '<style>.c {{ color: red }}</style>' ELSE '' END)
+    || '<body class="main"><h1>Doc ' || doc_id || '</h1><p>' || text
+    || '</p><p>tail &amp; more&nbsp;text</p></body></html>' AS html
+  FROM documents),
+s AS (SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(html,
+          '{SCRIPT_RE}', ' ', 'g'), '{STYLE_RE}', ' ', 'g'),
+          '{TAG_RE}', ' ', 'g') AS u
+      FROM w)
+SELECT doc_id,
+       trim(regexp_replace({ent_chain}, '{WS_RE}', ' ', 'g')) AS text_clean
+FROM s ORDER BY doc_id"""
+
+
 def _logreg_sql():
     from data_quality_ray.similarity.logreg import logreg_fit_sql
 
@@ -3947,6 +3979,7 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
             GROUP BY 1 ORDER BY 1""",
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
+        "strip_html_docs": _strip_html_sql(),
         "logreg_lineitem": _logreg_sql()(
             "SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, "
             "l_extendedprice / 100000.0 AS x3, "

@@ -2899,6 +2899,37 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def strip_html_docs(sf_dir: str) -> pd.DataFrame:
+    """HTML text extraction (functions/html.strip_html): every doc is
+    deterministically wrapped in markup (script/style blocks on modular
+    ids, attributes, entities) by BOTH engines, then stripped back —
+    per-row equality of the extracted text. → (doc_id, text_clean)."""
+    from ..functions.html import add_stripped_html
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        t = b["text"].astype("string")
+        script = pd.Series(np.where(
+            d % 3 == 0,
+            '<script type="text/javascript">var x = 1 < 2;</script>', ""),
+            index=b.index)
+        style = pd.Series(np.where(
+            d % 5 == 0, "<style>.c { color: red }</style>", ""),
+            index=b.index)
+        html = ("<html><head><title>T</title>" + script + style
+                + '<body class="main"><h1>Doc ' + d.astype(str)
+                + "</h1><p>" + t + "</p><p>tail &amp; more&nbsp;text</p>"
+                + "</body></html>")
+        return pd.DataFrame({"doc_id": b["doc_id"], "html": html})
+
+    out = add_stripped_html(ds.map_batches(wrap, batch_format="pandas"),
+                            "html").to_pandas()
+    return (out[["doc_id", "text_clean"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 KCORE_K, KCORE_ROUNDS = 3, 12
 
 
@@ -2983,7 +3014,7 @@ def lang_mix_docs(sf_dir: str) -> pd.DataFrame:
                                       ).reindex(g.index).to_numpy()
             return g.reset_index()
 
-    out = ds.map_batches(Stage, concurrency=4,
+    out = ds.map_batches(Stage, concurrency=2,
                          batch_format="pandas").to_pandas()
     out[["n_lines", "n_offlang"]] = out[["n_lines", "n_offlang"]].astype("int64")
     out["mix_ratio"] = np.floor(

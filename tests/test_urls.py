@@ -84,3 +84,44 @@ def test_domain_cap_groups_by_registered_domain(ray_session):
     out = U.domain_cap(_ds(df, blocks=3), "url", "id", cap=4)
     assert len(out) == 4
     assert set(out["domain"]) == {"shared.co.uk"}
+
+
+def test_strip_html_contract():
+    from data_quality_ray.functions.html import strip_html
+
+    s = pd.Series([
+        '<html><SCRIPT src="x">alert("<b>hi</b>")</scRipt><p>A&amp;lt;B</p></html>',
+        "<style>p { x: '>' }</style>before <br/> after",
+        "no markup &quot;quoted&quot; &#39;q&#39; &nbsp;done",
+        None,
+    ])
+    got = strip_html(s).tolist()
+    assert got[0] == "A&lt;B"          # &amp; decodes LAST
+    assert got[1] == "before after"
+    assert got[2] == "no markup \"quoted\" 'q' done"
+    assert pd.isna(got[3])
+
+
+def test_lang_mix_on_multiline_docs(ray_session, tmp_path):
+    # the sf fixture text is single-line, so lang_mix_docs is trivial
+    # there; pin the per-line semantics on genuinely mixed docs by
+    # writing a tiny documents.parquet and running the REAL query
+    from data_quality_ray.pipelines.queries import lang_mix_docs
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat is near the house\nel perro corre en la casa\n"
+                 "the end is here with this",
+                 "der hund ist nicht auf dem haus\n   \nder mann und die frau",
+                 "   "],  # only-blank lines → doc drops out entirely
+    })
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = lang_mix_docs(str(tmp_path))
+    assert list(out["doc_id"]) == [1, 2]
+    d1 = out[out["doc_id"] == 1].iloc[0]
+    assert d1["lang_doc"] == "en"
+    assert d1["n_lines"] == 3 and d1["n_offlang"] == 1
+    assert d1["mix_ratio"] == 0.333333
+    d2 = out[out["doc_id"] == 2].iloc[0]          # blank middle line skipped
+    assert d2["lang_doc"] == "de"
+    assert d2["n_lines"] == 2 and d2["n_offlang"] == 0
