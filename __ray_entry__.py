@@ -788,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_lineitem": Q.logreg_lineitem,
         "kcore_parts": Q.kcore_parts,
         "strip_html_docs": Q.strip_html_docs,
+        "source_contamination_docs": Q.source_contamination_docs,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -2479,8 +2480,11 @@ def _minhash_bandk_cte(n_perm: int = 64, bands: int = 16,
 
 def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
                  shingle_size: int = 3, seed: int = 17,
-                 source: str = "documents") -> str:
+                 source: str = "documents",
+                 final_select: str | None = None) -> str:
     bandk = _minhash_bandk_cte(n_perm, bands, shingle_size, seed, source)
+    tail = ("\n    " + final_select) if final_select is not None \
+        else _MINHASH_COMPONENT_TAIL
     return f"""
     WITH RECURSIVE {bandk},
     cand AS (
@@ -2503,7 +2507,10 @@ def _minhash_sql(threshold: float = 0.5, n_perm: int = 64, bands: int = 16,
       WHERE CASE WHEN coalesce(na.n, 0) = 0 AND coalesce(nb.n, 0) = 0 THEN true
             ELSE coalesce(pi.inter, 0) * 1.0 /
                  greatest(coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(pi.inter, 0), 1)
-                 >= {threshold} END),
+                 >= {threshold} END){tail}"""
+
+
+_MINHASH_COMPONENT_TAIL = """,
     nodes AS (SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified),
     edges AS (SELECT id_a AS u, id_b AS v FROM verified
               UNION SELECT id_b, id_a FROM verified),
@@ -3980,6 +3987,14 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "source_contamination_docs": _minhash_sql(final_select="""
+            SELECT least(sa.source, sb.source) AS source_a,
+                   greatest(sa.source, sb.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM verified v
+            JOIN documents sa ON sa.doc_id = v.id_a
+            JOIN documents sb ON sb.doc_id = v.id_b
+            GROUP BY 1, 2 ORDER BY 1, 2"""),
         "logreg_lineitem": _logreg_sql()(
             "SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2, "
             "l_extendedprice / 100000.0 AS x3, "

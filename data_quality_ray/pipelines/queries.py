@@ -2899,6 +2899,38 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def source_contamination_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplication matrix — which sources copy from which:
+    MinHash near-dup pairs (md5 mode, the gated oracled machinery)
+    tagged with each side's source via a sorted id→source lookup — the
+    pair set AND the id table are driver-bounded here (at scale: the
+    pairs dataset route + two hash_joins), pair counts folded per
+    UNORDERED source pair. → (source_a, source_b, n_pairs) with
+    source_a <= source_b."""
+    from ..dedup.minhash import candidate_pairs, minhash_bands, verify_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bands = minhash_bands(ds, "doc_id", "text", hash_fn="md5")
+    pairs = candidate_pairs(bands, "doc_id")
+    ver = verify_pairs(ds, pairs, "doc_id", "text", threshold=0.5,
+                       hash_fn="md5")
+
+    src = (ds.map_batches(lambda b: b[["doc_id", "source"]],
+                          batch_format="pandas").to_pandas()
+           .sort_values("doc_id"))
+    ids = src["doc_id"].to_numpy(np.int64)
+    names = src["source"].to_numpy(object)
+    a = names[np.searchsorted(ids, ver["id_a"].to_numpy(np.int64))]
+    b = names[np.searchsorted(ids, ver["id_b"].to_numpy(np.int64))]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    out = (pd.DataFrame({"source_a": lo, "source_b": hi})
+           .groupby(["source_a", "source_b"]).size().rename("n_pairs")
+           .reset_index())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 def strip_html_docs(sf_dir: str) -> pd.DataFrame:
     """HTML text extraction (functions/html.strip_html): every doc is
     deterministically wrapped in markup (script/style blocks on modular
