@@ -789,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_parts": Q.kcore_parts,
         "strip_html_docs": Q.strip_html_docs,
         "source_contamination_docs": Q.source_contamination_docs,
+        "nfc_normalize_docs": Q.nfc_normalize_docs,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -3987,6 +3988,17 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "nfc_normalize_docs": """
+            WITH r AS (SELECT doc_id,
+                              text || (CASE WHEN doc_id % 2 = 0
+                                       THEN ' cafe' || chr(769)
+                                       ELSE ' zo' || chr(776) || 'e'
+                                       END) AS raw
+                       FROM documents)
+            SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+                   nfc_normalize(raw) <> raw AS changed
+            FROM r ORDER BY doc_id""",
         "source_contamination_docs": _minhash_sql(final_select="""
             SELECT least(sa.source, sb.source) AS source_a,
                    greatest(sa.source, sb.source) AS source_b,

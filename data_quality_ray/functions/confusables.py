@@ -45,3 +45,33 @@ def add_skeleton(ds, text_col: str, out_col: str = "skeleton"):
         return b
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def nfc_normalize_series(texts: pd.Series) -> pd.Series:
+    """Unicode NFC canonical composition — run BEFORE any hash-keyed
+    dedup so canonically-equal strings (composed vs combining-mark
+    forms) collapse to one key. Memoized over each batch's unique axis
+    (``unique_apply``); bit-identical to DuckDB ``nfc_normalize``.
+    Nulls propagate."""
+    import unicodedata
+
+    from .text import unique_apply
+
+    import numpy as np
+
+    def one(v):
+        return unicodedata.normalize("NFC", v) if isinstance(v, str) else v
+
+    return pd.Series(unique_apply(np.asarray(texts, dtype=object), one),
+                     index=texts.index)
+
+
+def add_nfc(ds, text_col: str, out_col: str = "text_nfc"):
+    """Streaming stage: append the NFC-composed column (zero shuffle)."""
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = nfc_normalize_series(b[text_col])
+        return b
+
+    return ds.map_batches(f, batch_format="pandas")

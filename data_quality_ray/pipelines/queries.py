@@ -2899,6 +2899,37 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def nfc_normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC canonicalization parity
+    (functions/confusables.nfc_normalize_series): every doc gets
+    combining-mark suffixes appended by BOTH engines (e+U+0301,
+    o+U+0308), then composes — per-row equality of the NFC string plus
+    the composed length. → (doc_id, text_nfc_len, changed)."""
+    from ..functions.confusables import add_nfc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def decompose(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].astype("int64")
+        t = b["text"].astype("string")
+        suffix = pd.Series(
+            # DECOMPOSED combining forms; NFC composes them
+            np.where(d % 2 == 0, " cafe\u0301", " zo\u0308e"),
+            index=b.index)
+        return pd.DataFrame({"doc_id": b["doc_id"], "raw": t + suffix})
+
+    out = add_nfc(ds.map_batches(decompose, batch_format="pandas"),
+                  "raw").to_pandas()
+    res = pd.DataFrame({
+        "doc_id": out["doc_id"],
+        "text_nfc": out["text_nfc"].astype(object),
+        "nfc_len": out["text_nfc"].astype("string").str.len().astype("int64"),
+        "changed": (out["text_nfc"].astype(object)
+                    != out["raw"].astype(object)),
+    })
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 def source_contamination_docs(sf_dir: str) -> pd.DataFrame:
     """Cross-source duplication matrix — which sources copy from which:
     MinHash near-dup pairs (md5 mode, the gated oracled machinery)

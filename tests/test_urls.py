@@ -125,3 +125,17 @@ def test_lang_mix_on_multiline_docs(ray_session, tmp_path):
     d2 = out[out["doc_id"] == 2].iloc[0]          # blank middle line skipped
     assert d2["lang_doc"] == "de"
     assert d2["n_lines"] == 2 and d2["n_offlang"] == 0
+
+
+def test_nfc_normalize_series():
+    import unicodedata
+
+    from data_quality_ray.functions.confusables import nfc_normalize_series
+
+    s = pd.Series(["café", "zöe", "plain", None, "́alone"])
+    got = nfc_normalize_series(s).tolist()
+    assert got[0] == "café" and len(got[0]) == 4
+    assert got[1] == "zöe"
+    assert got[2] == "plain"
+    assert got[4] == unicodedata.normalize("NFC", "́alone")
+    assert got[3] is None or pd.isna(got[3])
