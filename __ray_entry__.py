@@ -790,6 +790,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_html_docs": Q.strip_html_docs,
         "source_contamination_docs": Q.source_contamination_docs,
         "nfc_normalize_docs": Q.nfc_normalize_docs,
+        "cumulative_users_events": Q.cumulative_users_events,
+        "gini_customer_spend": Q.gini_customer_spend,
+        "acf_events": Q.acf_events,
         "pii_audit_docs": Q.pii_audit_docs,
         "scd2_orders": Q.scd2_orders,
         "domain_quality_report_docs": Q.domain_quality_report_docs,
@@ -3988,6 +3991,43 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "cumulative_users_events": """
+            WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                       FROM events),
+                 t AS (SELECT day,
+                         (SELECT count(DISTINCT e.user_id) FROM events e
+                          WHERE date_trunc('day', e.ts) <= d.day)
+                             AS cum_users
+                       FROM d)
+            SELECT day,
+                   CAST(cum_users - coalesce(lag(cum_users)
+                        OVER (ORDER BY day), 0) AS BIGINT) AS new_users,
+                   CAST(cum_users AS BIGINT) AS cum_users
+            FROM t ORDER BY day""",
+        "gini_customer_spend": """
+            WITH s AS (SELECT o_custkey,
+                              round(sum(o_totalprice), 2) AS x
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT x, row_number() OVER
+                           (ORDER BY x, o_custkey) AS i
+                       FROM s),
+                 a AS (SELECT sum(x * i) AS sxi, sum(x) AS sx,
+                              count(*) AS n
+                       FROM r)
+            SELECT CAST(n AS BIGINT) AS n, round(sx, 2) AS total,
+                   round(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6) AS gini
+            FROM a""",
+        "acf_events": """
+            WITH c AS (SELECT date_trunc('hour', ts) AS hour,
+                              count(*) AS n
+                       FROM events GROUP BY 1)
+            SELECT lag, n_pairs, acf FROM (""" + "\nUNION ALL".join(f"""
+                SELECT {lag} AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                       round(corr(a.n, b.n), 6) AS acf
+                FROM c a JOIN c b
+                  ON b.hour = a.hour - INTERVAL {lag} HOUR"""
+                for lag in range(1, 6)) + """
+            ) ORDER BY lag""",
         "nfc_normalize_docs": """
             WITH r AS (SELECT doc_id,
                               text || (CASE WHEN doc_id % 2 = 0

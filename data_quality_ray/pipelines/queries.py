@@ -2899,6 +2899,103 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def cumulative_users_events(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct users per day WITHOUT a distinct-over-window
+    scan: cumulative distinct == running sum of FIRST-SEEN counts, so
+    one (user → min day) exchange + a per-day count + a driver cumsum
+    over the day axis (state ∝ days) replaces an O(days × users)
+    window. The oracle recomputes each day independently with
+    count(DISTINCT) correlated subqueries. → (day, new_users,
+    cum_users)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    days = ds.map_batches(
+        lambda b: pd.DataFrame({"user_id": b["user_id"],
+                                "day": b["ts"].dt.floor("D")}),
+        batch_format="pandas")
+    days = days.materialize()  # two consumers: first-seen fold + day axis
+    first = grouped_aggregate(days, ["user_id"], {"d0": ("day", "min")},
+                              final="shuffle")
+    per_day = grouped_aggregate(
+        first.map_batches(lambda b: b[["d0"]].rename(columns={"d0": "day"}),
+                          batch_format="pandas"),
+        ["day"], {"new_users": ("", "count")})
+    axis = grouped_aggregate(days, ["day"], {"n": ("", "count")})["day"]
+    per_day = (per_day.set_index("day")["new_users"]
+               .reindex(sorted(axis), fill_value=0).rename_axis("day")
+               .reset_index())
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    return per_day
+
+
+def gini_customer_spend(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer order spend — the contribution-
+    inequality metric for source/domain balance audits: per-customer
+    sums (one grouped exchange), exact global ranks via the range-
+    partitioned global_row_number (no global sort), then the fixed-width
+    (Σ i·xᵢ, Σ xᵢ, n) fold. → one row (n, total, gini)."""
+    from ..functions.partitioning import global_row_number
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    spend = grouped_aggregate(ds, ["o_custkey"],
+                              {"x": ("o_totalprice", "sum")},
+                              final="shuffle")
+    # money contract: rank on 2-dp half-away sums so a sub-ulp
+    # cross-engine difference in a customer's sum cannot flip rank order
+    spend = spend.map_batches(
+        lambda b: b.assign(x=np.floor(b["x"].to_numpy(np.float64)
+                                      * 100.0 + 0.5) / 100.0),
+        batch_format="pandas")
+    ranked = global_row_number(spend, "x", tiebreak="o_custkey",
+                               out_col="i")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.float64)
+        i = b["i"].to_numpy(np.float64)
+        return pd.DataFrame({"sxi": [float((x * i).sum())],
+                             "sx": [float(x.sum())], "n": [len(x)]})
+
+    p = ranked.map_batches(fold, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx = float(p["sx"].sum())
+    sxi = float(p["sxi"].sum())
+    gini = (2.0 * sxi) / (n * sx) - (n + 1.0) / n if n and sx else float("nan")
+    return pd.DataFrame({"n": [n], "total": [round(sx, 2)],
+                         "gini": [round(gini, 6)]})
+
+
+ACF_MAX_LAG = 5
+
+
+def acf_events(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1..5:
+    one (hour → count) fold (state ∝ hours), driver Pearson r between
+    the series and its lag over the OBSERVED consecutive-hour pairs
+    (hour t and t−lag both present). → (lag, n_pairs, acf)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    hours = ds.map_batches(
+        lambda b: pd.DataFrame({"hour": b["ts"].dt.floor("h")}),
+        batch_format="pandas")
+    c = grouped_aggregate(hours, ["hour"], {"n": ("", "count")})
+    c = c.sort_values("hour").reset_index(drop=True)
+    idx = c.set_index("hour")["n"]
+    rows = []
+    for lag in range(1, ACF_MAX_LAG + 1):
+        shifted = idx.copy()
+        shifted.index = shifted.index + pd.Timedelta(hours=lag)
+        j = pd.concat([idx.rename("a"), shifted.rename("b")],
+                      axis=1).dropna()
+        r = float(np.corrcoef(j["a"], j["b"])[0, 1]) if len(j) > 1 else float("nan")
+        rows.append((lag, len(j), round(r, 6)))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"]).astype(
+        {"lag": "int64", "n_pairs": "int64"})
+
+
 def nfc_normalize_docs(sf_dir: str) -> pd.DataFrame:
     """Unicode NFC canonicalization parity
     (functions/confusables.nfc_normalize_series): every doc gets
