@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_html_docs": Q.strip_html_docs,
         "source_contamination_docs": Q.source_contamination_docs,
         "nfc_normalize_docs": Q.nfc_normalize_docs,
+        "domain_quality_prune_docs": Q.domain_quality_prune_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3991,6 +3992,20 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "domain_quality_prune_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 d AS ({_url_canon_with(_URL_BASE_SQL)}
+                       SELECT doc_id, domain FROM dom
+                       WHERE domain IS NOT NULL),
+                 j AS (SELECT c.doc_id, d.domain, c.quality_score
+                       FROM clf c JOIN d USING (doc_id)),
+                 m AS (SELECT domain,
+                              quantile_disc(quality_score, 0.5) AS med
+                       FROM j GROUP BY 1)
+            SELECT j.doc_id, j.domain, j.quality_score
+            FROM j JOIN m USING (domain)
+            WHERE j.quality_score >= m.med
+            ORDER BY j.doc_id""",
         "cumulative_users_events": """
             WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day
                        FROM events),

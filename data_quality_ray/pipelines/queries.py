@@ -2899,6 +2899,62 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def domain_quality_prune_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-domain quality pruning (the FineWeb-style curation step):
+    keep every doc whose hashed-linear quality score is >= its
+    registered domain's EXACT median (quantile_disc via one
+    (domain, score)→count exchange, profiling/quantile_exact.
+    grouped_disc_quantile), cutoffs broadcast back into one streaming
+    filter pass. → kept (doc_id, domain, quality_score)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..functions.urls import registered_domains, url_parts
+    from ..profiling.quantile_exact import grouped_disc_quantile
+
+    base = _quality_classifier_ds(sf_dir)
+
+    # doc→domain from the derived URLs, broadcast once as sorted arrays
+    # (bounded by the corpus id table — the source_contamination note;
+    # at scale ride hash_join instead)
+    src = _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+        .map_batches(
+            lambda b: pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "domain": registered_domains(
+                    url_parts(_derive_doc_urls(b))["host"]).astype(object),
+            }), batch_format="pandas").to_pandas()
+    src = src[src["domain"].notna()].sort_values("doc_id")
+    dref = ray.put((src["doc_id"].to_numpy(np.int64),
+                    src["domain"].to_numpy(object)))
+
+    def tag_domain(b: pd.DataFrame) -> pd.DataFrame:
+        ids, doms = cached_get(dref)
+        d = b["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(ids, d)
+        ok = (pos < len(ids)) & (ids[np.clip(pos, 0, len(ids) - 1)] == d)
+        out = b[ok][["doc_id", "quality_score"]].copy()
+        out["domain"] = doms[pos[ok]]
+        return out
+
+    tagged = base.map_batches(tag_domain, batch_format="pandas") \
+        .materialize()
+    med = grouped_disc_quantile(tagged, "domain", "quality_score", 0.5)
+    med = med.sort_values("domain")
+    ref = ray.put((med["domain"].to_numpy(object),
+                   med["q_val"].to_numpy(np.float64)))
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        doms, cuts = cached_get(ref)
+        pos = np.searchsorted(doms, b["domain"].to_numpy(object))
+        keep = b["quality_score"].to_numpy(np.float64) >= cuts[pos]
+        return b[keep]
+
+    out = tagged.map_batches(prune, batch_format="pandas").to_pandas()
+    return (out[["doc_id", "domain", "quality_score"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def cumulative_users_events(sf_dir: str) -> pd.DataFrame:
     """Cumulative distinct users per day WITHOUT a distinct-over-window
     scan: cumulative distinct == running sum of FIRST-SEEN counts, so
