@@ -791,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_contamination_docs": Q.source_contamination_docs,
         "nfc_normalize_docs": Q.nfc_normalize_docs,
         "domain_quality_prune_docs": Q.domain_quality_prune_docs,
+        "calibration_docs": Q.calibration_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3992,6 +3993,21 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "calibration_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 chain AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 j AS (SELECT c.doc_id, c.quality_score,
+                              CASE WHEN h.keep THEN 1 ELSE 0 END AS keep
+                       FROM clf c JOIN chain h USING (doc_id)),
+                 r AS (SELECT *, row_number() OVER
+                           (ORDER BY quality_score, doc_id) AS rn,
+                           count(*) OVER () AS n
+                       FROM j)
+            SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(quality_score) / count(*), 6) AS mean_score,
+                   round(sum(keep) * 1.0 / count(*), 6) AS keep_rate
+            FROM r GROUP BY 1 ORDER BY 1""",
         "domain_quality_prune_docs": f"""
             WITH clf AS ({_CLF_SQL}),
                  d AS ({_url_canon_with(_URL_BASE_SQL)}

@@ -2899,6 +2899,55 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+CALIBRATION_BINS = 10
+
+
+def calibration_docs(sf_dir: str) -> pd.DataFrame:
+    """Reliability diagram for the quality classifier vs the rule
+    chain's keep label: equal-population score deciles via the
+    range-partitioned global rank (bin = (rank−1)·10 // n — explicit
+    formula, identical in SQL), per-bin count / mean score / keep rate.
+    → (bin, n, mean_score, keep_rate)."""
+    from ..functions.joins import hash_join
+    from ..functions.partitioning import global_row_number
+    from ..profiling.groupagg import grouped_aggregate
+
+    clf = _quality_classifier_ds(sf_dir)
+    chain = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "keep": b["keep"].astype(np.int64)}),
+        batch_format="pandas")
+    j = hash_join(clf.map_batches(
+        lambda b: b[["doc_id", "quality_score"]], batch_format="pandas"),
+        chain, on="doc_id", right_cols=["keep"])
+    ranked = global_row_number(j, "quality_score", tiebreak="doc_id",
+                               out_col="rn").materialize()
+    n = ranked.count()
+
+    def binit(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bin"] = ((b["rn"].to_numpy(np.int64) - 1)
+                    * CALIBRATION_BINS // n)
+        return b[["bin", "quality_score", "keep"]]
+
+    g = grouped_aggregate(ranked.map_batches(binit, batch_format="pandas"),
+                          ["bin"], {"n": ("", "count"),
+                                    "s": ("quality_score", "sum"),
+                                    "k": ("keep", "sum")})
+    g = g.sort_values("bin").reset_index(drop=True)
+    def r6s(x):  # signed half-away (DuckDB round; scores can be < 0)
+        v = x.to_numpy(np.float64)
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    out = pd.DataFrame({
+        "bin": g["bin"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "mean_score": r6s(g["s"] / g["n"]),
+        "keep_rate": r6s(g["k"] / g["n"]),
+    })
+    return out
+
+
 def domain_quality_prune_docs(sf_dir: str) -> pd.DataFrame:
     """Per-domain quality pruning (the FineWeb-style curation step):
     keep every doc whose hashed-linear quality score is >= its
