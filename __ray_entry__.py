@@ -792,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_docs": Q.nfc_normalize_docs,
         "domain_quality_prune_docs": Q.domain_quality_prune_docs,
         "calibration_docs": Q.calibration_docs,
+        "fuzzy_lookup_customers": Q.fuzzy_lookup_customers,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3993,6 +3994,26 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "fuzzy_lookup_customers": """
+            WITH m AS (SELECT c_custkey,
+                         lower(substr(c_mktsegment, 1, p)
+                               || substr(c_mktsegment, p + 2)) AS messy
+                       FROM (SELECT c_custkey, c_mktsegment,
+                               CAST(c_custkey % length(c_mktsegment)
+                                    AS INT) AS p
+                             FROM customer)),
+                 c(canon) AS (VALUES ('AUTOMOBILE'), ('BUILDING'),
+                                     ('FURNITURE'), ('HOUSEHOLD'),
+                                     ('MACHINERY')),
+                 s AS (SELECT m.c_custkey, m.messy, c.canon,
+                              levenshtein(m.messy, c.canon) AS lev,
+                              row_number() OVER (PARTITION BY m.c_custkey
+                                  ORDER BY levenshtein(m.messy, c.canon),
+                                           c.canon) AS rn
+                       FROM m CROSS JOIN c)
+            SELECT c_custkey, messy, canon AS canonical,
+                   CAST(lev AS BIGINT) AS lev
+            FROM s WHERE rn = 1 ORDER BY c_custkey""",
         "calibration_docs": f"""
             WITH clf AS ({_CLF_SQL}),
                  chain AS ({_QUALITY_FILTER_DOCS_SQL}),

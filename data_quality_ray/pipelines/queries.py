@@ -2899,6 +2899,38 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def fuzzy_lookup_customers(sf_dir: str) -> pd.DataFrame:
+    """Nearest-canonical standardization
+    (stages/standardize.fuzzy_lookup): each customer's market segment is
+    deterministically corrupted (char at custkey % len dropped,
+    lowercased) by BOTH engines, then mapped back to the closest
+    canonical segment by Levenshtein (ties alphabetical). → per-row
+    (c_custkey, messy, canonical, lev); every row must map back to its
+    true segment with distance == len(segment)."""
+    from ..stages.standardize import fuzzy_lookup
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].astype("int64").to_numpy()
+        seg = b["c_mktsegment"].astype(str)
+        pos = k % seg.str.len().to_numpy()
+        messy = np.array([s[:p] + s[p + 1:] for s, p in zip(seg, pos)],
+                         dtype=object)
+        return pd.DataFrame({"c_custkey": b["c_custkey"],
+                             "messy": pd.Series(messy,
+                                                index=b.index).str.lower()})
+
+    out = fuzzy_lookup(ds.map_batches(corrupt, batch_format="pandas"),
+                       "messy", SEGMENTS).to_pandas()
+    out["lev"] = out["lev"].astype("int64")
+    return (out[["c_custkey", "messy", "canonical", "lev"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
 CALIBRATION_BINS = 10
 
 

@@ -77,3 +77,43 @@ def standardize_record(ds, column_dicts: dict[str, dict[str, str]], fuzzy: bool 
     for column, dictionary in column_dicts.items():
         ds = standardize(ds, dictionary, column, fuzzy=fuzzy, concurrency=concurrency)
     return ds
+
+
+def fuzzy_lookup(ds, column: str, canon: list[str], out_col: str = "canonical",
+                 dist_col: str = "lev"):
+    """Nearest-canonical standardization: map every (messy) value to its
+    closest entry of a SMALL canonical list by Levenshtein distance,
+    ties to the alphabetically first candidate. The list broadcasts via
+    ``ray.put``; each batch scores its UNIQUE values against all
+    candidates through the vectorized pair kernel
+    (functions/matchers_vec.levenshtein_pairs) — work ∝ distinct values
+    × |canon|, zero shuffle. Null values stay null."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..functions.matchers_vec import levenshtein_pairs
+
+    ref = ray.put(sorted(canon))
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        cands = cached_get(ref)
+        vals = b[column].astype(object)
+        uniq = pd.unique(vals.dropna())
+        if len(uniq):
+            import numpy as np
+
+            d = np.stack([
+                levenshtein_pairs(uniq, np.repeat(c, len(uniq)))
+                for c in cands
+            ], axis=1)  # (n_uniq, n_canon)
+            best = d.argmin(axis=1)  # ties → first (alphabetical) index
+            mapping = {u: (cands[j], int(d[i, j]))
+                       for i, (u, j) in enumerate(zip(uniq, best))}
+        else:
+            mapping = {}
+        b = b.copy()
+        b[out_col] = vals.map(lambda v: mapping[v][0] if v in mapping else None)
+        b[dist_col] = vals.map(lambda v: mapping[v][1] if v in mapping else None)
+        return b
+
+    return ds.map_batches(stage, batch_format="pandas")
