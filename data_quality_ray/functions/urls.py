@@ -124,6 +124,10 @@ def url_dedup(ds, url_col: str, id_col: str, **dedup_kw):
     tagged = add_canonical_url(ds, url_col)
     tagged = tagged.map_batches(
         lambda b: b[b["url_canon"].notna()], batch_format="pandas")
+    # dedup_by_key consumes its input twice (winners pass + filter
+    # pass); materialize so the canonicalization doesn't re-execute —
+    # measured 7.3 → 2.9 s at sf0.1 (the lazy-re-execution trap)
+    tagged = tagged.materialize()
     return dedup_by_key(tagged, key="url_canon", order_col=id_col, **dedup_kw)
 
 

@@ -1616,7 +1616,8 @@ def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
         # loses low bits on >2^53 hashes
         return (int(md5_hash64(np.array([src], dtype=object))[0]) % 51 + 25) / 100.0
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
     out = stratified_sample(ds, key_col="doc_id", group_col="source",
                             fractions=frac).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1989,7 +1990,8 @@ def temperature_mix_docs(sf_dir: str) -> pd.DataFrame:
     fractions → deterministic md5 hash filter. → kept (doc_id, source)."""
     from ..sampling.stratified import temperature_mix
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
     out = temperature_mix(ds, key_col="doc_id", group_col="source",
                           temperature=MIX_TEMPERATURE,
                           target_fraction=MIX_TARGET_FRACTION).to_pandas()
@@ -2510,7 +2512,8 @@ def url_canonical_docs(sf_dir: str) -> pd.DataFrame:
     is a full replay of the normalization algebra, one row per doc."""
     from ..functions.urls import add_canonical_url
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
     raw = ds.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["doc_id"],
                                 "url": _derive_doc_urls(b)}),
@@ -2530,7 +2533,8 @@ def url_dedup_docs(sf_dir: str) -> pd.DataFrame:
     → (doc_id, url_canon, domain) per surviving URL."""
     from ..functions.urls import url_dedup
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
 
     def plant(b: pd.DataFrame) -> pd.DataFrame:
         base = pd.DataFrame({"doc_id": b["doc_id"],
@@ -2561,7 +2565,8 @@ def domain_cap_docs(sf_dir: str) -> pd.DataFrame:
     invalid URLs dropped). → kept (doc_id, domain) rows."""
     from ..functions.urls import domain_cap
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
     raw = ds.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["doc_id"],
                                 "url": _derive_doc_urls(b)}),
