@@ -793,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quality_prune_docs": Q.domain_quality_prune_docs,
         "calibration_docs": Q.calibration_docs,
         "fuzzy_lookup_customers": Q.fuzzy_lookup_customers,
+        "readability_docs": Q.readability_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3994,6 +3995,31 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "readability_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks,
+                     greatest(len(regexp_extract_all(lower(text),
+                                                     '[.!?]+')), 1)
+                         AS n_sentences
+              FROM documents),
+            syl AS (
+              SELECT doc_id,
+                     sum(greatest(len(regexp_extract_all(t, '[aeiouy]+')),
+                                  1)) AS n_syllables
+              FROM (SELECT doc_id, unnest(toks) AS t FROM w)
+              GROUP BY 1)
+            SELECT w.doc_id, CAST(len(w.toks) AS BIGINT) AS n_words,
+                   CAST(w.n_sentences AS BIGINT) AS n_sentences,
+                   CAST(s.n_syllables AS BIGINT) AS n_syllables,
+                   round(206.835 - 1.015 * (len(w.toks) * 1.0
+                                            / w.n_sentences)
+                         - 84.6 * (s.n_syllables * 1.0 / len(w.toks)), 6)
+                       AS flesch
+            FROM w JOIN syl s USING (doc_id)
+            WHERE len(w.toks) > 0
+            ORDER BY w.doc_id""",
         "fuzzy_lookup_customers": """
             WITH m AS (SELECT c_custkey,
                          lower(substr(c_mktsegment, 1, p)

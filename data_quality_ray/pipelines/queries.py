@@ -2904,6 +2904,26 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def readability_docs(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease per doc (rules/heuristics.readability_stats —
+    the exact vowel-run syllable contract both engines share), one
+    stateless pass. → (doc_id, n_words, n_sentences, n_syllables,
+    flesch) for non-empty docs."""
+    from ..rules.heuristics import readability_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], blocks=8)
+
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        r = readability_stats(b["text"])
+        out = pd.DataFrame({"doc_id": b["doc_id"], **r})
+        return out[~np.isnan(r["flesch"])]
+
+    out = ds.map_batches(stage, batch_format="pandas").to_pandas()
+    for c in ("n_words", "n_sentences", "n_syllables"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 
 

@@ -130,6 +130,46 @@ def stopword_density_mask(
 # ---------------------------------------------------------------------------
 
 
+READABILITY_VOWEL_RE = r"[aeiouy]+"
+READABILITY_SENT_RE = r"[.!?]+"
+
+
+def readability_stats(texts) -> dict[str, np.ndarray]:
+    """Flesch reading-ease inputs under an EXACT replayable contract
+    (a heuristic, not a dictionary syllabifier — both engines share it):
+    words = whitespace tokens of lower(text); sentences = max(1, count
+    of ``[.!?]+`` runs); syllables = Σ per word of max(1, count of
+    ``[aeiouy]+`` runs). flesch = 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words), 6-dp half-away. Empty/null text → nulls.
+    Vectorized: one pass of pandas str kernels plus a single explode for
+    the per-word syllable floor."""
+    import pandas as pd
+
+    def f64(series) -> pd.Series:  # null-safe → float64 with NaN
+        return pd.Series(
+            pd.array(series, dtype="Float64").to_numpy(dtype=np.float64,
+                                                       na_value=np.nan),
+            index=series.index)
+
+    s = pd.Series(texts).astype("string").str.lower()
+    words = s.str.split()
+    n_words = f64(words.str.len())
+    n_sent = f64(s.str.count(READABILITY_SENT_RE).clip(lower=1))
+    ex = words.explode().dropna()
+    syl = ex.str.count(READABILITY_VOWEL_RE).clip(lower=1)
+    n_syl = f64(syl.groupby(level=0).sum()
+                .reindex(s.index, fill_value=0))
+    ok = n_words > 0
+    flesch = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syl / n_words)
+    fl = np.sign(flesch) * np.floor(np.abs(flesch) * 1e6 + 0.5) / 1e6
+    return {
+        "n_words": n_words.where(ok).to_numpy(np.float64),
+        "n_sentences": n_sent.where(ok).to_numpy(np.float64),
+        "n_syllables": n_syl.where(ok).to_numpy(np.float64),
+        "flesch": fl.where(ok).to_numpy(np.float64),
+    }
+
+
 def round6_away(x: np.ndarray) -> np.ndarray:
     """Round half AWAY from zero at 6 dp (DuckDB's rounding mode) for
     non-negative values. Python/numpy round are half-to-even, which

@@ -485,3 +485,18 @@ def test_peak_rate_users_flags_only_bursty(ray_session):
                              threshold=3)
     assert list(out["user_id"]) == [1]
     assert out.loc[0, "peak"] == 10 and out.loc[0, "n_events"] == 10
+
+
+def test_readability_stats_contract():
+    from data_quality_ray.rules.heuristics import readability_stats
+
+    r = readability_stats(["The cat sat. It was happy!", "", None, "rhythm"])
+    # 6 words; 2 sentence runs; syllables: the=1 cat=1 sat.=1 it=1 was=1
+    # happy!=2 → 7
+    assert r["n_words"][0] == 6 and r["n_sentences"][0] == 2
+    assert r["n_syllables"][0] == 7
+    import numpy as np
+    want = 206.835 - 1.015 * 3 - 84.6 * (7 / 6)
+    assert abs(r["flesch"][0] - round(want, 6)) < 1e-9
+    assert np.isnan(r["flesch"][1]) and np.isnan(r["flesch"][2])
+    assert r["n_syllables"][3] == 1  # vowel-less word floors at 1
