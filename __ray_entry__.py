@@ -794,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_docs": Q.calibration_docs,
         "fuzzy_lookup_customers": Q.fuzzy_lookup_customers,
         "readability_docs": Q.readability_docs,
+        "source_divergence_docs": Q.source_divergence_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3995,6 +3996,30 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "source_divergence_docs": r"""
+            WITH toks AS (
+              SELECT source,
+                     CAST(md5_number_lower(unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> ''))) % 512 AS BIGINT) AS b
+              FROM documents),
+            c AS (SELECT source, b, count(*) AS n FROM toks GROUP BY 1, 2),
+            ntot AS (SELECT count(*) AS n FROM toks),
+            qb AS (SELECT r.range AS b,
+                          (coalesce(t.n, 0) + 1.0)
+                              / ((SELECT n FROM ntot) + 512) AS q
+                   FROM range(512) r
+                   LEFT JOIN (SELECT b, sum(n) AS n FROM c GROUP BY 1) t
+                     ON t.b = r.range),
+            ns AS (SELECT source, sum(n) AS n FROM c GROUP BY 1),
+            p AS (SELECT s.source, r.range AS b,
+                         (coalesce(c.n, 0) + 1.0) / (s.n + 512) AS p
+                  FROM ns s CROSS JOIN range(512) r
+                  LEFT JOIN c ON c.source = s.source AND c.b = r.range)
+            SELECT p.source, CAST(ns.n AS BIGINT) AS n_tokens,
+                   round(sum(p.p * ln(p.p / qb.q)), 6) AS kl
+            FROM p JOIN qb USING (b) JOIN ns ON ns.source = p.source
+            GROUP BY 1, 2 ORDER BY 1""",
         "readability_docs": r"""
             WITH w AS (
               SELECT doc_id,

@@ -2904,6 +2904,55 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+SRC_KL_BUCKETS = 512
+
+
+def source_divergence_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-distribution divergence from the corpus — the
+    data-mixing diagnostic (which sources are lexically 'off'):
+    whitespace tokens of lower(text) hash into 512 md5 buckets (DSIR's
+    fixed-size distribution trick), ONE (source, bucket) counting
+    exchange, then add-one-smoothed KL(source ‖ corpus) on the driver
+    (state ∝ sources × buckets). → (source, n_tokens, kl)."""
+    from ..profiling.groupagg import grouped_aggregate
+    from ..profiling.sketches import md5_hash64
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    B = SRC_KL_BUCKETS
+
+    def buckets(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b["text"].astype("string").str.lower().str.split().explode() \
+            .dropna()
+        if ex.empty:
+            return pd.DataFrame({"source": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype="int64")})
+        codes, uniq = pd.factorize(ex.to_numpy(dtype=object))
+        hu = md5_hash64(uniq) % np.uint64(B)  # md5 once per DISTINCT token
+        return pd.DataFrame({
+            "source": b["source"].to_numpy()[ex.index.to_numpy()],
+            "b": hu.astype(np.int64)[codes],
+        })
+
+    c = grouped_aggregate(ds.map_batches(buckets, batch_format="pandas"),
+                          ["source", "b"], {"n": ("", "count")})
+    tot = c.groupby("b")["n"].sum()
+    n_all = float(tot.sum())
+    q = np.ones(B)  # add-one smoothing
+    q[tot.index.to_numpy(np.int64)] += tot.to_numpy(np.float64)
+    q /= (n_all + B)
+    rows = []
+    for src, sub in c.groupby("source", sort=True):
+        ns = float(sub["n"].sum())
+        p = np.ones(B)
+        p[sub["b"].to_numpy(np.int64)] += sub["n"].to_numpy(np.float64)
+        p /= (ns + B)
+        kl = float((p * np.log(p / q)).sum())
+        rows.append((src, int(ns),
+                     float(np.floor(abs(kl) * 1e6 + 0.5) / 1e6
+                           * np.sign(kl))))
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "kl"])
+
+
 def readability_docs(sf_dir: str) -> pd.DataFrame:
     """Flesch reading-ease per doc (rules/heuristics.readability_stats —
     the exact vowel-run syllable contract both engines share), one
