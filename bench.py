@@ -198,6 +198,14 @@ def run_bench() -> dict:
         ("spearman_lineitem", Q.spearman_lineitem),
         ("ewma_anomalies_events", Q.ewma_anomalies_events),
         ("contract_check_customer", Q.contract_check_customer),
+        ("kcore_parts", Q.kcore_parts),
+        ("logreg_lineitem", Q.logreg_lineitem),
+        ("best_of_cluster_docs", Q.best_of_cluster_docs),
+        ("calibration_docs", Q.calibration_docs),
+        ("strip_html_docs", Q.strip_html_docs),
+        ("readability_docs", Q.readability_docs),
+        ("source_divergence_docs", Q.source_divergence_docs),
+        ("epoch_plan_docs", Q.epoch_plan_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
