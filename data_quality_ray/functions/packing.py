@@ -76,10 +76,24 @@ def pack_offsets(ds, count_col: str, chunk_size: int, prefix: str = "pack_"):
     sum_task = ray.remote(num_cpus=0.5)(_block_sum)
     emit_task = ray.remote(num_cpus=1)(_offset_block)
     mds = ds.materialize()
+    # an upstream filter that empties a batch can emit a SCHEMALESS
+    # empty block (pandas frame with no columns — observed at sf0.001 ×
+    # 16 CPUs where small reads split thin); zero-row blocks carry no
+    # offsets, so skip them by metadata instead of probing count_col
     blk_refs = [blk for bundle in mds.iter_internal_ref_bundles()
-                for blk, _meta in bundle.blocks]
+                for blk, _meta in bundle.blocks
+                if _meta.num_rows is None or _meta.num_rows > 0]
     if not blk_refs:
-        return mds
+        # zero-row result: emit an empty table that still carries the
+        # four offset columns so downstream consumers keep their schema
+        sch = mds.schema()
+        empty = pa.table({
+            **{n: pa.array([], type=t)
+               for n, t in zip(sch.names, sch.types)},
+            **{prefix + c: pa.array([], type=pa.int64())
+               for c in ("start", "chunk_first", "chunk_last", "n_chunks")},
+        })
+        return rd.from_arrow(empty)
     sums = ray.get([sum_task.remote(b, count_col) for b in blk_refs])
     offs = np.concatenate(([0], np.cumsum(sums[:-1], dtype=np.int64)))
     return rd.from_arrow_refs(
