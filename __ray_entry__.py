@@ -795,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_lookup_customers": Q.fuzzy_lookup_customers,
         "readability_docs": Q.readability_docs,
         "source_divergence_docs": Q.source_divergence_docs,
+        "mad_outliers_orders": Q.mad_outliers_orders,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3996,6 +3997,28 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "mad_outliers_orders": """
+            WITH m AS (SELECT o_orderstatus AS g,
+                              quantile_disc(o_totalprice, 0.5) AS med
+                       FROM orders GROUP BY 1),
+                 d AS (SELECT o.o_orderstatus AS g,
+                              abs(o.o_totalprice - m.med) AS dv
+                       FROM orders o JOIN m ON m.g = o.o_orderstatus),
+                 md AS (SELECT g, quantile_disc(dv, 0.5) AS mad
+                        FROM d GROUP BY 1),
+                 f AS (SELECT m.g, m.med, md.mad,
+                         round(m.med - 3.0::DOUBLE * 1.4826::DOUBLE
+                               * md.mad, 6) AS lo,
+                         round(m.med + 3.0::DOUBLE * 1.4826::DOUBLE
+                               * md.mad, 6) AS hi
+                       FROM m JOIN md USING (g))
+            SELECT f.g AS o_orderstatus, f.med, f.mad,
+                   f.lo AS fence_lo, f.hi AS fence_hi,
+                   CAST(count(*) FILTER (WHERE o.o_totalprice < f.lo
+                        OR o.o_totalprice > f.hi) AS BIGINT) AS n_outliers,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders o JOIN f ON f.g = o.o_orderstatus
+            GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""",
         "source_divergence_docs": r"""
             WITH toks AS (
               SELECT source,

@@ -2904,6 +2904,17 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def mad_outliers_orders(sf_dir: str) -> pd.DataFrame:
+    """Per-status robust outlier scan of order totals
+    (profiling/datarules.grouped_mad_outliers, z=3): exact grouped
+    median/MAD fences, one counting pass. → (o_orderstatus, med, mad,
+    fence_lo, fence_hi, n_outliers, n)."""
+    from ..profiling.datarules import grouped_mad_outliers
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+    return grouped_mad_outliers(ds, "o_orderstatus", "o_totalprice", z=3.0)
+
+
 SRC_KL_BUCKETS = 512
 
 

@@ -452,6 +452,72 @@ def ewma_anomalies(ds, ts_col: str, type_col: str, alpha: float = 0.3,
     return out.head(top).reset_index(drop=True)
 
 
+# -------------------------------------------- grouped robust outliers
+
+def grouped_mad_outliers(ds, group_col: str, val_col: str,
+                         z: float = 3.0) -> pd.DataFrame:
+    """Per-group robust outlier rule (median/MAD, the modified z-score):
+    med_g and MAD_g = median(|x − med_g|) both via the exact grouped
+    ``quantile_disc`` (two (group, value)→count exchanges; values
+    quantized ⇒ bounded state, t-digest per group is the unbounded
+    path), fences med ± z·1.4826·MAD rounded 6-dp half-away BEFORE the
+    counting pass (the fence contract). → (group, med, mad, fence_lo,
+    fence_hi, n_outliers, n)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from .quantile_exact import grouped_disc_quantile
+
+    med = grouped_disc_quantile(ds, group_col, val_col, 0.5)
+    med = med.sort_values(group_col).reset_index(drop=True)
+    mref = ray.put((med[group_col].to_numpy(object),
+                    med["q_val"].to_numpy(np.float64)))
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        gs, ms = cached_get(mref)
+        pos = np.searchsorted(gs, b[group_col].to_numpy(object))
+        v = b[val_col].to_numpy(np.float64)
+        return pd.DataFrame({group_col: b[group_col],
+                             "d": np.abs(v - ms[pos])})
+
+    dev = ds.map_batches(absdev, batch_format="pandas")
+    mad = grouped_disc_quantile(dev, group_col, "d", 0.5)
+    mad = mad.sort_values(group_col).reset_index(drop=True)
+    half = z * 1.4826 * mad["q_val"].to_numpy(np.float64)
+    lo = med["q_val"].to_numpy(np.float64) - half
+    hi = med["q_val"].to_numpy(np.float64) + half
+    r6 = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    lo, hi = r6(lo), r6(hi)
+    fref = ray.put((med[group_col].to_numpy(object), lo, hi))
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        gs, flo, fhi = cached_get(fref)
+        pos = np.searchsorted(gs, b[group_col].to_numpy(object))
+        v = b[val_col].to_numpy(np.float64)
+        out = (v < flo[pos]) | (v > fhi[pos])
+        f = pd.DataFrame({group_col: b[group_col],
+                          "o": out.astype(np.int64)})
+        return (f.groupby(group_col, sort=False)
+                .agg(n_outliers=("o", "sum"), n=("o", "size"))
+                .reset_index())
+
+    from .groupagg import grouped_aggregate
+
+    tallies = grouped_aggregate(
+        ds.map_batches(count_out, batch_format="pandas"),
+        [group_col], {"n_outliers": ("n_outliers", "sum"),
+                      "n": ("n", "sum")})
+    tallies = tallies.sort_values(group_col).reset_index(drop=True)
+    return pd.DataFrame({
+        group_col: med[group_col],
+        "med": med["q_val"].astype(np.float64),
+        "mad": mad["q_val"].astype(np.float64),
+        "fence_lo": lo, "fence_hi": hi,
+        "n_outliers": tallies["n_outliers"].astype("int64"),
+        "n": tallies["n"].astype("int64"),
+    })
+
+
 # ------------------------------------------------- per-user peak rates
 
 def peak_rate_users(ds, ts_col: str, user_col: str, freq: str = "min",

@@ -500,3 +500,25 @@ def test_readability_stats_contract():
     assert abs(r["flesch"][0] - round(want, 6)) < 1e-9
     assert np.isnan(r["flesch"][1]) and np.isnan(r["flesch"][2])
     assert r["n_syllables"][3] == 1  # vowel-less word floors at 1
+
+
+def test_grouped_mad_outliers(ray_session):
+    rng = np.random.default_rng(7)
+    a = np.round(rng.normal(100, 5, 500), 2)
+    b = np.round(rng.normal(50, 2, 300), 2)
+    df = pd.DataFrame({"g": ["a"] * 500 + ["b"] * 300,
+                       "v": np.concatenate([a, b])})
+    # plant gross outliers in group a only
+    df.loc[:4, "v"] = 10_000.0
+    out = dr.grouped_mad_outliers(_ds(df, blocks=5), "g", "v", z=3.0)
+    ra = out[out["g"] == "a"].iloc[0]
+    rb = out[out["g"] == "b"].iloc[0]
+    assert ra["n"] == 500 and rb["n"] == 300
+    assert ra["n_outliers"] >= 5           # the planted points
+    # reference: pandas median/MAD with the same disc-median contract
+    va = np.sort(df[df["g"] == "a"]["v"].to_numpy())
+    med = va[max(1, int(np.ceil(0.5 * len(va)))) - 1]
+    assert ra["med"] == med
+    dv = np.sort(np.abs(va - med))
+    mad = dv[max(1, int(np.ceil(0.5 * len(dv)))) - 1]
+    assert ra["mad"] == mad
