@@ -796,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": Q.readability_docs,
         "source_divergence_docs": Q.source_divergence_docs,
         "mad_outliers_orders": Q.mad_outliers_orders,
+        "correlation_matrix_lineitem": Q.correlation_matrix_lineitem,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3997,6 +3998,29 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "correlation_matrix_lineitem": """
+            WITH f AS (SELECT l_quantity AS a1, l_extendedprice AS a2,
+                              l_discount AS a3, l_tax AS a4
+                       FROM lineitem
+                       WHERE l_quantity IS NOT NULL
+                         AND l_extendedprice IS NOT NULL
+                         AND l_discount IS NOT NULL
+                         AND l_tax IS NOT NULL)
+            SELECT col_a, col_b, r, n FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     round(corr(a1, a2), 6) AS r,
+                     CAST(count(*) AS BIGINT) AS n FROM f
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     round(corr(a1, a3), 6), count(*) FROM f
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     round(corr(a1, a4), 6), count(*) FROM f
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     round(corr(a2, a3), 6), count(*) FROM f
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     round(corr(a2, a4), 6), count(*) FROM f
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     round(corr(a3, a4), 6), count(*) FROM f
+            ) ORDER BY col_a, col_b""",
         "mad_outliers_orders": """
             WITH m AS (SELECT o_orderstatus AS g,
                               quantile_disc(o_totalprice, 0.5) AS med

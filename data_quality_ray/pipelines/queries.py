@@ -2904,6 +2904,41 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+CORR_MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def correlation_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Full numeric correlation matrix in ONE streaming pass: the
+    columns stack into a vector per row and ride the mergeable
+    (Σxxᵀ, Σx, n) covariance fold (similarity/pca.covariance — the same
+    partials PCA uses); all pairwise Pearson r derive on the driver from
+    the d×d matrix. → one row per ordered pair (col_a < col_b) with
+    round-6 r."""
+    from ..similarity.pca import covariance
+
+    cols = CORR_MATRIX_COLS
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def vecs(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[cols].to_numpy(np.float64)
+        m = m[~np.isnan(m).any(axis=1)]
+        return pd.DataFrame({"v": list(m)})
+
+    cov, _mu, n = covariance(ds.map_batches(vecs, batch_format="pandas"),
+                             "v")
+    sd = np.sqrt(np.diag(cov))
+    rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            r = cov[i, j] / (sd[i] * sd[j])
+            rows.append((cols[i], cols[j],
+                         float(np.sign(r) * np.floor(abs(r) * 1e6 + 0.5)
+                               / 1e6), n))
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "r", "n"])
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def mad_outliers_orders(sf_dir: str) -> pd.DataFrame:
     """Per-status robust outlier scan of order totals
     (profiling/datarules.grouped_mad_outliers, z=3): exact grouped
