@@ -797,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence_docs": Q.source_divergence_docs,
         "mad_outliers_orders": Q.mad_outliers_orders,
         "correlation_matrix_lineitem": Q.correlation_matrix_lineitem,
+        "apportioned_sample_docs": Q.apportioned_sample_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3998,6 +3999,34 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "apportioned_sample_docs": """
+            WITH w AS (SELECT source, count(*) AS n_rows,
+                         1 + CAST(md5_number_lower(source) % 4 AS BIGINT)
+                             AS wt
+                       FROM documents GROUP BY 1),
+                 t AS (SELECT sum(wt) AS tw FROM w),
+                 q AS (SELECT source, n_rows, wt,
+                              floor(120.0 * wt / t.tw) AS base,
+                              120.0 * wt / t.tw
+                                - floor(120.0 * wt / t.tw) AS rem
+                       FROM w, t),
+                 lo AS (SELECT CAST(120 - sum(base) AS BIGINT) AS lft
+                        FROM q),
+                 r AS (SELECT *, row_number() OVER
+                           (ORDER BY rem DESC, source) AS rr FROM q),
+                 a AS (SELECT source, n_rows,
+                              least(CAST(base AS BIGINT)
+                                    + CASE WHEN rr <= (SELECT lft FROM lo)
+                                      THEN 1 ELSE 0 END,
+                                    n_rows) AS alloc
+                       FROM r),
+                 s AS (SELECT d.doc_id, d.source,
+                              row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5('42-' || d.doc_id)) AS rk
+                       FROM documents d)
+            SELECT s.doc_id, s.source
+            FROM s JOIN a USING (source)
+            WHERE s.rk <= a.alloc ORDER BY s.doc_id""",
         "correlation_matrix_lineitem": """
             WITH f AS (SELECT l_quantity AS a1, l_extendedprice AS a2,
                               l_discount AS a3, l_tax AS a4

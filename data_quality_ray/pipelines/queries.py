@@ -2904,6 +2904,32 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+APPORTION_N = 120
+
+
+def apportioned_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact-N data-mixing sample (sampling/budget.apportioned_sample):
+    120 slots apportioned across sources by largest remainder with
+    md5-derived weights (1 + md5(source) % 4 — BOTH engines derive
+    them), selection under the md5 digest order. → sampled
+    (doc_id, source)."""
+    from ..profiling.sketches import md5_hash64
+    from ..sampling.budget import apportioned_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               blocks=8)
+
+    def wt(src: str) -> float:
+        # int() first: np.uint64 % python-int promotes to float64 and
+        # loses low bits on >2^53 hashes (same pitfall as temperature_mix)
+        return 1.0 + (int(md5_hash64(np.array([src], dtype=object))[0]) % 4)
+
+    out = apportioned_sample(ds, ["doc_id"], "source", wt,
+                             total_n=APPORTION_N, seed=42).to_pandas()
+    return (out[["doc_id", "source"]].astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 CORR_MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

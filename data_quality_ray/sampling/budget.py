@@ -86,3 +86,85 @@ def budget_cap(ds, key_cols: list[str], group_col: str, weight_col: str,
 
     return (partials.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket").map_groups(finish, batch_format="pandas"))
+
+
+def apportion(counts: pd.DataFrame, group_col: str, weights: dict,
+              total_n: int) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment of ``total_n`` sample
+    slots across groups ∝ weight — the exact-N data-mixing allocation
+    proportional fractions can't give. Deterministic: quota_g =
+    floor(total_n·w_g/W); leftover slots go to the largest fractional
+    remainders, ties to the lexicographically first group; each
+    allocation finally caps at the group's row count (no redistribution
+    — the contract stays one-pass replayable). Driver math over the
+    per-group count table. → (group, n_rows, alloc)."""
+    g = counts.sort_values(group_col).reset_index(drop=True)
+    w = g[group_col].map(weights).to_numpy(np.float64)
+    if (w < 0).any() or w.sum() <= 0:
+        raise ValueError("weights must be non-negative with positive sum")
+    exact = total_n * w / w.sum()
+    base = np.floor(exact).astype(np.int64)
+    rem = exact - base
+    leftover = int(total_n - base.sum())
+    order = np.lexsort((g[group_col].to_numpy(object), -rem))
+    add = np.zeros(len(g), dtype=np.int64)
+    add[order[:leftover]] = 1
+    alloc = np.minimum(base + add, g["n_rows"].to_numpy(np.int64))
+    return pd.DataFrame({group_col: g[group_col],
+                         "n_rows": g["n_rows"].astype("int64"),
+                         "alloc": alloc})
+
+
+def apportioned_sample(ds, key_cols: list[str], group_col: str,
+                       weights: dict, total_n: int, seed: int = 42,
+                       n_buckets: int = 64):
+    """Sample (at most) ``total_n`` rows with per-group allocations from
+    ``apportion``, selection under the md5 digest order contract
+    (``row_number() OVER (PARTITION BY group ORDER BY
+    md5('{seed}-'||key))`` replays it). One counting fold → driver
+    apportionment → per-batch prune to alloc_g per (group, batch) →
+    ONE bucketed exchange finishing each group's top-alloc. → sampled
+    rows."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..profiling.groupagg import grouped_aggregate
+
+    counts = grouped_aggregate(ds.select_columns([group_col]),
+                               [group_col], {"n_rows": ("", "count")})
+    plan = apportion(counts, group_col, weights, total_n)
+    plan = plan.sort_values(group_col)
+    ref = ray.put((plan[group_col].to_numpy(object),
+                   plan["alloc"].to_numpy(np.int64)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        gs, allocs = cached_get(ref)
+        b = b.copy()
+        b["__rk"] = _md5_hex(f"{seed}-" + _row_key(b, key_cols))
+        b = b.sort_values("__rk", kind="mergesort")
+        pos = np.searchsorted(gs, b[group_col].to_numpy(object))
+        k = allocs[np.clip(pos, 0, len(gs) - 1)]
+        rank = b.groupby(group_col, sort=False).cumcount().to_numpy()
+        return b[rank < k]
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+
+    import pandas.util as pdu
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (pdu.hash_pandas_object(b[group_col], index=False)
+                         .to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        gs, allocs = cached_get(ref)
+        g = g.drop(columns="__bucket").sort_values("__rk",
+                                                   kind="mergesort")
+        pos = np.searchsorted(gs, g[group_col].to_numpy(object))
+        k = allocs[np.clip(pos, 0, len(gs) - 1)]
+        rank = g.groupby(group_col, sort=False).cumcount().to_numpy()
+        return g[rank < k].drop(columns="__rk")
+
+    return (pruned.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(finish, batch_format="pandas"))

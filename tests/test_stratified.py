@@ -117,3 +117,30 @@ def test_temperature_mix_dataset_route(ray_session):
     for g, n in counts.items():
         kept = (got["src"] == g).sum()
         assert abs(kept / n - fr[g]) < 0.05
+
+
+def test_apportioned_sample_exact_total_and_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.sampling.budget import apportion, apportioned_sample
+
+    df = pd.DataFrame({"id": range(400),
+                       "g": ["a"] * 200 + ["b"] * 150 + ["c"] * 50})
+    w = {"a": 1.0, "b": 2.0, "c": 5.0}
+    ds = rd.from_pandas(df).repartition(5)
+    out = apportioned_sample(ds, ["id"], "g", lambda s: w[s],
+                             total_n=80).to_pandas()
+    # exact-N when no group caps: 80·(1/8, 2/8, 5/8) = 10/20/50
+    sizes = out.groupby("g")["id"].count().to_dict()
+    assert sizes == {"a": 10, "b": 20, "c": 50} and len(out) == 80
+    out2 = apportioned_sample(rd.from_pandas(df).repartition(1), ["id"],
+                              "g", lambda s: w[s], total_n=80).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])  # partition-invariant
+    # group cap binds: c has only 50 rows, ask for more than it can give
+    plan = apportion(pd.DataFrame({"g": ["a", "b", "c"],
+                                   "n_rows": [200, 150, 10]}),
+                     "g", lambda s: w[s], 80)
+    assert plan.set_index("g")["alloc"].to_dict() == {"a": 10, "b": 20,
+                                                      "c": 10}
