@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_orders": Q.mad_outliers_orders,
         "correlation_matrix_lineitem": Q.correlation_matrix_lineitem,
         "apportioned_sample_docs": Q.apportioned_sample_docs,
+        "rfm_segments_orders": Q.rfm_segments_orders,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -3999,6 +4000,32 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "rfm_segments_orders": """
+            WITH pc AS (SELECT o_custkey,
+                          date_diff('day', DATE '1970-01-01',
+                                    max(o_orderdate)) AS r,
+                          count(*) AS f,
+                          round(sum(o_totalprice), 2) AS m
+                        FROM orders GROUP BY 1),
+                 fe AS (SELECT
+                     round(quantile_cont(r * 1.0, 0.25), 6) AS r1,
+                     round(quantile_cont(r * 1.0, 0.50), 6) AS r2,
+                     round(quantile_cont(r * 1.0, 0.75), 6) AS r3,
+                     round(quantile_cont(f * 1.0, 0.25), 6) AS f1,
+                     round(quantile_cont(f * 1.0, 0.50), 6) AS f2,
+                     round(quantile_cont(f * 1.0, 0.75), 6) AS f3,
+                     round(quantile_cont(m, 0.25), 6) AS m1,
+                     round(quantile_cont(m, 0.50), 6) AS m2,
+                     round(quantile_cont(m, 0.75), 6) AS m3
+                   FROM pc)
+            SELECT CAST((1 + CAST(r > r1 AS INT) + CAST(r > r2 AS INT)
+                           + CAST(r > r3 AS INT)) * 100
+                      + (1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+                           + CAST(f > f3 AS INT)) * 10
+                      + (1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+                           + CAST(m > m3 AS INT)) AS BIGINT) AS rfm,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM pc, fe GROUP BY 1 ORDER BY 1""",
         "apportioned_sample_docs": """
             WITH w AS (SELECT source, count(*) AS n_rows,
                          1 + CAST(md5_number_lower(source) % 4 AS BIGINT)

@@ -2904,6 +2904,57 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def rfm_segments_orders(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer recency (epoch days of
+    the last order) / frequency / monetary (2-dp sum) from ONE grouped
+    exchange, quartile fences per metric from the distributed
+    histogram-bisection exact quantile (6-dp fence contract), code =
+    1 + #fences strictly below the value per metric. → (rfm,
+    n_customers) per occupied code."""
+    from ..profiling.groupagg import grouped_aggregate
+    from ..profiling.quantile_exact import exact_quantiles
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"],
+            "d": (b["o_orderdate"].astype("datetime64[ns]")
+                  - pd.Timestamp("1970-01-01")).dt.days.astype("int64"),
+            "p": b["o_totalprice"].astype(np.float64),
+        })
+
+    pc = grouped_aggregate(ds.map_batches(prep, batch_format="pandas"),
+                           ["o_custkey"],
+                           {"r": ("d", "max"), "f": ("d", "count"),
+                            "m": ("p", "sum")}, final="shuffle")
+    pc = pc.map_batches(
+        lambda b: b.assign(m=np.floor(b["m"].to_numpy(np.float64)
+                                      * 100.0 + 0.5) / 100.0),
+        batch_format="pandas").materialize()
+
+    fences = {}
+    for col in ("r", "f", "m"):
+        _n, qs = exact_quantiles(pc, col, [0.25, 0.5, 0.75])
+        fences[col] = np.floor(np.abs(np.asarray(qs, np.float64)) * 1e6
+                               + 0.5) / 1e6 * np.sign(qs)
+
+    def code(b: pd.DataFrame) -> pd.DataFrame:
+        sc = {}
+        for col in ("r", "f", "m"):
+            v = b[col].to_numpy(np.float64)
+            q = fences[col]
+            sc[col] = 1 + (v > q[0]).astype(np.int64) \
+                + (v > q[1]).astype(np.int64) + (v > q[2]).astype(np.int64)
+        return pd.DataFrame({"rfm": sc["r"] * 100 + sc["f"] * 10 + sc["m"]})
+
+    out = grouped_aggregate(pc.map_batches(code, batch_format="pandas"),
+                            ["rfm"], {"n_customers": ("", "count")})
+    out = out.sort_values("rfm").reset_index(drop=True)
+    return out.astype({"rfm": "int64", "n_customers": "int64"})
+
+
 APPORTION_N = 120
 
 
