@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "correlation_matrix_lineitem": Q.correlation_matrix_lineitem,
         "apportioned_sample_docs": Q.apportioned_sample_docs,
         "rfm_segments_orders": Q.rfm_segments_orders,
+        "domain_keep_ci_docs": Q.domain_keep_ci_docs,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -4000,6 +4001,34 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "domain_keep_ci_docs": f"""
+            WITH chain AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 d AS ({_url_canon_with(_URL_BASE_SQL)}
+                       SELECT doc_id, domain FROM dom
+                       WHERE domain IS NOT NULL),
+                 g AS (SELECT d.domain,
+                              CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(CASE WHEN c.keep THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS n_keep
+                       FROM chain c JOIN d USING (doc_id) GROUP BY 1)
+            SELECT domain, n_docs, n_keep,
+                   round(((n_keep * 1.0 / n_docs)
+                          + 1.96 * 1.96 / (2 * n_docs)
+                          - 1.96 * sqrt((n_keep * 1.0 / n_docs)
+                                        * (1 - n_keep * 1.0 / n_docs)
+                                        / n_docs
+                                        + 1.96 * 1.96
+                                          / (4.0 * n_docs * n_docs)))
+                         / (1 + 1.96 * 1.96 / n_docs), 6) AS ci_lo,
+                   round(((n_keep * 1.0 / n_docs)
+                          + 1.96 * 1.96 / (2 * n_docs)
+                          + 1.96 * sqrt((n_keep * 1.0 / n_docs)
+                                        * (1 - n_keep * 1.0 / n_docs)
+                                        / n_docs
+                                        + 1.96 * 1.96
+                                          / (4.0 * n_docs * n_docs)))
+                         / (1 + 1.96 * 1.96 / n_docs), 6) AS ci_hi
+            FROM g ORDER BY domain""",
         "rfm_segments_orders": """
             WITH pc AS (SELECT o_custkey,
                           date_diff('day', DATE '1970-01-01',

@@ -2904,6 +2904,31 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def domain_keep_ci_docs(sf_dir: str) -> pd.DataFrame:
+    """Wilson 95% confidence interval on each domain's keep rate — the
+    statistically honest version of the domain report (a 3-doc domain
+    with keep_rate 1.0 is NOT better than a 300-doc one at 0.9): same
+    one-pass fold as domain_quality_report_docs, Wilson bounds (z=1.96)
+    on the driver per domain. → (domain, n_docs, n_keep, ci_lo,
+    ci_hi)."""
+    rep = domain_quality_report_docs(sf_dir)
+    n = rep["n_docs"].to_numpy(np.float64)
+    k = rep["n_keep"].to_numpy(np.float64)
+    z = 1.96
+    p = k / n
+    den = 1 + z * z / n
+    root = z * np.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    # grouping matches the SQL expression term-for-term (ulp parity)
+    lo = (p + z * z / (2 * n) - root) / den
+    hi = (p + z * z / (2 * n) + root) / den
+    r6 = lambda a: np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        "domain": rep["domain"], "n_docs": rep["n_docs"],
+        "n_keep": rep["n_keep"],
+        "ci_lo": r6(lo), "ci_hi": r6(hi),
+    })
+
+
 def rfm_segments_orders(sf_dir: str) -> pd.DataFrame:
     """RFM customer segmentation: per-customer recency (epoch days of
     the last order) / frequency / monetary (2-dp sum) from ONE grouped
