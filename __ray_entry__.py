@@ -800,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apportioned_sample_docs": Q.apportioned_sample_docs,
         "rfm_segments_orders": Q.rfm_segments_orders,
         "domain_keep_ci_docs": Q.domain_keep_ci_docs,
+        "cadence_users_events": Q.cadence_users_events,
         "cumulative_users_events": Q.cumulative_users_events,
         "gini_customer_spend": Q.gini_customer_spend,
         "acf_events": Q.acf_events,
@@ -4001,6 +4002,18 @@ FROM tok GROUP BY doc_id, k, t ORDER BY doc_id, chunk_idx
         "best_of_cluster_docs": _best_of_text_cluster_sql(),
         "kcore_parts": _kcore_sql(Q.KCORE_K, Q.KCORE_ROUNDS),
         "strip_html_docs": _strip_html_sql(),
+        "cadence_users_events": """
+            WITH l AS (SELECT user_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+                 g AS (SELECT user_id,
+                              CAST(floor(date_diff('second', prev, ts)
+                                         / 60.0) AS BIGINT) AS gap
+                       FROM l WHERE prev IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap_min
+            FROM g GROUP BY 1 ORDER BY 1""",
         "domain_keep_ci_docs": f"""
             WITH chain AS ({_QUALITY_FILTER_DOCS_SQL}),
                  d AS ({_url_canon_with(_URL_BASE_SQL)}

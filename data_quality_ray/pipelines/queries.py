@@ -2904,6 +2904,40 @@ def k_anonymity_customer(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({c: [v] for c, v in r.items()})
 
 
+def cadence_users_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user engagement cadence: median inter-event gap in whole
+    minutes (floor — quantized so the grouped disc-quantile state stays
+    (user × distinct-gap) bounded). One keyed window exchange for the
+    lag, one (user, gap)→count exchange for the exact per-user median.
+    → (user_id, n_gaps, med_gap_min)."""
+    from ..functions.window import window_ops
+    from ..profiling.quantile_exact import grouped_disc_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    lagged = window_ops(ds, "user_id", ["ts", "event_id"],
+                        {"prev": ("lag", "ts")})
+
+    def gaps(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["prev"].notna()
+        # date_diff('second') counts SECOND-BOUNDARY crossings, not
+        # elapsed time — truncate both ends to the second first
+        sec = (b["ts"][ok].dt.floor("s")
+               - b["prev"][ok].dt.floor("s")).dt.total_seconds()
+        return pd.DataFrame({"user_id": b["user_id"][ok],
+                             "gap": (sec // 60).astype(np.int64)})
+
+    gds = lagged.map_batches(gaps, batch_format="pandas").materialize()
+    med = grouped_disc_quantile(gds, "user_id", "gap", 0.5)
+    cnt = (gds.map_batches(lambda b: b[["user_id"]], batch_format="pandas")
+           .to_pandas().groupby("user_id").size().rename("n_gaps"))
+    out = med.rename(columns={"q_val": "med_gap_min"}).merge(
+        cnt.reset_index(), on="user_id")
+    out = out.astype({"user_id": "int64", "med_gap_min": "int64",
+                      "n_gaps": "int64"})
+    return (out[["user_id", "n_gaps", "med_gap_min"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def domain_keep_ci_docs(sf_dir: str) -> pd.DataFrame:
     """Wilson 95% confidence interval on each domain's keep rate — the
     statistically honest version of the domain report (a 3-doc domain
