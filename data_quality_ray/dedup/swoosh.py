@@ -90,10 +90,9 @@ def multipass_remap(pass1: pd.DataFrame, pass2: pd.DataFrame) -> pd.DataFrame:
     grouping/callback/MultiPassGroupingCallBack.java:30-126): pass-2 rows
     cluster pass-1 golden records; every pass-1 gid inside a pass-2
     cluster collapses to the pass-2 cluster's gid."""
-    remap: dict = {}
-    for _, row in pass2.iterrows():
-        for member_gid in row["members"]:
-            remap[member_gid] = row["gid"]
+    ex = pass2[["gid", "members"]].explode("members")
+    remap = dict(zip(ex["members"], ex["gid"]))
     out = pass1.copy()
-    out["gid"] = out["gid"].map(lambda g: remap.get(g, g))
+    out["gid"] = (out["gid"].map(remap).fillna(out["gid"])
+                  .astype(out["gid"].dtype))
     return out

@@ -121,6 +121,12 @@ def global_row_number(ds, col: str, tiebreak: str, n_parts: int = 32,
     from ..functions.broadcast import cached_get
     from ..profiling.groupagg import grouped_aggregate
 
+    # Materialize ONCE: this function consumes `ds` three times (split
+    # points, partition counts, the rank map_groups) — unmaterialized,
+    # every expensive upstream (classifier pools, joins, hash stages)
+    # re-executes 3x (same trap similarity/pq.py materializes against).
+    # Object-store spill on oversize still beats three upstream scans.
+    ds = ds.materialize()
     splits = range_split_points(ds, col, n_parts, mode=mode)
     parts = add_range_partition(ds, col, splits)
     counts = grouped_aggregate(parts, ["part_id"], {"n": (col, "count")},

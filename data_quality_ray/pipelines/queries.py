@@ -48,6 +48,19 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
+def _pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for model stages: floor 2 (a fixed
+    pool sized to all CPUs deadlocks a 4-CPU session against the read
+    operators — documented in COVERAGE.md), cap = CPUs minus headroom
+    for the read/aggregate tasks, so 32-CPU runs aren't starved by a
+    2-actor pin while the 4-CPU scaling leg keeps its safe floor."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if \
+        ray.is_initialized() else 4
+    return (2, max(2, cpus - 2))
+
+
 # ---------------------------------------------------------------------------
 # flagship: quality-filter over the documents table (full DuckDB oracle)
 # ---------------------------------------------------------------------------
@@ -1438,7 +1451,7 @@ def langid_heuristic_docs(sf_dir: str) -> pd.DataFrame:
             return pa.table({"lang_pred": pa.array(pred, type=pa.string())})
 
     return (
-        ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool())
         .groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
     )
 
@@ -1455,7 +1468,7 @@ def perplexity_docs(sf_dir: str) -> pd.DataFrame:
             ppl = self.model.perplexity(batch["text"].to_numpy(zero_copy_only=False))
             return pa.table({"doc_id": batch["doc_id"], "ppl": pa.array(np.round(ppl, 4))})
 
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2).to_pandas()
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool()).to_pandas()
 
 
 def dup_char_collapse_docs(sf_dir: str) -> pd.DataFrame:
@@ -1808,7 +1821,7 @@ def _quality_classifier_ds(sf_dir: str):
                              "quality_score": pa.array(out["quality_score"]),
                              "quality_label": pa.array(out["quality_label"])})
 
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool())
 
 
 def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
@@ -3567,7 +3580,7 @@ def lang_mix_docs(sf_dir: str) -> pd.DataFrame:
                                       ).reindex(g.index).to_numpy()
             return g.reset_index()
 
-    out = ds.map_batches(Stage, concurrency=2,
+    out = ds.map_batches(Stage, concurrency=_pool(),
                          batch_format="pandas").to_pandas()
     out[["n_lines", "n_offlang"]] = out[["n_lines", "n_offlang"]].astype("int64")
     out["mix_ratio"] = np.floor(
@@ -4254,7 +4267,7 @@ def langid_confusion_docs(sf_dir: str) -> pd.DataFrame:
                              "lang_pred": pa.array(pred, type=pa.string())})
 
     out = grouped_aggregate(
-        ds.map_batches(Stage, batch_format="pyarrow", concurrency=2),
+        ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool()),
         ["lang_true", "lang_pred"], {"n": ("", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)

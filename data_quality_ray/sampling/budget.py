@@ -100,6 +100,10 @@ def apportion(counts: pd.DataFrame, group_col: str, weights: dict,
     per-group count table. → (group, n_rows, alloc)."""
     g = counts.sort_values(group_col).reset_index(drop=True)
     w = g[group_col].map(weights).to_numpy(np.float64)
+    if np.isnan(w).any():
+        missing = g[group_col].to_numpy(object)[np.isnan(w)]
+        raise ValueError(
+            f"weight missing for group(s): {sorted(map(str, missing))[:5]}")
     if (w < 0).any() or w.sum() <= 0:
         raise ValueError("weights must be non-negative with positive sum")
     exact = total_n * w / w.sum()

@@ -46,8 +46,12 @@ def multi_cosine_topk(ds, id_col: str, vec_col: str,
         ids = batch[id_col].to_numpy()
         outs = []
         for j, qid in enumerate(qids):
-            t = sims[:, j]
-            sel = np.argpartition(-t, k)[:k] if len(ids) > k else np.arange(len(ids))
+            # per-batch top-k under the GLOBAL contract (sim rounded 6dp
+            # desc, id asc) — argpartition on unrounded sims can drop the
+            # smaller-id doc of a 6dp tie before the global pass sees it
+            t = np.round(sims[:, j], 6)
+            sel = np.lexsort((ids, -t))[:k] if len(ids) > k \
+                else np.arange(len(ids))
             outs.append(pd.DataFrame({"query_id": qid, "id": ids[sel],
                                       "sim": t[sel]}))
         return pd.concat(outs, ignore_index=True)

@@ -36,6 +36,14 @@ def logreg_fit(ds, x_cols: list[str], label_col: str, rounds: int = 8,
 
     from ..functions.broadcast import cached_get
 
+    # Project to the needed columns and materialize ONCE: the round loop
+    # re-consumes `ds` every iteration — unmaterialized, the whole
+    # upstream re-executes rounds× (pagerank/pq precedent: graph.py:39,
+    # pq.py:180). The projected float frame is tiny relative to rounds×
+    # upstream scans at 10^12 rows.
+    ds = ds.select_columns(list(dict.fromkeys([*x_cols, label_col]))) \
+        .materialize()
+
     d = len(x_cols)
     w = np.zeros(d + 1)
     n_total = 0
