@@ -107,13 +107,16 @@ def fuzzy_lookup(ds, column: str, canon: list[str], out_col: str = "canonical",
                 for c in cands
             ], axis=1)  # (n_uniq, n_canon)
             best = d.argmin(axis=1)  # ties → first (alphabetical) index
-            mapping = {u: (cands[j], int(d[i, j]))
-                       for i, (u, j) in enumerate(zip(uniq, best))}
+            canon_map = {u: cands[j] for u, j in zip(uniq, best)}
+            dist_map = {u: int(di) for u, di in
+                        zip(uniq, d[np.arange(len(uniq)), best])}
         else:
-            mapping = {}
+            canon_map, dist_map = {}, {}
         b = b.copy()
-        b[out_col] = vals.map(lambda v: mapping[v][0] if v in mapping else None)
-        b[dist_col] = vals.map(lambda v: mapping[v][1] if v in mapping else None)
+        # direct dict scatter (Series.map(dict) is a vectorized lookup;
+        # a lambda per row is not) — unmapped/null values stay null
+        b[out_col] = vals.map(canon_map)
+        b[dist_col] = vals.map(dist_map)
         return b
 
     return ds.map_batches(stage, batch_format="pandas")
