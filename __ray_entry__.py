@@ -815,6 +815,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_consistency_lineitem": Q.temporal_consistency_lineitem,
         "langid_confusion_docs": Q.langid_confusion_docs,
         "classifier_eval_docs": Q.classifier_eval_docs,
+        # filter-evaluation statistics (profiling/hypothesis.py)
+        "ab_welch_events": Q.ab_welch_events,
+        "ks_price_lineitem": Q.ks_price_lineitem,
+        "auc_docs": Q.auc_docs,
+        "kappa_docs": Q.kappa_docs,
+        "percentile_norm_docs": Q.percentile_norm_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3423,6 +3429,104 @@ def oracle_sql() -> dict[str, str]:
                                       + tp * 1.0 / (tp + fn))
                               ELSE 0 END, 6) AS f1
             FROM cm""",
+        "ab_welch_events": """
+            WITH s AS (
+              SELECT event_type AS grp, count(*) AS n,
+                     sum(value) AS s, sum(value * value) AS s2
+              FROM events
+              WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+              GROUP BY 1),
+            c AS (
+              SELECT a.n AS na, b.n AS nb, a.s / a.n AS ma, b.s / b.n AS mb,
+                     (a.s2 - a.n * (a.s / a.n) * (a.s / a.n)) / (a.n - 1) AS va,
+                     (b.s2 - b.n * (b.s / b.n) * (b.s / b.n)) / (b.n - 1) AS vb
+              FROM (SELECT * FROM s WHERE grp = 'click') a,
+                   (SELECT * FROM s WHERE grp = 'error') b)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+                   round(pow(va / na + vb / nb, 2)
+                         / (pow(va / na, 2) / (na - 1)
+                            + pow(vb / nb, 2) / (nb - 1)), 6) AS welch_df
+            FROM c""",
+        # KS: the max-gap row is selected on the INTEGER gap
+        # |cum_a·N_b − cum_b·N_a| (ties → smallest value), mirroring the
+        # library's integer argmax — a float-CDF argmax is engine-noise.
+        "ks_price_lineitem": """
+            WITH v AS (
+              SELECT l_extendedprice AS value,
+                     count(*) FILTER (WHERE l_returnflag = 'A') AS na,
+                     count(*) FILTER (WHERE l_returnflag = 'R') AS nb
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'R')
+                    AND l_extendedprice IS NOT NULL
+              GROUP BY 1),
+            c AS (
+              SELECT value,
+                     sum(na) OVER (ORDER BY value) AS ca,
+                     sum(nb) OVER (ORDER BY value) AS cb
+              FROM v),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM v)
+            SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+                   round(abs(c.ca * t.tb - c.cb * t.ta) * 1.0
+                         / (t.ta * t.tb), 6) AS ks_stat,
+                   round(c.value, 2) AS ks_at
+            FROM c, t
+            ORDER BY abs(c.ca * t.tb - c.cb * t.ta) DESC, c.value ASC
+            LIMIT 1""",
+        # AUC: twice-the-rank-sum stays integer (2R = Σ np·(2·before+n+1))
+        # until the final division — identical rational on both sides;
+        # quality_score is 6-dp-rounded on both sides so ties agree.
+        "auc_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 filt AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 j AS (SELECT c.quality_score AS score, f.keep AS pos
+                       FROM clf c JOIN filt f ON c.doc_id = f.doc_id),
+                 v AS (SELECT score, count(*) AS n,
+                              count(*) FILTER (WHERE pos) AS np
+                       FROM j GROUP BY 1),
+                 w AS (SELECT score, n, np,
+                              coalesce(sum(n) OVER (
+                                ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS before
+                       FROM v),
+                 t AS (SELECT sum(np) AS npos, sum(n) - sum(np) AS nneg,
+                              sum(np * (2 * before + n + 1)) AS r2
+                       FROM w)
+            SELECT CAST(npos + nneg AS BIGINT) AS n,
+                   CAST(npos AS BIGINT) AS n_pos,
+                   CAST(nneg AS BIGINT) AS n_neg,
+                   round((r2 - npos * (npos + 1)) * 1.0
+                         / (2 * npos * nneg), 6) AS auc
+            FROM t""",
+        "kappa_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 filt AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 j AS (SELECT c.quality_label AS pred, f.keep AS truth
+                       FROM clf c JOIN filt f ON c.doc_id = f.doc_id),
+                 cm AS (SELECT
+                     count(*) FILTER (WHERE pred AND truth) AS tp,
+                     count(*) FILTER (WHERE pred AND NOT truth) AS fp,
+                     count(*) FILTER (WHERE NOT pred AND truth) AS fn,
+                     count(*) FILTER (WHERE NOT pred AND NOT truth) AS tn
+                   FROM j),
+                 x AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+                              (tp + tn) * 1.0 / (tp + fp + fn + tn) AS po,
+                              ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                              * 1.0 / ((tp + fp + fn + tn)
+                                       * (tp + fp + fn + tn)) AS pe
+                       FROM cm)
+            SELECT n, tp, fp, fn, tn,
+                   round(po, 6) AS p_o, round(pe, 6) AS p_e,
+                   round(CASE WHEN pe < 1 THEN (po - pe) / (1 - pe)
+                              ELSE 0 END, 6) AS kappa
+            FROM x""",
+        "percentile_norm_docs": """
+            SELECT doc_id, source, n_chars,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
+            FROM documents ORDER BY doc_id""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

@@ -4746,3 +4746,107 @@ def shard_rebalance_orders(sf_dir: str) -> pd.DataFrame:
         raise AssertionError(
             f"consistent hashing moved {moved}/{total} keys — ring broken")
     return out
+
+
+# ---------------------------------------------------------------------------
+# filter-evaluation statistics (profiling/hypothesis.py)
+# ---------------------------------------------------------------------------
+
+
+def ab_welch_events(sf_dir: str) -> pd.DataFrame:
+    """Welch's t-test between the value distributions of two event
+    types (the A/B question over an event stream): one (n, Σx, Σx²)
+    fold per group, Welch–Satterthwaite df — shared Σx/Σx² algebra with
+    the SQL replay so both sides round the identical expression.
+    → one row (n_a, n_b, mean_a, mean_b, t_stat, welch_df)."""
+    from ..profiling.hypothesis import welch_ttest
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    r = welch_ttest(ds, "event_type", "value", "click", "error")
+    return pd.DataFrame({
+        "n_a": [np.int64(r["n_a"])], "n_b": [np.int64(r["n_b"])],
+        "mean_a": [round(r["mean_a"], 6)], "mean_b": [round(r["mean_b"], 6)],
+        "t_stat": [round(r["t_stat"], 6)],
+        "welch_df": [round(r["welch_df"], 6)],
+    })
+
+
+def ks_price_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the extended-price
+    distributions of return flags A vs R. One (value → n_a, n_b)
+    exchange; the max-gap location is selected in INTEGER arithmetic
+    (|cum_a·N_b − cum_b·N_a|) so the tie-broken argmax is bit-identical
+    to the SQL window replay. → (n_a, n_b, ks_stat, ks_at)."""
+    from ..profiling.hypothesis import ks_statistic
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    r = ks_statistic(ds, "l_returnflag", "l_extendedprice", "A", "R")
+    return pd.DataFrame({
+        "n_a": [np.int64(r["n_a"])], "n_b": [np.int64(r["n_b"])],
+        "ks_stat": [round(r["ks_stat"], 6)],
+        "ks_at": [round(r["ks_at"], 2)],
+    })
+
+
+def auc_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact tie-aware ROC AUC of the hashed-linear quality classifier's
+    score against the rule chain's keep/drop as truth — the
+    quality-filter question "does the model rank keepers above
+    droppers?". Scores join truth through the bucketed hash_join (no
+    driver frame join); the Mann–Whitney rank-sum stays integer until
+    the final division (profiling/hypothesis.roc_auc), and scores carry
+    the repo's 6-dp rounding on BOTH sides so ties agree.
+    → one row (n, n_pos, n_neg, auc)."""
+    from ..functions.joins import hash_join
+    from ..profiling.hypothesis import roc_auc
+
+    clf = _quality_classifier_ds(sf_dir)
+    truth = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: b[["doc_id", "keep"]], batch_format="pandas")
+    j = hash_join(clf, truth, on="doc_id",
+                  right_cols=["doc_id", "keep"], n_buckets=16)
+    r = roc_auc(j, "quality_score", "keep")
+    return pd.DataFrame({
+        "n": [np.int64(r["n"])], "n_pos": [np.int64(r["n_pos"])],
+        "n_neg": [np.int64(r["n_neg"])], "auc": [round(r["auc"], 6)],
+    })
+
+
+def kappa_docs(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between the classifier's verdict and the rule
+    chain's keep/drop — chance-corrected agreement from one confusion
+    fold over the same bucketed join as auc_docs.
+    → one row (n, tp, fp, fn, tn, p_o, p_e, kappa)."""
+    from ..functions.joins import hash_join
+    from ..profiling.hypothesis import cohens_kappa
+
+    clf = _quality_classifier_ds(sf_dir)
+    truth = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: b[["doc_id", "keep"]], batch_format="pandas")
+    j = hash_join(clf, truth, on="doc_id",
+                  right_cols=["doc_id", "keep"], n_buckets=16)
+    r = cohens_kappa(j, "quality_label", "keep")
+    return pd.DataFrame({
+        "n": [np.int64(r["n"])],
+        "tp": [np.int64(r["tp"])], "fp": [np.int64(r["fp"])],
+        "fn": [np.int64(r["fn"])], "tn": [np.int64(r["tn"])],
+        "p_o": [round(r["p_o"], 6)], "p_e": [round(r["p_e"], 6)],
+        "kappa": [round(r["kappa"], 6)],
+    })
+
+
+def percentile_norm_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source percent-rank normalization of document length (score
+    normalization across heterogeneous sources, so a 90th-percentile
+    doc means the same thing in every source): SQL window semantics
+    ((min_rank−1)/(n−1)) WITHOUT a per-row window shuffle — one
+    (source, value)→count exchange, broadcast per-source ECDF arrays,
+    stateless searchsorted fill (profiling/hypothesis
+    .grouped_percent_rank). → (doc_id, source, n_chars, pct_rank)."""
+    from ..profiling.hypothesis import grouped_percent_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = grouped_percent_rank(ds, "source", "n_chars").to_pandas()
+    out["pct_rank"] = out["pct_rank"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
