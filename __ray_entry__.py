@@ -821,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_docs": Q.auc_docs,
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
+        "snm_pairs_customers": Q.snm_pairs_customers,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3527,6 +3528,17 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (
                        PARTITION BY source ORDER BY n_chars), 6) AS pct_rank
             FROM documents ORDER BY doc_id""",
+        "snm_pairs_customers": """
+            WITH r AS (
+              SELECT c_custkey AS id, c_name AS k,
+                     row_number() OVER (
+                         ORDER BY c_name, c_custkey) AS rn
+              FROM customer)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.k, b.k) AS BIGINT) AS lev
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 4
+            WHERE levenshtein(a.k, b.k) <= 2
+            ORDER BY id_a, id_b""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

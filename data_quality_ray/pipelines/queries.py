@@ -4850,3 +4850,17 @@ def percentile_norm_docs(sf_dir: str) -> pd.DataFrame:
     out = grouped_percent_rank(ds, "source", "n_chars").to_pandas()
     out["pct_rank"] = out["pct_rank"].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def snm_pairs_customers(sf_dir: str) -> pd.DataFrame:
+    """Sorted-neighborhood candidate pairs over customer names
+    (dedup/snm.py — Hernández-Stolfo SNM, the classic alternative to
+    key-equality blocking): rank by (c_name, c_custkey) with the
+    range-partitioned global row number, shift-pair ranks within a
+    window of 4 through partition+halo groups, keep banded edit
+    distance ≤ 2. O(n·w) pairs, one rank exchange + one grouped
+    exchange, no n² block anywhere. → (id_a, id_b, lev)."""
+    from ..dedup.snm import snm_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return snm_pairs(ds, "c_custkey", "c_name", window=4, max_dist=2)
