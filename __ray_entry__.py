@@ -822,6 +822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
         "snm_pairs_customers": Q.snm_pairs_customers,
+        "ttr_sources_docs": Q.ttr_sources_docs,
+        "ngram_novelty_docs": Q.ngram_novelty_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3539,6 +3541,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 4
             WHERE levenshtein(a.k, b.k) <= 2
             ORDER BY id_a, id_b""",
+        "ttr_sources_docs": """
+            WITH t AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT source, token, count(*) AS n FROM t GROUP BY 1, 2)
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+                   round(count(*) * 1.0 / sum(n), 6) AS ttr,
+                   round(count(*) FILTER (WHERE n = 1) * 1.0 / count(*), 6)
+                       AS hapax_ratio
+            FROM c GROUP BY 1 ORDER BY 1""",
+        "ngram_novelty_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+              FROM toks),
+            first AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1),
+            novel AS (SELECT fd AS doc_id, count(*) AS n_novel
+                      FROM first GROUP BY 1),
+            per AS (SELECT doc_id, count(*) AS n_distinct FROM g GROUP BY 1)
+            SELECT p.doc_id,
+                   CAST(p.n_distinct AS BIGINT) AS n_distinct,
+                   CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+                   round(coalesce(n.n_novel, 0) * 1.0 / p.n_distinct, 6)
+                       AS novelty
+            FROM per p LEFT JOIN novel n USING (doc_id)
+            ORDER BY p.doc_id""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

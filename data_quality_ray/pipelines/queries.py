@@ -4864,3 +4864,32 @@ def snm_pairs_customers(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return snm_pairs(ds, "c_custkey", "c_name", window=4, max_dist=2)
+
+
+def ttr_sources_docs(sf_dir: str) -> pd.DataFrame:
+    """Lexical diversity per source (profiling/lexical.ttr_by_group):
+    type-token ratio and hapax share of the vocabulary from one
+    (source, token) count exchange — template-generated sources score
+    low on both. → (source, n_tokens, n_distinct, n_hapax, ttr,
+    hapax_ratio)."""
+    from ..profiling.lexical import ttr_by_group
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    out = ttr_by_group(ds, "source", "text")
+    out["ttr"] = out["ttr"].round(6)
+    out["hapax_ratio"] = out["hapax_ratio"].round(6)
+    return out
+
+
+def ngram_novelty_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-document 3-gram novelty (profiling/lexical.ngram_novelty):
+    fraction of the doc's distinct shingles first seen in that doc
+    (min-doc-id ownership — the keep-first algebra over shingles);
+    near-zero novelty marks recombined/boilerplate content.
+    → (doc_id, n_distinct, n_novel, novelty)."""
+    from ..profiling.lexical import ngram_novelty
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_novelty(ds, "doc_id", "text", n=3)
+    out["novelty"] = out["novelty"].round(6)
+    return out
