@@ -166,6 +166,23 @@ class HashedLinearQuality:
         self.w = (np.log((pc + 1.0) / (ptot + self.B))
                   - np.log((nc + 1.0) / (ntot + self.B)))
 
+    @classmethod
+    def from_weights(cls, w: np.ndarray) -> "HashedLinearQuality":
+        """Rebuild a scorer from an already-trained weight vector
+        WITHOUT re-training: training costs ~0.6 s per instance, so an
+        autoscaling actor pool that trains in every actor's __init__
+        pays it per actor per query. Train ONCE on the driver,
+        ``ray.put`` the dense 4096-float vector, and have each actor
+        reconstruct from the broadcast — identical scores (the model is
+        deterministic), setup cost per actor drops to a memcpy."""
+        from ..profiling.sketches import md5_hash64
+
+        self = cls.__new__(cls)
+        self._hash = md5_hash64
+        self.w = np.asarray(w, dtype=np.float64)
+        self.B = len(self.w)
+        return self
+
     @staticmethod
     def _features(text: str | None) -> list[str]:
         toks = (text or "").lower().split()
