@@ -48,17 +48,14 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
-def _pool() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds for model stages: floor 2 (a fixed
-    pool sized to all CPUs deadlocks a 4-CPU session against the read
-    operators — documented in COVERAGE.md), cap = CPUs minus headroom
-    for the read/aggregate tasks, so 32-CPU runs aren't starved by a
-    2-actor pin while the 4-CPU scaling leg keeps its safe floor."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if \
-        ray.is_initialized() else 4
-    return (2, max(2, cpus - 2))
+# Model stages here run as TASK pools: every query-level model is either
+# rebuilt from a broadcast weight vector (HashedLinearQuality.from_weights)
+# or memoized per worker process (stages/models.process_model), so actor
+# pools — which cost a fresh set of actor launches per query and need a
+# concurrency floor of 2 to avoid the documented 4-CPU deadlock against
+# the read operators (COVERAGE.md) — buy nothing at this setup cost.
+# Genuinely expensive per-actor state (image decoders) keeps its actor
+# pools in pipelines/north.py and stages/image.py.
 
 
 # ---------------------------------------------------------------------------
@@ -1437,38 +1434,40 @@ def word_pattern_freq_part(sf_dir: str) -> pd.DataFrame:
 
 
 def langid_heuristic_docs(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language-ID distribution (stateful actor-pool stage)."""
+    """Heuristic language-ID distribution. Model init is ~0 ms, so the
+    stage runs as a TASK pool with a per-process model singleton
+    (stages/models.process_model) — no per-query actor launches."""
     from ray.data.aggregate import Count
+
+    from ..stages.models import process_model
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
-    class Stage:
-        def __init__(self):
-            self.model = HeuristicLangID()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pred = self.model.predict(batch["text"].to_numpy(zero_copy_only=False))
-            return pa.table({"lang_pred": pa.array(pred, type=pa.string())})
+    def stage(batch: pa.Table) -> pa.Table:
+        model = process_model(HeuristicLangID)
+        pred = model.predict(batch["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"lang_pred": pa.array(pred, type=pa.string())})
 
     return (
-        ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool())
+        ds.map_batches(stage, batch_format="pyarrow")
         .groupby("lang_pred").aggregate(Count(alias_name="n")).to_pandas()
     )
 
 
 def perplexity_docs(sf_dir: str) -> pd.DataFrame:
-    """KenLM-style perplexity scoring (model loaded once per actor)."""
+    """KenLM-style perplexity scoring (model built once per worker
+    process — task pool, see process_model)."""
+    from ..stages.models import process_model
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class Stage:
-        def __init__(self):
-            self.model = NgramPerplexity()
+    def stage(batch: pa.Table) -> pa.Table:
+        model = process_model(NgramPerplexity)
+        ppl = model.perplexity(batch["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "ppl": pa.array(np.round(ppl, 4))})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ppl = self.model.perplexity(batch["text"].to_numpy(zero_copy_only=False))
-            return pa.table({"doc_id": batch["doc_id"], "ppl": pa.array(np.round(ppl, 4))})
-
-    return ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool()).to_pandas()
+    return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
 
 
 def dup_char_collapse_docs(sf_dir: str) -> pd.DataFrame:
@@ -3578,33 +3577,29 @@ def lang_mix_docs(sf_dir: str) -> pd.DataFrame:
     the exploded axis); a line is off-language when its prediction
     differs from the doc's. → (doc_id, lang_doc, n_lines, n_offlang,
     mix_ratio) for docs with >= 1 non-empty line."""
-    from ..stages.models import HeuristicLangID
+    from ..stages.models import HeuristicLangID, process_model
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class Stage:
-        def __init__(self):
-            self.model = HeuristicLangID()
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        model = process_model(HeuristicLangID)
+        doc_pred = model.predict(b["text"].to_numpy())
+        lines = b["text"].astype("string").str.split("\n")
+        ex = lines.explode()
+        # strip SPACES only — matches the oracle's trim(l) semantics
+        ex = ex[ex.notna() & (ex.str.strip(" ") != "")]
+        lp = model.predict(ex.to_numpy(dtype=object))
+        f = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[ex.index.to_numpy()],
+            "off": lp != doc_pred[ex.index.to_numpy()],
+        })
+        g = f.groupby("doc_id", sort=False).agg(
+            n_lines=("off", "size"), n_offlang=("off", "sum"))
+        g["lang_doc"] = pd.Series(doc_pred, index=b["doc_id"].to_numpy()
+                                  ).reindex(g.index).to_numpy()
+        return g.reset_index()
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            doc_pred = self.model.predict(b["text"].to_numpy())
-            lines = b["text"].astype("string").str.split("\n")
-            ex = lines.explode()
-            # strip SPACES only — matches the oracle's trim(l) semantics
-            ex = ex[ex.notna() & (ex.str.strip(" ") != "")]
-            lp = self.model.predict(ex.to_numpy(dtype=object))
-            f = pd.DataFrame({
-                "doc_id": b["doc_id"].to_numpy()[ex.index.to_numpy()],
-                "off": lp != doc_pred[ex.index.to_numpy()],
-            })
-            g = f.groupby("doc_id", sort=False).agg(
-                n_lines=("off", "size"), n_offlang=("off", "sum"))
-            g["lang_doc"] = pd.Series(doc_pred, index=b["doc_id"].to_numpy()
-                                      ).reindex(g.index).to_numpy()
-            return g.reset_index()
-
-    out = ds.map_batches(Stage, concurrency=_pool(),
-                         batch_format="pandas").to_pandas()
+    out = ds.map_batches(stage, batch_format="pandas").to_pandas()
     out[["n_lines", "n_offlang"]] = out[["n_lines", "n_offlang"]].astype("int64")
     out["mix_ratio"] = np.floor(
         out["n_offlang"] / out["n_lines"] * 1e6 + 0.5) / 1e6
@@ -4276,21 +4271,18 @@ def langid_confusion_docs(sf_dir: str) -> pd.DataFrame:
     replays the full heuristic in SQL (shared marker lists), so every
     cell is exact. → (lang_true, lang_pred, n)."""
     from ..profiling.groupagg import grouped_aggregate
-    from ..stages.models import HeuristicLangID
+    from ..stages.models import HeuristicLangID, process_model
 
     ds = _read(sf_dir, "documents", columns=["text", "lang"])
 
-    class Stage:
-        def __init__(self):
-            self.model = HeuristicLangID()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pred = self.model.predict(batch["text"].to_numpy(zero_copy_only=False))
-            return pa.table({"lang_true": batch["lang"],
-                             "lang_pred": pa.array(pred, type=pa.string())})
+    def stage(batch: pa.Table) -> pa.Table:
+        model = process_model(HeuristicLangID)
+        pred = model.predict(batch["text"].to_numpy(zero_copy_only=False))
+        return pa.table({"lang_true": batch["lang"],
+                         "lang_pred": pa.array(pred, type=pa.string())})
 
     out = grouped_aggregate(
-        ds.map_batches(Stage, batch_format="pyarrow", concurrency=_pool()),
+        ds.map_batches(stage, batch_format="pyarrow"),
         ["lang_true", "lang_pred"], {"n": ("", "count")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)

@@ -29,6 +29,22 @@ import numpy as np
 from ..functions.text import unique_apply
 from .corpus import training_sentences
 
+_PROCESS_MODELS: dict = {}
+
+
+def process_model(cls, *args):
+    """Per-worker-process model singleton: for models whose construction
+    is cheap (≤ tens of ms — regex compile, small n-gram LM) a stage can
+    run as a TASK pool (no per-query actor launches, fully elastic)
+    while still building the model once per process — the actor-pool
+    shape only pays off when setup is expensive AND can't ride a
+    broadcast (then see HashedLinearQuality.from_weights)."""
+    key = (cls, args)
+    if key not in _PROCESS_MODELS:
+        _PROCESS_MODELS[key] = cls(*args)
+    return _PROCESS_MODELS[key]
+
+
 _LANG_MARKERS: dict[str, frozenset] = {
     "en": frozenset("the and of in is a an with for on this there near next to at by".split()),
     "es": frozenset("el la los las de que en un una es y por corre casa junto".split()),
