@@ -824,6 +824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs_customers": Q.snm_pairs_customers,
         "ttr_sources_docs": Q.ttr_sources_docs,
         "ngram_novelty_docs": Q.ngram_novelty_docs,
+        "source_overlap_docs": Q.source_overlap_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3579,6 +3580,31 @@ def oracle_sql() -> dict[str, str]:
                        AS novelty
             FROM per p LEFT JOIN novel n USING (doc_id)
             ORDER BY p.doc_id""",
+        "source_overlap_docs": """
+            WITH toks AS (
+              SELECT source,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            g AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(
+                         generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+              FROM toks),
+            sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+            p AS (SELECT a.source AS sa, b.source AS sb,
+                         count(*) AS n_shared
+                  FROM g a JOIN g b ON a.gram = b.gram
+                                    AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT p.sa AS source_a, p.sb AS source_b,
+                   CAST(p.n_shared AS BIGINT) AS n_shared,
+                   round(p.n_shared * 1.0
+                         / (za.n + zb.n - p.n_shared), 6) AS jaccard
+            FROM p JOIN sz za ON za.source = p.sa
+                   JOIN sz zb ON zb.source = p.sb
+            ORDER BY 1, 2""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

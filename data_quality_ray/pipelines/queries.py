@@ -4908,3 +4908,19 @@ def ngram_novelty_docs(sf_dir: str) -> pd.DataFrame:
     out = ngram_novelty(ds, "doc_id", "text", n=3)
     out["novelty"] = out["novelty"].round(6)
     return out
+
+
+def source_overlap_docs(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination matrix over 3-gram shingles
+    (profiling/lexical.source_overlap): shared-shingle count + Jaccard
+    per source pair via bitmask folds — no self-join anywhere
+    (sources are the small side; the gram axis never pairs).
+    → (source_a, source_b, n_shared, jaccard) for overlapping pairs."""
+    from ..profiling.lexical import source_overlap
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    out = source_overlap(ds, "source", "text", n=3)
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out["jaccard"] = out["jaccard"].astype(float).round(6)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))

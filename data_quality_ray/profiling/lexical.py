@@ -26,7 +26,7 @@ import pandas as pd
 
 from .groupagg import grouped_aggregate
 
-__all__ = ["ttr_by_group", "ngram_novelty"]
+__all__ = ["ttr_by_group", "ngram_novelty", "source_overlap"]
 
 
 def ttr_by_group(ds, group_col: str, text_col: str) -> pd.DataFrame:
@@ -102,3 +102,69 @@ def ngram_novelty(ds, id_col: str, text_col: str, n: int = 3) -> pd.DataFrame:
     out["novelty"] = out["n_novel"] / out["n_distinct"]
     return (out.rename(columns={"id": id_col})
             .sort_values(id_col).reset_index(drop=True))
+
+
+def source_overlap(ds, group_col: str, text_col: str, n: int = 3) -> pd.DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    the count of shared distinct word n-grams and their Jaccard —
+    mirrored/syndicated content shows up as a hot pair long before
+    doc-level dedup finds it.
+
+    No self-join: sources are a SMALL set (the small-side contract), so
+    each gets a bit and the matrix falls out of three grouped folds —
+    (1) the (gram, source) distinct exchange, (2) per-gram OR of source
+    bits (a SUM, exact after the dedup), (3) a mask histogram. Pair
+    counts come from popcount algebra over the tiny distinct-mask table
+    (Σ counts of masks containing both bits); per-source sizes from the
+    same histogram. Assumes ≤ 64 sources per fold (one mask word) —
+    shard the group space for more.
+    → (source_a, source_b, n_shared, jaccard), pairs sharing ≥ 1 gram."""
+    import itertools
+
+    srcs = grouped_aggregate(
+        ds.select_columns([group_col]),
+        [group_col], {"n": (group_col, "count")}, final="driver")
+    names = sorted(srcs[group_col].dropna().tolist())
+    if len(names) > 64:
+        raise ValueError(f"{len(names)} sources exceed one mask word")
+    bit = {s: np.int64(1) << i for i, s in enumerate(names)}
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        grams, bits = [], []
+        for g, v in zip(b[group_col], b[text_col]):
+            t = (v or "").split()
+            if len(t) < n or g is None:
+                continue
+            uniq = set(" ".join(t[j:j + n]) for j in range(len(t) - n + 1))
+            grams.extend(uniq)
+            bits.extend([bit[g]] * len(uniq))
+        return pd.DataFrame({"gram": grams, "b": np.array(bits, np.int64)})
+
+    # fold 1: distinct (gram, source-bit) — min == the bit itself
+    pairs = grouped_aggregate(
+        ds.select_columns([group_col, text_col]).map_batches(
+            explode, batch_format="pandas"),
+        ["gram", "b"], {"nn": ("b", "count")}, final="auto")
+    # fold 2: per-gram OR of source bits (sum is exact post-dedup)
+    if isinstance(pairs, pd.DataFrame):
+        masks = (pairs.groupby("gram", sort=False)["b"].sum()
+                 .value_counts().rename_axis("mask").rename("cnt")
+                 .reset_index())
+    else:
+        or_ds = grouped_aggregate(pairs, ["gram"], {"mask": ("b", "sum")},
+                                  final="shuffle")
+        # fold 3: mask histogram — distinct masks ≤ observed source
+        # combos, always driver-small
+        masks = grouped_aggregate(or_ds, ["mask"],
+                                  {"cnt": ("mask", "count")}, final="driver")
+    m = masks["mask"].to_numpy(np.int64)
+    c = masks["cnt"].to_numpy(np.int64)
+    size = {s: int(c[(m & bit[s]) != 0].sum()) for s in names}
+    rows = []
+    for sa, sb in itertools.combinations(names, 2):
+        both = int(c[(m & bit[sa] != 0) & (m & bit[sb] != 0)].sum())
+        if both:
+            rows.append((sa, sb, both,
+                         both / (size[sa] + size[sb] - both)))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "n_shared", "jaccard"])

@@ -64,3 +64,31 @@ def test_ngram_novelty_short_docs_omitted(ray_session):
                        "t": ["a b", "a b c"]})
     out = ngram_novelty(_ds(df, 1), "id", "t", n=3)
     assert out["id"].tolist() == [2]
+
+
+def test_source_overlap_exact(ray_session):
+    from data_quality_ray.profiling.lexical import source_overlap
+
+    df = pd.DataFrame({
+        "g": ["a", "b", "c"],
+        "t": ["x y z w",      # a: grams {xyz, yzw}
+              "x y z q",      # b: grams {xyz, yzq}
+              "p q r"],       # c: grams {pqr} — no overlap
+    })
+    out = source_overlap(_ds(df, 2), "g", "t", n=3)
+    assert out.to_dict("records") == [
+        {"source_a": "a", "source_b": "b", "n_shared": 1,
+         "jaccard": 1 / 3}]
+
+
+def test_source_overlap_dedups_within_source(ray_session):
+    from data_quality_ray.profiling.lexical import source_overlap
+
+    # the shared gram appears in TWO docs of source a — still counts once
+    df = pd.DataFrame({
+        "g": ["a", "a", "b"],
+        "t": ["x y z", "x y z", "x y z"],
+    })
+    out = source_overlap(_ds(df, 1), "g", "t", n=3)
+    assert out["n_shared"].tolist() == [1]
+    assert out["jaccard"].tolist() == [1.0]
