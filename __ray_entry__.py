@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_sources_docs": Q.ttr_sources_docs,
         "ngram_novelty_docs": Q.ngram_novelty_docs,
         "source_overlap_docs": Q.source_overlap_docs,
+        "sliding_distinct_users_events": Q.sliding_distinct_users_events,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3605,6 +3606,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN sz za ON za.source = p.sa
                    JOIN sz zb ON zb.source = p.sb
             ORDER BY 1, 2""",
+        # independent formulation: per-hour COUNT(DISTINCT) via a range
+        # join — the library computes the same thing with a difference
+        # array over first-occurrence intervals (no per-window scan)
+        "sliding_distinct_users_events": """
+            WITH p AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT)
+                         AS h
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            b AS (SELECT min(h) AS mn, max(h) AS mx FROM p),
+            hours AS (SELECT unnest(generate_series(
+                          (SELECT mn FROM b), (SELECT mx FROM b))) AS h)
+            SELECT make_timestamp(hours.h * 3600 * 1000000)
+                       AS window_start,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct
+            FROM hours LEFT JOIN p ON p.h BETWEEN hours.h - 5 AND hours.h
+            GROUP BY 1 ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

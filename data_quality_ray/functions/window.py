@@ -169,3 +169,77 @@ def window_ops(ds, by, order_by, ops: dict, n_buckets: int = 64):
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")
             .map_groups(apply_window, batch_format="pandas"))
+
+
+def sliding_distinct(ds, key_col: str, ts_col: str, window_hours: int = 6,
+                     n_buckets: int = 64) -> pd.DataFrame:
+    """EXACT distinct-``key_col`` count over a trailing ``window_hours``
+    window for every hour in the stream's span — without re-scanning
+    the window per hour and without a distinct-union per window.
+
+    The segmented first-occurrence trick: after deduping to (key, hour)
+    pairs, a pair with per-key previous hour p counts toward window
+    hour h iff h−W+1 ≤ h' ≤ h and p < h−W+1 — i.e. exactly the hours
+    h ∈ [max(h', p+W), h'+W−1]. So distinct-per-window collapses to a
+    DIFFERENCE ARRAY over hours: every pair emits +1/−1 at its interval
+    bounds, one grouped sum folds the deltas, and a cumsum over the
+    (tiny) hour axis yields every window's exact count. Shape: one
+    (key, hour) dedup exchange + one bucketed lag (window_ops) + one
+    delta fold; nothing per-window, nothing per-key on the driver.
+    → (window_start, n_distinct) for every hour min..max."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    def to_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b[key_col].notna() & b[ts_col].notna()
+        # unit-safe epoch hour (parquet timestamps may load as us or ns)
+        h = ((b.loc[ok, ts_col] - pd.Timestamp(0))
+             // pd.Timedelta(hours=1)).astype(np.int64)
+        return pd.DataFrame({"k": b.loc[ok, key_col], "h": h})
+
+    pairs = grouped_aggregate(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            to_pairs, batch_format="pandas"),
+        ["k", "h"], {"n": ("h", "count")}, final="shuffle")
+    lagged = window_ops(pairs, "k", "h", {"prev": ("lag", "h")},
+                        n_buckets=n_buckets) \
+        .materialize()  # consumed twice: bounds fold + delta fold
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mn": [b["h"].min()], "mx": [b["h"].max()]})
+
+    bounds = pd.concat(list(lagged.map_batches(
+        minmax, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas")))
+    mn, mx = int(bounds["mn"].min()), int(bounds["mx"].max())
+
+    W = window_hours
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["h"].to_numpy(np.int64)
+        prev = b["prev"].to_numpy(np.float64)  # NaN at partition head
+        # NaN-safe max(h, prev + W): a first occurrence has no lower
+        # bound beyond its own hour
+        pw = np.where(np.isnan(prev), np.iinfo(np.int64).min,
+                      np.nan_to_num(prev, nan=0).astype(np.int64) + W)
+        start = np.maximum(h, pw)
+        end = np.minimum(h + W - 1, mx)
+        ok = start <= end
+        return pd.DataFrame({
+            "h": np.concatenate([start[ok], end[ok] + 1]),
+            "d": np.concatenate([np.ones(ok.sum(), np.int64),
+                                 -np.ones(ok.sum(), np.int64)]),
+        })
+
+    folded = grouped_aggregate(
+        lagged.map_batches(deltas, batch_format="pandas"),
+        ["h"], {"d": ("d", "sum")}, final="driver")
+    hours = np.arange(mn, mx + 1, dtype=np.int64)
+    diff = np.zeros(len(hours) + 1, dtype=np.int64)
+    hh = folded["h"].to_numpy(np.int64)
+    inside = (hh >= mn) & (hh <= mx)
+    np.add.at(diff, hh[inside] - mn, folded["d"].to_numpy(np.int64)[inside])
+    counts = diff[:-1].cumsum()
+    return pd.DataFrame({
+        "window_start": pd.to_datetime(hours * 3600, unit="s"),
+        "n_distinct": counts.astype(np.int64),
+    })

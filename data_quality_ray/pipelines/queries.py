@@ -4924,3 +4924,16 @@ def source_overlap_docs(sf_dir: str) -> pd.DataFrame:
     out["jaccard"] = out["jaccard"].astype(float).round(6)
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
+
+
+def sliding_distinct_users_events(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users over a trailing 6-hour window for EVERY
+    hour of the event stream (functions/window.sliding_distinct): the
+    segmented first-occurrence trick turns per-window COUNT(DISTINCT)
+    into a difference array — one (user, hour) dedup exchange + one
+    bucketed lag + one delta fold; no per-window re-scan, no distinct
+    union state. → (window_start, n_distinct)."""
+    from ..functions.window import sliding_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sliding_distinct(ds, "user_id", "ts", window_hours=6)
