@@ -826,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty_docs": Q.ngram_novelty_docs,
         "source_overlap_docs": Q.source_overlap_docs,
         "sliding_distinct_users_events": Q.sliding_distinct_users_events,
+        "rule_ablation_docs": Q.rule_ablation_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3624,6 +3625,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct
             FROM hours LEFT JOIN p ON p.h BETWEEN hours.h - 5 AND hours.h
             GROUP BY 1 ORDER BY 1""",
+        # independent (no-short-circuit) per-rule flags — same rule
+        # expressions as _QUALITY_FILTER_DOCS_SQL's chain CASE, each
+        # null-safe on its own because no earlier rule shields it
+        "rule_ablation_docs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            tok_counts AS (SELECT doc_id, tok, count(*) AS c
+                           FROM toks GROUP BY 1, 2),
+            tstats AS (
+              SELECT doc_id, cast(sum(c) AS bigint) AS n_tok,
+                     max(c) AS max_c,
+                     cast(sum(CASE WHEN tok IN ({_STOPS}) THEN c
+                              ELSE 0 END) AS bigint) AS n_stop
+              FROM tok_counts GROUP BY 1),
+            m AS (
+              SELECT d.doc_id, d.text, d.lang,
+                     coalesce(length(d.text), 0) AS len,
+                     coalesce(length(regexp_replace(d.text, '\\s', '',
+                                                    'g')), 0) AS nonspace,
+                     coalesce(length(regexp_replace(d.text,
+                                  '[A-Za-z0-9\\s]', '', 'g')), 0) AS syms,
+                     coalesce(t.n_tok, 0) AS n_tok,
+                     coalesce(t.max_c, 0) AS max_c,
+                     coalesce(t.n_stop, 0) AS n_stop
+              FROM documents d LEFT JOIN tstats t USING (doc_id)),
+            flags AS (
+              SELECT
+                (text IS NULL OR trim(text) = '') AS f1,
+                (len < {DOC_MIN_LEN} OR len > {DOC_MAX_LEN}) AS f2,
+                coalesce(regexp_matches(text, '[0-9]')
+                         AND regexp_full_match(text, '[0-9\\s.,/:+%-]+'),
+                         false) AS f3,
+                (lang IS NULL OR lang <> 'en') AS f4,
+                (nonspace > 0
+                 AND syms * 1.0 / greatest(nonspace, 1) > 0.3) AS f5,
+                (n_tok >= 6
+                 AND max_c * 1.0 / greatest(n_tok, 1) >= 0.5) AS f6,
+                (n_tok >= 8
+                 AND n_stop * 1.0 / greatest(n_tok, 1) < 0.08) AS f7
+              FROM m),
+            tot AS (SELECT count(*) AS n FROM flags),
+            per AS (
+              SELECT 'empty' AS rule,
+                     count(*) FILTER (WHERE f1) AS n_hit,
+                     count(*) FILTER (WHERE f1) AS n_first,
+                     count(*) FILTER (WHERE f1 AND NOT (f2 OR f3 OR f4
+                         OR f5 OR f6 OR f7)) AS n_sole FROM flags
+              UNION ALL
+              SELECT 'length', count(*) FILTER (WHERE f2),
+                     count(*) FILTER (WHERE f2 AND NOT f1),
+                     count(*) FILTER (WHERE f2 AND NOT (f1 OR f3 OR f4
+                         OR f5 OR f6 OR f7)) FROM flags
+              UNION ALL
+              SELECT 'junk_numeric', count(*) FILTER (WHERE f3),
+                     count(*) FILTER (WHERE f3 AND NOT (f1 OR f2)),
+                     count(*) FILTER (WHERE f3 AND NOT (f1 OR f2 OR f4
+                         OR f5 OR f6 OR f7)) FROM flags
+              UNION ALL
+              SELECT 'langid', count(*) FILTER (WHERE f4),
+                     count(*) FILTER (WHERE f4 AND NOT (f1 OR f2 OR f3)),
+                     count(*) FILTER (WHERE f4 AND NOT (f1 OR f2 OR f3
+                         OR f5 OR f6 OR f7)) FROM flags
+              UNION ALL
+              SELECT 'symbol_ratio', count(*) FILTER (WHERE f5),
+                     count(*) FILTER (WHERE f5 AND NOT (f1 OR f2 OR f3
+                         OR f4)),
+                     count(*) FILTER (WHERE f5 AND NOT (f1 OR f2 OR f3
+                         OR f4 OR f6 OR f7)) FROM flags
+              UNION ALL
+              SELECT 'repetition', count(*) FILTER (WHERE f6),
+                     count(*) FILTER (WHERE f6 AND NOT (f1 OR f2 OR f3
+                         OR f4 OR f5)),
+                     count(*) FILTER (WHERE f6 AND NOT (f1 OR f2 OR f3
+                         OR f4 OR f5 OR f7)) FROM flags
+              UNION ALL
+              SELECT 'stopword_density', count(*) FILTER (WHERE f7),
+                     count(*) FILTER (WHERE f7 AND NOT (f1 OR f2 OR f3
+                         OR f4 OR f5 OR f6)),
+                     count(*) FILTER (WHERE f7 AND NOT (f1 OR f2 OR f3
+                         OR f4 OR f5 OR f6)) FROM flags)
+            SELECT rule, CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_first AS BIGINT) AS n_first,
+                   CAST(n_sole AS BIGINT) AS n_sole,
+                   round(n_sole * 1.0 / (SELECT n FROM tot), 6)
+                       AS rescue_rate
+            FROM per ORDER BY rule""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

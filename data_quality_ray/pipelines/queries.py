@@ -4937,3 +4937,48 @@ def sliding_distinct_users_events(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     return sliding_distinct(ds, "user_id", "ts", window_hours=6)
+
+
+def rule_ablation_docs(sf_dir: str) -> pd.DataFrame:
+    """Rule-chain ablation over the docs filter: every drop rule
+    evaluated INDEPENDENTLY on every row (rules/core.RuleEngine
+    .rule_matrix — no short-circuit), folded to fixed-size per-batch
+    partials. Per rule: independent hits, chain-order first-hit
+    attribution (fired and no earlier rule fired), and SOLE-reason
+    drops — the rows removing this rule would rescue — with the rescue
+    rate over the corpus. The tuning view first_rule can't give.
+    → (rule, n_hit, n_first, n_sole, rescue_rate)."""
+    from .quality_filter import build_docs_chain, cached_chain
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    names = [r.name for r in build_docs_chain().drop_rules]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        engine = cached_chain(build_docs_chain)
+        m = engine.rule_matrix(
+            b["text"].to_numpy(zero_copy_only=False),
+            aux={"lang": b["lang"].to_numpy(zero_copy_only=False)})
+        mat = np.stack([m[r] for r in names], axis=1)  # (n, n_rules)
+        earlier = np.zeros_like(mat)
+        earlier[:, 1:] = np.cumsum(mat[:, :-1], axis=1) > 0
+        sole = mat & (mat.sum(axis=1, keepdims=True) == 1)
+        return pd.DataFrame({
+            "rule": names,
+            "n_hit": mat.sum(axis=0).astype(np.int64),
+            "n_first": (mat & ~earlier).sum(axis=0).astype(np.int64),
+            "n_sole": sole.sum(axis=0).astype(np.int64),
+            "n_rows": np.int64(len(mat)),
+        })
+
+    from ..profiling.groupagg import grouped_aggregate
+
+    out = grouped_aggregate(
+        ds.map_batches(part, batch_format="pyarrow"),
+        ["rule"], {"n_hit": ("n_hit", "sum"), "n_first": ("n_first", "sum"),
+                   "n_sole": ("n_sole", "sum"), "n_rows": ("n_rows", "sum")})
+    total = int(out["n_rows"].iloc[0] if len(out) else 0)
+    out = out.drop(columns=["n_rows"])
+    for c in ("n_hit", "n_first", "n_sole"):
+        out[c] = out[c].astype("int64")
+    out["rescue_rate"] = (out["n_sole"] / total).round(6)
+    return out.sort_values("rule").reset_index(drop=True)

@@ -113,6 +113,24 @@ class RuleEngine:
         self.drop_rules = drop_rules
         self.scrub_rules = scrub_rules
 
+    def rule_matrix(self, values: np.ndarray,
+                    aux: dict[str, np.ndarray] | None = None
+                    ) -> dict[str, np.ndarray]:
+        """Every drop rule evaluated INDEPENDENTLY on every row (no
+        short-circuit) — the ablation view: which rules would each row
+        trip on its own. ``apply``'s first_rule only attributes the
+        chain-order first hit; tuning a chain needs the full matrix
+        (sole-reason drops = rows a rule removal would rescue). All
+        rules must be null-robust (they are — the chain's empty rule
+        otherwise shields them)."""
+        values = np.asarray(values, dtype=object)
+        out = {}
+        for rule in self.drop_rules:
+            sub_aux = ({k: np.asarray(v) for k, v in (aux or {}).items()}
+                       if rule.use_aux else None)
+            out[rule.name] = np.asarray(rule(values, sub_aux), dtype=bool)
+        return out
+
     def apply(self, values: np.ndarray, aux: dict[str, np.ndarray] | None = None) -> ChainResult:
         n = len(values)
         values = np.asarray(values, dtype=object)

@@ -171,3 +171,32 @@ def test_chain_astral_plane_and_exotic_captions():
     assert list(r1.verdict) == list(r2.verdict)
     assert list(r1.values) == list(r2.values)
     assert all(v in ("KEEP", "DROP", "CORRECTED") for v in r1.verdict)
+
+
+def test_rule_matrix_independent_vs_chain(ray_session):
+    """rule_matrix evaluates every rule on every row (no short-circuit):
+    the chain's first_rule must equal the first fired rule of the
+    matrix, and matrix hits can exceed chain attributions."""
+    import numpy as np
+
+    from data_quality_ray.pipelines.quality_filter import build_docs_chain
+
+    engine = build_docs_chain()
+    vals = np.array([None, "123 456", "x" * 600,
+                     "the quick brown fox jumps over the lazy dog and "
+                     "this caption is long enough to pass the bounds"],
+                    dtype=object)
+    aux = {"lang": np.array(["en", "en", "de", "en"], dtype=object)}
+    m = engine.rule_matrix(vals, aux=aux)
+    res = engine.apply(vals, aux=aux)
+    names = [r.name for r in engine.drop_rules]
+    for i in range(len(vals)):
+        fired = [n for n in names if m[n][i]]
+        if res.verdict[i] == "DROP":
+            assert res.first_rule[i] == fired[0]
+        else:
+            assert not fired
+    # the oversized German doc trips BOTH length and langid in the
+    # matrix, but the chain attributes only length
+    assert m["length"][2] and m["langid"][2]
+    assert res.first_rule[2] == "length"
