@@ -827,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_docs": Q.source_overlap_docs,
         "sliding_distinct_users_events": Q.sliding_distinct_users_events,
         "rule_ablation_docs": Q.rule_ablation_docs,
+        "char_entropy_docs": Q.char_entropy_docs,
+        "source_concentration_docs": Q.source_concentration_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3715,6 +3717,28 @@ def oracle_sql() -> dict[str, str]:
                    round(n_sole * 1.0 / (SELECT n FROM tot), 6)
                        AS rescue_rate
             FROM per ORDER BY rule""",
+        "char_entropy_docs": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents WHERE text IS NOT NULL AND text <> ''),
+            cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+            per AS (SELECT doc_id, sum(n) AS tot, sum(n * ln(n)) AS s
+                    FROM cc GROUP BY 1)
+            SELECT doc_id, CAST(tot AS BIGINT) AS n_chars,
+                   round(ln(tot) - s / tot, 6) AS char_entropy
+            FROM per ORDER BY doc_id""",
+        "source_concentration_docs": """
+            WITH g AS (SELECT source, count(*) AS n,
+                              sum(n_chars) AS w
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tn, sum(w) AS tw FROM g)
+            SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                   round(sum((n * 1.0 / t.tn) * (n * 1.0 / t.tn)), 6)
+                       AS hhi_docs,
+                   round(sum((w * 1.0 / t.tw) * (w * 1.0 / t.tw)), 6)
+                       AS hhi_weight,
+                   round(max(n * 1.0 / t.tn), 6) AS top_share_docs
+            FROM g, t GROUP BY t.tn, t.tw""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

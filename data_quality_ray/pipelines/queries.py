@@ -4982,3 +4982,29 @@ def rule_ablation_docs(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     out["rescue_rate"] = (out["n_sole"] / total).round(6)
     return out.sort_values("rule").reset_index(drop=True)
+
+
+def char_entropy_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-distribution entropy (nats) — binary-junk
+    and run-repetition detector (profiling/lexical.char_entropy; one
+    map_batches pass, no exchange). → (doc_id, n_chars, char_entropy)."""
+    from ..profiling.lexical import char_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = char_entropy(ds, "doc_id", "text")
+    out["char_entropy"] = out["char_entropy"].round(6)
+    return out
+
+
+def source_concentration_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus composition concentration over sources: HHI of document
+    share and of character-mass share plus the top single-source share
+    (profiling/lexical.source_concentration, one grouped fold).
+    → one row (n_sources, hhi_docs, hhi_weight, top_share_docs)."""
+    from ..profiling.lexical import source_concentration
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    out = source_concentration(ds, "source", "n_chars")
+    for c in ("hhi_docs", "hhi_weight", "top_share_docs"):
+        out[c] = out[c].round(6)
+    return out

@@ -26,7 +26,8 @@ import pandas as pd
 
 from .groupagg import grouped_aggregate
 
-__all__ = ["ttr_by_group", "ngram_novelty", "source_overlap"]
+__all__ = ["ttr_by_group", "ngram_novelty", "source_overlap",
+           "char_entropy", "source_concentration"]
 
 
 def ttr_by_group(ds, group_col: str, text_col: str) -> pd.DataFrame:
@@ -168,3 +169,54 @@ def source_overlap(ds, group_col: str, text_col: str, n: int = 3) -> pd.DataFram
                          both / (size[sa] + size[sb] - both)))
     return pd.DataFrame(rows, columns=["source_a", "source_b",
                                        "n_shared", "jaccard"])
+
+
+def char_entropy(ds, id_col: str, text_col: str) -> pd.DataFrame:
+    """Per-document Shannon entropy (nats) of the character
+    distribution — the classic binary-junk / repetition detector: near
+    zero for single-char runs, ~ln(alphabet) for random noise, a stable
+    mid-band for natural language. Embarrassingly parallel (one
+    map_batches, no exchange); uses H = ln(n) − (Σ c·ln c)/n so both
+    engines sum the same ln terms. Null/empty docs are omitted.
+    → (id, n_chars, char_entropy)."""
+    def stage(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tot, ent = [], [], []
+        for i, v in zip(b[id_col], b[text_col]):
+            if not v:
+                continue
+            _, counts = np.unique(np.array(list(v)), return_counts=True)
+            n = counts.sum()
+            ids.append(i)
+            tot.append(int(n))
+            ent.append(float(np.log(n) - (counts * np.log(counts)).sum() / n))
+        return pd.DataFrame({id_col: ids,
+                             "n_chars": np.array(tot, np.int64),
+                             "char_entropy": ent})
+
+    out = pd.concat(list(
+        ds.select_columns([id_col, text_col])
+        .map_batches(stage, batch_format="pandas")
+        .iter_batches(batch_size=4096, batch_format="pandas")),
+        ignore_index=True)
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def source_concentration(ds, group_col: str, weight_col: str) -> pd.DataFrame:
+    """Corpus composition concentration: Herfindahl–Hirschman index of
+    the per-source share of documents and of ``weight_col`` mass (e.g.
+    chars), plus the largest single-source share — one grouped fold,
+    the diversity dashboard number a mixture planner watches.
+    → one row (n_sources, hhi_docs, hhi_weight, top_share_docs)."""
+    agg = grouped_aggregate(
+        ds.select_columns([group_col, weight_col]),
+        [group_col], {"n": (weight_col, "count"),
+                      "w": (weight_col, "sum")}, final="driver")
+    n = agg["n"].to_numpy(np.float64)
+    w = agg["w"].to_numpy(np.float64)
+    sn, sw = n / n.sum(), w / w.sum()
+    return pd.DataFrame({
+        "n_sources": [np.int64(len(agg))],
+        "hhi_docs": [float((sn * sn).sum())],
+        "hhi_weight": [float((sw * sw).sum())],
+        "top_share_docs": [float(sn.max())],
+    })

@@ -92,3 +92,27 @@ def test_source_overlap_dedups_within_source(ray_session):
     out = source_overlap(_ds(df, 1), "g", "t", n=3)
     assert out["n_shared"].tolist() == [1]
     assert out["jaccard"].tolist() == [1.0]
+
+
+def test_char_entropy_exact(ray_session):
+    from data_quality_ray.profiling.lexical import char_entropy
+
+    df = pd.DataFrame({"id": np.array([1, 2, 3, 4], dtype=np.int64),
+                       "t": ["aaaa", "ab", "", None]})
+    out = char_entropy(_ds(df, 2), "id", "t").set_index("id")
+    assert out.index.tolist() == [1, 2]  # empty/null omitted
+    assert out.loc[1, "char_entropy"] == 0.0
+    assert out.loc[2, "char_entropy"] == np.log(2)
+    assert out.loc[2, "n_chars"] == 2
+
+
+def test_source_concentration_exact(ray_session):
+    from data_quality_ray.profiling.lexical import source_concentration
+
+    df = pd.DataFrame({"s": ["a", "a", "a", "b"],
+                       "w": [10, 10, 10, 30]})
+    out = source_concentration(_ds(df, 2), "s", "w")
+    assert out["n_sources"].iloc[0] == 2
+    assert out["hhi_docs"].iloc[0] == (0.75 ** 2 + 0.25 ** 2)
+    assert out["hhi_weight"].iloc[0] == 0.5  # 30/60 each
+    assert out["top_share_docs"].iloc[0] == 0.75
