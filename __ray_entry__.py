@@ -829,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_ablation_docs": Q.rule_ablation_docs,
         "char_entropy_docs": Q.char_entropy_docs,
         "source_concentration_docs": Q.source_concentration_docs,
+        "auc_by_source_docs": Q.auc_by_source_docs,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3739,6 +3740,36 @@ def oracle_sql() -> dict[str, str]:
                        AS hhi_weight,
                    round(max(n * 1.0 / t.tn), 6) AS top_share_docs
             FROM g, t GROUP BY t.tn, t.tw""",
+        "auc_by_source_docs": f"""
+            WITH clf AS ({_CLF_SQL}),
+                 filt AS ({_QUALITY_FILTER_DOCS_SQL}),
+                 j AS (SELECT d.source AS grp, c.quality_score AS score,
+                              f.keep AS pos
+                       FROM documents d
+                       JOIN clf c ON c.doc_id = d.doc_id
+                       JOIN filt f ON f.doc_id = d.doc_id),
+                 v AS (SELECT grp, score, count(*) AS n,
+                              count(*) FILTER (WHERE pos) AS np
+                       FROM j GROUP BY 1, 2),
+                 w AS (SELECT grp, score, n, np,
+                              coalesce(sum(n) OVER (
+                                  PARTITION BY grp ORDER BY score
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS before
+                       FROM v),
+                 t AS (SELECT grp, sum(np) AS npos,
+                              sum(n) - sum(np) AS nneg,
+                              sum(np * (2 * before + n + 1)) AS r2
+                       FROM w GROUP BY 1)
+            SELECT grp AS source,
+                   CAST(npos + nneg AS BIGINT) AS n,
+                   CAST(npos AS BIGINT) AS n_pos,
+                   CAST(nneg AS BIGINT) AS n_neg,
+                   CASE WHEN npos > 0 AND nneg > 0
+                        THEN round((r2 - npos * (npos + 1)) * 1.0
+                                   / (2 * npos * nneg), 6)
+                   END AS auc
+            FROM t ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

@@ -5008,3 +5008,44 @@ def source_concentration_docs(sf_dir: str) -> pd.DataFrame:
     for c in ("hhi_docs", "hhi_weight", "top_share_docs"):
         out[c] = out[c].round(6)
     return out
+
+
+def auc_by_source_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-source classifier AUC vs the rule chain's keep label — the
+    per-slice model-health view (a source where the model ranks
+    keepers poorly needs retraining or down-weighting). Score AND
+    label come from ONE fused map_batches pass over documents (weights
+    broadcast, chain per process — no join at all), then the grouped
+    integer rank-sum fold (profiling/hypothesis.grouped_roc_auc).
+    → (source, n, n_pos, n_neg, auc; null AUC for one-class sources)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from ..profiling.hypothesis import grouped_roc_auc
+    from ..stages.models import HashedLinearQuality
+    from .quality_filter import build_docs_chain, cached_chain
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+    ref = ray.put(_clf_weights())
+
+    def fused(b: pa.Table) -> pd.DataFrame:
+        model = HashedLinearQuality.from_weights(cached_get(ref))
+        score = model.score(
+            b["text"].to_numpy(zero_copy_only=False))["quality_score"]
+        res = cached_chain(build_docs_chain).apply(
+            b["text"].to_numpy(zero_copy_only=False),
+            aux={"lang": b["lang"].to_numpy(zero_copy_only=False)})
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(zero_copy_only=False),
+            "quality_score": score,
+            "keep": res.verdict != "DROP",
+        })
+
+    out = grouped_roc_auc(ds.map_batches(fused, batch_format="pyarrow"),
+                          "source", "quality_score", "keep")
+    out = out.rename(columns={"group": "source"})
+    out["auc"] = out["auc"].astype(float).round(6)
+    for c in ("n", "n_pos", "n_neg"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

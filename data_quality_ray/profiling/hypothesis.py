@@ -29,7 +29,7 @@ import pandas as pd
 from .groupagg import grouped_aggregate
 
 __all__ = ["welch_ttest", "ks_statistic", "roc_auc", "cohens_kappa",
-           "grouped_percent_rank"]
+           "grouped_percent_rank", "grouped_roc_auc"]
 
 
 def welch_ttest(ds, group_col: str, val_col: str,
@@ -213,3 +213,42 @@ def grouped_percent_rank(ds, group_col: str, val_col: str,
         return b
 
     return ds.map_batches(fill, batch_format="pandas")
+
+
+def grouped_roc_auc(ds, group_col: str, score_col: str,
+                    label_col: str) -> pd.DataFrame:
+    """Per-group exact tie-aware ROC AUC (``roc_auc`` partitioned by a
+    group axis — per-source model health from ONE
+    (group, score) → (n, n_pos) exchange; the per-group rank algebra is
+    the same integer 2·R rank-sum, vectorized across groups on the
+    driver). Groups with no positives or no negatives report null AUC
+    (SQL NULL-division parity). → (group, n, n_pos, n_neg, auc)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.to_numeric(b[score_col], errors="coerce")
+        ok = s.notna()
+        g = (pd.DataFrame({"grp": b.loc[ok, group_col],
+                           "score": s[ok].astype(np.float64),
+                           "pos": b.loc[ok, label_col].astype(bool)
+                           .astype(np.int64)})
+             .groupby(["grp", "score"], sort=False)
+             .agg(n=("pos", "size"), n_pos=("pos", "sum")).reset_index())
+        return g
+
+    counts = grouped_aggregate(
+        ds.select_columns([group_col, score_col, label_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["grp", "score"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")})
+    counts = counts.sort_values(["grp", "score"]).reset_index(drop=True)
+    rows = []
+    for grp, sub in counts.groupby("grp", sort=False):
+        n_v = sub["n"].to_numpy(np.int64)
+        p_v = sub["n_pos"].to_numpy(np.int64)
+        before = np.concatenate([[0], n_v.cumsum()[:-1]])
+        n_pos = int(p_v.sum())
+        n_neg = int(n_v.sum() - n_pos)
+        r2 = int((p_v * (2 * before + n_v + 1)).sum())
+        auc = ((r2 - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+               if n_pos and n_neg else None)
+        rows.append((grp, int(n_v.sum()), n_pos, n_neg, auc))
+    return pd.DataFrame(rows, columns=["group", "n", "n_pos", "n_neg",
+                                       "auc"])

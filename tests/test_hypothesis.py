@@ -121,3 +121,22 @@ def test_grouped_percent_rank_single_row_group(ray_session):
     df = pd.DataFrame({"g": ["solo", "big", "big"], "v": [5, 1, 2]})
     out = grouped_percent_rank(_ds(df, 1), "g", "v").to_pandas()
     assert out.loc[out["g"] == "solo", "pct_rank"].iloc[0] == 0.0
+
+
+def test_grouped_roc_auc_matches_global_and_one_class(ray_session):
+    from data_quality_ray.profiling.hypothesis import grouped_roc_auc, roc_auc
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["x", "y", "z"], 100),
+        "s": np.round(rng.normal(size=300), 2),
+        "y": np.concatenate([rng.random(200) > 0.5,
+                             np.ones(100, dtype=bool)]),  # z: one class
+    })
+    out = grouped_roc_auc(_ds(df), "g", "s", "y").set_index("group")
+    for grp in ("x", "y"):
+        sub = df[df["g"] == grp]
+        solo = roc_auc(_ds(sub.reset_index(drop=True), 2), "s", "y")
+        assert out.loc[grp, "auc"] == pytest.approx(solo["auc"])
+    assert pd.isna(out.loc["z", "auc"])  # no negatives → null
+    assert out.loc["z", "n_neg"] == 0
