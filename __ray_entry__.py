@@ -830,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": Q.char_entropy_docs,
         "source_concentration_docs": Q.source_concentration_docs,
         "auc_by_source_docs": Q.auc_by_source_docs,
+        "behavior_entropy_users_events": Q.behavior_entropy_users_events,
+        "decayed_engagement_users_events": Q.decayed_engagement_users_events,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3770,6 +3772,30 @@ def oracle_sql() -> dict[str, str]:
                                    / (2 * npos * nneg), 6)
                    END AS auc
             FROM t ORDER BY 1""",
+        "behavior_entropy_users_events": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                             AND event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            p AS (SELECT user_id, sum(n) AS tot, count(*) AS nd,
+                         sum(n * ln(n)) AS s
+                  FROM c GROUP BY 1)
+            SELECT user_id, CAST(tot AS BIGINT) AS n,
+                   CAST(nd AS BIGINT) AS n_distinct,
+                   round(ln(tot) - s / tot, 6) AS entropy
+            FROM p ORDER BY 1""",
+        "decayed_engagement_users_events": """
+            WITH t AS (SELECT max(ts) AS mx FROM events),
+            w AS (SELECT user_id,
+                         value * exp(-(epoch(t.mx) - epoch(ts))
+                                     / 86400.0) AS w
+                  FROM events, t
+                  WHERE ts IS NOT NULL AND value IS NOT NULL
+                        AND user_id IS NOT NULL)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(w), 6) AS decayed_sum
+            FROM w GROUP BY 1 ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

@@ -5049,3 +5049,32 @@ def auc_by_source_docs(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_pos", "n_neg"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def behavior_entropy_users_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavioral diversity: Shannon entropy (nats) of the
+    user's event-type distribution from one (user, type) count exchange
+    (profiling/datarules.entropy_by_group) — bots and single-action
+    users sit at zero. → (user_id, n, n_distinct, entropy)."""
+    from ..profiling.datarules import entropy_by_group
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = entropy_by_group(ds, "user_id", "event_type")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["entropy"] = out["entropy"].round(6)
+    return out
+
+
+def decayed_engagement_users_events(sf_dir: str) -> pd.DataFrame:
+    """Recency-weighted engagement per user: Σ value·exp(−Δ/τ) at the
+    stream horizon with τ = 1 day (profiling/datarules
+    .decayed_sum_by_group — horizon fold + one decayed partial fold,
+    weights computed from the same broadcast horizon on every worker so
+    partials merge exactly). → (user_id, n, decayed_sum)."""
+    from ..profiling.datarules import decayed_sum_by_group
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = decayed_sum_by_group(ds, "user_id", "ts", "value", tau_s=86400.0)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["decayed_sum"] = out["decayed_sum"].round(6)
+    return out

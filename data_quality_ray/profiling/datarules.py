@@ -834,3 +834,81 @@ def grouped_regression(ds, group_cols: list[str], x_col: str,
     out["intercept"] = round6_away(intercept)
     out["corr"] = round6_away(corr)
     return out.reset_index(drop=True)
+
+
+# ----------------------------------------- per-group distribution entropy
+
+def entropy_by_group(ds, group_col: str, val_col: str) -> pd.DataFrame:
+    """Shannon entropy (nats) of the ``val_col`` distribution WITHIN
+    each group — behavioral diversity per user / per slice — from one
+    (group, value) count exchange and the same H = ln(n) − (Σ c·ln c)/n
+    algebra both engines share (``grouped_entropy`` is the one-group
+    special case). → (group, n, n_distinct, entropy)."""
+    from .groupagg import grouped_aggregate
+
+    counts = grouped_aggregate(ds.select_columns([group_col, val_col]),
+                               [group_col, val_col],
+                               {"n": (val_col, "count")})
+    g = counts.groupby(group_col, sort=False)
+    nn = counts["n"].to_numpy(np.float64)
+    counts = counts.assign(__nln=nn * np.log(nn))
+    out = pd.DataFrame({
+        "n": g["n"].sum().astype(np.int64),
+        "n_distinct": g.size().astype(np.int64),
+        "s": counts.groupby(group_col, sort=False)["__nln"].sum(),
+    }).reset_index()
+    out["entropy"] = np.log(out["n"].to_numpy(np.float64)) \
+        - out["s"].to_numpy(np.float64) / out["n"].to_numpy(np.float64)
+    return (out.drop(columns="s")
+            .sort_values(group_col).reset_index(drop=True))
+
+
+# ------------------------------------------- time-decayed grouped sums
+
+def decayed_sum_by_group(ds, group_col: str, ts_col: str, val_col: str,
+                         half_life_s: float | None = None,
+                         tau_s: float = 86400.0) -> pd.DataFrame:
+    """Exponentially time-decayed value sum per group at the stream's
+    horizon (max timestamp): Σ v·exp(−Δ/τ) — the standard recency-
+    weighted engagement feature, exact in two folds (horizon max, then
+    the decayed partial sum; decay weights are computed from the SAME
+    broadcast horizon on every worker, so partials merge exactly).
+    ``half_life_s`` overrides τ with half-life semantics (τ = hl/ln 2).
+    → (group, n, decayed_sum)."""
+    import ray
+
+    from ..functions.broadcast import cached_get
+    from .groupagg import grouped_aggregate
+
+    if half_life_s is not None:
+        tau_s = half_life_s / np.log(2.0)
+
+    def tmax(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mx": [b[ts_col].max()]})
+
+    mx = pd.concat(list(
+        ds.select_columns([ts_col]).map_batches(
+            tmax, batch_format="pandas").iter_batches(
+                batch_size=4096, batch_format="pandas")))["mx"].max()
+    ref = ray.put(mx)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        horizon = cached_get(ref)
+        ok = b[ts_col].notna() & b[val_col].notna()
+        dt = (horizon - b.loc[ok, ts_col]).dt.total_seconds() \
+            .to_numpy(np.float64)
+        v = b.loc[ok, val_col].to_numpy(np.float64)
+        f = pd.DataFrame({"g": b.loc[ok, group_col],
+                          "w": v * np.exp(-dt / tau_s)})
+        gg = f.groupby("g", sort=False)["w"]
+        return pd.DataFrame({"g": gg.sum().index, "s": gg.sum().to_numpy(),
+                             "n": gg.size().to_numpy(np.int64)})
+
+    out = grouped_aggregate(
+        ds.select_columns([group_col, ts_col, val_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["g"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    out = out.rename(columns={"g": group_col, "s": "decayed_sum"})
+    out["n"] = out["n"].astype("int64")
+    return (out[[group_col, "n", "decayed_sum"]]
+            .sort_values(group_col).reset_index(drop=True))

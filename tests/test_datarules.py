@@ -522,3 +522,43 @@ def test_grouped_mad_outliers(ray_session):
     dv = np.sort(np.abs(va - med))
     mad = dv[max(1, int(np.ceil(0.5 * len(dv)))) - 1]
     assert ra["mad"] == mad
+
+
+def test_entropy_by_group_exact(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.datarules import entropy_by_group
+
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2],
+                       "e": ["a", "a", "b", "c", "c"]})
+    out = entropy_by_group(rd.from_pandas(df).repartition(2),
+                           "u", "e").set_index("u")
+    # user 1: counts {a:2,b:1} → H = ln3 - (2ln2)/3
+    assert out.loc[1, "entropy"] == pytest.approx(
+        np.log(3) - 2 * np.log(2) / 3)
+    assert out.loc[1, "n_distinct"] == 2
+    # user 2: single type → 0
+    assert out.loc[2, "entropy"] == pytest.approx(0.0)
+
+
+def test_decayed_sum_by_group_exact(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.datarules import decayed_sum_by_group
+
+    t0 = pd.Timestamp("2024-01-02")
+    df = pd.DataFrame({
+        "u": [1, 1, 2],
+        "ts": [t0, t0 - pd.Timedelta(days=1), t0],
+        "v": [10.0, 10.0, 5.0],
+    })
+    out = decayed_sum_by_group(rd.from_pandas(df).repartition(2),
+                               "u", "ts", "v", tau_s=86400.0) \
+        .set_index("u")
+    assert out.loc[1, "decayed_sum"] == pytest.approx(10 + 10 * np.exp(-1))
+    assert out.loc[2, "decayed_sum"] == pytest.approx(5.0)
+    # half-life semantics: one half-life back decays to exactly half
+    out2 = decayed_sum_by_group(rd.from_pandas(df).repartition(2),
+                                "u", "ts", "v", half_life_s=86400.0) \
+        .set_index("u")
+    assert out2.loc[1, "decayed_sum"] == pytest.approx(15.0)
