@@ -822,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
         "snm_pairs_customers": Q.snm_pairs_customers,
+        "snm_multipass_customers": Q.snm_multipass_customers,
         "ttr_sources_docs": Q.ttr_sources_docs,
         "ngram_novelty_docs": Q.ngram_novelty_docs,
         "source_overlap_docs": Q.source_overlap_docs,
@@ -3549,6 +3550,30 @@ def oracle_sql() -> dict[str, str]:
             FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 4
             WHERE levenshtein(a.k, b.k) <= 2
             ORDER BY id_a, id_b""",
+        "snm_multipass_customers": """
+            WITH r1 AS (
+              SELECT c_custkey AS id, c_name AS k,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+              FROM customer),
+            r2 AS (
+              SELECT c_custkey AS id, reverse(c_name) AS k,
+                     row_number() OVER (
+                         ORDER BY reverse(c_name), c_custkey) AS rn
+              FROM customer),
+            p AS (
+              SELECT least(a.id, b.id) AS id_a,
+                     greatest(a.id, b.id) AS id_b,
+                     levenshtein(a.k, b.k) AS lev
+              FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn < a.rn + 4
+              WHERE levenshtein(a.k, b.k) <= 2
+              UNION ALL
+              SELECT least(a.id, b.id), greatest(a.id, b.id),
+                     levenshtein(a.k, b.k)
+              FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn < a.rn + 4
+              WHERE levenshtein(a.k, b.k) <= 2)
+            SELECT id_a, id_b, CAST(min(lev) AS BIGINT) AS lev,
+                   CAST(count(*) AS BIGINT) AS n_passes
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
         "ttr_sources_docs": """
             WITH t AS (
               SELECT source,

@@ -26,7 +26,7 @@ import math
 import numpy as np
 import pandas as pd
 
-__all__ = ["snm_pairs"]
+__all__ = ["snm_pairs", "snm_multipass"]
 
 
 def snm_pairs(ds, id_col: str, key_col: str, window: int = 5,
@@ -98,4 +98,40 @@ def snm_pairs(ds, id_col: str, key_col: str, window: int = 5,
            .groupby("__g").map_groups(gen, batch_format="pandas")
            .to_pandas())
     out["lev"] = out["lev"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def snm_multipass(ds, id_col: str, key_cols: list[str], window: int = 5,
+                  max_dist: int | None = None,
+                  n_parts: int = 32) -> pd.DataFrame:
+    """Multi-pass sorted neighborhood (the full Hernández-Stolfo
+    method): one SNM pass per sort key, pairs unioned — a single fuzzy
+    key misses matches that differ early in the string; a second pass
+    over e.g. the REVERSED key catches prefix-divergent duplicates.
+    Pairs normalize to (min id, max id); ``lev`` is identical across
+    passes when keys are distance-preserving transforms (reversal is),
+    otherwise the minimum is kept. ``n_passes`` = how many passes
+    surfaced the pair (2-pass agreement is a confidence signal).
+    → (id_a, id_b, lev, n_passes) sorted."""
+    frames = []
+    for k in key_cols:
+        p = snm_pairs(ds, id_col, k, window=window, max_dist=max_dist,
+                      n_parts=n_parts)
+        if len(p):
+            frames.append(pd.DataFrame({
+                "id_a": np.minimum(p["id_a"], p["id_b"]),
+                "id_b": np.maximum(p["id_a"], p["id_b"]),
+                "lev": p["lev"],
+            }))
+    if not frames:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "lev": pd.Series([], dtype="int64"),
+                             "n_passes": pd.Series([], dtype="int64")})
+    allp = pd.concat(frames, ignore_index=True)
+    out = (allp.groupby(["id_a", "id_b"], sort=False)
+           .agg(lev=("lev", "min"), n_passes=("lev", "size"))
+           .reset_index())
+    out["lev"] = out["lev"].astype("int64")
+    out["n_passes"] = out["n_passes"].astype("int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -5078,3 +5078,24 @@ def decayed_engagement_users_events(sf_dir: str) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     out["decayed_sum"] = out["decayed_sum"].round(6)
     return out
+
+
+def snm_multipass_customers(sf_dir: str) -> pd.DataFrame:
+    """Multi-pass sorted neighborhood over customer names: pass 1 sorts
+    by c_name, pass 2 by reverse(c_name) (catches prefix-divergent
+    duplicates a single sort key misses), pairs unioned with pass
+    agreement counts (dedup/snm.snm_multipass). Window 4, edit
+    distance ≤ 2. → (id_a, id_b, lev, n_passes)."""
+    from ..dedup.snm import snm_multipass
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def add_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rk"] = [v[::-1] if isinstance(v, str) else v
+                     for v in b["c_name"]]
+        return b
+
+    ds2 = ds.map_batches(add_rev, batch_format="pandas")
+    return snm_multipass(ds2, "c_custkey", ["c_name", "__rk"],
+                         window=4, max_dist=2)

@@ -82,3 +82,34 @@ def test_snm_tiny_input(ray_session):
         {"id": np.array([1, 2], dtype=np.int64), "k": ["ab", "ac"]})),
         "id", "k", window=3)
     assert out.to_dict("records") == [{"id_a": 1, "id_b": 2, "lev": 1}]
+
+
+def test_snm_multipass_union_and_agreement(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.dedup.snm import snm_multipass
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": ["abcd", "abce", "zzzz", "qabc", "rabc", "mmmm"],
+    })
+
+    def add_rev(b):
+        b = b.copy()
+        b["rk"] = [v[::-1] for v in b["k"]]
+        return b
+
+    ds = rd.from_pandas(df).map_batches(add_rev, batch_format="pandas")
+    out = snm_multipass(ds, "id", ["k", "rk"], window=2, max_dist=1)
+    recs = {(r.id_a, r.id_b): (r.lev, r.n_passes)
+            for r in out.itertuples()}
+    # (abcd, abce): adjacent under BOTH sorts (forward and reversed
+    # differ in last/first char → lev 1) — forward pass finds it;
+    # (qabc, rabc): reversed keys cbaq/cbar adjacent → pass 2 finds it,
+    # forward sort also places them adjacent (q < r) → 2 passes
+    assert (0, 1) in recs
+    assert (3, 4) in recs
+    assert recs[(3, 4)][0] == 1
+    # every pair normalized id_a < id_b and counted once per pass max
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["n_passes"] <= 2).all()
