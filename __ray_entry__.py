@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_by_source_docs": Q.auc_by_source_docs,
         "behavior_entropy_users_events": Q.behavior_entropy_users_events,
         "decayed_engagement_users_events": Q.decayed_engagement_users_events,
+        "late_events_events": Q.late_events_events,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3820,6 +3821,28 @@ def oracle_sql() -> dict[str, str]:
                         AND user_id IS NOT NULL)
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    round(sum(w), 6) AS decayed_sum
+            FROM w GROUP BY 1 ORDER BY 1""",
+        "late_events_events": """
+            WITH e AS (
+              SELECT event_id,
+                     ts - to_microseconds(
+                         CAST((md5_number_lower('lag-'
+                               || CAST(event_id AS VARCHAR)) % 7200)
+                              * 1000000 AS BIGINT)) AS et
+              FROM events),
+            w AS (SELECT et,
+                         max(et) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS wm
+                  FROM e)
+            SELECT date_trunc('hour', et) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE wm IS NOT NULL
+                        AND et < wm - INTERVAL 30 MINUTE) AS BIGINT)
+                       AS n_late,
+                   round(count(*) FILTER (WHERE wm IS NOT NULL
+                         AND et < wm - INTERVAL 30 MINUTE) * 1.0
+                         / count(*), 6) AS late_ratio
             FROM w GROUP BY 1 ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,

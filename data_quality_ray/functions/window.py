@@ -243,3 +243,50 @@ def sliding_distinct(ds, key_col: str, ts_col: str, window_hours: int = 6,
         "window_start": pd.to_datetime(hours * 3600, unit="s"),
         "n_distinct": counts.astype(np.int64),
     })
+
+
+def running_max(ds, order_col: str, val_col: str, out_col: str = "run_max",
+                n_parts: int = 32, exclusive: bool = True):
+    """Distributed prefix-scan maximum over a GLOBAL order — the
+    streaming-watermark primitive (max event-time seen so far in
+    arrival order) — without a sequential pass: range-partition on
+    ``order_col`` (one exchange; equal keys co-locate), fold each
+    partition's max, prefix-combine the tiny per-partition maxima on
+    the driver, broadcast, and each partition runs a vectorized local
+    cummax merged with its predecessors' prefix. ``exclusive`` shifts
+    by one (the SQL ROWS … AND 1 PRECEDING frame): the first global row
+    gets null. ``val_col`` must be numeric (cast datetimes to int64 ns)
+    and non-null. → Dataset with ``out_col`` (float64; NaN = no
+    predecessor)."""
+    import ray
+
+    from ..profiling.groupagg import grouped_aggregate
+    from .broadcast import cached_get
+    from .partitioning import add_range_partition, range_split_points
+
+    ds = ds.materialize()  # consumed twice: split points + the scan
+    splits = range_split_points(ds, order_col, n_parts)
+    parts = add_range_partition(ds, order_col, splits).materialize()
+    pmax = grouped_aggregate(parts, ["part_id"],
+                             {"mx": (val_col, "max")},
+                             final="driver").sort_values("part_id")
+    prior: dict[int, float] = {}
+    cur = np.nan
+    for pid, mx in zip(pmax["part_id"].astype(int), pmax["mx"]):
+        prior[pid] = cur
+        cur = float(mx) if np.isnan(cur) else max(cur, float(mx))
+    ref = ray.put(prior)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(ref)
+        pid = int(g["part_id"].iloc[0])
+        g = (g.sort_values(order_col, kind="mergesort")
+             .drop(columns="part_id").reset_index(drop=True))
+        v = g[val_col].to_numpy(np.float64)
+        run = np.maximum.accumulate(v)
+        if exclusive:
+            run = np.concatenate([[np.nan], run[:-1]])
+        g[out_col] = np.fmax(run, offs.get(pid, np.nan))
+        return g
+
+    return parts.groupby("part_id").map_groups(scan, batch_format="pandas")

@@ -48,6 +48,16 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
+def _round6(x):
+    """Half-AWAY-from-zero rounding at 6 dp (DuckDB ``round`` parity).
+    pandas/numpy ``.round`` is banker's: an exact half like 89/128 =
+    0.6953125 rounds to …312 there but …313 in SQL — any exact
+    rational with a power-of-two denominator can hit this, so every
+    ratio built from integer counts goes through here."""
+    v = np.asarray(x, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
 # Model stages here run as TASK pools: every query-level model is either
 # rebuilt from a broadcast weight vector (HashedLinearQuality.from_weights)
 # or memoized per worker process (stages/models.process_model), so actor
@@ -4799,7 +4809,7 @@ def ks_price_lineitem(sf_dir: str) -> pd.DataFrame:
     r = ks_statistic(ds, "l_returnflag", "l_extendedprice", "A", "R")
     return pd.DataFrame({
         "n_a": [np.int64(r["n_a"])], "n_b": [np.int64(r["n_b"])],
-        "ks_stat": [round(r["ks_stat"], 6)],
+        "ks_stat": [float(_round6(r["ks_stat"]))],
         "ks_at": [round(r["ks_at"], 2)],
     })
 
@@ -4824,7 +4834,7 @@ def auc_docs(sf_dir: str) -> pd.DataFrame:
     r = roc_auc(j, "quality_score", "keep")
     return pd.DataFrame({
         "n": [np.int64(r["n"])], "n_pos": [np.int64(r["n_pos"])],
-        "n_neg": [np.int64(r["n_neg"])], "auc": [round(r["auc"], 6)],
+        "n_neg": [np.int64(r["n_neg"])], "auc": [float(_round6(r["auc"]))],
     })
 
 
@@ -4846,8 +4856,8 @@ def kappa_docs(sf_dir: str) -> pd.DataFrame:
         "n": [np.int64(r["n"])],
         "tp": [np.int64(r["tp"])], "fp": [np.int64(r["fp"])],
         "fn": [np.int64(r["fn"])], "tn": [np.int64(r["tn"])],
-        "p_o": [round(r["p_o"], 6)], "p_e": [round(r["p_e"], 6)],
-        "kappa": [round(r["kappa"], 6)],
+        "p_o": [float(_round6(r["p_o"]))], "p_e": [float(_round6(r["p_e"]))],
+        "kappa": [float(_round6(r["kappa"]))],
     })
 
 
@@ -4863,7 +4873,7 @@ def percentile_norm_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
     out = grouped_percent_rank(ds, "source", "n_chars").to_pandas()
-    out["pct_rank"] = out["pct_rank"].round(6)
+    out["pct_rank"] = _round6(out["pct_rank"])
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -4891,8 +4901,8 @@ def ttr_sources_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["source", "text"])
     out = ttr_by_group(ds, "source", "text")
-    out["ttr"] = out["ttr"].round(6)
-    out["hapax_ratio"] = out["hapax_ratio"].round(6)
+    out["ttr"] = _round6(out["ttr"])
+    out["hapax_ratio"] = _round6(out["hapax_ratio"])
     return out
 
 
@@ -4906,7 +4916,7 @@ def ngram_novelty_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ngram_novelty(ds, "doc_id", "text", n=3)
-    out["novelty"] = out["novelty"].round(6)
+    out["novelty"] = _round6(out["novelty"])
     return out
 
 
@@ -4921,7 +4931,7 @@ def source_overlap_docs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["source", "text"])
     out = source_overlap(ds, "source", "text", n=3)
     out["n_shared"] = out["n_shared"].astype("int64")
-    out["jaccard"] = out["jaccard"].astype(float).round(6)
+    out["jaccard"] = _round6(out["jaccard"].astype(float))
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
 
@@ -4980,7 +4990,7 @@ def rule_ablation_docs(sf_dir: str) -> pd.DataFrame:
     out = out.drop(columns=["n_rows"])
     for c in ("n_hit", "n_first", "n_sole"):
         out[c] = out[c].astype("int64")
-    out["rescue_rate"] = (out["n_sole"] / total).round(6)
+    out["rescue_rate"] = _round6(out["n_sole"] / total)
     return out.sort_values("rule").reset_index(drop=True)
 
 
@@ -5006,7 +5016,7 @@ def source_concentration_docs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
     out = source_concentration(ds, "source", "n_chars")
     for c in ("hhi_docs", "hhi_weight", "top_share_docs"):
-        out[c] = out[c].round(6)
+        out[c] = _round6(out[c])
     return out
 
 
@@ -5045,7 +5055,7 @@ def auc_by_source_docs(sf_dir: str) -> pd.DataFrame:
     out = grouped_roc_auc(ds.map_batches(fused, batch_format="pyarrow"),
                           "source", "quality_score", "keep")
     out = out.rename(columns={"group": "source"})
-    out["auc"] = out["auc"].astype(float).round(6)
+    out["auc"] = _round6(out["auc"].astype(float))
     for c in ("n", "n_pos", "n_neg"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
@@ -5099,3 +5109,51 @@ def snm_multipass_customers(sf_dir: str) -> pd.DataFrame:
     ds2 = ds.map_batches(add_rev, batch_format="pandas")
     return snm_multipass(ds2, "c_custkey", ["c_name", "__rk"],
                          window=4, max_dist=2)
+
+
+def late_events_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark / late-data accounting: arrival order is
+    event_id, EVENT time is ts minus a deterministic md5 jitter of up
+    to 2 h (both engines derive the identical jitter — the seeded-hash
+    contract), the watermark is the running max event time over
+    arrival order (functions/window.running_max — a distributed prefix
+    scan, no sequential pass), and an event is LATE when its event time
+    sits more than 30 min behind the watermark. Per event-time hour:
+    arrivals, late count, late ratio.
+    → (window_start, n, n_late, late_ratio)."""
+    from ..functions.window import running_max
+    from ..profiling.groupagg import grouped_aggregate
+    from ..profiling.sketches import md5_hash64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        jit = (md5_hash64(("lag-" + b["event_id"].astype(str)).to_numpy())
+               % np.uint64(7200)).astype(np.int64)
+        et = b["ts"] - pd.to_timedelta(jit, unit="s")
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "et_ns": (et - pd.Timestamp(0)).astype("timedelta64[ns]")
+            .astype(np.int64),
+        })
+
+    scanned = running_max(ds.map_batches(prep, batch_format="pandas"),
+                          "event_id", "et_ns", out_col="wm")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        et = b["et_ns"].to_numpy(np.int64)
+        wm = b["wm"].to_numpy(np.float64)
+        late = ~np.isnan(wm) & (et < wm - 1.8e12)  # 30 min in ns
+        hour = (et // 3_600_000_000_000) * 3_600_000_000_000
+        return pd.DataFrame({"h": hour, "late": late.astype(np.int64)})
+
+    out = grouped_aggregate(
+        scanned.map_batches(stats, batch_format="pandas"),
+        ["h"], {"n": ("late", "count"), "n_late": ("late", "sum")})
+    out = out.sort_values("h").reset_index(drop=True)
+    return pd.DataFrame({
+        "window_start": pd.to_datetime(out["h"].astype("int64")),
+        "n": out["n"].astype("int64"),
+        "n_late": out["n_late"].astype("int64"),
+        "late_ratio": _round6(out["n_late"] / out["n"]),
+    })
