@@ -834,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "behavior_entropy_users_events": Q.behavior_entropy_users_events,
         "decayed_engagement_users_events": Q.decayed_engagement_users_events,
         "late_events_events": Q.late_events_events,
+        "seasonal_anomalies_events": Q.seasonal_anomalies_events,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3844,6 +3845,26 @@ def oracle_sql() -> dict[str, str]:
                          AND et < wm - INTERVAL 30 MINUTE) * 1.0
                          / count(*), 6) AS late_ratio
             FROM w GROUP BY 1 ORDER BY 1""",
+        "seasonal_anomalies_events": """
+            WITH c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT h, n, dayofweek(h) AS dow, hour(h) AS hod FROM c),
+            b AS (SELECT dow, hod, count(*) AS cnt, sum(n) AS s1,
+                         sum(n * n) AS s2
+                  FROM s GROUP BY 1, 2),
+            f AS (SELECT s.h, s.n, b.s1 * 1.0 / b.cnt AS mu,
+                         CASE WHEN b.cnt > 1
+                              THEN sqrt(greatest(b.s2 - b.s1 * b.s1 * 1.0
+                                                 / b.cnt, 0)
+                                        / (b.cnt - 1))
+                              ELSE 0 END AS sd
+                  FROM s JOIN b USING (dow, hod))
+            SELECT h AS hour, CAST(n AS BIGINT) AS n,
+                   round(mu, 6) AS slot_mean, round(sd, 6) AS slot_std
+            FROM f
+            WHERE sd > 0 AND (n > round(mu + 1.5 * sd, 6)
+                              OR n < round(mu - 1.5 * sd, 6))
+            ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

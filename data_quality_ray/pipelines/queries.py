@@ -5157,3 +5157,15 @@ def late_events_events(sf_dir: str) -> pd.DataFrame:
         "n_late": out["n_late"].astype("int64"),
         "late_ratio": _round6(out["n_late"] / out["n"]),
     })
+
+
+def seasonal_anomalies_events(sf_dir: str) -> pd.DataFrame:
+    """Seasonality-aware hourly anomalies: each hour's event count
+    judged against its own (day-of-week, hour-of-day) slot baseline
+    (profiling/datarules.seasonal_anomalies — one counting fold, slot
+    Σ/Σ² algebra, 6-dp fence contract; integer sums make both engines'
+    fences bit-identical). → flagged (hour, n, slot_mean, slot_std)."""
+    from ..profiling.datarules import seasonal_anomalies
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    return seasonal_anomalies(ds, "ts", sigma=1.5)

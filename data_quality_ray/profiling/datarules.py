@@ -912,3 +912,51 @@ def decayed_sum_by_group(ds, group_col: str, ts_col: str, val_col: str,
     out["n"] = out["n"].astype("int64")
     return (out[[group_col, "n", "decayed_sum"]]
             .sort_values(group_col).reset_index(drop=True))
+
+
+# ------------------------------------------ seasonal-baseline anomalies
+
+def seasonal_anomalies(ds, ts_col: str, sigma: float = 1.5) -> pd.DataFrame:
+    """Seasonal traffic anomalies: hourly event counts judged against
+    their OWN (day-of-week, hour-of-day) slot's mean ± sigma·sd — a
+    Monday-9am spike is compared to other Monday-9ams, not to the
+    global rate (``rate_anomalies``' Poisson baseline flags rush hours
+    as bursts; this doesn't). ONE counting fold (key space = wall-clock
+    hours, bounded by time not rows); slot stats from the shared
+    Σ/Σ² algebra; fences rounded to 6 dp BEFORE comparing (the fence
+    contract), so integer counts compare identically in both engines.
+    Note: with few observations per slot the SAMPLE sd fence is
+    conservative — each point inflates its own fence — hence the low
+    default sigma. → flagged (hour, n, slot_mean, slot_std)."""
+    from .groupagg import grouped_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": b[ts_col].dt.floor("h")})
+
+    counts = grouped_aggregate(
+        ds.select_columns([ts_col]).map_batches(partial,
+                                                batch_format="pandas"),
+        ["hour"], {"n": ("hour", "count")}).sort_values("hour")
+    h = pd.to_datetime(counts["hour"])
+    n = counts["n"].to_numpy(np.float64)
+    slot = pd.DataFrame({"dow": h.dt.dayofweek, "hod": h.dt.hour, "n": n})
+    g = slot.groupby(["dow", "hod"])
+    cnt = g["n"].transform("size").to_numpy(np.float64)
+    s1 = g["n"].transform("sum").to_numpy(np.float64)
+    s2 = g["n"].transform(lambda s: float((s * s).sum())).to_numpy()
+    mu = s1 / cnt
+    sd = np.where(cnt > 1,
+                  np.sqrt(np.maximum(s2 - s1 * s1 / cnt, 0.0)
+                          / np.maximum(cnt - 1, 1)), 0.0)
+
+    def r6(v):
+        return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+    hi, lo = r6(mu + sigma * sd), r6(mu - sigma * sd)
+    flag = (sd > 0) & ((n > hi) | (n < lo))
+    return pd.DataFrame({
+        "hour": h[flag].to_numpy(),
+        "n": counts["n"].to_numpy(np.int64)[flag],
+        "slot_mean": r6(mu[flag]),
+        "slot_std": r6(sd[flag]),
+    }).reset_index(drop=True)

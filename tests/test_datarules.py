@@ -562,3 +562,25 @@ def test_decayed_sum_by_group_exact(ray_session):
                                 "u", "ts", "v", half_life_s=86400.0) \
         .set_index("u")
     assert out2.loc[1, "decayed_sum"] == pytest.approx(15.0)
+
+
+def test_seasonal_anomalies_flags_slot_outlier(ray_session):
+    import ray.data as rd
+
+    from data_quality_ray.profiling.datarules import seasonal_anomalies
+
+    # four Mondays 09:00 with ~10 events, one Monday with 100 —
+    # the spike is anomalous vs its own slot
+    rows = []
+    base = pd.Timestamp("2024-01-01 09:00")  # a Monday
+    for wk, n in enumerate([10, 11, 9, 10, 100]):
+        t = base + pd.Timedelta(weeks=wk)
+        rows += [{"ts": t + pd.Timedelta(seconds=i)} for i in range(n)]
+    # a control slot (Tuesday 09:00) with steady counts — never flagged
+    for wk in range(5):
+        t = base + pd.Timedelta(days=1, weeks=wk)
+        rows += [{"ts": t + pd.Timedelta(seconds=i)} for i in range(10)]
+    out = seasonal_anomalies(rd.from_items(rows), "ts", sigma=1.5)
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 100
+    assert out["hour"].iloc[0] == base + pd.Timedelta(weeks=4)
