@@ -206,6 +206,21 @@ def run_bench() -> dict:
         ("readability_docs", Q.readability_docs),
         ("source_divergence_docs", Q.source_divergence_docs),
         ("epoch_plan_docs", Q.epoch_plan_docs),
+        # round-5 surface: evaluation stats, SNM dedup, lexical metrics,
+        # stream analytics
+        ("auc_docs", Q.auc_docs),
+        ("snm_pairs_customers", Q.snm_pairs_customers),
+        ("snm_multipass_customers", Q.snm_multipass_customers),
+        ("ngram_novelty_docs", Q.ngram_novelty_docs),
+        ("source_overlap_docs", Q.source_overlap_docs),
+        ("sliding_distinct_users_events", Q.sliding_distinct_users_events),
+        ("late_events_events", Q.late_events_events),
+        ("rule_ablation_docs", Q.rule_ablation_docs),
+        ("ttr_sources_docs", Q.ttr_sources_docs),
+        ("char_entropy_docs", Q.char_entropy_docs),
+        ("auc_by_source_docs", Q.auc_by_source_docs),
+        ("decayed_engagement_users_events",
+         Q.decayed_engagement_users_events),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E
