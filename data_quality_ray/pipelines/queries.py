@@ -2440,7 +2440,10 @@ def campaign_overlap_events(sf_dir: str) -> pd.DataFrame:
         {"n_sessions": ("overlap", "count"),
          "total_ns": ("overlap", "sum")}, final="driver")
     out["n_sessions"] = out["n_sessions"].astype("int64")
-    out["total_overlap_sec"] = (out["total_ns"] / 1e9).round(6)
+    # campaign boundaries are integer-ns grid points (span*k//N), NOT
+    # µs-aligned, so overlap seconds can land on exact 6-dp halves —
+    # half-away rounding (DuckDB parity), not pandas banker's
+    out["total_overlap_sec"] = _round6(out["total_ns"] / 1e9)
     return (out[["user_id", "campaign_id", "n_sessions",
                  "total_overlap_sec"]]
             .sort_values(["user_id", "campaign_id"])
