@@ -166,8 +166,8 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         {"sum_qty": ("l_quantity", "sum"), "sum_price": ("l_extendedprice", "sum"),
          "n": ("", "count")},
     )
-    out["avg_qty"] = (out["sum_qty"] / out["n"]).round(6)
-    out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
+    out["avg_qty"] = _round6((out["sum_qty"] / out["n"]))
+    out["avg_price"] = _round6((out["sum_price"] / out["n"]))
     out["sum_qty"] = out["sum_qty"].round(2)
     out["sum_price"] = out["sum_price"].round(2)
     return out
@@ -182,7 +182,7 @@ def summary_orders(sf_dir: str) -> pd.DataFrame:
         {"n": ("", "count"), "sum_price": ("o_totalprice", "sum"),
          "min_price": ("o_totalprice", "min"), "max_price": ("o_totalprice", "max")},
     )
-    out["avg_price"] = (out["sum_price"] / out["n"]).round(6)
+    out["avg_price"] = _round6((out["sum_price"] / out["n"]))
     out["sum_price"] = out["sum_price"].round(2)
     return out
 
@@ -204,7 +204,7 @@ def text_length_by_lang(sf_dir: str) -> pd.DataFrame:
         {"n": ("", "count"), "min_len": ("len", "min"), "max_len": ("len", "max"),
          "sum_len": ("len", "sum")},
     )
-    out["avg_len"] = (out["sum_len"] / out["n"]).round(6)
+    out["avg_len"] = _round6((out["sum_len"] / out["n"]))
     return out
 
 
@@ -438,7 +438,7 @@ def knn_embeddings(sf_dir: str) -> pd.DataFrame:
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.asarray(qt["embedding"][int(np.flatnonzero(qt["vec_id"].to_numpy() == 0)[0])].as_py())
     out = cosine_topk(ds, "vec_id", "embedding", qvec, k=10)
-    out["sim"] = out["sim"].round(6)
+    out["sim"] = _round6(out["sim"])
     return out.rename(columns={"id": "vec_id"})
 
 
@@ -472,7 +472,7 @@ def ivf_store_knn_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
             raise AssertionError(f"nprobe==n_lists must scan every list: {full_stats}")
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    exact["sim"] = exact["sim"].round(6)
+    exact["sim"] = _round6(exact["sim"])
     return exact.rename(columns={"id": "vec_id"})[["vec_id", "sim"]]
 
 
@@ -492,7 +492,7 @@ def pq_topk_embeddings(sf_dir: str) -> pd.DataFrame:
     books = pq_train(ds, "vec_id", "embedding", m=8, ksub=16, iters=2)
     codes = pq_encode(ds, "vec_id", "embedding", books)
     out = pq_topk(codes, "vec_id", books, qvec, k=10)
-    out["adc"] = out["adc"].round(6)
+    out["adc"] = _round6(out["adc"])
     out["vec_id"] = out["vec_id"].astype("int64")
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out[["vec_id", "adc", "rank"]]
@@ -528,7 +528,7 @@ def ivfpq_store_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
             raise AssertionError(f"IVF-PQ store did not prune the scan: {stats}")
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    out["adc"] = out["adc"].round(6)
+    out["adc"] = _round6(out["adc"])
     out["vec_id"] = out["vec_id"].astype("int64")
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out[["vec_id", "adc", "rank"]]
@@ -565,7 +565,7 @@ def ivfpq_residual_embeddings(sf_dir: str, n_lists: int = 8) -> pd.DataFrame:
             raise AssertionError(f"residual store did not prune: {stats}")
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    out["adc"] = out["adc"].round(6)
+    out["adc"] = _round6(out["adc"])
     out["vec_id"] = out["vec_id"].astype("int64")
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out[["vec_id", "adc", "rank"]]
@@ -754,7 +754,7 @@ def window_value_orders(sf_dir: str) -> pd.DataFrame:
                      ).to_pandas()
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     for c in ("pr", "cd"):
-        out[c] = out[c].round(6)
+        out[c] = _round6(out[c])
     for c in ("first_price", "last_price", "third_price"):
         out[c] = out[c].round(2)
     return (out[["o_orderkey", "o_orderstatus", "pr", "cd",
@@ -775,8 +775,8 @@ def moving_avg_events(sf_dir: str, frame: int = 7) -> pd.DataFrame:
     out = window_ops(ds, by="user_id", order_by=["ts", "event_id"],
                      ops={"roll_sum": ("rolling_sum", "value", frame),
                           "roll_avg": ("rolling_mean", "value", frame)}).to_pandas()
-    out["roll_sum"] = out["roll_sum"].round(6)
-    out["roll_avg"] = out["roll_avg"].round(6)
+    out["roll_sum"] = _round6(out["roll_sum"])
+    out["roll_avg"] = _round6(out["roll_avg"])
     out["event_id"] = out["event_id"].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return (out[["event_id", "user_id", "roll_sum", "roll_avg"]]
@@ -1063,7 +1063,7 @@ def token_stats_docs(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(f, batch_format="pyarrow"), ["source"],
         {"n_docs": ("", "count"), "sum_tokens": ("n_tok", "sum")},
     )
-    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(6)
+    out["avg_tokens"] = _round6((out["sum_tokens"] / out["n_docs"]))
     return out
 
 
@@ -1086,7 +1086,7 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
         ["event_type", "window_start"],
         {"n": ("", "count"), "sum_value": ("value", "sum")},
     )
-    out["sum_value"] = out["sum_value"].round(6)
+    out["sum_value"] = _round6(out["sum_value"])
     return out
 
 
@@ -1117,7 +1117,7 @@ def events_sliding_window(sf_dir: str, size_min: int = 60, slide_min: int = 15) 
         ["event_type", "window_start"],
         {"n": ("", "count"), "sum_value": ("value", "sum")},
     )
-    out["sum_value"] = out["sum_value"].round(6)
+    out["sum_value"] = _round6(out["sum_value"])
     return out
 
 
@@ -1271,7 +1271,7 @@ def json_extract_events(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": agg["event_type"],
         "n": agg["n"].astype("int64"),
-        "avg_k": (agg["s"] / agg["n"]).round(6),
+        "avg_k": _round6((agg["s"] / agg["n"])),
         "max_k": agg["mx"].astype("int64"),
     }).reset_index(drop=True)
 
@@ -2205,7 +2205,7 @@ def neardup_cluster_stats_docs(sf_dir: str) -> pd.DataFrame:
     out = (out.groupby("cluster_size", as_index=False)["n_clusters"].sum()
            .sort_values("cluster_size").reset_index(drop=True))
     out["n_docs"] = out["cluster_size"] * out["n_clusters"]
-    out["pct_of_corpus"] = (out["n_docs"] / total).round(6)
+    out["pct_of_corpus"] = _round6((out["n_docs"] / total))
     return out
 
 
@@ -2362,7 +2362,7 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
                      damping=PAGERANK_DAMPING, rounds=PAGERANK_ROUNDS)
     sup = ranks[ranks["node"] % 2 == 1].copy()
     sup["s_suppkey"] = ((sup["node"] - 1) // 2).astype("int64")
-    sup["rank"] = sup["rank"].round(6)
+    sup["rank"] = _round6(sup["rank"])
     return (sup[["s_suppkey", "rank"]].sort_values("s_suppkey")
             .reset_index(drop=True))
 
@@ -2867,8 +2867,9 @@ def impute_value_events(sf_dir: str) -> pd.DataFrame:
         "n": agg["n"].astype("int64"),
         "n_filled": agg["n_filled"].astype("int64"),
         "sum_value": agg["s"].round(2),
-        "fill_mean": ((agg["fs"] / agg["n_filled"]).round(6)
-                      .where(agg["n_filled"] > 0)),
+        "fill_mean": np.where(agg["n_filled"] > 0,
+                              _round6(agg["fs"] / agg["n_filled"]),
+                              np.nan),
     }).reset_index(drop=True)
 
 
@@ -4379,8 +4380,8 @@ def source_quality_docs(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(verdicts, batch_format="pyarrow"), ["source"],
         {"n": ("", "count"), "n_keep": ("keep", "sum"),
          "sum_tok": ("n_tok", "sum")})
-    out["keep_rate"] = (out["n_keep"] / out["n"]).round(6)
-    out["avg_tokens"] = (out["sum_tok"] / out["n"]).round(6)
+    out["keep_rate"] = _round6((out["n_keep"] / out["n"]))
+    out["avg_tokens"] = _round6((out["sum_tok"] / out["n"]))
     for c in ("n", "n_keep"):
         out[c] = out[c].astype("int64")
     return (out[["source", "n", "n_keep", "keep_rate", "avg_tokens"]]
@@ -5005,7 +5006,7 @@ def char_entropy_docs(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = char_entropy(ds, "doc_id", "text")
-    out["char_entropy"] = out["char_entropy"].round(6)
+    out["char_entropy"] = _round6(out["char_entropy"])
     return out
 
 
@@ -5074,7 +5075,7 @@ def behavior_entropy_users_events(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
     out = entropy_by_group(ds, "user_id", "event_type")
     out["user_id"] = out["user_id"].astype("int64")
-    out["entropy"] = out["entropy"].round(6)
+    out["entropy"] = _round6(out["entropy"])
     return out
 
 
@@ -5089,7 +5090,7 @@ def decayed_engagement_users_events(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     out = decayed_sum_by_group(ds, "user_id", "ts", "value", tau_s=86400.0)
     out["user_id"] = out["user_id"].astype("int64")
-    out["decayed_sum"] = out["decayed_sum"].round(6)
+    out["decayed_sum"] = _round6(out["decayed_sum"])
     return out
 
 
