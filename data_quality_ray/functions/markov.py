@@ -61,6 +61,8 @@ def transition_matrix(ds, key_col: str, ts_col: str, type_col: str,
     agg = (parts.groupby(["src", "dst"], sort=True)["n"].sum()
            .reset_index())
     tot = agg.groupby("src")["n"].transform("sum")
-    agg["p"] = (agg["n"] / tot).round(6)
+    p = agg["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+    # half-away at 6 dp (DuckDB round parity; banker's flips on halves)
+    agg["p"] = np.floor(p * 1e6 + 0.5) / 1e6
     agg["n"] = agg["n"].astype(np.int64)
     return agg.reset_index(drop=True)

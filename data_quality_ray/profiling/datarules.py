@@ -152,7 +152,9 @@ def benford_first_digit(ds, col: str) -> pd.DataFrame:
     out = ds.map_batches(partial, batch_format="pandas")
     merged = grouped_aggregate(out, ["digit"], {"n": ("n", "sum")})
     tot = merged["n"].sum()
-    merged["freq"] = (merged["n"] / tot).round(6)
+    f = merged["n"].to_numpy(np.float64) / tot
+    # half-away at 6 dp (DuckDB round parity; banker's flips on halves)
+    merged["freq"] = np.floor(f * 1e6 + 0.5) / 1e6
     merged["expected"] = merged["digit"].map(
         lambda d: round(BENFORD_EXPECTED[int(d)], 6))
     return merged.sort_values("digit").reset_index(drop=True)

@@ -77,7 +77,10 @@ def rrf_fuse(rankings: list[pd.DataFrame], k: int = 10,
                       ignore_index=True)
     all_r["contrib"] = 1.0 / (c + all_r["rank"].to_numpy(dtype=np.float64))
     agg = (all_r.groupby(["query_id", "id"], sort=True)["contrib"].sum()
-           .round(6).rename("rrf").reset_index())
+           .rename("rrf").reset_index())
+    # rrf is a sum of exact rationals 1/(c+rank) — half-away rounding
+    # at 6 dp (DuckDB round parity; banker's flips on exact halves)
+    agg["rrf"] = np.floor(agg["rrf"].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
     out = []
     for qid, g in agg.groupby("query_id", sort=True):
         g = (g.sort_values(["rrf", "id"], ascending=[False, True],
