@@ -71,3 +71,23 @@ def test_sliding_distinct_matches_duckdb_random(ray_session):
         assert out["n_distinct"].tolist() == exp["n_distinct"].tolist()
         assert (out["window_start"].astype(str).tolist()
                 == exp["window_start"].astype(str).tolist())
+
+
+def test_running_max_matches_sql_window(ray_session):
+    import duckdb
+
+    from data_quality_ray.functions.window import running_max
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"o": rng.permutation(500).astype(np.int64),
+                       "v": rng.integers(0, 1000, 500).astype(np.int64)})
+    out = (running_max(_ds(df), "o", "v", n_parts=7).to_pandas()
+           .sort_values("o").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT o, max(v) OVER (ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) rm
+        FROM df ORDER BY o""").df()
+    mine = out["run_max"].to_numpy()
+    ref = exp["rm"].to_numpy(np.float64)
+    assert np.isnan(mine[0]) and np.isnan(ref[0])
+    assert np.allclose(mine[1:], ref[1:])
