@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_engagement_users_events": Q.decayed_engagement_users_events,
         "late_events_events": Q.late_events_events,
         "seasonal_anomalies_events": Q.seasonal_anomalies_events,
+        "grouped_tdigest_events": Q.grouped_tdigest_events,
         "rule_report_docs": Q.rule_report_docs,
         "zipf_fit_docs": Q.zipf_fit_docs,
         "catalog_overview": Q.catalog_overview,
@@ -3865,6 +3866,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE sd > 0 AND (n > round(mu + 1.5 * sd, 6)
                               OR n < round(mu - 1.5 * sd, 6))
             ORDER BY 1""",
+        "grouped_tdigest_events": """
+            SELECT event_type,
+                   round(quantile_disc(value, 0.5), 6) AS p50,
+                   round(quantile_disc(value, 0.95), 6) AS p95,
+                   true AS p50_ok, true AS p95_ok
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 ORDER BY 1""",
         "simhash_docs": _SIMHASH_SQL,
         "simhash_pairs_docs": _SIMHASH_PAIRS_SQL,
         "simhash_dedup_docs": _SIMHASH_DEDUP_SQL,

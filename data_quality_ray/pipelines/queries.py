@@ -5173,3 +5173,39 @@ def seasonal_anomalies_events(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["ts"])
     return seasonal_anomalies(ds, "ts", sigma=1.5)
+
+
+def grouped_tdigest_events(sf_dir: str) -> pd.DataFrame:
+    """Per-group quantiles at scale: mergeable per-(batch, group)
+    t-digests (profiling/quantile_exact.grouped_tdigest — the
+    continuous-value scale path the exact grouped quantile documents)
+    gated by the digest's actual guarantee: the estimate must land
+    within the exact RANK WINDOW q ± 0.02 (a relative-value gate is
+    meaningless on a fat tail at small n) — the driver hash checks the
+    exact values plus the gate booleans (the HLL/t-digest oracle
+    pattern). → (event_type, p50, p95, p50_ok, p95_ok)."""
+    from ..profiling.quantile_exact import (grouped_disc_quantile,
+                                            grouped_tdigest)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    est = grouped_tdigest(ds, "event_type", "value", qs=(0.5, 0.95))
+    e50 = grouped_disc_quantile(ds, "event_type", "value", 0.5) \
+        .rename(columns={"q_val": "p50"})
+    e95 = grouped_disc_quantile(ds, "event_type", "value", 0.95) \
+        .rename(columns={"q_val": "p95"})
+    out = e50.merge(e95, on="event_type").sort_values("event_type") \
+        .reset_index(drop=True)
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        lo = grouped_disc_quantile(ds, "event_type", "value",
+                                   max(q - 0.02, 0.0)) \
+            .set_index("event_type")["q_val"]
+        hi = grouped_disc_quantile(ds, "event_type", "value",
+                                   min(q + 0.02, 1.0)) \
+            .set_index("event_type")["q_val"]
+        approx = np.array([est[g][q] for g in out["event_type"]])
+        out[f"{col}_ok"] = (
+            (approx >= lo.reindex(out["event_type"]).to_numpy())
+            & (approx <= hi.reindex(out["event_type"]).to_numpy()))
+    out["p50"] = _round6(out["p50"])
+    out["p95"] = _round6(out["p95"])
+    return out

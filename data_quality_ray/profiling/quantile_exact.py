@@ -180,3 +180,41 @@ def grouped_disc_quantile(ds, group_col: str, val_col: str,
         rows.append((g, _disc_quantile_val(sub[val_col].to_numpy(),
                                            cum, q)))
     return pd.DataFrame(rows, columns=[group_col, "q_val"])
+
+
+def grouped_tdigest(ds, group_col: str, val_col: str,
+                    qs: tuple = (0.5, 0.95)) -> dict:
+    """Per-group quantiles from MERGEABLE t-digests — the scale path
+    ``grouped_disc_quantile``'s docstring promises for unbounded
+    continuous value spaces: one (batch, group) digest-partial pass
+    (fixed ≤ ~2 KB state per cell), pickled partials stream to the
+    driver, one merge per group. Approximation bounded by the digest's
+    rank error; gate against an exact probe where checkable.
+    → {group: {q: estimate}}."""
+    import pickle
+
+    import pandas as pd
+
+    from .sketches import TDigest
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in b.groupby(group_col, sort=False):
+            d = TDigest()
+            d.update_array(pd.to_numeric(sub[val_col], errors="coerce")
+                           .dropna().to_numpy(np.float64))
+            rows.append((g, pickle.dumps(d)))
+        return pd.DataFrame(rows, columns=["grp", "blob"])
+
+    acc: dict = {}
+    for b in ds.select_columns([group_col, val_col]).map_batches(
+            partial, batch_format="pandas").iter_batches(
+            batch_size=256, batch_format="pandas"):
+        for g, blob in zip(b["grp"], b["blob"]):
+            d = pickle.loads(blob)
+            if g in acc:
+                acc[g].merge(d)
+            else:
+                acc[g] = d
+    return {g: {q: float(d.quantile(q)) for q in qs}
+            for g, d in acc.items()}

@@ -235,3 +235,24 @@ def test_bloom_filter_membership_and_merge():
 
     with pytest.raises(ValueError):
         bf.merge(BloomFilter(expected_items=5_000, fpr=0.01))
+
+
+def test_grouped_tdigest_near_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from data_quality_ray.profiling.quantile_exact import grouped_tdigest
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"g": np.repeat(["a", "b"], 5000),
+                       "v": np.concatenate([rng.normal(100, 10, 5000),
+                                            rng.exponential(50, 5000)])})
+    est = grouped_tdigest(rd.from_pandas(df).repartition(6), "g", "v",
+                          qs=(0.5, 0.95))
+    for g in ("a", "b"):
+        sub = np.sort(df.loc[df["g"] == g, "v"].to_numpy())
+        for q in (0.5, 0.95):
+            lo = sub[int(max(q - 0.02, 0) * len(sub))]
+            hi = sub[min(int((q + 0.02) * len(sub)), len(sub) - 1)]
+            assert lo <= est[g][q] <= hi, (g, q, est[g][q], lo, hi)
