@@ -93,23 +93,36 @@ def webdataset_roundtrip_images(sf_dir: str):
         read_webdataset, write_webdataset,
     )
 
+    import shutil
+    import tempfile
+
     fix = _image_fixture(sf_dir)
-    out = fix.replace("dq_ray_f1_", "dq_ray_wds_")
-    ds = rd.read_parquet(fix, columns=["image_id", "bytes", "caption"]) \
-           .sort("image_id")
-    write_webdataset(ds, out, key_col="image_id",
-                     exts={"bytes": "img", "caption": "txt"},
-                     shard_rows=2048, write_manifest=False)
-    back = read_webdataset(out, exts={"img": "binary", "txt": "text"})
+    # a FRESH per-run shard dir: shard names are block-relative (each
+    # block cuts its own ≤shard_rows tars), so two sessions with
+    # different parallelism write different shard names — reusing a
+    # fixed dir accumulates stale overlapping shards and the readback
+    # returns their union (caught by a full sf0.1 sweep after a bench
+    # run: 52826 rows vs 10000). Resume-reuse is only valid within one
+    # run's partitioning, which tmp+rename markers already handle.
+    out = tempfile.mkdtemp(prefix="dq_wds_")
+    try:
+        ds = rd.read_parquet(fix, columns=["image_id", "bytes", "caption"]) \
+               .sort("image_id")
+        write_webdataset(ds, out, key_col="image_id",
+                         exts={"bytes": "img", "caption": "txt"},
+                         shard_rows=2048, write_manifest=False)
+        back = read_webdataset(out, exts={"img": "binary", "txt": "text"})
 
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "image_id": t["__key__"],
-            "n_bytes": pc.cast(pc.binary_length(t["img"]), pa.int64()),
-            "caption": t["txt"],
-        })
+        def project(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "image_id": t["__key__"],
+                "n_bytes": pc.cast(pc.binary_length(t["img"]), pa.int64()),
+                "caption": t["txt"],
+            })
 
-    df = back.map_batches(project, batch_format="pyarrow").to_pandas()
+        df = back.map_batches(project, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return df.sort_values("image_id").reset_index(drop=True)
 
 
