@@ -831,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter-evaluation statistics (profiling/hypothesis.py)
         "ab_welch_events": Q.ab_welch_events,
         "ks_price_lineitem": Q.ks_price_lineitem,
+        "emd_price_lineitem": Q.emd_price_lineitem,
+        "cusum_changepoint_events": Q.cusum_changepoint_events,
         "auc_docs": Q.auc_docs,
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
@@ -3501,6 +3503,52 @@ def oracle_sql() -> dict[str, str]:
                    round(c.value, 2) AS ks_at
             FROM c, t
             ORDER BY abs(c.ca * t.tb - c.cb * t.ta) DESC, c.value ASC
+            LIMIT 1""",
+        # EMD: fixed-point cents keep the ECDF-area sum integer (and
+        # therefore summation-order-free); one final division mirrors
+        # profiling/hypothesis.wasserstein1's single rational.
+        "emd_price_lineitem": """
+            WITH v AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     count(*) FILTER (WHERE l_returnflag = 'A') AS na,
+                     count(*) FILTER (WHERE l_returnflag = 'R') AS nb
+              FROM lineitem
+              WHERE l_returnflag IN ('A', 'R')
+                    AND l_extendedprice IS NOT NULL
+              GROUP BY 1),
+            c AS (
+              SELECT cents,
+                     sum(na) OVER (ORDER BY cents) AS ca,
+                     sum(nb) OVER (ORDER BY cents) AS cb,
+                     lead(cents) OVER (ORDER BY cents) AS nxt
+              FROM v),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM v)
+            SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+                   round(sum(abs(c.ca * t.tb - c.cb * t.ta)
+                             * (c.nxt - c.cents))
+                         / (100.0 * t.ta * t.tb), 6) AS emd
+            FROM c, t WHERE c.nxt IS NOT NULL
+            GROUP BY t.ta, t.tb""",
+        # CUSUM: the arg-max day is selected on the integer
+        # |n_days·cum − i·total| (ties → earliest day), identical to
+        # profiling/hypothesis.cusum_changepoint.
+        "cusum_changepoint_events": """
+            WITH d AS (
+              SELECT date_trunc('day', ts) AS day, count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            c AS (
+              SELECT day,
+                     sum(n) OVER (ORDER BY day) AS cum,
+                     row_number() OVER (ORDER BY day) AS i
+              FROM d),
+            t AS (SELECT count(*) AS nd, sum(n) AS tot FROM d)
+            SELECT c.day AS change_day,
+                   CAST(t.nd AS BIGINT) AS n_days,
+                   CAST(t.tot AS BIGINT) AS n_events,
+                   round(abs(t.nd * c.cum - c.i * t.tot) * 1.0 / t.nd, 6)
+                       AS cusum_stat
+            FROM c, t
+            ORDER BY abs(t.nd * c.cum - c.i * t.tot) DESC, c.day
             LIMIT 1""",
         # AUC: twice-the-rank-sum stays integer (2R = Σ np·(2·before+n+1))
         # until the final division — identical rational on both sides;

@@ -5209,3 +5209,42 @@ def grouped_tdigest_events(sf_dir: str) -> pd.DataFrame:
     out["p50"] = _round6(out["p50"])
     out["p95"] = _round6(out["p95"])
     return out
+
+
+def emd_price_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    extended-price distributions of return flags A vs R — the
+    INTEGRATED distribution shift next to ks_price_lineitem's max gap
+    (profiling/hypothesis.wasserstein1). Prices are fixed-point cents
+    so the ECDF-area sum stays integer end-to-end; one final division
+    gives the same rational the SQL window replay rounds.
+    → one row (n_a, n_b, emd)."""
+    from ..profiling.hypothesis import wasserstein1
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    r = wasserstein1(ds, "l_returnflag", "l_extendedprice", "A", "R",
+                     decimals=2)
+    return pd.DataFrame({
+        "n_a": [np.int64(r["n_a"])], "n_b": [np.int64(r["n_b"])],
+        "emd": [float(_round6(r["emd"]))],
+    })
+
+
+def cusum_changepoint_events(sf_dir: str) -> pd.DataFrame:
+    """Level-shift change-point in daily event arrivals: centered
+    CUSUM over the per-day counts (profiling/hypothesis
+    .cusum_changepoint — Page's statistic / binary-segmentation first
+    split); the max-|S| day is chosen on the integer |n_d·cum − i·T|
+    so the SQL window replay picks the identical day.
+    → one row (change_day, n_days, n_events, cusum_stat)."""
+    from ..profiling.hypothesis import cusum_changepoint
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    r = cusum_changepoint(ds, "ts", unit="day")
+    return pd.DataFrame({
+        "change_day": [pd.Timestamp(r["change_at"])],
+        "n_days": [np.int64(r["n_buckets"])],
+        "n_events": [np.int64(r["n_events"])],
+        "cusum_stat": [float(_round6(r["cusum_stat"]))],
+    })

@@ -29,7 +29,8 @@ import pandas as pd
 from .groupagg import grouped_aggregate
 
 __all__ = ["welch_ttest", "ks_statistic", "roc_auc", "cohens_kappa",
-           "grouped_percent_rank", "grouped_roc_auc"]
+           "grouped_percent_rank", "grouped_roc_auc", "wasserstein1",
+           "cusum_changepoint"]
 
 
 def welch_ttest(ds, group_col: str, val_col: str,
@@ -103,6 +104,99 @@ def ks_statistic(ds, group_col: str, val_col: str,
     return {"n_a": tot_a, "n_b": tot_b,
             "ks_stat": float(gap[i] / (tot_a * tot_b)),
             "ks_at": float(counts["value"].iloc[i])}
+
+
+def wasserstein1(ds, group_col: str, val_col: str, group_a, group_b,
+                 decimals: int = 2) -> dict:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    groups' ``val_col`` distributions — the area between the ECDFs:
+    W₁ = Σ_consecutive |F_a − F_b| · Δv. Complements ``ks_statistic``
+    (max gap) with the INTEGRATED shift a curation run cares about
+    (how far did the whole distribution move, not just its worst
+    point). Same scale shape: ONE (value → n_a, n_b) exchange, then
+    driver algebra over distinct values.
+
+    Values are fixed-point at ``decimals`` (TPC-H money is 2-dp), so
+    the whole sum stays INTEGER — Σ |cum_a·N_b − cum_b·N_a| · Δv_fp is
+    exact and summation-order-free, and the single final division by
+    (10^decimals · N_a · N_b) produces the identical rational in the
+    DuckDB window replay (float partial sums would diverge between
+    engines on re-association)."""
+    fp = 10 ** decimals
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b[group_col].isin([group_a, group_b])]
+        x = pd.to_numeric(sub[val_col], errors="coerce")
+        ok = x.notna()
+        sub = sub[ok].assign(
+            __v=np.rint(x[ok].astype(np.float64) * fp).astype(np.int64))
+        c = (sub.groupby(["__v", group_col], sort=False).size()
+             .rename("n").reset_index())
+        return pd.DataFrame({
+            "value": c["__v"],
+            "n_a": np.where(c[group_col].to_numpy() == group_a, c["n"], 0),
+            "n_b": np.where(c[group_col].to_numpy() == group_b, c["n"], 0),
+        })
+
+    counts = grouped_aggregate(
+        ds.select_columns([group_col, val_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["value"], {"n_a": ("n_a", "sum"), "n_b": ("n_b", "sum")})
+    counts = counts.sort_values("value").reset_index(drop=True)
+    v = counts["value"].to_numpy(np.int64)
+    ca = counts["n_a"].to_numpy(np.int64).cumsum()
+    cb = counts["n_b"].to_numpy(np.int64).cumsum()
+    tot_a, tot_b = int(ca[-1]), int(cb[-1])
+    # arbitrary-precision: gap·Δv products overflow int64 past ~1e18
+    gap = np.abs(ca[:-1] * tot_b - cb[:-1] * tot_a).astype(object)
+    dv = np.diff(v).astype(object)
+    total = int(np.add.reduce(gap * dv)) if len(gap) else 0
+    # float(total) FIRST, then double division — the exact evaluation
+    # order of the SQL replay's HUGEINT→DOUBLE cast (an int/int exact
+    # quotient can differ in the last ulp once total exceeds 2^53)
+    return {"n_a": tot_a, "n_b": tot_b,
+            "emd": float(total) / (float(fp) * tot_a * tot_b)}
+
+
+def cusum_changepoint(ds, ts_col: str, unit: str = "day") -> dict:
+    """Level-shift change-point over the event-arrival time series:
+    bucket timestamps to ``unit``, then the classic centered CUSUM
+    S_i = Σ_{j≤i}(x_j − x̄) over the ordered buckets; the bucket with
+    max |S_i| is the most likely single change point (Page's CUSUM /
+    binary-segmentation first split). The arg-max is selected on the
+    INTEGER |n_buckets·cum_i − i·total| (ties → earliest bucket), so
+    the SQL window replay picks the identical bucket. One
+    (bucket → count) exchange; driver work ∝ number of buckets."""
+    from ..functions.cohort import week_start_days
+
+    def trunc(t: np.ndarray) -> np.ndarray:
+        if unit == "hour":
+            return t.astype("datetime64[h]")
+        if unit == "day":
+            return t.astype("datetime64[D]")
+        return week_start_days(t).astype("datetime64[D]")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b[ts_col].notna()][ts_col].to_numpy()
+        g = (pd.DataFrame({"bucket": trunc(t)})
+             .groupby("bucket", sort=False).size().rename("n"))
+        return g.reset_index()
+
+    counts = grouped_aggregate(
+        ds.select_columns([ts_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["bucket"], {"n": ("n", "sum")})
+    counts = counts.sort_values("bucket").reset_index(drop=True)
+    n = counts["n"].to_numpy(np.int64)
+    nd = len(n)
+    tot = int(n.sum())
+    cum = n.cumsum()
+    i = np.arange(1, nd + 1, dtype=np.int64)
+    stat = np.abs(nd * cum - i * tot)  # = |S_i| · n_buckets, integer
+    j = int(stat.argmax())  # first (= earliest bucket) on ties
+    return {"n_buckets": nd, "n_events": tot,
+            "change_at": counts["bucket"].iloc[j],
+            "cusum_stat": float(int(stat[j]) / nd)}
 
 
 def roc_auc(ds, score_col: str, label_col: str) -> dict:

@@ -140,3 +140,67 @@ def test_grouped_roc_auc_matches_global_and_one_class(ray_session):
         assert out.loc[grp, "auc"] == pytest.approx(solo["auc"])
     assert pd.isna(out.loc["z", "auc"])  # no negatives → null
     assert out.loc["z", "n_neg"] == 0
+
+
+def test_wasserstein1_exact(ray_session):
+    # a = {1,2}, b = {2,3} (2-dp fixed point): W1 = 1.0 exactly —
+    # area between ECDFs is 0.5 over [1,2] and 0.5 over [2,3]
+    from data_quality_ray.profiling.hypothesis import wasserstein1
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b", "c"],
+                       "v": [1.0, 2.0, 2.0, 3.0, 99.0]})  # 'c' ignored
+    r = wasserstein1(_ds(df), "g", "v", "a", "b", decimals=2)
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["emd"] == pytest.approx(1.0)
+
+
+def test_wasserstein1_identical_is_zero(ray_session):
+    from data_quality_ray.profiling.hypothesis import wasserstein1
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "v": [1.25, 7.5, 7.5, 1.25]})
+    r = wasserstein1(_ds(df, 2), "g", "v", "a", "b")
+    assert r["emd"] == 0.0
+
+
+def test_wasserstein1_matches_scipy_formula(ray_session):
+    # cross-check against the direct sorted-sample formula on
+    # equal-sized samples: W1 = mean |sorted(a) - sorted(b)|
+    from data_quality_ray.profiling.hypothesis import wasserstein1
+
+    rng = np.random.RandomState(7)
+    a = np.round(rng.uniform(0, 50, 64), 2)
+    b = np.round(rng.uniform(10, 60, 64), 2)
+    df = pd.DataFrame({"g": ["a"] * 64 + ["b"] * 64,
+                       "v": np.concatenate([a, b])})
+    r = wasserstein1(_ds(df), "g", "v", "a", "b")
+    expect = float(np.mean(np.abs(np.sort(a) - np.sort(b))))
+    assert r["emd"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_cusum_changepoint_finds_level_shift(ray_session):
+    # 6 days at ~2/day then 6 days at ~10/day → change at day 6
+    from data_quality_ray.profiling.hypothesis import cusum_changepoint
+
+    ts = []
+    for d in range(6):
+        ts += [np.datetime64(f"2024-01-{d+1:02d}T03:00")] * 2
+    for d in range(6, 12):
+        ts += [np.datetime64(f"2024-01-{d+1:02d}T03:00")] * 10
+    df = pd.DataFrame({"ts": pd.to_datetime(ts)})
+    r = cusum_changepoint(_ds(df), "ts", unit="day")
+    assert r["n_buckets"] == 12 and r["n_events"] == 72
+    assert pd.Timestamp(r["change_at"]) == pd.Timestamp("2024-01-06")
+    # |S_6|·12 = |12·12 − 6·72| = 288 → stat = 288/12 = 24
+    assert r["cusum_stat"] == pytest.approx(24.0)
+
+
+def test_cusum_tie_takes_earliest_bucket(ray_session):
+    # flat series: every |S_i| = 0 → earliest day reported
+    from data_quality_ray.profiling.hypothesis import cusum_changepoint
+
+    ts = [np.datetime64(f"2024-02-{d+1:02d}T12:00") for d in range(5)]
+    df = pd.DataFrame({"ts": pd.to_datetime(ts)})
+    r = cusum_changepoint(_ds(df, 2), "ts", unit="day")
+    assert pd.Timestamp(r["change_at"]) == pd.Timestamp("2024-02-01")
+    assert r["cusum_stat"] == 0.0
