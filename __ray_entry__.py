@@ -833,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_price_lineitem": Q.ks_price_lineitem,
         "emd_price_lineitem": Q.emd_price_lineitem,
         "cusum_changepoint_events": Q.cusum_changepoint_events,
+        "kmv_overlap_events": Q.kmv_overlap_events,
         "auc_docs": Q.auc_docs,
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
@@ -3550,6 +3551,50 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY abs(t.nd * c.cum - c.i * t.tot) DESC, c.day
             LIMIT 1""",
+        # KMV: deterministic given md5 — the rank window replays the
+        # sketch itself (k smallest distinct hashes; union = merge).
+        "kmv_overlap_events": """
+            WITH u AS (
+              SELECT DISTINCT event_type,
+                     CAST(user_id AS VARCHAR) || '-'
+                       || strftime(date_trunc('day', ts), '%Y-%m-%d')
+                       AS user_id
+              FROM events
+              WHERE event_type IN ('click', 'view')),
+            h AS (
+              SELECT event_type,
+                     md5_number_lower(user_id) AS hv
+              FROM u),
+            ka AS (SELECT hv FROM h WHERE event_type = 'click'
+                   ORDER BY hv LIMIT 256),
+            kb AS (SELECT hv FROM h WHERE event_type = 'view'
+                   ORDER BY hv LIMIT 256),
+            un AS (SELECT hv FROM (SELECT DISTINCT hv FROM h)
+                   ORDER BY hv LIMIT 256),
+            sk AS (
+              SELECT count(*) AS k_eff,
+                     count(*) FILTER (
+                       WHERE hv IN (SELECT hv FROM ka)
+                         AND hv IN (SELECT hv FROM kb)) AS n_both
+              FROM un),
+            ex AS (
+              SELECT count(*) FILTER (WHERE a AND b) AS n_int,
+                     count(*) AS n_union,
+                     count(*) FILTER (WHERE a) AS n_a,
+                     count(*) FILTER (WHERE b) AS n_b
+              FROM (SELECT user_id,
+                           bool_or(event_type = 'click') AS a,
+                           bool_or(event_type = 'view') AS b
+                    FROM u GROUP BY 1))
+            SELECT CAST(ex.n_a AS BIGINT) AS n_click,
+                   CAST(ex.n_b AS BIGINT) AS n_view,
+                   CAST(ex.n_int AS BIGINT) AS n_intersect,
+                   CAST(ex.n_union AS BIGINT) AS n_union,
+                   CAST(sk.k_eff AS BIGINT) AS k_eff,
+                   CAST(sk.n_both AS BIGINT) AS n_both_sketch,
+                   round(sk.n_both * 1.0 / sk.k_eff, 6) AS jaccard_kmv,
+                   round(ex.n_int * 1.0 / ex.n_union, 6) AS jaccard_exact
+            FROM sk, ex""",
         # AUC: twice-the-rank-sum stays integer (2R = Σ np·(2·before+n+1))
         # until the final division — identical rational on both sides;
         # quality_score is 6-dp-rounded on both sides so ties agree.

@@ -5248,3 +5248,96 @@ def cusum_changepoint_events(sf_dir: str) -> pd.DataFrame:
         "n_events": [np.int64(r["n_events"])],
         "cusum_stat": [float(_round6(r["cusum_stat"]))],
     })
+
+
+class _KMVPairSketch:
+    """Two KMV sketches filled from ONE pass over a (group, key) stream
+    — module-level so the pickled partials stream can rebuild it."""
+
+    def __init__(self, k: int, group_a: str, group_b: str,
+                 group_col: str, key_col: str):
+        from ..profiling.sketches import KMinValues
+
+        self.a, self.b = KMinValues(k), KMinValues(k)
+        self.ga, self.gb = group_a, group_b
+        self.group_col, self.key_col = group_col, key_col
+
+    def update(self, batch: "pa.Table") -> None:
+        g = batch[self.group_col].to_numpy(zero_copy_only=False)
+        u = batch[self.key_col].to_numpy(zero_copy_only=False)
+        for sk, name in ((self.a, self.ga), (self.b, self.gb)):
+            m = g == name
+            if m.any():
+                sk.update_array(u[m])
+
+    def merge(self, other: "_KMVPairSketch") -> "_KMVPairSketch":
+        self.a.merge(other.a)
+        self.b.merge(other.b)
+        return self
+
+
+def kmv_overlap_events(sf_dir: str) -> pd.DataFrame:
+    """Distinct (user, day) activity overlap between click and view
+    events — "how many active user-days saw BOTH" — estimated with
+    mergeable K-minimum-values sketches (profiling/sketches
+    .KMinValues, k=256) next to the exact answer: the KMV union/
+    intersection algebra is DETERMINISTIC given md5 hashing, so the
+    SQL oracle replays the sketch itself (rank window over
+    md5_number_lower) — the sketch columns are hash-compared exactly,
+    not tolerance-gated like HLL. Exact counts come from a per-key
+    flag fold that stays distributed (grouped_aggregate
+    final="shuffle"; per-key state never lands on the driver).
+    → one row (n_click, n_view, n_intersect, n_union, k_eff,
+    n_both_sketch, jaccard_kmv, jaccard_exact)."""
+    from ..profiling.groupagg import grouped_aggregate
+
+    K = 256
+    raw = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(["click", "view"]).to_numpy()
+        sub = b[m]
+        day = sub["ts"].to_numpy().astype("datetime64[D]").astype(str)
+        u = sub["user_id"].to_numpy().astype("int64").astype(str)
+        return pd.DataFrame({
+            "event_type": sub["event_type"].to_numpy(),
+            "k": np.char.add(np.char.add(u, "-"), day).astype(object)})
+
+    ds = raw.map_batches(keyed, batch_format="pandas")
+    pair = _sketch_partials(
+        ds, lambda: _KMVPairSketch(K, "click", "view", "event_type", "k"),
+        lambda acc, b: acc.update(b))
+    n_both, k_eff = pair.a.jaccard(pair.b)
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        a = (b["event_type"] == "click").to_numpy()
+        v = (b["event_type"] == "view").to_numpy()
+        sub = pd.DataFrame({"u": b["k"],
+                            "a": a.astype(np.int64),
+                            "b": v.astype(np.int64)})
+        return (sub.groupby("u", sort=False)
+                .agg(a=("a", "max"), b=("b", "max")).reset_index())
+
+    per_user = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pandas"),
+        ["u"], {"a": ("a", "max"), "b": ("b", "max")}, final="shuffle")
+
+    def cnt(bt: pd.DataFrame) -> pd.DataFrame:
+        a = bt["a"].to_numpy() > 0
+        b = bt["b"].to_numpy() > 0
+        return pd.DataFrame({
+            "n_a": [int(a.sum())], "n_b": [int(b.sum())],
+            "n_int": [int((a & b).sum())], "n_union": [len(bt)]})
+
+    tot = (per_user.map_batches(cnt, batch_format="pandas")
+           .to_pandas().sum())
+    return pd.DataFrame({
+        "n_click": [np.int64(tot["n_a"])],
+        "n_view": [np.int64(tot["n_b"])],
+        "n_intersect": [np.int64(tot["n_int"])],
+        "n_union": [np.int64(tot["n_union"])],
+        "k_eff": [np.int64(k_eff)],
+        "n_both_sketch": [np.int64(n_both)],
+        "jaccard_kmv": [float(_round6(n_both / k_eff))],
+        "jaccard_exact": [float(_round6(tot["n_int"] / tot["n_union"]))],
+    })

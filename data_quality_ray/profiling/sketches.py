@@ -215,6 +215,47 @@ class CountMinSketch:
         return self
 
 
+class KMinValues:
+    """Mergeable K-minimum-values distinct sketch (Bar-Yossef et al.
+    2002) — keeps the k smallest DISTINCT 64-bit hashes of the keys.
+    Unlike HLL it is fully deterministic given the key set (the k-min
+    set is partition- and order-invariant, and union = merge of
+    sketches), so with the md5 hash the driver oracle replays it
+    EXACTLY in SQL (rank window over ``md5_number_lower``) — no
+    tolerance gate needed. Jaccard/overlap of two key sets estimates
+    from the union sketch: |union_kmin ∩ A_kmin ∩ B_kmin| / k_eff
+    (Beyer et al. 2007), RSE ≈ 1/√k. Same partial/merge contract as
+    the other sketches here."""
+
+    def __init__(self, k: int = 256, hash_fn: str = "md5"):
+        self.k = k
+        self.hash_name = hash_fn
+        self.hash = HASH64[hash_fn]
+        self.vals = np.empty(0, dtype=np.uint64)
+
+    def update_array(self, values) -> None:
+        values = np.asarray(values, dtype=object)
+        if len(values) == 0:
+            return
+        h = self.hash(values)
+        self.vals = np.unique(np.concatenate([self.vals, h]))[:self.k]
+
+    def merge(self, other: "KMinValues") -> "KMinValues":
+        if (self.k, self.hash_name) != (other.k, other.hash_name):
+            raise ValueError("incompatible KMV sketches")
+        self.vals = np.unique(
+            np.concatenate([self.vals, other.vals]))[:self.k]
+        return self
+
+    def jaccard(self, other: "KMinValues") -> tuple[int, int]:
+        """(n_both, k_eff) over the union sketch — the exact integers
+        the SQL replay computes; estimate = n_both / k_eff."""
+        union = np.unique(
+            np.concatenate([self.vals, other.vals]))[:self.k]
+        both = np.isin(union, self.vals) & np.isin(union, other.vals)
+        return int(both.sum()), int(len(union))
+
+
 class BloomFilter:
     """Mergeable Bloom filter over string/bytes keys: k salted positions
     derived from one 64-bit hash per value (Kirsch-Mitzenmacher double

@@ -175,3 +175,37 @@ def test_hamming_pairs_property(vals):
     a, b = arr[:-1], arr[1:]
     got = hamming64_pairs(a, b)
     assert (got == [hamming64(int(x), int(y)) for x, y in zip(a, b)]).all()
+
+
+@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=120),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_kmv_merge_partition_invariant(values, n_parts):
+    # the k-min set is partition-invariant: any split of the stream,
+    # sketched and merged, equals the one-shot sketch
+    from data_quality_ray.profiling.sketches import KMinValues
+
+    import numpy as np
+
+    one = KMinValues(k=16)
+    one.update_array(np.array(values, dtype=object))
+    merged = KMinValues(k=16)
+    for i in range(n_parts):
+        part = KMinValues(k=16)
+        part.update_array(np.array(values[i::n_parts], dtype=object))
+        merged.merge(part)
+    assert (one.vals == merged.vals).all()
+
+
+def test_kmv_jaccard_exact_when_k_covers():
+    # k ≥ |union| → the sketch IS the union and jaccard is exact
+    from data_quality_ray.profiling.sketches import KMinValues
+
+    import numpy as np
+
+    a = KMinValues(k=64)
+    b = KMinValues(k=64)
+    a.update_array(np.array([f"u{i}" for i in range(20)], dtype=object))
+    b.update_array(np.array([f"u{i}" for i in range(10, 30)], dtype=object))
+    n_both, k_eff = a.jaccard(b)
+    assert (n_both, k_eff) == (10, 30)
