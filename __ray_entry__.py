@@ -834,6 +834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emd_price_lineitem": Q.emd_price_lineitem,
         "cusum_changepoint_events": Q.cusum_changepoint_events,
         "kmv_overlap_events": Q.kmv_overlap_events,
+        # schema-level dependency discovery + link analysis
+        "hits_supplier_part": Q.hits_supplier_part,
+        "ind_discovery": Q.ind_discovery,
+        "cfd_check_orders": Q.cfd_check_orders,
         "auc_docs": Q.auc_docs,
         "kappa_docs": Q.kappa_docs,
         "percentile_norm_docs": Q.percentile_norm_docs,
@@ -3118,6 +3122,50 @@ def _fs_linkage_sql(mode: str = "patterns") -> str:
     return sql
 
 
+def _hits_sql() -> str:
+    """Unrolled HITS replay (functions/graph.hits quantized-state
+    contract): weighted supplier→part edges, h0 = 1, each half-round
+    L∞-normalizes and rounds to RANK_ROUND; rank-25 selection on the
+    9-dp scores (identical on both sides), final scores re-round to 6."""
+    from data_quality_ray.functions.graph import RANK_ROUND
+    from data_quality_ray.pipelines.queries import HITS_ROUNDS
+
+    # every round CTE MATERIALIZED and max() taken as a window — DuckDB
+    # inlines multiply-referenced plain CTEs, which makes the unrolled
+    # chain exponential (measured: 5 rounds never finished)
+    sql = """
+    WITH e AS MATERIALIZED (
+        SELECT l_suppkey AS s, l_partkey AS p, count(*) AS w
+        FROM lineitem GROUP BY 1, 2),
+    h0 AS MATERIALIZED (SELECT DISTINCT s, 1.0e0 AS h FROM e)"""
+    prev_h = "h0"
+    for i in range(1, HITS_ROUNDS + 1):
+        sql += f""",
+    a{i} AS MATERIALIZED (
+        SELECT p, round(a / max(a) OVER (), {RANK_ROUND}) AS a
+        FROM (SELECT e.p, sum(hh.h * e.w) AS a
+              FROM e JOIN {prev_h} hh ON hh.s = e.s GROUP BY 1)),
+    h{i} AS MATERIALIZED (
+        SELECT s, round(h / max(h) OVER (), {RANK_ROUND}) AS h
+        FROM (SELECT e.s, sum(aa.a * e.w) AS h
+              FROM e JOIN a{i} aa ON aa.p = e.p GROUP BY 1))"""
+        prev_h = f"h{i}"
+    k = HITS_ROUNDS
+    sql += f"""
+    SELECT node_type, key, score FROM (
+      SELECT * FROM (
+        SELECT 'supplier' AS node_type, s AS key, round(h, 6) AS score,
+               row_number() OVER (ORDER BY h DESC, s) AS rn FROM h{k})
+      WHERE rn <= 25
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'part' AS node_type, p AS key, round(a, 6) AS score,
+               row_number() OVER (ORDER BY a DESC, p) AS rn FROM a{k})
+      WHERE rn <= 25)
+    ORDER BY node_type, score DESC, key"""
+    return sql
+
+
 def _pagerank_sql() -> str:
     """Unrolled PageRank replay: edges from the same join+group, both
     directions, r0 = round(1/N, 9), each round r = round((1-d)/N +
@@ -3595,6 +3643,66 @@ def oracle_sql() -> dict[str, str]:
                    round(sk.n_both * 1.0 / sk.k_eff, 6) AS jaccard_kmv,
                    round(ex.n_int * 1.0 / ex.n_union, 6) AS jaccard_exact
             FROM sk, ex""",
+        "hits_supplier_part": _hits_sql(),
+        # IND discovery: per-column distinct sets, pairwise distinct
+        # overlap — the bitmask fold's exact relational twin.
+        "ind_discovery": """
+            WITH d AS (
+              SELECT DISTINCT 'customer.c_custkey' AS col,
+                     CAST(c_custkey AS BIGINT) AS val
+              FROM customer WHERE c_custkey IS NOT NULL
+              UNION ALL SELECT DISTINCT 'orders.o_custkey',
+                     CAST(o_custkey AS BIGINT)
+              FROM orders WHERE o_custkey IS NOT NULL
+              UNION ALL SELECT DISTINCT 'events.user_id',
+                     CAST(user_id AS BIGINT)
+              FROM events WHERE user_id IS NOT NULL
+              UNION ALL SELECT DISTINCT 'nation.n_nationkey',
+                     CAST(n_nationkey AS BIGINT)
+              FROM nation WHERE n_nationkey IS NOT NULL
+              UNION ALL SELECT DISTINCT 'customer.c_nationkey',
+                     CAST(c_nationkey AS BIGINT)
+              FROM customer WHERE c_nationkey IS NOT NULL
+              UNION ALL SELECT DISTINCT 'supplier.s_nationkey',
+                     CAST(s_nationkey AS BIGINT)
+              FROM supplier WHERE s_nationkey IS NOT NULL),
+            sizes AS (SELECT col, count(*) AS n FROM d GROUP BY 1),
+            com AS (SELECT a.col AS col_a, b.col AS col_b,
+                           count(*) AS n_common
+                    FROM d a JOIN d b
+                      ON a.val = b.val AND a.col <> b.col
+                    GROUP BY 1, 2)
+            SELECT ca.col AS col_a, cb.col AS col_b,
+                   CAST(ca.n AS BIGINT) AS n_a,
+                   CAST(cb.n AS BIGINT) AS n_b,
+                   CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+                   round(coalesce(com.n_common, 0) * 1.0 / ca.n, 6)
+                     AS containment,
+                   CAST(coalesce(com.n_common, 0) = ca.n AS BIGINT)
+                     AS is_ind
+            FROM sizes ca JOIN sizes cb ON ca.col <> cb.col
+            LEFT JOIN com ON com.col_a = ca.col AND com.col_b = cb.col
+            ORDER BY 1, 2""",
+        # CFD: one (status, custkey, priority) combination rollup
+        # serves every tableau row; g3 = Σ (rows − max count) over
+        # violating lhs groups, per pattern.
+        "cfd_check_orders": """
+            WITH c AS (SELECT o_orderstatus AS pattern,
+                              o_custkey AS lhs, o_orderpriority AS rhs,
+                              count(*) AS n
+                       FROM orders GROUP BY 1, 2, 3),
+            g AS (SELECT pattern, lhs, sum(n) AS rows_,
+                         count(*) AS n_rhs, max(n) AS max_n
+                  FROM c GROUP BY 1, 2)
+            SELECT CAST(pattern AS VARCHAR) AS pattern,
+                   CAST(sum(rows_) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+                     AS n_violating_groups,
+                   CAST(sum(CASE WHEN n_rhs > 1 THEN rows_ - max_n
+                                 ELSE 0 END) AS BIGINT) AS g3_rows
+            FROM g WHERE pattern IN ('F', 'O', 'P')
+            GROUP BY 1 ORDER BY 1""",
         # AUC: twice-the-rank-sum stays integer (2R = Σ np·(2·before+n+1))
         # until the final division — identical rational on both sides;
         # quality_score is 6-dp-rounded on both sides so ties agree.

@@ -221,6 +221,9 @@ def run_bench() -> dict:
         ("auc_by_source_docs", Q.auc_by_source_docs),
         ("decayed_engagement_users_events",
          Q.decayed_engagement_users_events),
+        ("hits_supplier_part", Q.hits_supplier_part),
+        ("ind_discovery", Q.ind_discovery),
+        ("cfd_check_orders", Q.cfd_check_orders),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -5341,3 +5341,88 @@ def kmv_overlap_events(sf_dir: str) -> pd.DataFrame:
         "jaccard_kmv": [float(_round6(n_both / k_eff))],
         "jaccard_exact": [float(_round6(tot["n_int"] / tot["n_union"]))],
     })
+
+
+HITS_ROUNDS = 5
+
+
+def hits_supplier_part(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the directed supplier→part supply
+    graph (edge weight = lineitem count): suppliers are hubs, parts
+    authorities. functions/graph.hits runs 5 quantized L∞-normalized
+    rounds (broadcast score vectors, one streaming contribution fold
+    per half-round); the SQL replays EVERY half-round with unrolled
+    CTEs. Top-25 authorities by (score desc, key asc) so the result is
+    driver-small at any scale. → (node_type, key, score)."""
+    from ..functions.graph import hits
+    from ..profiling.groupagg import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    edges = grouped_aggregate(li, ["l_suppkey", "l_partkey"],
+                              {"w": ("", "count")}, final="shuffle")
+    edges = edges.map_batches(
+        lambda b: b.rename(columns={"l_suppkey": "src",
+                                    "l_partkey": "dst"}),
+        batch_format="pandas")
+    hubs, auths = hits(edges, rounds=HITS_ROUNDS)
+
+    hubs = hubs.sort_values(["hub", "node"], ascending=[False, True],
+                            kind="mergesort").head(25)
+    auths = auths.sort_values(["auth", "node"], ascending=[False, True],
+                              kind="mergesort").head(25)
+    out = pd.concat([
+        pd.DataFrame({"node_type": "supplier",
+                      "key": hubs["node"].to_numpy(np.int64),
+                      "score": _round6(hubs["hub"].to_numpy())}),
+        pd.DataFrame({"node_type": "part",
+                      "key": auths["node"].to_numpy(np.int64),
+                      "score": _round6(auths["auth"].to_numpy())}),
+    ])
+    return (out.sort_values(["node_type", "score", "key"],
+                            ascending=[True, False, True], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def ind_discovery(sf_dir: str) -> pd.DataFrame:
+    """Inclusion-dependency discovery across six key columns of the
+    TPC-H-ish schema (profiling/datarules.inclusion_matrix): one tagged
+    bitmask value fold gives all 30 ordered containments — FK-candidate
+    screening without N² anti-joins. → (col_a, col_b, n_a, n_b,
+    n_common, containment, is_ind)."""
+    from ..profiling.datarules import inclusion_matrix
+
+    tagged = [
+        ("customer.c_custkey", _read(sf_dir, "customer",
+                                     columns=["c_custkey"]), "c_custkey"),
+        ("orders.o_custkey", _read(sf_dir, "orders",
+                                   columns=["o_custkey"]), "o_custkey"),
+        ("events.user_id", _read(sf_dir, "events",
+                                 columns=["user_id"]), "user_id"),
+        ("nation.n_nationkey", _read(sf_dir, "nation",
+                                     columns=["n_nationkey"]),
+         "n_nationkey"),
+        ("customer.c_nationkey", _read(sf_dir, "customer",
+                                       columns=["c_nationkey"]),
+         "c_nationkey"),
+        ("supplier.s_nationkey", _read(sf_dir, "supplier",
+                                       columns=["s_nationkey"]),
+         "s_nationkey"),
+    ]
+    out = inclusion_matrix(tagged)
+    out["is_ind"] = out["is_ind"].astype("int64")  # stable SQL dtype
+    return out
+
+
+def cfd_check_orders(sf_dir: str) -> pd.DataFrame:
+    """Conditional-FD audit on orders: pattern tableau over
+    o_orderstatus with the embedded FD o_custkey → o_orderpriority
+    (does a customer stick to one priority, per status stratum?). One
+    (status, custkey, priority) combination fold serves every tableau
+    row; g3 = min deletions per pattern.
+    → (pattern, n_rows, n_groups, n_violating_groups, g3_rows)."""
+    from ..profiling.datarules import cfd_violations
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_custkey", "o_orderpriority"])
+    return cfd_violations(ds, "o_orderstatus", "o_custkey",
+                          "o_orderpriority", patterns=["F", "O", "P"])

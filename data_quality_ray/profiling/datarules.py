@@ -962,3 +962,133 @@ def seasonal_anomalies(ds, ts_col: str, sigma: float = 1.5) -> pd.DataFrame:
         "slot_mean": r6(mu[flag]),
         "slot_std": r6(sd[flag]),
     }).reset_index(drop=True)
+
+
+# ------------------------------------------- inclusion-dependency discovery
+
+def inclusion_matrix(tagged: list[tuple]) -> pd.DataFrame:
+    """Inclusion-dependency (IND) discovery across key columns — the
+    SPIDER/Bellman profiling primitive (Bauckmann et al. 2006): for
+    every ORDERED pair of candidate columns report distinct sizes,
+    distinct overlap, the containment fraction |A∩B|/|A| and whether
+    A ⊆ B holds exactly (a unary IND — FK-candidate discovery).
+
+    ``tagged``: list of (label, Dataset, column) — int-valued key
+    columns sharing one comparable domain.
+
+    Scale shape (the source_overlap bitmask trick over VALUES instead
+    of grams): each source streams (value, source-bit) rows; ONE
+    hash-bucketed distinct fold + a per-value OR fold + a driver-small
+    mask histogram give ALL pairwise intersections — N columns cost one
+    exchange, never N² anti-joins. ≤ 64 columns per call (one mask
+    word). → (col_a, col_b, n_a, n_b, n_common, containment, is_ind)
+    for a ≠ b, sorted (col_a, col_b); containment half-away 6 dp."""
+    import itertools
+
+    from .groupagg import grouped_aggregate
+
+    if len(tagged) > 64:
+        raise ValueError(f"{len(tagged)} columns exceed one mask word")
+    labels = [t[0] for t in tagged]
+    if len(set(labels)) != len(labels):
+        raise ValueError("duplicate column labels")
+    bit = {lab: np.int64(1) << i for i, lab in enumerate(labels)}
+
+    def tag(col: str, b_val: np.int64):
+        def inner(b: pd.DataFrame) -> pd.DataFrame:
+            v = b[col].dropna().unique()  # batch-local pre-dedup
+            return pd.DataFrame({"val": v.astype(np.int64),
+                                 "b": np.full(len(v), b_val, np.int64)})
+        return inner
+
+    parts = [ds.select_columns([col]).map_batches(tag(col, bit[lab]),
+                                                  batch_format="pandas")
+             for lab, ds, col in tagged]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    # fold 1: distinct (val, bit); fold 2: per-val OR of bits (sum is
+    # exact post-dedup); fold 3: mask histogram (≤ observed column
+    # combos — driver-small)
+    pairs = grouped_aggregate(u, ["val", "b"], {"nn": ("b", "count")},
+                              final="auto")
+    if isinstance(pairs, pd.DataFrame):
+        masks = (pairs.groupby("val", sort=False)["b"].sum()
+                 .value_counts().rename_axis("mask").rename("cnt")
+                 .reset_index())
+    else:
+        or_ds = grouped_aggregate(pairs, ["val"], {"mask": ("b", "sum")},
+                                  final="shuffle")
+        masks = grouped_aggregate(or_ds, ["mask"],
+                                  {"cnt": ("mask", "count")}, final="driver")
+    m = masks["mask"].to_numpy(np.int64)
+    c = masks["cnt"].to_numpy(np.int64)
+    size = {lab: int(c[(m & bit[lab]) != 0].sum()) for lab in labels}
+
+    rows = []
+    for a, b in itertools.permutations(labels, 2):
+        common = int(c[((m & bit[a]) != 0) & ((m & bit[b]) != 0)].sum())
+        na = size[a]
+        cont = common / na if na else 0.0
+        rows.append({"col_a": a, "col_b": b, "n_a": na, "n_b": size[b],
+                     "n_common": common,
+                     "containment": float(np.sign(cont) * np.floor(
+                         abs(cont) * 1e6 + 0.5) / 1e6),
+                     "is_ind": bool(na > 0 and common == na)})
+    out = pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
+        .reset_index(drop=True)
+    for col in ("n_a", "n_b", "n_common"):
+        out[col] = out[col].astype("int64")
+    return out
+
+
+# --------------------------------- conditional functional dependencies
+
+def cfd_violations(ds, cond_col: str, lhs: str, rhs: str,
+                   patterns: list | None = None) -> pd.DataFrame:
+    """Conditional-functional-dependency check (Bohannon, Fan et al.,
+    ICDE 2007): a pattern tableau over ``cond_col`` — for each pattern
+    value p, the embedded FD lhs→rhs must hold on exactly the rows
+    WHERE cond_col = p. Reports, per pattern: matched rows, lhs groups,
+    violating groups (>1 distinct rhs), and the g3 error (min row
+    deletions to satisfy that tableau row).
+
+    Scale shape: every tableau row sharing the (cond, lhs, rhs) column
+    triple is served by ONE (cond, lhs, rhs) combination-count fold
+    (hash-bucketed — pair cardinality can exceed a node) + one per-
+    (cond, lhs) rollup; only per-pattern scalars reach the driver.
+    ``patterns=None`` audits every observed cond value (FD discovery
+    per partition of the table).
+    → (pattern, n_rows, n_groups, n_violating_groups, g3_rows)."""
+    from .groupagg import grouped_aggregate
+
+    combos = grouped_aggregate(
+        ds.select_columns([cond_col, lhs, rhs]),
+        [cond_col, lhs, rhs], {"n": ("", "count")}, final="shuffle")
+    per_lhs = grouped_aggregate(
+        combos, [cond_col, lhs],
+        {"rows": ("n", "sum"), "n_rhs": ("n", "count"),
+         "max_n": ("n", "max")}, final="shuffle")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        viol = b["n_rhs"].to_numpy() > 1
+        g3 = b["rows"].to_numpy() - b["max_n"].to_numpy()
+        return pd.DataFrame({
+            "pattern": b[cond_col].astype(str),
+            "n_rows": b["rows"].to_numpy(np.int64),
+            "n_groups": np.ones(len(b), np.int64),
+            "n_violating_groups": viol.astype(np.int64),
+            "g3_rows": np.where(viol, g3, 0).astype(np.int64)})
+
+    agg = grouped_aggregate(
+        per_lhs.map_batches(stats, batch_format="pandas"),
+        ["pattern"],
+        {"n_rows": ("n_rows", "sum"), "n_groups": ("n_groups", "sum"),
+         "n_violating_groups": ("n_violating_groups", "sum"),
+         "g3_rows": ("g3_rows", "sum")}, final="driver")
+    if patterns is not None:
+        want = [str(p) for p in patterns]
+        agg = agg[agg["pattern"].isin(want)]
+    for col in ("n_rows", "n_groups", "n_violating_groups", "g3_rows"):
+        agg[col] = agg[col].astype("int64")
+    return agg.sort_values("pattern").reset_index(drop=True)
