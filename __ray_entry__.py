@@ -862,6 +862,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_docs": Q.source_quality_docs,
         "drift_psi_orders": Q.drift_psi_orders,
         "grouped_cardinality_events": Q.grouped_cardinality_events,
+        # curation-funnel / mixing / selection / LSH-eval (round 5)
+        "unimax_mix_docs": Q.unimax_mix_docs,
+        "uncertainty_sample_docs": Q.uncertainty_sample_docs,
+        "minhash_eval_docs": Q.minhash_eval_docs,
+        "curation_funnel_docs": Q.curation_funnel_docs,
     }
 
 
@@ -3442,6 +3447,131 @@ def _hybrid_rrf_sql() -> str:
 
 
 
+def _unimax_sql() -> str:
+    """Replays the UniMax ascending waterfill with window functions:
+    identical fp ops in the same order as sampling/stratified
+    .unimax_allocation (integer-valued doubles keep the running sums
+    exact; level division and the pivot compare are single IEEE ops on
+    both sides)."""
+    from data_quality_ray.pipelines.queries import (UNIMAX_BUDGET_FRAC,
+                                                    UNIMAX_EPOCH_CAP)
+
+    return f"""
+        WITH tok AS (
+          SELECT source,
+                 len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '')) AS nt
+          FROM documents),
+        n AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+              FROM tok GROUP BY 1),
+        caps AS (SELECT source, n_tokens,
+                        n_tokens * {UNIMAX_EPOCH_CAP} AS cap FROM n),
+        tot AS (SELECT {UNIMAX_BUDGET_FRAC} * sum(n_tokens) AS b,
+                       count(*) AS k FROM caps),
+        o AS (SELECT c.*, row_number() OVER (ORDER BY cap, source) AS i,
+                     coalesce(sum(cap) OVER (ORDER BY cap, source
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS pre
+              FROM caps c),
+        lv AS (SELECT o.*, (tot.b - o.pre) / (tot.k - o.i + 1) AS lvl
+               FROM o, tot),
+        piv AS (SELECT min(i) AS p FROM lv WHERE lvl < cap),
+        a AS (SELECT lv.source, lv.n_tokens, lv.cap,
+                     CASE WHEN piv.p IS NULL OR lv.i < piv.p THEN lv.cap
+                          ELSE (SELECT x.lvl FROM lv x, piv
+                                WHERE x.i = piv.p) END AS alloc
+              FROM lv, piv)
+        SELECT source, n_tokens, round(cap, 6) AS capacity,
+               round(alloc, 6) AS alloc_tokens,
+               round(alloc / n_tokens, 6) AS epochs
+        FROM a ORDER BY source"""
+
+
+def _uncertainty_sql() -> str:
+    """Margin selection on top of the full classifier replay: the k
+    smallest |score| with doc_id ties ascending — quality_score is
+    already 6-dp-rounded inside _CLF_SQL, so abs() of it matches the
+    Python margin bit for bit."""
+    from data_quality_ray.pipelines.queries import UNCERTAIN_K
+
+    return f"""
+        SELECT doc_id, quality_score, abs(quality_score) AS margin
+        FROM ({_CLF_SQL})
+        ORDER BY abs(quality_score), doc_id
+        LIMIT {UNCERTAIN_K}"""
+
+
+def _minhash_eval_sql(threshold: float = 0.5) -> str:
+    """LSH-vs-exact eval: the band-collision candidates (shared bandk
+    CTE chain) INTERSECTed against the exhaustive gram self-join truth
+    side; empty-shingle docs are excluded at the source subquery on
+    both engines (an empty doc collides in every band but has no
+    grams)."""
+    src = ("(SELECT doc_id, text FROM documents WHERE "
+           "len(list_filter(string_split_regex(lower(coalesce(text, '')), "
+           "'\\s+'), x -> x <> '')) > 0)")
+    bandk = _minhash_bandk_cte(source=src)
+    return f"""
+    WITH {bandk},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bandk x JOIN bandk y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key
+        AND x.doc_id < y.doc_id),
+    gcnt AS (SELECT doc_id, count(*) AS n FROM gset GROUP BY 1),
+    inter AS (
+      SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, count(*) AS i
+      FROM gset ga JOIN gset gb
+        ON gb.gram = ga.gram AND ga.doc_id < gb.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT t.id_a, t.id_b
+      FROM inter t
+      JOIN gcnt na ON na.doc_id = t.id_a
+      JOIN gcnt nb ON nb.doc_id = t.id_b
+      WHERE t.i * 1.0 / (na.n + nb.n - t.i) >= {threshold}),
+    hit AS (SELECT id_a, id_b FROM cand
+            INTERSECT SELECT id_a, id_b FROM truth),
+    c AS (SELECT count(*) AS n FROM cand),
+    t AS (SELECT count(*) AS n FROM truth),
+    h AS (SELECT count(*) AS n FROM hit)
+    SELECT CAST(c.n AS BIGINT) AS n_cand, CAST(t.n AS BIGINT) AS n_truth,
+           CAST(h.n AS BIGINT) AS n_hit,
+           round(CASE WHEN c.n = 0 THEN 0.0
+                      ELSE h.n * 1.0 / c.n END, 6) AS precision,
+           round(CASE WHEN t.n = 0 THEN 0.0
+                      ELSE h.n * 1.0 / t.n END, 6) AS recall
+    FROM c, t, h"""
+
+
+def _curation_funnel_sql() -> str:
+    """Funnel tallies composed from the stage replays already oracled
+    one by one (quality chain, decontamination, keep-first dedup) —
+    the three predicates fold to four counters exactly as the Ray side
+    does (independent flags, cumulative AND)."""
+    return f"""
+    WITH q AS (SELECT doc_id, keep FROM ({_QUALITY_FILTER_DOCS_SQL})),
+    c AS (SELECT doc_id, contaminated FROM ({_DECONTAMINATE_SQL})),
+    w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    f AS (SELECT q.doc_id, q.keep, c.contaminated,
+                 (wj.doc_id IS NOT NULL) AS win
+          FROM q JOIN c USING (doc_id)
+          LEFT JOIN w wj ON wj.doc_id = q.doc_id),
+    tal AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                   CAST(count(*) FILTER (win) AS BIGINT) AS n1,
+                   CAST(count(*) FILTER (win AND keep) AS BIGINT) AS n2,
+                   CAST(count(*) FILTER (win AND keep AND NOT contaminated)
+                        AS BIGINT) AS n3
+            FROM f)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             n0 AS n_kept, CAST(0 AS BIGINT) AS n_dropped FROM tal
+      UNION ALL SELECT 1, 'exact_dedup', n1, n0 - n1 FROM tal
+      UNION ALL SELECT 2, 'quality_rules', n2, n1 - n2 FROM tal
+      UNION ALL SELECT 3, 'decontaminate', n3, n2 - n3 FROM tal)
+    ORDER BY stage"""
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_oracle_artifacts()
     return {
@@ -5982,4 +6112,8 @@ FROM a GROUP BY 1 ORDER BY 1
                    cast(sum(n_tok) AS bigint) AS sum_tokens,
                    round(sum(n_tok) * 1.0 / count(*), 6) AS avg_tokens
             FROM t GROUP BY 1""",
+        "unimax_mix_docs": _unimax_sql(),
+        "uncertainty_sample_docs": _uncertainty_sql(),
+        "minhash_eval_docs": _minhash_eval_sql(),
+        "curation_funnel_docs": _curation_funnel_sql(),
     }

@@ -298,3 +298,62 @@ def ngram_jaccard_dedup(ds, id_col: str, text_col: str, threshold: float = 0.5,
     comp = (union_find_components(edges) if len(edges) <= UNION_FIND_MAX_PAIRS
             else distributed_components(edges))
     return comp.rename(columns={"id": id_col})
+
+
+def lsh_recall_eval(ds, id_col: str, text_col: str, threshold: float = 0.5,
+                    n_perm: int = 64, bands: int = 16, shingle_size: int = 3,
+                    seed: int = 17, hash_fn: str = "stable",
+                    n_buckets: int = 64) -> pd.DataFrame:
+    """Grade MinHash+LSH candidate generation against exact ground
+    truth — one row (n_cand, n_truth, n_hit, precision, recall).
+
+    Candidates = band collisions (``dedup/minhash.minhash_bands`` →
+    ``candidate_pairs``, PRE-verification — the thing LSH actually
+    promises). Truth = EVERY pair with exact shingle-set Jaccard >=
+    threshold, from the complete prefix-filter SSJoin (exhaustive under
+    the shared total order) + exact verification. Both sides share one
+    shingle/hash definition (this module reuses minhash's hasher), so
+    the intersection is well-defined; precision = hit/cand measures
+    wasted verification work, recall = hit/truth measures missed
+    near-dups at the operating point (n_perm, bands, threshold).
+
+    Docs with an empty shingle set are EXCLUDED up front: an empty doc
+    collides in every LSH band (constant signature) but emits no
+    postings, so the pair would be definitional noise on both axes.
+    The filtered input materializes once (consumed by both sides —
+    the documented lazy-re-execution trap otherwise).
+
+    Scale: pair sets ride the modules' own collect/shuffle gates and
+    the outputs are three scalars; the truth side is the exact SSJoin —
+    the expensive object being graded — so at corpus scale run the eval
+    on a sampled id range and extrapolate, as any LSH-tuning loop does.
+    """
+    from .minhash import candidate_pairs, minhash_bands
+
+    def nonempty(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b[text_col].fillna("").str.split().str.len() > 0]
+
+    ds = ds.map_batches(nonempty, batch_format="pandas").materialize()
+
+    band_ds = minhash_bands(ds, id_col, text_col, n_perm=n_perm,
+                            bands=bands, shingle_size=shingle_size,
+                            seed=seed, hash_fn=hash_fn)
+    cand = candidate_pairs(band_ds, id_col)
+
+    cms = token_df_sketch(ds, text_col, shingle_size, hash_fn)
+    postings = prefix_postings(ds, id_col, text_col, threshold,
+                               shingle_size, hash_fn, cms)
+    sscand = candidate_pairs_ssjoin(postings, id_col, threshold, n_buckets)
+    truth = (verify_pairs(ds, sscand, id_col, text_col, threshold,
+                          shingle_size, hash_fn)
+             if not sscand.empty else sscand)
+
+    n_cand, n_truth = len(cand), len(truth)
+    n_hit = 0 if not n_cand or not n_truth else len(
+        cand.merge(truth[["id_a", "id_b"]], on=["id_a", "id_b"]))
+    return pd.DataFrame({
+        "n_cand": [np.int64(n_cand)], "n_truth": [np.int64(n_truth)],
+        "n_hit": [np.int64(n_hit)],
+        "precision": [n_hit / n_cand if n_cand else 0.0],
+        "recall": [n_hit / n_truth if n_truth else 0.0],
+    })

@@ -5426,3 +5426,163 @@ def cfd_check_orders(sf_dir: str) -> pd.DataFrame:
                columns=["o_orderstatus", "o_custkey", "o_orderpriority"])
     return cfd_violations(ds, "o_orderstatus", "o_custkey",
                           "o_orderpriority", patterns=["F", "O", "P"])
+
+
+# ---------------------------------------------------------------------------
+# round 5: curation-funnel / mixing / selection / LSH-eval surface
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCH_CAP = 2.0
+UNIMAX_BUDGET_FRAC = 1.8
+
+
+def unimax_mix_docs(sf_dir: str) -> pd.DataFrame:
+    """UniMax epoch-capped token-budget allocation across sources
+    (Chung et al. 2023 — the fairness-motivated alternative to the
+    ★temperature_mix softmax): one per-source token-count fold, then the
+    closed-form ascending waterfill on the driver (state = #sources).
+    Budget = 1.8× the corpus tokens with a 2-epoch cap, so low-token
+    sources saturate at 2 epochs and the rest split the remainder
+    evenly — the SQL replays the waterfill with window functions.
+    → (source, n_tokens, capacity, alloc_tokens, epochs)."""
+    from ..profiling.groupagg import grouped_aggregate
+    from ..sampling.stratified import unimax_allocation
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"], blocks=8)
+
+    def ntok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"],
+            "nt": b["text"].fillna("").str.split().str.len().astype(np.int64),
+        })
+
+    counts = grouped_aggregate(ds.map_batches(ntok, batch_format="pandas"),
+                               ["source"], {"n_tokens": ("nt", "sum")},
+                               final="driver")
+    alloc = unimax_allocation(
+        dict(zip(counts["source"], counts["n_tokens"])),
+        budget_fraction=UNIMAX_BUDGET_FRAC, epoch_cap=UNIMAX_EPOCH_CAP)
+    alloc = alloc.rename(columns={"group": "source"})
+    alloc["n_tokens"] = alloc["n_tokens"].astype(np.int64)
+    for c in ("capacity", "alloc_tokens", "epochs"):
+        alloc[c] = _round6(alloc[c])
+    return alloc.sort_values("source").reset_index(drop=True)
+
+
+UNCERTAIN_K = 50
+
+
+def uncertainty_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Active-learning margin selection: the hashed linear quality
+    classifier scores every doc (broadcast weights, task pool — the
+    ★quality_classifier_docs stage), and the 50 docs nearest the
+    decision boundary (smallest |score|, doc_id ties ascending) are
+    picked for labeling — per-batch bottom-k partials, one driver merge
+    (the ★global_top_orders fold shape; no global sort).
+    → (doc_id, quality_score, margin)."""
+    scores = _quality_classifier_ds(sf_dir)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "quality_score": b["quality_score"].to_numpy(),
+        })
+        d["margin"] = np.abs(d["quality_score"])
+        return d.sort_values(["margin", "doc_id"],
+                             kind="mergesort").head(UNCERTAIN_K)
+
+    frames = list(scores.map_batches(part, batch_format="pyarrow")
+                  .iter_batches(batch_size=4 * UNCERTAIN_K,
+                                batch_format="pandas"))
+    allp = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["doc_id", "quality_score", "margin"])
+    out = allp.sort_values(["margin", "doc_id"],
+                           kind="mergesort").head(UNCERTAIN_K)
+    return (out[["doc_id", "quality_score", "margin"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def minhash_eval_docs(sf_dir: str) -> pd.DataFrame:
+    """LSH candidate quality vs exact ground truth at the
+    ★minhash_neardup_docs operating point (64 perms × 16 bands,
+    J ≥ 0.5): band-collision pairs graded against the complete
+    prefix-filter SSJoin + exact verification — precision = wasted
+    verification work, recall = near-dups the bands miss. md5 hashing
+    so the SQL oracle replays signatures, banding, AND the exhaustive
+    gram self-join truth side. → one row
+    (n_cand, n_truth, n_hit, precision, recall)."""
+    from ..dedup.ngram_jaccard import lsh_recall_eval
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = lsh_recall_eval(ds, "doc_id", "text", threshold=0.5,
+                          hash_fn="md5")
+    for c in ("precision", "recall"):
+        out[c] = _round6(out[c])
+    return out
+
+
+def curation_funnel_docs(sf_dir: str) -> pd.DataFrame:
+    """End-to-end corpus-curation funnel — the per-stage survivor
+    tally a pipeline operator reads before launching a training run:
+    raw → exact dedup (keep-first per text) → quality rule chain →
+    decontamination (stand-in benchmark = every 97th doc). The three
+    stage predicates are computed INDEPENDENTLY in parallel (winner
+    flag, keep verdict, contamination verdict — each its own
+    distributed pass over one parquet read), joined by doc_id through
+    the bucketed hash_join, and folded to four counters in one
+    streaming pass — no stage-sequential refiltering, no driver rows.
+    → (stage, stage_name, n_kept, n_dropped)."""
+    from ..dedup.decontaminate import benchmark_gram_hashes, decontaminate
+    from ..functions.joins import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    qual = _quality_filter_docs_ds(sf_dir).map_batches(
+        lambda b: b[["doc_id", "keep"]], batch_format="pandas")
+
+    def pick_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0))
+
+    bench = benchmark_gram_hashes(
+        ds.map_batches(pick_bench, batch_format="pyarrow"),
+        "text", k=8, hash_fn="md5")
+    contam = decontaminate(ds, "text", "doc_id", bench, k=8,
+                           hash_fn="md5", threshold=0.1).map_batches(
+        lambda b: b[["doc_id", "contaminated"]], batch_format="pandas")
+
+    winners = dedup_by_key(ds, key="text", order_col="doc_id").map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "win": np.ones(len(b), dtype=bool)}),
+        batch_format="pandas")
+
+    j = hash_join(qual, contam, on="doc_id",
+                  right_cols=["doc_id", "contaminated"])
+    j = hash_join(j, winners, on="doc_id", right_cols=["doc_id", "win"],
+                  how="left")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["keep"].to_numpy(dtype=bool)
+        contamv = b["contaminated"].to_numpy(dtype=bool)
+        win = b["win"].notna().to_numpy() & b["win"].fillna(False).astype(
+            bool).to_numpy()
+        return pd.DataFrame({
+            "n0": [len(b)], "n1": [int(win.sum())],
+            "n2": [int((win & keep).sum())],
+            "n3": [int((win & keep & ~contamv).sum())],
+        })
+
+    sums = {"n0": 0, "n1": 0, "n2": 0, "n3": 0}
+    for b in j.map_batches(part, batch_format="pandas").iter_batches(
+            batch_size=4096, batch_format="pandas"):
+        for c in sums:
+            sums[c] += int(b[c].sum())
+    n0, n1, n2, n3 = sums["n0"], sums["n1"], sums["n2"], sums["n3"]
+    return pd.DataFrame({
+        "stage": np.array([0, 1, 2, 3], dtype=np.int64),
+        "stage_name": ["raw", "exact_dedup", "quality_rules",
+                       "decontaminate"],
+        "n_kept": np.array([n0, n1, n2, n3], dtype=np.int64),
+        "n_dropped": np.array([0, n0 - n1, n1 - n2, n2 - n3],
+                              dtype=np.int64),
+    })

@@ -109,3 +109,56 @@ def temperature_mix(ds, key_col: str, group_col: str, temperature: float,
                                target_fraction * sum(counts.values()))
     return stratified_sample(ds, key_col=key_col, group_col=group_col,
                              fractions=fr, salt=salt, hash_fn=hash_fn)
+
+
+def unimax_allocation(token_counts: dict, budget_fraction: float,
+                      epoch_cap: float) -> pd.DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): give every group as close to an equal
+    share of the budget as its capacity (n_g × epoch_cap repeats)
+    allows — groups too small to absorb the equal share are capped at
+    their capacity and the freed budget re-levels among the rest.
+
+    Closed-form ascending waterfill over the per-group count dict (the
+    distributed part is the single grouped token-count fold upstream —
+    state here is #groups-sized, never row-sized): sort ascending by
+    (capacity, group); for 1-based rank i the candidate level is
+    ``(B − Σ smaller capacities) / (K − i + 1)``; the first group whose
+    capacity exceeds its level is the pivot — every group before it is
+    capped, every group from it on gets the pivot level (the sequential
+    rule a_i = min(c_i, remaining/(K−i+1)) telescopes to exactly this).
+    Budget beyond the total capacity is left unallocated — the epoch
+    cap binds (the paper's anti-overfitting contract).
+
+    → (group, n_tokens, capacity, alloc_tokens, epochs) ascending by
+    group; values are raw floats — the query-level rounding contract
+    (``queries._round6``) lives at the caller.
+    """
+    if budget_fraction < 0 or epoch_cap <= 0:
+        raise ValueError("budget_fraction must be >= 0, epoch_cap > 0")
+    if not token_counts:
+        return pd.DataFrame({"group": [], "n_tokens": [], "capacity": [],
+                             "alloc_tokens": [], "epochs": []})
+    items = sorted(token_counts.items(),
+                   key=lambda kv: (kv[1] * epoch_cap, kv[0]))
+    grp = np.array([k for k, _ in items], dtype=object)
+    n = np.array([v for _, v in items], dtype=np.float64)
+    if (n < 0).any() or np.isnan(n).any():
+        raise ValueError("token counts must be non-negative numbers")
+    cap = n * epoch_cap
+    k = len(n)
+    budget = budget_fraction * n.sum()
+    pre = np.concatenate([[0.0], np.cumsum(cap)[:-1]])
+    lvl = (budget - pre) / (k - np.arange(k))
+    below = lvl < cap
+    alloc = cap.copy()
+    if below.any():
+        piv = int(np.argmax(below))
+        alloc[piv:] = lvl[piv]
+    epochs = np.divide(alloc, n, out=np.zeros_like(alloc), where=n > 0)
+    out = pd.DataFrame({"group": grp, "n_tokens": n.astype(np.int64)
+                        if np.all(n == np.floor(n)) else n,
+                        "capacity": cap, "alloc_tokens": alloc,
+                        "epochs": epochs})
+    return out.sort_values("group").reset_index(drop=True)
