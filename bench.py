@@ -224,6 +224,10 @@ def run_bench() -> dict:
         ("hits_supplier_part", Q.hits_supplier_part),
         ("ind_discovery", Q.ind_discovery),
         ("cfd_check_orders", Q.cfd_check_orders),
+        ("unimax_mix_docs", Q.unimax_mix_docs),
+        ("uncertainty_sample_docs", Q.uncertainty_sample_docs),
+        ("minhash_eval_docs", Q.minhash_eval_docs),
+        ("curation_funnel_docs", Q.curation_funnel_docs),
     ]
     if query_list and not os.environ.get("GRAFT_BENCH_SKIP_IMAGE_QUERIES"):
         import __ray_entry__ as E

@@ -5525,20 +5525,23 @@ def curation_funnel_docs(sf_dir: str) -> pd.DataFrame:
     """End-to-end corpus-curation funnel — the per-stage survivor
     tally a pipeline operator reads before launching a training run:
     raw → exact dedup (keep-first per text) → quality rule chain →
-    decontamination (stand-in benchmark = every 97th doc). The three
-    stage predicates are computed INDEPENDENTLY in parallel (winner
-    flag, keep verdict, contamination verdict — each its own
-    distributed pass over one parquet read), joined by doc_id through
-    the bucketed hash_join, and folded to four counters in one
-    streaming pass — no stage-sequential refiltering, no driver rows.
+    decontamination (stand-in benchmark = every 97th doc). FUSED: one
+    map_batches computes BOTH per-row verdicts (rule chain + broadcast
+    benchmark-gram probe) and batch-pre-reduces to the min-doc-per-text
+    winner candidates (the dedup/exact pre-dedup trick — duplicate-
+    heavy corpora shrink before the shuffle); ONE bucketed text-key
+    exchange then resolves global winners and folds the three survivor
+    counters per bucket — fixed-size partials, no joins, no driver
+    rows. Raw count comes from the parquet footer.
     → (stage, stage_name, n_kept, n_dropped)."""
-    from ..dedup.decontaminate import benchmark_gram_hashes, decontaminate
-    from ..functions.joins import hash_join
+    import ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..dedup.decontaminate import _doc_gram_hashes, benchmark_gram_hashes
+    from ..functions.broadcast import cached_get
+    from ..rules.heuristics import round6_away
 
-    qual = _quality_filter_docs_ds(sf_dir).map_batches(
-        lambda b: b[["doc_id", "keep"]], batch_format="pandas")
+    n0 = int(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def pick_bench(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(
@@ -5547,37 +5550,65 @@ def curation_funnel_docs(sf_dir: str) -> pd.DataFrame:
     bench = benchmark_gram_hashes(
         ds.map_batches(pick_bench, batch_format="pyarrow"),
         "text", k=8, hash_fn="md5")
-    contam = decontaminate(ds, "text", "doc_id", bench, k=8,
-                           hash_fn="md5", threshold=0.1).map_batches(
-        lambda b: b[["doc_id", "contaminated"]], batch_format="pandas")
+    ref = ray.put(np.ascontiguousarray(np.sort(bench)))
 
-    winners = dedup_by_key(ds, key="text", order_col="doc_id").map_batches(
-        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
-                                "win": np.ones(len(b), dtype=bool)}),
-        batch_format="pandas")
+    def flags(b: pa.Table) -> pd.DataFrame:
+        from ..pipelines.quality_filter import cached_chain
 
-    j = hash_join(qual, contam, on="doc_id",
-                  right_cols=["doc_id", "contaminated"])
-    j = hash_join(j, winners, on="doc_id", right_cols=["doc_id", "win"],
-                  how="left")
+        engine = cached_chain(build_docs_chain)
+        texts = b["text"].to_numpy(zero_copy_only=False)
+        res = engine.apply(
+            texts, aux={"lang": b["lang"].to_numpy(zero_copy_only=False)})
+        keep = res.verdict != "DROP"
+        bh = cached_get(ref)
+        flat, counts = _doc_gram_hashes(texts.tolist(), 8, "md5")
+        if len(flat) and len(bh):
+            pos = np.searchsorted(bh, flat)
+            hit = (pos < len(bh)) & (bh[np.minimum(pos, len(bh) - 1)] == flat)
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        csum = np.concatenate(([0], np.cumsum(hit.astype(np.int64))))
+        ends = np.cumsum(counts)
+        # round BEFORE the threshold compare — decontaminate()'s exact
+        # contract (round6_away is DuckDB's half-away mode)
+        frac = round6_away((csum[ends] - csum[ends - counts])
+                           / np.maximum(counts, 1))
+        d = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "text": texts,
+            "keep": keep,
+            "contam": frac >= 0.1,
+        })
+        # batch pre-reduce: only each text's min-doc row can be the
+        # global winner (its flags ride along — keep depends on lang
+        # too, so the winner's OWN verdict is what the funnel counts)
+        d = d.sort_values("doc_id", kind="mergesort")
+        d = d[~d["text"].duplicated()]
+        import pandas.util as pdu
 
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["keep"].to_numpy(dtype=bool)
-        contamv = b["contaminated"].to_numpy(dtype=bool)
-        win = b["win"].notna().to_numpy() & b["win"].fillna(False).astype(
-            bool).to_numpy()
+        d["__bucket"] = (pdu.hash_array(
+            d["text"].fillna("\x00NULL\x00").to_numpy(dtype=object))
+            % 64).astype(np.int64)
+        return d
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        w = g[~g["text"].duplicated()]
+        keep = w["keep"].to_numpy(dtype=bool)
+        contamv = w["contam"].to_numpy(dtype=bool)
         return pd.DataFrame({
-            "n0": [len(b)], "n1": [int(win.sum())],
-            "n2": [int((win & keep).sum())],
-            "n3": [int((win & keep & ~contamv).sum())],
+            "n1": [len(w)], "n2": [int(keep.sum())],
+            "n3": [int((keep & ~contamv).sum())],
         })
 
-    sums = {"n0": 0, "n1": 0, "n2": 0, "n3": 0}
-    for b in j.map_batches(part, batch_format="pandas").iter_batches(
-            batch_size=4096, batch_format="pandas"):
+    sums = {"n1": 0, "n2": 0, "n3": 0}
+    folded = (ds.map_batches(flags, batch_format="pyarrow")
+              .groupby("__bucket").map_groups(fold_bucket,
+                                              batch_format="pandas"))
+    for b in folded.iter_batches(batch_size=4096, batch_format="pandas"):
         for c in sums:
             sums[c] += int(b[c].sum())
-    n0, n1, n2, n3 = sums["n0"], sums["n1"], sums["n2"], sums["n3"]
+    n1, n2, n3 = sums["n1"], sums["n2"], sums["n3"]
     return pd.DataFrame({
         "stage": np.array([0, 1, 2, 3], dtype=np.int64),
         "stage_name": ["raw", "exact_dedup", "quality_rules",
